@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory so every entry point (Verify, Bench, tests,
+  * user code) gets the same scale-oriented defaults.
+  *
+  * Defaults are chosen for the driver's local[32] harness but mirror what a
+  * 1000-executor cluster config would set per-executor: AQE on (runtime
+  * re-planning, skew-join splitting, partition coalescing), shuffle
+  * partitions sized to cores rather than the 200 default, and UTC so results
+  * are comparable with the DuckDB oracle.
+  */
+object GraftSession {
+  def builder(cores: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
