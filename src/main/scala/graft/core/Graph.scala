@@ -1,0 +1,240 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The eternal graph: all atoms/values/txs across all time slices.
+  *
+  * Reads never mutate; a [[GraphSlice]] is a pure view parameterized by a
+  * slice number — zef's GraphSlice/reference-frame concept
+  * (`python/zef/core/graph_slice.py:24-74`) — so time travel is a parameter
+  * change, zero data movement (SURVEY §2.2, §4.2).
+  */
+final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame) {
+
+  def spark: SparkSession = atoms.sparkSession
+
+  /** Latest slice — zef `now` (impl.py:4848). One tiny agg over txs. */
+  def maxSlice: Int = {
+    val r = txs.agg(max("tx_id")).collect()(0)
+    if (r.isNullAt(0)) 0 else r.getInt(0)
+  }
+
+  def now: GraphSlice = GraphSlice(this, maxSlice)
+
+  /** Absolute frame — zef `to_frame`/`at`. */
+  def at(slice: Int): GraphSlice = GraphSlice(this, slice)
+
+  /** Time → slice resolution: last tx at-or-before t — zef `to_graph_slice`
+    * (graph_slice.py:53-72). */
+  def at(t: java.sql.Timestamp): GraphSlice = {
+    val r = txs.filter(col("ts") <= lit(t)).agg(max("tx_id")).collect()(0)
+    GraphSlice(this, if (r.isNullAt(0)) 0 else r.getInt(0))
+  }
+
+  /** Delegate-level schema summary — zef `blueprint` (impl.py:9225): the
+    * observed schema as (kind, atype) counts, relations annotated with
+    * endpoint types via self-joins on the atoms table. */
+  def blueprint: DataFrame = {
+    val a = atoms
+    val ends = a.select(col("atom_id"), col("atype").as("end_type"))
+    a.filter(col("kind") === Kind.Relation)
+      .join(ends.withColumnRenamed("end_type", "src_type")
+        .withColumnRenamed("atom_id", "src_id"), Seq("src_id"), "left")
+      .join(ends.withColumnRenamed("end_type", "dst_type")
+        .withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"), "left")
+      .groupBy(col("atype"), col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(
+        a.filter(col("kind") =!= Kind.Relation)
+          .groupBy(col("atype"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("src_type", lit(null).cast("string"))
+          .withColumn("dst_type", lit(null).cast("string")))
+  }
+
+  /** Instantiated/terminated/assigned events in a slice range — zef
+    * `events[...]` (impl.py:5168). The event representation is derived from
+    * the interval columns + value rows; no separate event log needed. */
+  def events(fromSlice: Int, toSlice: Int): DataFrame = {
+    val inst = atoms
+      .filter(col("inst_slice").between(fromSlice, toSlice))
+      .select(col("atom_id"), col("inst_slice").as("tx_slice"),
+        lit("instantiated").as("event"))
+    val term = atoms
+      .filter(col("term_slice").between(fromSlice, toSlice))
+      .select(col("atom_id"), col("term_slice").as("tx_slice"),
+        lit("terminated").as("event"))
+    val assigned = values
+      .filter(col("tx_slice").between(fromSlice, toSlice))
+      .select(col("ae_id").as("atom_id"), col("tx_slice"),
+        lit("assigned").as("event"))
+    inst.unionByName(term).unionByName(assigned)
+  }
+}
+
+object Graph {
+  /** Union two graphs (e.g. a bulk-load snapshot + an event-history stream).
+    * Identity of shared atoms is by atom_id/origin_uid — the cross-graph
+    * merge semantics of zef's EternalUID (`core/include/uids.h`). */
+  def merge(a: Graph, b: Graph): Graph = Graph(
+    a.atoms.unionByName(b.atoms).dropDuplicates("atom_id"),
+    a.values.unionByName(b.values),
+    a.txs.unionByName(b.txs).dropDuplicates("tx_id"))
+
+  def empty(spark: SparkSession): Graph = {
+    import spark.implicits._
+    Graph(
+      spark.emptyDataset[AtomRow].toDF(),
+      spark.emptyDataset[ValueRow].toDF(),
+      spark.emptyDataset[TxRow].toDF())
+  }
+
+  /** Validity predicate: atom alive in slice S (SURVEY §1.1 GraphSlice row). */
+  def aliveAt(slice: Int): Column =
+    col("inst_slice") <= slice &&
+      (col("term_slice").isNull || col("term_slice") > slice)
+
+  /** Known by slice S, possibly already terminated — zef `aware_of`
+    * (impl.py:6885). */
+  def awareAt(slice: Int): Column = col("inst_slice") <= slice
+}
+
+/** The graph in one reference frame. All traversals/scans below are as-of
+  * this slice: every atom access composes the validity interval predicate —
+  * the Spark analogue of zef's frame-carrying ZefRef.
+  */
+final case class GraphSlice(graph: Graph, slice: Int) {
+
+  /** All alive atoms in this frame. The filter is a pushable predicate on
+    * interval columns — at scale this prunes via (kind, atype) partitioning
+    * plus parquet min/max on inst_slice. */
+  def aliveAtoms: DataFrame = graph.atoms.filter(Graph.aliveAt(slice))
+
+  /** zef `all[ET.X]` (impl.py:2048): type-pruned scan of alive entities. */
+  def all(et: String): AtomSet =
+    AtomSet(this, aliveAtoms.filter(col("kind") === Kind.Entity && col("atype") === et))
+
+  /** zef `all[RT.X]` over relations. */
+  def allRelations(rt: String): AtomSet =
+    AtomSet(this, aliveAtoms.filter(col("kind") === Kind.Relation && col("atype") === rt))
+
+  /** Relative time travel — zef `time_travel[n]` (impl.py:5493): pure slice
+    * arithmetic, no data movement. */
+  def timeTravel(delta: Int): GraphSlice = GraphSlice(graph, slice + delta)
+
+  private[core] def aliveRelations(rt: String): DataFrame =
+    graph.atoms.filter(
+      col("kind") === Kind.Relation && col("atype") === rt && Graph.aliveAt(slice))
+}
+
+/** A set of atoms within a frame — the plural ZefRef. Traversals are
+  * equi-joins against the relation atoms of the same frame (SURVEY §2.1:
+  * "graph traversal *is* zef's join").
+  *
+  * Scale notes: each hop is join(relations on src/dst) + join(atoms on id).
+  * With atoms bucketed by atom_id both joins are co-partitioned; small
+  * frontier sets broadcast automatically under AQE.
+  */
+final case class AtomSet(frame: GraphSlice, df: DataFrame) {
+
+  private def atoms = frame.graph.atoms
+  private def spark = frame.graph.spark
+
+  private def hop(rt: String, fromCol: String, toCol: String): DataFrame =
+    df.select(col("atom_id").as("__from"))
+      .join(frame.aliveRelations(rt).select(
+        col(fromCol).as("__from"), col(toCol).as("__to")), "__from")
+
+  private def resolve(ids: DataFrame): AtomSet =
+    AtomSet(frame,
+      atoms.filter(Graph.aliveAt(frame.slice))
+        .join(ids.select(col("__to").as("atom_id")).distinct(), "atom_id"))
+
+  /** zef `Outs[rt]` (impl.py:6334): all targets of outgoing rt. */
+  def outs(rt: String): AtomSet = resolve(hop(rt, "src_id", "dst_id"))
+
+  /** zef `Ins[rt]` (impl.py:6397): all sources of incoming rt. */
+  def ins(rt: String): AtomSet = resolve(hop(rt, "dst_id", "src_id"))
+
+  /** zef `Out[rt]` (impl.py:6288): unique hop; error if any source has 0
+    * or >1 outgoing rt. Cardinality is asserted distributed (one agg),
+    * not per-row on the driver. */
+  def out(rt: String): AtomSet = { assertUnique(rt, "src_id"); outs(rt) }
+
+  /** zef `In[rt]` (impl.py:6363). */
+  def in(rt: String): AtomSet = { assertUnique(rt, "dst_id"); ins(rt) }
+
+  private def assertUnique(rt: String, endCol: String): Unit = {
+    val degrees = frame.aliveRelations(rt)
+      .groupBy(col(endCol).as("__from"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val bad = df.select(col("atom_id").as("__from"))
+      .join(degrees, Seq("__from"), "left")
+      .filter(col("n").isNull || col("n") =!= 1)
+      .limit(1).count()
+    require(bad == 0, s"traversal '$rt' is not unique (some atom has 0 or >1)")
+  }
+
+  /** zef `out_rels[rt]` (impl.py:6512): step onto the relation atoms
+    * themselves — relations are first-class and can be traversed onward. */
+  def outRels(rt: String): AtomSet =
+    AtomSet(frame, frame.aliveRelations(rt)
+      .join(df.select(col("atom_id").as("src_id")), "src_id"))
+
+  def inRels(rt: String): AtomSet =
+    AtomSet(frame, frame.aliveRelations(rt)
+      .join(df.select(col("atom_id").as("dst_id")), "dst_id"))
+
+  /** zef `source`/`target` (impl.py:6667): endpoints of relation atoms. */
+  def sources: AtomSet =
+    resolve(df.filter(col("kind") === Kind.Relation).select(col("src_id").as("__to")))
+  def targets: AtomSet =
+    resolve(df.filter(col("kind") === Kind.Relation).select(col("dst_id").as("__to")))
+
+  /** zef `has_out[rt]` as a set filter (impl.py:5728): left-semi join. */
+  def hasOut(rt: String): AtomSet =
+    AtomSet(frame, df.join(
+      frame.aliveRelations(rt).select(col("src_id").as("atom_id")),
+      Seq("atom_id"), "left_semi"))
+
+  def hasIn(rt: String): AtomSet =
+    AtomSet(frame, df.join(
+      frame.aliveRelations(rt).select(col("dst_id").as("atom_id")),
+      Seq("atom_id"), "left_semi"))
+
+  /** zef `field[rt] | value` (impl.py:9295, 6701): for each atom, the value
+    * of its rt-attribute as of this frame.
+    *
+    * As-of resolution is a single partial-aggregable `max_by(value, tx_slice)`
+    * over assignments ≤ S — no window over full history, no per-row lookups
+    * (SURVEY §7.4 "as-of value semantics at scale").
+    * Returns (atom_id, v_str, v_long, v_double, v_bool, v_ts).
+    */
+  def field(rt: String): DataFrame = {
+    val rels = frame.aliveRelations(rt)
+      .select(col("src_id").as("atom_id"), col("dst_id").as("ae_id"))
+    val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+    val latest = frame.graph.values
+      .filter(col("tx_slice") <= frame.slice)
+      .groupBy("ae_id")
+      .agg(max_by(struct(vcols.map(col): _*), col("tx_slice")).as("__v"))
+      .select(col("ae_id") +: vcols.map(c => col(s"__v.$c").as(c)): _*)
+    df.select("atom_id").join(rels, "atom_id").join(latest, "ae_id")
+      .drop("ae_id")
+  }
+
+  /** Field value as a single aliased column (picks the typed column). */
+  def fieldValue(rt: String, vcol: String, as: String): DataFrame =
+    field(rt).select(col("atom_id"), col(vcol).as(as))
+
+  /** Multi-field pivot: one row per atom with one column per requested
+    * field — the workhorse for "entity table" projections out of the 6NF
+    * graph. Joins stay on atom_id, so with bucketing they are co-located. */
+  def fields(rts: (String, String, String)*): DataFrame =
+    rts.foldLeft(df.select("atom_id")) { case (acc, (rt, vcol, as)) =>
+      acc.join(fieldValue(rt, vcol, as), Seq("atom_id"), "left")
+    }
+
+  def count(): Long = df.count()
+}

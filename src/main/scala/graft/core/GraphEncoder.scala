@@ -1,0 +1,195 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Distributed relational→graph encoding — the bulk-ingest analogue of zef's
+  * `pandas_to_gd` (impl.py:7836), restated as pure DataFrame transforms: no
+  * driver-side loops, no collect; id generation is deterministic string
+  * construction from business keys, so re-encoding is idempotent and
+  * parallel encoding needs no coordination.
+  *
+  * Every row of a source table becomes: 1 entity atom + per field
+  * (1 relation atom + 1 AE atom + 1 value row) — the 6th-normal-form
+  * property graph of SURVEY §1.1. FK columns become entity-entity relation
+  * atoms. At 100 TB this is a map-only job per table (narrow, no shuffle);
+  * the write would be partitioned by (kind, atype) and bucketed by atom_id.
+  */
+object GraphEncoder {
+
+  private val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+
+  private def nullV = Seq(
+    lit(null).cast("string").as("v_str"),
+    lit(null).cast("long").as("v_long"),
+    lit(null).cast("double").as("v_double"),
+    lit(null).cast("boolean").as("v_bool"),
+    lit(null).cast("timestamp").as("v_ts"))
+
+  def entityId(et: String, key: Column): Column =
+    concat(lit(s"e:$et/"), key.cast("string"))
+
+  /** Entities + their field AEs/relations/values, all at inst_slice. */
+  def encodeEntities(df: DataFrame, et: String, keyCol: String,
+      fieldCols: Seq[String], instSlice: Int = 1): (DataFrame, DataFrame) = {
+    val id = entityId(et, col(keyCol))
+    val entity = df.select(
+      id.as("atom_id"), lit(Kind.Entity).as("kind"), lit(et).as("atype"),
+      lit(null).cast("string").as("src_id"), lit(null).cast("string").as("dst_id"),
+      lit(instSlice).as("inst_slice"), lit(null).cast("int").as("term_slice"),
+      id.as("origin_uid"))
+
+    val perField = fieldCols.map { f =>
+      val aeId = concat(lit(s"ae:$f/"), id)
+      val relId = concat(lit(s"rel:$f/"), id)
+      val ae = df.select(
+        aeId.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
+        lit(f).as("atype"),
+        lit(null).cast("string").as("src_id"), lit(null).cast("string").as("dst_id"),
+        lit(instSlice).as("inst_slice"), lit(null).cast("int").as("term_slice"),
+        aeId.as("origin_uid"))
+      val rel = df.select(
+        relId.as("atom_id"), lit(Kind.Relation).as("kind"), lit(f).as("atype"),
+        id.as("src_id"), aeId.as("dst_id"),
+        lit(instSlice).as("inst_slice"), lit(null).cast("int").as("term_slice"),
+        relId.as("origin_uid"))
+      (ae, rel)
+    }
+    val atoms = (entity +: perField.flatMap(p => Seq(p._1, p._2)))
+      .reduce(_ unionByName _)
+
+    val values = fieldCols.map { f =>
+      val aeId = concat(lit(s"ae:$f/"), id)
+      val dt = df.schema(f).dataType.typeName
+      val (vtype, typed): (String, Seq[Column]) = dt match {
+        case "string" => ("str", Seq(col(f).as("v_str")) ++ nullV.tail)
+        case "long" | "integer" | "short" =>
+          ("long", Seq(nullV.head, col(f).cast("long").as("v_long")) ++ nullV.drop(2))
+        case "double" | "float" =>
+          ("double", nullV.take(2) ++ Seq(col(f).cast("double").as("v_double")) ++ nullV.drop(3))
+        case "boolean" =>
+          ("bool", nullV.take(3) ++ Seq(col(f).as("v_bool"), nullV.last))
+        case "timestamp" | "timestamp_ntz" =>
+          ("ts", nullV.take(4) :+ col(f).cast("timestamp").as("v_ts"))
+        case other => throw new IllegalArgumentException(s"field $f: $other")
+      }
+      df.select(Seq(aeId.as("ae_id"), lit(instSlice).as("tx_slice"),
+        lit(vtype).as("vtype")) ++ typed: _*)
+    }.reduceOption(_ unionByName _).getOrElse(
+      df.sparkSession.emptyDataFrame)
+    (atoms, values)
+  }
+
+  /** FK column → entity-entity relation atoms. */
+  def encodeRelations(df: DataFrame, rt: String,
+      srcEt: String, srcKeyCol: String, dstEt: String, dstKeyCol: String,
+      instSlice: Int = 1): DataFrame = {
+    val src = entityId(srcEt, col(srcKeyCol))
+    val dst = entityId(dstEt, col(dstKeyCol))
+    val relId = concat(lit(s"r:$rt/"), src, lit(">"), dst)
+    df.select(
+      relId.as("atom_id"), lit(Kind.Relation).as("kind"), lit(rt).as("atype"),
+      src.as("src_id"), dst.as("dst_id"),
+      lit(instSlice).as("inst_slice"), lit(null).cast("int").as("term_slice"),
+      relId.as("origin_uid"))
+  }
+
+  /** TPC-H-ish testdata → temporal property graph.
+    *
+    * Structure: Nation/Customer/Order entities; Customer -Placed-> Order;
+    * Customer -MemberOf-> Nation; field AEs for the scalar columns.
+    * Everything is slice 1 (a bulk-load snapshot), with the `events` table
+    * supplying real multi-slice history via [[encodeEventHistory]].
+    */
+  def encodeTpch(spark: SparkSession, sfDir: String): Graph = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+
+    val (a1, v1) = encodeEntities(nat, "Nation", "n_nationkey", Seq("n_name"))
+    val (a2, v2) = encodeEntities(cust, "Customer", "c_custkey",
+      Seq("c_name", "c_acctbal", "c_mktsegment"))
+    val (a3, v3) = encodeEntities(ord, "Order", "o_orderkey",
+      Seq("o_totalprice", "o_orderstatus", "o_orderdate"))
+    val r1 = encodeRelations(cust, "MemberOf", "Customer", "c_custkey",
+      "Nation", "c_nationkey")
+    val r2 = encodeRelations(ord, "Placed", "Customer", "o_custkey",
+      "Order", "o_orderkey")
+
+    val atoms = Seq(a1, a2, a3, r1, r2).reduce(_ unionByName _)
+    val values = Seq(v1, v2, v3).reduce(_ unionByName _)
+    import spark.implicits._
+    val txs = Seq(TxRow(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF()
+    Graph(atoms, values, txs)
+  }
+
+  /** The `events` table as genuine temporal history: each user_id becomes an
+    * entity with a `Value`/`EventType` AE; each event is a value assignment
+    * in its own tx slice (slice = global rank of the event by (ts, event_id),
+    * offset past the bulk-load slice 1). This gives a graph whose field
+    * values CHANGE across thousands of slices — the fixture for as-of /
+    * time-travel verification against the DuckDB oracle.
+    */
+  def encodeEventHistory(spark: SparkSession, sfDir: String,
+      baseSlice: Int = 1): Graph = {
+    val ev = Tables.events(spark, sfDir)
+    // Global deterministic slice numbering. A global window is acceptable
+    // here ONLY because tx ordering is inherently a total order (zef's
+    // monotone time_slice counter); at scale this becomes
+    // range-partitioned sort + per-partition offsets (see ZOps.enumerate).
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val ranked = ev.withColumn("tx_slice",
+      (row_number().over(w) + baseSlice).cast("int"))
+
+    val userId = entityId("User", col("user_id"))
+    // User entities appear at the slice of their first event.
+    val users = ranked.groupBy(col("user_id"))
+      .agg(min(col("tx_slice")).as("first_slice"))
+      .select(
+        entityId("User", col("user_id")).as("atom_id"),
+        lit(Kind.Entity).as("kind"), lit("User").as("atype"),
+        lit(null).cast("string").as("src_id"), lit(null).cast("string").as("dst_id"),
+        col("first_slice").cast("int").as("inst_slice"),
+        lit(null).cast("int").as("term_slice"),
+        entityId("User", col("user_id")).as("origin_uid"))
+
+    def aePair(field: String): DataFrame = {
+      val base = users.select(col("atom_id").as("owner"), col("inst_slice"))
+      val ae = base.select(
+        concat(lit(s"ae:$field/"), col("owner")).as("atom_id"),
+        lit(Kind.AttributeEntity).as("kind"), lit(field).as("atype"),
+        lit(null).cast("string").as("src_id"), lit(null).cast("string").as("dst_id"),
+        col("inst_slice"), lit(null).cast("int").as("term_slice"),
+        concat(lit(s"ae:$field/"), col("owner")).as("origin_uid"))
+      val rel = base.select(
+        concat(lit(s"rel:$field/"), col("owner")).as("atom_id"),
+        lit(Kind.Relation).as("kind"), lit(field).as("atype"),
+        col("owner").as("src_id"),
+        concat(lit(s"ae:$field/"), col("owner")).as("dst_id"),
+        col("inst_slice"), lit(null).cast("int").as("term_slice"),
+        concat(lit(s"rel:$field/"), col("owner")).as("origin_uid"))
+      ae.unionByName(rel)
+    }
+
+    val atoms = users.unionByName(aePair("Value")).unionByName(aePair("EventType"))
+
+    val valAssignments = ranked.select(
+      concat(lit("ae:Value/"), userId).as("ae_id"),
+      col("tx_slice"), lit("double").as("vtype"),
+      lit(null).cast("string").as("v_str"), lit(null).cast("long").as("v_long"),
+      col("value").as("v_double"), lit(null).cast("boolean").as("v_bool"),
+      lit(null).cast("timestamp").as("v_ts"))
+    val typeAssignments = ranked.select(
+      concat(lit("ae:EventType/"), userId).as("ae_id"),
+      col("tx_slice"), lit("str").as("vtype"),
+      col("event_type").as("v_str"), lit(null).cast("long").as("v_long"),
+      lit(null).cast("double").as("v_double"), lit(null).cast("boolean").as("v_bool"),
+      lit(null).cast("timestamp").as("v_ts"))
+
+    val txs = ranked.select(col("tx_slice").as("tx_id"), col("ts"))
+    Graph(atoms, valAssignments.unionByName(typeAssignments), txs)
+  }
+}

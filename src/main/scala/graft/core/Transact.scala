@@ -1,0 +1,177 @@
+package graft.core
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Write-path wishes — the user-facing templates of a transaction
+  * (reference: graph templates + `transact[g] | run`,
+  * `python/zef/core/graph_additions/transact.py:34-79`,
+  * `python/tests/test_graph_delta.py:26-38`).
+  *
+  * Keys are user-chosen stable names within the transaction scope (zef's
+  * internal ids / tags); atom_ids derive deterministically from them.
+  */
+sealed trait Wish
+/** `ET.Person["joe"]` + fields: instantiate an entity (idempotent per key)
+  * with optional field assignments. Multi-valued fields = repeated
+  * PutField wishes. */
+final case class PutEntity(et: String, key: String) extends Wish
+/** `(src, RT.X, dst)` with its own key so the relation can itself be a
+  * relation endpoint (meta-relations, test_graph_delta.py:37). */
+final case class PutRelation(rt: String, srcKey: String, dstKey: String,
+    key: String = null) extends Wish
+/** `(entity, RT.Field, AE)` + assignment: creates field relation + AE on
+  * first use, then assigns the value in this tx — zef `set_field` /
+  * `assign` (impl.py:5665, 7275). `instanceKey` distinguishes multiple
+  * instances of the same field type (zef NickName case). */
+final case class PutField(ownerKey: String, rt: String, value: Any,
+    instanceKey: String = "") extends Wish
+/** Re-assign an existing field AE — new value row, new slice visible. */
+final case class AssignField(ownerKey: String, rt: String, value: Any,
+    instanceKey: String = "") extends Wish
+/** zef `terminate` (impl.py:7261): close the validity interval of an atom
+  * (and, for entities, of their field relations' visibility is governed by
+  * the relation atoms — terminate those explicitly or via cascade=true). */
+final case class TerminateAtom(key: String) extends Wish
+
+final case class Receipt(ids: Map[String, String], slice: Int)
+
+/** Wish → command → atomic append; the Spark restatement of zef's staged
+  * write path (`graph_additions/_explanations.txt:1-60`): interpretation and
+  * ordering happen as pure Scala on the (small) wish list; the append is one
+  * union per table. Single-writer-per-graph discipline mirrors zef's
+  * transactor role (`fx_types.py:122`).
+  *
+  * Bulk data does NOT go through here — see [[GraphEncoder]] for the
+  * distributed encoding path. Transactions are for OLTP-ish mutations where
+  * the wish list fits on the driver, exactly like the reference.
+  */
+object Transactor {
+
+  /** Deterministic id scheme shared with GraphEncoder: entities "e:ET/key",
+    * relations "r:RT/key", field AEs "ae:RT/ownerId",
+    * field relations "rel:RT/ownerId". */
+  def atomId(kind: String, atype: String, key: String): String = {
+    val prefix = kind match {
+      case Kind.Entity => "e"
+      case Kind.Relation => "r"
+      case Kind.AttributeEntity => "ae"
+    }
+    s"$prefix:$atype/$key"
+  }
+  def aeId(ownerId: String, rt: String, instanceKey: String): String =
+    s"ae:$rt${if (instanceKey.isEmpty) "" else s"#$instanceKey"}/$ownerId"
+  def fieldRelId(ownerId: String, rt: String, instanceKey: String): String =
+    s"rel:$rt${if (instanceKey.isEmpty) "" else s"#$instanceKey"}/$ownerId"
+
+  def transact(g: Graph, wishes: Seq[Wish],
+      ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): (Graph, Receipt) = {
+    val spark = g.spark
+    import spark.implicits._
+    val slice = g.maxSlice + 1
+
+    // Resolve every key this tx touches to an atom_id. Entities/relations
+    // named in wishes; keys not defined in THIS tx refer to existing atoms.
+    val entityIds: Map[String, String] = wishes.collect {
+      case PutEntity(et, key) => key -> atomId(Kind.Entity, et, key)
+    }.toMap
+    def ref(key: String): String =
+      entityIds.getOrElse(key,
+        if (key.contains(":")) key // already a full atom_id
+        else throw new IllegalArgumentException(
+          s"unknown key '$key' — pass a full atom_id for atoms outside this tx"))
+
+    val newAtoms = scala.collection.mutable.ArrayBuffer[AtomRow]()
+    val newValues = scala.collection.mutable.ArrayBuffer[ValueRow]()
+    val terminated = scala.collection.mutable.ArrayBuffer[String]()
+    val receipt = scala.collection.mutable.Map[String, String]()
+
+    // Existing-atom check scoped to the ids this tx could touch (pushed-down
+    // isin filter — never a full scan collect, graph size notwithstanding).
+    val candidateIds: Set[String] = wishes.flatMap {
+      case PutEntity(et, key) => Seq(atomId(Kind.Entity, et, key))
+      case PutRelation(rt, s0, d0, key) =>
+        Seq(atomId(Kind.Relation, rt, Option(key).getOrElse(s"$s0-$d0")))
+      case PutField(ownerKey, rt, _, inst) =>
+        val owner = entityIds.getOrElse(ownerKey, ownerKey)
+        Seq(aeId(owner, rt, inst), fieldRelId(owner, rt, inst))
+      case _ => Nil
+    }.toSet
+    val existing: Set[String] =
+      if (candidateIds.isEmpty) Set.empty
+      else g.atoms.select("atom_id")
+        .filter(col("atom_id").isInCollection(candidateIds))
+        .as[String].collect().toSet
+
+    // DAG ordering is implicit in wish types: entities, then relations,
+    // then fields, then assigns/terminates (reference
+    // `graph_delta.py:1242-1290` resolves the same ordering dynamically).
+    wishes.foreach {
+      case PutEntity(et, key) =>
+        val id = atomId(Kind.Entity, et, key)
+        receipt(key) = id
+        if (!existing.contains(id))
+          newAtoms += AtomRow(id, Kind.Entity, et, None, None, slice, None, id)
+      case _ =>
+    }
+    wishes.foreach {
+      case PutRelation(rt, srcKey, dstKey, key) =>
+        val src = ref(srcKey); val dst = ref(dstKey)
+        val k = Option(key).getOrElse(s"$srcKey-$dstKey")
+        val id = atomId(Kind.Relation, rt, k)
+        receipt(k) = id
+        if (!existing.contains(id))
+          newAtoms += AtomRow(id, Kind.Relation, rt, Some(src), Some(dst),
+            slice, None, id)
+      case _ =>
+    }
+    def localIds: Map[String, String] = receipt.toMap
+    def refAll(key: String): String = localIds.getOrElse(key, ref(key))
+
+    wishes.foreach {
+      case PutField(ownerKey, rt, value, inst) =>
+        val owner = refAll(ownerKey)
+        val ae = aeId(owner, rt, inst)
+        val rel = fieldRelId(owner, rt, inst)
+        if (!existing.contains(ae)) {
+          newAtoms += AtomRow(ae, Kind.AttributeEntity, rt, None, None,
+            slice, None, ae)
+          newAtoms += AtomRow(rel, Kind.Relation, rt, Some(owner), Some(ae),
+            slice, None, rel)
+        }
+        newValues += ValueRow.of(ae, slice, value)
+      case AssignField(ownerKey, rt, value, inst) =>
+        val ae = aeId(refAll(ownerKey), rt, inst)
+        newValues += ValueRow.of(ae, slice, value)
+      case TerminateAtom(key) =>
+        terminated += refAll(key)
+      case _ =>
+    }
+
+    val atomsAppended =
+      if (newAtoms.isEmpty) g.atoms
+      else g.atoms.unionByName(spark.createDataset(newAtoms.toSeq).toDF())
+    // Termination updates the denormalized interval column. An immutable-DF
+    // union can't update in place, so we map the closed intervals over the
+    // table; on durable storage this is a Delta-style MERGE keyed on atom_id.
+    val atomsFinal =
+      if (terminated.isEmpty) atomsAppended
+      else {
+        val termSet = terminated.toSet
+        val isTerm = col("atom_id").isInCollection(termSet) ||
+          col("src_id").isInCollection(termSet) ||  // cascade: relations of a
+          col("dst_id").isInCollection(termSet)     // dead atom die with it
+        atomsAppended.withColumn("term_slice",
+          when(col("term_slice").isNull && isTerm, lit(slice))
+            .otherwise(col("term_slice")))
+      }
+    val valuesFinal =
+      if (newValues.isEmpty) g.values
+      else g.values.unionByName(spark.createDataset(newValues.toSeq).toDF())
+    val txsFinal = g.txs.unionByName(
+      spark.createDataset(Seq(TxRow(slice, ts))).toDF())
+
+    (Graph(atomsFinal, valuesFinal, txsFinal), Receipt(receipt.toMap, slice))
+  }
+}

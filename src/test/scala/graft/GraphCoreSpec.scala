@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** Person/Pet fixture from FIXTURES.md §1 (reference
+  * test_graph_delta.py:21-66): write path, multi-valued fields,
+  * meta-relations, assign/terminate, per-slice temporal assertions.
+  */
+class GraphCoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  def fixture: Graph = {
+    val g0 = Graph.empty(spark)
+    // tx 1: joe + fields + pet + named relation + meta-relation on it
+    val (g1, r1) = Transactor.transact(g0, Seq(
+      PutEntity("Person", "joe"),
+      PutEntity("Pet", "spot"),
+      PutField("joe", "FirstName", "Joe"),
+      PutField("joe", "LastName", "Bloggs"),
+      PutField("joe", "NickName", "Guy", instanceKey = "1"),
+      PutField("joe", "NickName", "Joey", instanceKey = "2"),
+      PutField("spot", "Name", "Spot"),
+      PutRelation("HasPet", "joe", "spot", "joe-spot"),
+      // meta-relation: the HasPet relation is itself the source
+      PutField("joe-spot", "Date", java.sql.Timestamp.valueOf("2020-05-01 12:34:00"))))
+    // tx 2: third nickname + LastName reassigned
+    val (g2, _) = Transactor.transact(g1, Seq(
+      PutField("e:Person/joe", "NickName", "J-man", instanceKey = "3"),
+      AssignField("e:Person/joe", "LastName", "Smith")))
+    // tx 3: terminate all nicknames (terminate the AEs; field relations
+    // cascade)
+    val joe = "e:Person/joe"
+    val (g3, _) = Transactor.transact(g2, Seq(
+      TerminateAtom(Transactor.aeId(joe, "NickName", "1")),
+      TerminateAtom(Transactor.aeId(joe, "NickName", "2")),
+      TerminateAtom(Transactor.aeId(joe, "NickName", "3"))))
+    g3
+  }
+
+  test("write path: receipts and slice counting") {
+    val g0 = Graph.empty(spark)
+    val (g1, r) = Transactor.transact(g0, Seq(
+      PutEntity("Person", "joe"), PutField("joe", "FirstName", "Joe")))
+    assert(r.ids("joe") == "e:Person/joe")
+    assert(r.slice == 1)
+    assert(g1.maxSlice == 1)
+    assert(g1.now.all("Person").count() == 1)
+  }
+
+  test("multi-valued fields per slice: 2 at s1, 3 at s2, 0 at s3") {
+    val g = fixture
+    def nicknames(s: Int) =
+      g.at(s).all("Person").outs("NickName").count()
+    assert(nicknames(1) == 2)
+    assert(nicknames(2) == 3)
+    assert(nicknames(3) == 0)
+    // hasOut flips to empty at slice 3 (zef has_out == false)
+    assert(g.at(2).all("Person").hasOut("NickName").count() == 1)
+    assert(g.at(3).all("Person").hasOut("NickName").count() == 0)
+  }
+
+  test("assign creates a new visible value per frame (LastName)") {
+    val g = fixture
+    def lastName(s: Int): String =
+      g.at(s).all("Person").fieldValue("LastName", "v_str", "v")
+        .collect()(0).getAs[String]("v")
+    assert(lastName(1) == "Bloggs")
+    assert(lastName(2) == "Smith")
+    assert(lastName(3) == "Smith") // unchanged by tx3
+  }
+
+  test("traversal: out to pet, meta-relation on the relation atom") {
+    val g = fixture
+    val pets = g.now.all("Person").outs("HasPet")
+    assert(pets.count() == 1)
+    assert(pets.df.collect()(0).getAs[String]("atype") == "Pet")
+    // the HasPet relation atom itself has a Date field (meta-relation)
+    val rel = g.now.all("Person").outRels("HasPet")
+    val dates = rel.fieldValue("Date", "v_ts", "date").collect()
+    assert(dates.length == 1)
+    assert(dates(0).getAs[java.sql.Timestamp]("date") ==
+      java.sql.Timestamp.valueOf("2020-05-01 12:34:00"))
+  }
+
+  test("out() asserts cardinality 1; outs() does not") {
+    val g = fixture
+    // FirstName is unique: out OK
+    assert(g.at(1).all("Person").out("FirstName").count() == 1)
+    // NickName has 2 at slice 1: out must throw
+    assertThrows[IllegalArgumentException] {
+      g.at(1).all("Person").out("NickName").count()
+    }
+  }
+
+  test("ins and sources mirror outs and targets") {
+    val g = fixture
+    val owner = g.now.all("Pet").ins("HasPet")
+    assert(owner.count() == 1)
+    assert(owner.df.collect()(0).getAs[String]("atom_id") == "e:Person/joe")
+    val viaRel = g.now.all("Pet").inRels("HasPet").sources
+    assert(viaRel.df.collect()(0).getAs[String]("atom_id") == "e:Person/joe")
+  }
+
+  test("events between slices") {
+    val g = fixture
+    val ev = g.events(2, 3).groupBy(col("event")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tx2: 1 AE + 1 rel instantiated (NickName#3) + 2 assigned
+    // (NickName#3 value + LastName re-assign);
+    // tx3: 3 AEs + 3 rels terminated
+    assert(ev("instantiated") == 2)
+    assert(ev("assigned") == 2)
+    assert(ev("terminated") == 6)
+  }
+
+  test("time resolution: at(timestamp) resolves the right slice") {
+    val g0 = Graph.empty(spark)
+    val (g1, _) = Transactor.transact(g0,
+      Seq(PutEntity("Person", "a")), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val (g2, _) = Transactor.transact(g1,
+      Seq(PutEntity("Person", "b")), java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    assert(g2.at(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).slice == 1)
+    assert(g2.at(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")).slice == 2)
+    assert(g2.at(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+      .all("Person").count() == 1)
+  }
+
+  test("blueprint summarizes observed schema with endpoint types") {
+    val g = fixture
+    val bp = g.blueprint.collect()
+    val hasPet = bp.find(r => r.getAs[String]("atype") == "HasPet").get
+    assert(hasPet.getAs[String]("src_type") == "Person")
+    assert(hasPet.getAs[String]("dst_type") == "Pet")
+  }
+
+  test("merge unions graphs idempotently on atom_id") {
+    val g = fixture
+    val merged = Graph.merge(g, g)
+    assert(merged.atoms.count() == g.atoms.count())
+    assert(merged.txs.count() == g.txs.count())
+  }
+}
