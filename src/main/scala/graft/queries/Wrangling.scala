@@ -1,7 +1,258 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.wrangling.{Dedup, Similarity, TextOps}
+
 /** Data-wrangling / LLM-pipeline operators (SURVEY.md §2.12 + north-star
-  * superset: dedup, similarity search, text analysis). */
+  * superset: dedup, similarity search, text analysis) as verifiable
+  * queries over `documents` / `embeddings`.
+  *
+  * Hash-sensitive ops (MinHash, SimHash, LSH) have no cross-engine oracle —
+  * their SQL-free entries get the driver's rows-only check, and their
+  * semantics are proven in WranglingSpec against exact baselines.
+  */
 object Wrangling {
-  val entries: Seq[QueryDef] = Seq()
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Token counting + aggregate text stats per language bucket.
+    QueryDef(
+      "wr_token_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text"))).as("total_tokens"),
+            round(avg(TextOps.tokenCount(col("text"))), 4).as("avg_tokens"),
+            round(avg(TextOps.avgWordLen(col("text"))), 4).as("avg_word_len"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+             |  round(avg(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |        / len(string_split(text, ' '))), 4) AS avg_word_len
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      Seq("token_count", "text_analysis", "group_by", "mean")),
+
+    // Per-document quality scoring (LLM corpus filter shape).
+    QueryDef(
+      "wr_quality_score",
+      (s, d) => {
+        val stop = Seq("a", "the")
+        Tables.documents(s, d)
+          .filter(col("doc_id") <= 100)
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            round(TextOps.stopwordRatio(col("text"), stop), 6).as("stop_ratio"),
+            TextOps.qualityScore(col("text"), stop).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  round(CAST(len(list_filter(string_split(text, ' '),
+             |      w -> w IN ('a', 'the'))) AS DOUBLE)
+             |    / len(string_split(text, ' ')), 6) AS stop_ratio,
+             |  round((
+             |    least(len(string_split(text, ' ')) / 100.0, 1.0)
+             |    + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             |        / length(text) * 5.0, 1.0))
+             |    + least(CAST(len(list_filter(string_split(text, ' '),
+             |        w -> w IN ('a', 'the'))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) * 5.0, 1.0)
+             |  ) / 3.0, 6) AS quality
+             |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin),
+      Seq("quality_score", "stopword_ratio", "filter", "text_analysis")),
+
+    // Language-ID heuristic applied at scale; oracle mirrors the formula.
+    QueryDef(
+      "wr_langid",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      // Same scoring: en/de/es/fr = marker-word hits, zh = CJK char count;
+      // argmax, first-wins tie order en,de,es,fr,zh.
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      w -> w IN ('the','and','of','to','is','a'))) AS s_en,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      w -> w IN ('der','die','das','und','ist','nicht'))) AS s_de,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      w -> w IN ('el','la','los','que','es','y'))) AS s_es,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      w -> w IN ('le','la','les','est','et','une'))) AS s_fr,
+             |    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
+             |  FROM documents),
+             |pred AS (
+             |  SELECT lang, CASE
+             |    WHEN s_de > s_en THEN
+             |      CASE WHEN s_es > s_de THEN
+             |        CASE WHEN s_fr > s_es THEN CASE WHEN s_zh > s_fr THEN 'zh' ELSE 'fr' END
+             |             WHEN s_zh > s_es THEN 'zh' ELSE 'es' END
+             |      WHEN s_fr > s_de THEN CASE WHEN s_zh > s_fr THEN 'zh' ELSE 'fr' END
+             |      WHEN s_zh > s_de THEN 'zh' ELSE 'de' END
+             |    WHEN s_es > s_en THEN
+             |      CASE WHEN s_fr > s_es THEN CASE WHEN s_zh > s_fr THEN 'zh' ELSE 'fr' END
+             |           WHEN s_zh > s_es THEN 'zh' ELSE 'es' END
+             |    WHEN s_fr > s_en THEN CASE WHEN s_zh > s_fr THEN 'zh' ELSE 'fr' END
+             |    WHEN s_zh > s_en THEN 'zh' ELSE 'en' END AS predicted
+             |  FROM scored)
+             |SELECT lang, predicted, count(*) AS n FROM pred
+             |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin),
+      Seq("lang_id", "match", "text_analysis")),
+
+    // Content fingerprinting: md5 of normalized text (exact-dedup key).
+    QueryDef(
+      "wr_fingerprint",
+      (s, d) => {
+        Tables.documents(s, d)
+          .filter(col("doc_id") <= 50)
+          .select(col("doc_id"),
+            TextOps.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin),
+      Seq("fingerprint", "value_hash", "blake3")),
+
+    // Exact dedup on a simulated re-crawl (corpus unioned with itself):
+    // survivors per language before/after — the hash-groupBy dedup op.
+    QueryDef(
+      "wr_exact_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        val recrawl = docs.unionAll(
+          docs.withColumn("doc_id", col("doc_id") + 1000000))
+        val deduped = Dedup.exactDedup(recrawl, "doc_id", "text")
+        deduped.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_surviving"))
+          .join(recrawl.groupBy(col("lang")).agg(count(lit(1)).as("n_raw")), "lang")
+          .select(col("lang"), col("n_raw"), col("n_surviving"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH recrawl AS (
+             |  SELECT doc_id, lang, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, text FROM documents),
+             |keyed AS (SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |          FROM recrawl),
+             |surv AS (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY fp),
+             |dedup AS (SELECT k.lang FROM keyed k JOIN surv s ON k.doc_id = s.doc_id)
+             |SELECT r.lang, count(*) AS n_raw,
+             |  (SELECT count(*) FROM dedup d WHERE d.lang = r.lang) AS n_surviving
+             |FROM recrawl r GROUP BY r.lang ORDER BY r.lang""".stripMargin),
+      Seq("deduplicate", "exact_dedup", "distinct_by", "group_by")),
+
+    // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    QueryDef(
+      "wr_ngram_jaccard",
+      (s, d) => {
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 60),
+          "doc_id", "text", shingleN = 1, threshold = 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s
+             |            FROM documents WHERE doc_id < 60),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+             |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+             |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin),
+      Seq("ngram_jaccard", "deduplicate", "near_dup")),
+
+    // Exact cosine top-k against a query vector (ANN brute-force baseline).
+    QueryDef(
+      "wr_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0).toArray
+        Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10,
+          excludeId = Some(0L))
+          .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             |    (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ^ 2)) *
+             |     sqrt(sum(CAST(q.qe[i] AS DOUBLE) ^ 2))), 4) AS cos_sim
+             |FROM embeddings e, q, generate_series(1, 64) AS g(i)
+             |WHERE e.vec_id <> 0
+             |GROUP BY e.vec_id ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      Seq("similarity_search", "cosine", "ann_topk", "sort", "take")),
+
+    // Embedding stats per label: norms in double — proves vector math path.
+    QueryDef(
+      "wr_embedding_norms",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(Similarity.norm(col("embedding"))), 4).as("avg_norm"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, count(*) AS n,
+             |  round(avg(nrm), 4) AS avg_norm FROM (
+             |  SELECT label, sqrt(sum(CAST(embedding[i] AS DOUBLE) ^ 2)) AS nrm
+             |  FROM embeddings, generate_series(1, 64) AS g(i)
+             |  GROUP BY vec_id, label)
+             |GROUP BY label ORDER BY label""".stripMargin),
+      Seq("similarity_search", "norm", "group_by", "mean")),
+
+    // MinHash-LSH near-dedup — hash-based, rows-only check here; semantics
+    // verified against the exact-Jaccard baseline in WranglingSpec.
+    QueryDef(
+      "wr_minhash_lsh",
+      (s, d) => {
+        Dedup.minhashDedupPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", "text", threshold = 0.5, numHashes = 32, bands = 8,
+          shingleN = 1)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      Seq("minhash", "lsh", "deduplicate", "near_dup")),
+
+    // SimHash near-dup pairs — rows-only; semantics in WranglingSpec.
+    QueryDef(
+      "wr_simhash",
+      (s, d) => {
+        val fps = Dedup.simhash(
+          Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text")
+        Dedup.simhashPairs(fps, "doc_id", maxDist = 16)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      Seq("simhash", "deduplicate", "near_dup")),
+
+    // LSH-bucketed ANN — rows-only; recall vs exact verified in spec.
+    QueryDef(
+      "wr_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 1)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0).toArray
+        Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, dim = 64)
+          .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      },
+      None,
+      Seq("similarity_search", "lsh", "ann_topk"))
+  )
 }

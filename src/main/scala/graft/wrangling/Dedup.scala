@@ -1,0 +1,137 @@
+package graft.wrangling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora (reference
+  * `data_wrangling.py:220-231` generalized per the north star): exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design: every method is blocking-based — candidate pairs come from
+  * equi-join buckets (hash prefix, LSH band, SimHash chunk), never a
+  * cross-join. At 100 TB the bucket join is the only shuffle and it is
+  * key-partitioned; exact verification runs only inside buckets.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: one survivor per fingerprint
+    * (deterministic: min id wins). Hash-groupBy, single shuffle. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val survivors = keyed.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__fp")
+    df.join(survivors, idCol)
+  }
+
+  /** MinHash signature: k hash permutations approximated as
+    * h_i(x) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
+    * One explode + one groupBy — partial aggregation (min) makes the
+    * shuffle tiny regardless of document size. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    val shingled = df.select(col(idCol),
+      explode(TextOps.wordShingles(col(textCol), shingleN)).as("__s"))
+    val mins: Seq[Column] = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__s"))).as(s"mh_$i"))
+    shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures split into `bands`, docs sharing any
+    * full band collide. Returns (id_a, id_b) with id_a < id_b, distinct.
+    * The band bucket join is the classic sub-quadratic near-dup path. */
+  def minhashCandidates(sigs: DataFrame, idCol: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("sig"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
+    val a = banded.select(col(idCol).as("id_a"), col("__b"))
+    val b = banded.select(col(idCol).as("id_b"), col("__b"))
+    a.join(b, a("__b") === b("__b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard over word n-gram shingle sets for given pairs
+    * (verification stage after LSH blocking). */
+  def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val sh = df.select(col(idCol), TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (size(col("__sha")) + size(col("__shb")) - col("__inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dedup: block, verify, threshold. */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val cands = minhashCandidates(sigs, idCol, numHashes, bands)
+    jaccardForPairs(df, cands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs n-gram Jaccard via shingle inverted index (shingle
+    * equi-join, not cross-join): correct baseline the LSH path approximates.
+    * Pairs sharing zero shingles never materialize. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(TextOps.wordShingles(col(textCol), shingleN)).as("__s"))
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = sh.select(col("__id").as("id_a"), col("__s"))
+      .join(sh.select(col("__id").as("id_b"), col("__s")), "__s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash-64: per word, xxhash64 → 64 bit votes weighted ±1; fingerprint
+    * bit i set iff the vote sum is positive. Near-dups = small Hamming
+    * distance; blocking by 16-bit chunks guarantees recall for distance ≤ 3
+    * (pigeonhole over 4 chunks). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    val bitVotes: Seq[Column] = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b_$i")
+    }
+    val votes = words.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash candidate pairs with Hamming distance ≤ maxDist, blocked by
+    * 16-bit chunks (any pair within distance 3 shares at least one chunk). */
+  def simhashPairs(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    val chunks = fps.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
+        .as("__c"))
+    val a = chunks.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("__c"))
+    val b = chunks.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("__c"))
+    a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.wrangling
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star superset): image/audio/video as
+  * opaque `binary` columns + typed metadata, with decode / feature-extract /
+  * resize / frame-sample as batch transforms.
+  *
+  * The Spark-side plumbing — schema, batching, partition sizing, feature
+  * shapes — is real and tested. The codec step is STUBBED (no image/audio
+  * libraries in this container): [[MediaCodec.decodeStub]] treats the byte
+  * payload as the decoded sample buffer. Swapping in a real codec changes
+  * only that one function.
+  *
+  * Scale notes: media rows are large (MBs); keep
+  * `spark.sql.files.maxPartitionBytes` low enough that a partition of
+  * binaries fits executor memory, and process per-partition (mapPartitions)
+  * so codec initialization amortizes across a batch — the same shape a
+  * Python pipeline gets from mapInPandas.
+  */
+object Multimodal {
+
+  final case class MediaMeta(kind: String, width: Int, height: Int,
+      sampleRate: Int, durationMs: Long)
+  final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String,
+      features: Array[Double], n_frames: Int)
+
+  object MediaCodec {
+    /** STUB — stands in for the real image/audio decoder (???): interprets
+      * the payload bytes as the decoded buffer. Deterministic by
+      * construction so tests are stable. */
+    def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+    /** Byte-value histogram as the stand-in feature extractor (this part is
+      * real computation, not a stub): 32 bins, L1-normalized. */
+    def byteHistogram(buf: Array[Byte], bins: Int = 32): Array[Double] = {
+      val h = new Array[Double](bins)
+      var i = 0
+      while (i < buf.length) { h((buf(i) & 0xff) * bins / 256) += 1.0; i += 1 }
+      if (buf.length > 0) { var j = 0; while (j < bins) { h(j) /= buf.length; j += 1 } }
+      h
+    }
+
+    /** Frame sampling: every `stride`-th fixed-size window of the decoded
+      * buffer (the video-frame-sampling access pattern). */
+    def sampleFrames(buf: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+      if (frameSize <= 0 || buf.length < frameSize) Seq.empty
+      else (0 to (buf.length - frameSize) by (frameSize * stride))
+        .map(off => buf.slice(off, off + frameSize))
+
+    /** Resize = mean-pool the feature vector to a smaller dimension. */
+    def pool(features: Array[Double], outDim: Int): Array[Double] = {
+      val n = features.length
+      Array.tabulate(outDim) { i =>
+        val lo = i * n / outDim; val hi = math.max(lo + 1, (i + 1) * n / outDim)
+        var s = 0.0; var j = lo
+        while (j < hi) { s += features(j); j += 1 }
+        s / (hi - lo)
+      }
+    }
+  }
+
+  /** Batch feature extraction: decode(stub) → frame-sample → per-frame
+    * histogram → mean-pool. mapPartitions so a real codec would init once
+    * per partition, not once per row. */
+  def extractFeatures(media: Dataset[MediaRow], frameSize: Int = 1024,
+      stride: Int = 2, featureDim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // (real pipeline: codec/model handle initialized HERE, once)
+      rows.map { r =>
+        val buf = MediaCodec.decodeStub(r.payload)
+        val frames = MediaCodec.sampleFrames(buf, frameSize, stride)
+        val feats =
+          if (frames.isEmpty) MediaCodec.pool(MediaCodec.byteHistogram(buf), featureDim)
+          else {
+            val per = frames.map(f => MediaCodec.byteHistogram(f))
+            val acc = new Array[Double](per.head.length)
+            per.foreach(h => { var i = 0; while (i < acc.length) { acc(i) += h(i); i += 1 } })
+            MediaCodec.pool(acc.map(_ / per.size), featureDim)
+          }
+        MediaFeatures(r.media_id, r.meta.kind, feats, frames.size)
+      }
+    }
+  }
+
+  /** Testdata adapter: documents.text bytes as stand-in payloads — proves
+    * the plumbing end-to-end on driver-provided data. */
+  def documentsAsMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        struct(lit("text").as("kind"), lit(0).as("width"), lit(0).as("height"),
+          lit(0).as("sampleRate"), col("n_chars").as("durationMs")).as("meta"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,118 @@
+package graft.wrangling
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star superset over the reference's data_wrangling.py): token
+  * counting, quality scoring, language-ID, fingerprinting.
+  *
+  * Everything here is pure `Column` expressions over
+  * `org.apache.spark.sql.functions` — codegen'd, no UDFs, so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with
+  * executors (map-only; the only shuffles are caller-chosen aggregations).
+  */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + punctuation marks + digit
+    * groups counted as separate tokens (a cheap deterministic proxy for a
+    * real tokenizer's token count). */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(split(text, "\\s+")) +
+      length(regexp_replace(text, "[^.,;:!?()\\[\\]{}\"']", "")) +
+      size(filter(split(regexp_replace(text, "[^0-9 ]", ""), " "),
+        w => length(w) > lit(0)))
+
+  /** Mean word length, computed exactly for single-space text as
+    * (chars - spaces) / words. */
+  def avgWordLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Fraction of tokens that are stopwords (caller supplies the set). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(stopwords)))
+      .cast("double") / tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: favors mid-length documents with low
+    * punctuation density and a sane stopword ratio — the shape of heuristic
+    * quality filters used for LLM corpus cleaning. Deterministic formula
+    * (mirrorable in SQL for the oracle). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * lit(5.0), lit(1.0))
+    val stopOk = least(stopwordRatio(text, stopwords) * lit(5.0), lit(1.0))
+    round((lenScore + punctOk + stopOk) / lit(3.0), 6)
+  }
+
+  /** Language-ID by n-gram/stopword heuristic: score each candidate
+    * language by (a) marker-stopword hits and (b) Unicode-script hits
+    * (CJK for zh), predict the argmax with a deterministic tie order.
+    * Pure expression — no dictionary lookup, no UDF. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "une"),
+    "zh" -> Seq()) // zh scored by script, not stopwords
+
+  def langScore(text: Column, lang: String): Column =
+    if (lang == "zh")
+      // CJK unified ideograph count
+      length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("double")
+    else
+      size(filter(tokens(lower(text)),
+        w => w.isInCollection(langMarkers(lang)))).cast("double")
+
+  /** Predicted language; ties resolve in fixed order en,de,es,fr,zh. */
+  def langId(text: Column): Column = {
+    val order = Seq("en", "de", "es", "fr", "zh")
+    val scored = order.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    // argmax with first-wins tiebreak: fold keeping the strictly greater
+    val best = scored.reduceLeft((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    best.getField("l")
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key (content addressing, reference value_hash
+    * impl.py:8808 restated with a standard hash). */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text).cast("binary"))
+
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Rolling polynomial hash over the token stream (document
+    * fingerprinting with locality: equal prefixes → equal prefix hashes).
+    * aggregate() left-fold is order-preserving and codegen'd. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc * lit(31L) + xxhash64(w) % lit(1000003L))
+
+  /** Word n-gram shingles (distinct) — the unit of Jaccard similarity. */
+  def wordShingles(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(tokens(text))
+    else {
+      val ws = tokens(text)
+      array_distinct(transform(
+        sequence(lit(0), size(ws) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*)))
+    }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), length(text) - lit(n - 1)),
+      i => text.substr(i, lit(n))))
+}

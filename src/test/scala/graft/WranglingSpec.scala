@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.wrangling._
+
+class WranglingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  import Multimodal._
+
+  test("langId discriminates real language samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat and the dog went to the market and it is a fine day"),
+      ("de", "der hund und die katze das ist nicht gut und der tag ist schon"),
+      ("es", "el perro y la casa que es de los amigos y es bueno"),
+      ("fr", "le chien est une belle bete et les amis est la maison"),
+      ("zh", "这是一个中文句子 语言识别 应该 能看到 汉字")).toDF("expected", "text")
+    val got = samples.select(col("expected"), TextOps.langId(col("text")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("exact dedup keeps one survivor per duplicated text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha  Beta gamma"), // normalize-equal
+      (3L, "something else entirely"), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+    assert(out.count() == 3)
+    assert(out.agg(min("doc_id")).collect()(0).getLong(0) == 1L)
+    assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(2L))
+  }
+
+  test("minhash LSH finds constructed near-duplicates") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2" // J≈0.9
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedupPairs(df, "doc_id", "text",
+      threshold = 0.7, shingleN = 1).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getAs[Double]("jaccard") > 0.85)
+  }
+
+  test("minhash LSH recall vs exact jaccard baseline on documents") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      threshold = 0.9, numHashes = 32, bands = 16, shingleN = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification stage means no false positives; recall should be high
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " zz1 zz2 zz3"
+    val far = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+    assert(ham(fp(1L), fp(3L)) <= 16)
+  }
+
+  test("lsh ANN topk overlaps exact brute-force topk") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 1).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10,
+      excludeId = Some(1L)).select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, dim = 64)
+      .filter(col("vec_id") =!= 1).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(exact).nonEmpty, "LSH found none of the true topk")
+  }
+
+  test("cosine is in [-1,1] and self-similarity is 1") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("multimodal plumbing: features deterministic, shaped, partitioned") {
+    val media = Multimodal.documentsAsMedia(spark, sf)
+    val feats = Multimodal.extractFeatures(media, frameSize = 64, stride = 2,
+      featureDim = 16)
+    val rows = feats.collect()
+    assert(rows.length == media.count().toInt)
+    assert(rows.forall(_.features.length == 16))
+    assert(rows.forall(r => math.abs(r.features.sum - r.features.sum) == 0.0))
+    assert(rows.exists(_.n_frames > 0))
+    // deterministic: second run identical
+    val again = Multimodal.extractFeatures(media, frameSize = 64, stride = 2,
+      featureDim = 16).collect()
+    assert(rows.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (x, y) => x.features.sameElements(y.features) })
+  }
+
+  test("rollingHash: equal texts equal, different texts differ") {
+    import spark.implicits._
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "a b c x"))
+      .toDF("t1", "t2")
+    val r = df.select(
+      (TextOps.rollingHash(col("t1")) === TextOps.rollingHash(col("t2"))).as("eq"))
+      .collect().map(_.getBoolean(0))
+    assert(r(0) && !r(1))
+  }
+}
