@@ -1,7 +1,55 @@
 package graft.queries
 
-/** Streaming/reactive operator queries (SURVEY.md §2.9) verified in batch
-  * form (the batch plan equals the micro-batch plan for these ops). */
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.Streams
+
+/** Streaming/reactive operators (SURVEY.md §2.9) verified in batch form:
+  * each entry runs the EXACT transform the streaming path uses (shared
+  * plan builder in graft.streaming.Streams); StreamingSpec re-runs the same
+  * transforms as real micro-batch streams and asserts batch == stream.
+  */
 object Streaming {
-  val entries: Seq[QueryDef] = Seq()
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // Tumbling event-time window (superset: reference has only count
+    // windows) — batch plan == streaming plan.
+    QueryDef(
+      "stream_tumbling_daily",
+      (s, d) => Streams.tumblingAgg(Tables.events(s, d), "1 day")
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT date_trunc('day', ts) AS window_start, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin),
+      Seq("window_tumbling", "subscribe", "group_by", "sum")),
+
+    // Sliding window: width 2h, slide 1h — every event lands in 2 windows.
+    QueryDef(
+      "stream_sliding_2h_1h",
+      (s, d) => Streams.slidingAgg(Tables.events(s, d), "2 hours", "1 hour")
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT window_start, event_type, count(*) AS n FROM (
+             |  SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+             |  UNION ALL
+             |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+             |GROUP BY window_start, event_type
+             |ORDER BY window_start, event_type""".stripMargin),
+      Seq("sliding", "window_sliding", "subscribe")),
+
+    // zef `on[...]` subscription filter + per-key aggregation.
+    QueryDef(
+      "stream_on_filter",
+      (s, d) => Streams.onEventTypes(Tables.events(s, d), Seq("click", "purchase"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT user_id, event_type, count(*) AS n,
+             |  round(sum(value), 2) AS total
+             |FROM events WHERE event_type IN ('click', 'purchase')
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin),
+      Seq("on", "instantiated", "subscribe", "filter", "group_by"))
+  )
 }

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Kind
+
+/** Graph-event subscriptions — zef `on[instantiated[ET.X]]` /
+  * `on[assigned[AET.X]]` / `on[terminated[...]]`
+  * (reference `impl.py:238-360`, `graph_events.py:1-89`).
+  *
+  * The reference pushes events through Rx subjects at write time; the Spark
+  * restatement treats the graph's append tables AS the change feed: a
+  * streaming read of atoms/values appends (Delta CDF or tx-log tail in
+  * production) filtered by the subscription pattern. Works identically on a
+  * batch DataFrame (replay) or a streaming one (live).
+  */
+object GraphSubscriptions {
+
+  /** New instances of entity type `et`. */
+  def onInstantiated(atomFeed: DataFrame, et: String): DataFrame =
+    atomFeed
+      .filter(col("kind") === Kind.Entity && col("atype") === et)
+      .select(col("atom_id"), col("inst_slice").as("tx_slice"),
+        lit("instantiated").as("event"))
+
+  /** Value assignments on AEs of type `aet`. The AE-type dimension comes
+    * from a static atoms snapshot — a stream-static broadcast join (tiny
+    * dimension side: one row per AE of the type). */
+  def onAssigned(valueFeed: DataFrame, atomsStatic: DataFrame,
+      aet: String): DataFrame = {
+    val dim = atomsStatic
+      .filter(col("kind") === Kind.AttributeEntity && col("atype") === aet)
+      .select(col("atom_id").as("ae_id"))
+    valueFeed.join(broadcast(dim), "ae_id")
+      .select(col("ae_id").as("atom_id"), col("tx_slice"),
+        lit("assigned").as("event"),
+        col("v_str"), col("v_long"), col("v_double"), col("v_bool"), col("v_ts"))
+  }
+
+  /** Terminations: atoms whose interval closed in the feed. */
+  def onTerminated(atomFeed: DataFrame, atype: String): DataFrame =
+    atomFeed
+      .filter(col("atype") === atype && col("term_slice").isNotNull)
+      .select(col("atom_id"), col("term_slice").as("tx_slice"),
+        lit("terminated").as("event"))
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming/reactive layer (SURVEY §2.9). The reference's model is RxPY
+  * push streams with arrival-order semantics and no watermarks
+  * (`op_structs.py:780-824`); the Spark restatement is Structured
+  * Streaming micro-batches, where the SAME DataFrame plan runs in batch or
+  * stream — so every transform here is written once against DataFrame and
+  * used by both paths (batch for the DuckDB oracle, stream in the spec).
+  *
+  * Supersets over the reference (it has none of these): event-time
+  * tumbling/sliding windows, watermark-based late-data handling, and
+  * keyed stateful count-windows via flatMapGroupsWithState.
+  */
+object Streams {
+
+  /** zef `on[...]`-style subscription filter: the event-pattern predicate
+    * (type filter) applied to a stream — a streamable narrow filter. */
+  def onEventTypes(events: DataFrame, types: Seq[String]): DataFrame =
+    events.filter(col("event_type").isInCollection(types))
+
+  /** Tumbling event-time window aggregate (batch == streaming plan). */
+  def tumblingAgg(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding event-time window aggregate. */
+  def slidingAgg(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Watermarked variant for append-mode streaming sinks (late data beyond
+    * `lateness` is dropped — the superset knob the reference lacks). */
+  def tumblingAggWatermarked(events: DataFrame, width: String,
+      lateness: String): DataFrame =
+    tumblingAgg(events.withWatermark("ts", lateness), width)
+
+  final case class KeyedEvent(user_id: Long, event_type: String, value: Double)
+  final case class CountWindow(user_id: Long, window_idx: Long, n: Int,
+      sum_value: Double)
+
+  /** Count-based windows (zef `chunk[n]` on a stream, impl.py:1306): every
+    * `n` events per key emit one window — arrival-order state via
+    * flatMapGroupsWithState, the Spark home for Rx-style count semantics. */
+  def countWindows(events: Dataset[KeyedEvent], n: Int): Dataset[CountWindow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Int, Double), CountWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[(Long, Int, Double)]) =>
+          var (widx, cnt, acc) = state.getOption.getOrElse((0L, 0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer[CountWindow]()
+          evs.foreach { e =>
+            cnt += 1; acc += e.value
+            if (cnt == n) { out += CountWindow(uid, widx, cnt, acc)
+              widx += 1; cnt = 0; acc = 0.0 }
+          }
+          state.update((widx, cnt, acc))
+          out.iterator
+      }
+  }
+
+  /** Run any events→DataFrame transform as a real micro-batch stream over
+    * the events parquet and collect the final result from a memory sink.
+    * `maxFilesPerTrigger=1` keeps it honestly incremental. */
+  def runAsStream(spark: SparkSession, sfDir: String,
+      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+    // The file-stream source wants a directory; stage the single parquet
+    // into a temp dir (in production the feed IS a directory/CDF).
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(graft.Tables.table(spark, sfDir, "events").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val ns = raw.schema("ts").dataType.typeName == "long"
+    val events = if (ns)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+    val q = transform(events).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

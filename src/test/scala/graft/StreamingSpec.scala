@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{GraphSubscriptions, Streams}
+import graft.core._
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("micro-batch stream result equals batch result (tumbling window)") {
+    val batch = Streams.tumblingAgg(Tables.events(spark, sf), "1 day")
+      .orderBy(col("window_start"), col("event_type")).collect()
+    val streamed = Streams.runAsStream(spark, sf,
+      df => Streams.tumblingAgg(df, "1 day"), "t_tumbling")
+      .orderBy(col("window_start"), col("event_type")).collect()
+    assert(batch.length == streamed.length)
+    assert(batch.sameElements(streamed))
+  }
+
+  test("on-filter subscription stream equals batch") {
+    val t = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.onEventTypes(df, Seq("error"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val batch = t(Tables.events(spark, sf))
+      .orderBy(col("user_id")).collect()
+    val streamed = Streams.runAsStream(spark, sf, t, "t_onfilter")
+      .orderBy(col("user_id")).collect()
+    assert(batch.sameElements(streamed))
+  }
+
+  test("count windows (chunk-n per key) over a pushable stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.KeyedEvent]
+    val q = Streams.countWindows(input.toDS(), 3).writeStream
+      .outputMode("append").format("memory").queryName("t_countwin").start()
+    // push 7 events for user 1 → two complete windows of 3, 1 leftover
+    input.addData((1 to 7).map(i =>
+      Streams.KeyedEvent(1L, "click", i.toDouble)): _*)
+    q.processAllAvailable()
+    val out = spark.table("t_countwin").orderBy("window_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Int]("n") == 3 && out(0).getAs[Double]("sum_value") == 6.0)
+    assert(out(1).getAs[Double]("sum_value") == 15.0)
+    // push 2 more → third window completes with state carried across batches
+    input.addData(Streams.KeyedEvent(1L, "click", 8.0),
+      Streams.KeyedEvent(1L, "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val out2 = spark.table("t_countwin").orderBy("window_idx").collect()
+    assert(out2.length == 3)
+    assert(out2(2).getAs[Double]("sum_value") == 7.0 + 8.0 + 9.0)
+  }
+
+  test("graph subscriptions: on[instantiated]/on[assigned] over the feed") {
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "p1"), PutEntity("Person", "p2"),
+      PutEntity("Pet", "x"), PutField("p1", "Score", 5.0)))
+    val inst = GraphSubscriptions.onInstantiated(g.atoms, "Person").collect()
+    assert(inst.length == 2)
+    val assigned = GraphSubscriptions.onAssigned(g.values, g.atoms, "Score").collect()
+    assert(assigned.length == 1)
+    assert(assigned(0).getAs[Double]("v_double") == 5.0)
+  }
+
+  test("watermarked tumbling agg drops nothing when data is in order") {
+    val wm = Streams.tumblingAggWatermarked(Tables.events(spark, sf),
+      "1 day", "2 hours").agg(sum("n")).collect()(0).getLong(0)
+    val plain = Tables.events(spark, sf).count()
+    assert(wm == plain)
+  }
+}
