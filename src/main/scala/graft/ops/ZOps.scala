@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Dataset-level ZefOps (SURVEY §2.3–§2.5) as extension methods:
+  * `import graft.ops.ZOps._` and chain `df.zTake(5)`, `df.distinctBy(...)`,
+  * `df.chunk(...)`, `df.sliding(...)` — the Scala restatement of the zef
+  * pipeline `xs | take[5] | distinct | ...`.
+  *
+  * Order-dependent ops (chunk/sliding/takeWhile/enumerate/order-preserving
+  * distinct) REQUIRE explicit ordering columns — Datasets are unordered
+  * sets; the reference operates on Python lists where order is implicit
+  * (SURVEY §7.4 flags exactly this). Every such op takes `order: Seq[Column]`.
+  *
+  * Scale: none of these materialize a global single partition except where
+  * a total order is information-theoretically required — and there the
+  * implementation is two-phase (per-partition index + offset reconciliation
+  * via zipWithIndex), not a one-partition window.
+  */
+object ZOps {
+
+  implicit final class DataFrameZOps(private val df: DataFrame) extends AnyVal {
+
+    /** zef `filter[VT]` (impl.py:6105) — VT calculus predicate. */
+    def zFilter(c: String, vt: VT): DataFrame = df.filter(vt.isA(col(c)))
+
+    /** zef `take[n]` / `skip[n]` over an explicit total order
+      * (impl.py:3711,3508). Negative take = from the end (reverse order). */
+    def zTake(n: Int, order: Seq[Column]): DataFrame =
+      if (n >= 0) df.orderBy(order: _*).limit(n)
+      else df.orderBy(order.map(c => c.desc): _*).limit(-n)
+
+    def zSkip(n: Int, order: Seq[Column]): DataFrame =
+      df.orderBy(order: _*).offset(n)
+
+    /** zef `distinct_by[f]` order-preserving dedupe (impl.py:4420): keep
+      * the first row per key under `order`. */
+    def distinctBy(key: Seq[Column], order: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(key: _*).orderBy(order: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+    /** zef `frequencies` (impl.py:4116). */
+    def frequencies(cols: Column*): DataFrame =
+      df.groupBy(cols: _*).agg(count(lit(1)).as("freq"))
+
+    /** zef `enumerate` (impl.py:1723): global 0-based index under a total
+      * order — scalable: range-partition sort, then per-partition offsets
+      * (zipWithIndex does the two-phase count+offset internally; no
+      * single-partition window). */
+    def enumerate(order: Seq[Column], idxCol: String = "idx"): DataFrame = {
+      val sorted = df.repartitionByRange(
+        math.max(df.sparkSession.sparkContext.defaultParallelism, 1), order: _*)
+        .sortWithinPartitions(order: _*)
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ StructField(idxCol, LongType, nullable = false))
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      }
+      df.sparkSession.createDataFrame(rdd, schema)
+    }
+
+    /** zef `chunk[n]` (impl.py:1306): fixed-size blocks under a total order. */
+    def chunk(n: Int, order: Seq[Column], chunkCol: String = "chunk_id"): DataFrame =
+      enumerate(order, "__i")
+        .withColumn(chunkCol, (col("__i") / n).cast("long")).drop("__i")
+
+    /** zef `stride[n]` (impl.py:1267): every n-th element. */
+    def stride(n: Int, order: Seq[Column]): DataFrame =
+      enumerate(order, "__i").filter(col("__i") % n === 0).drop("__i")
+
+    /** zef `sliding[w]` (impl.py:1427) per group: window of w rows ending
+      * at each row, emitted as an aggregate the caller computes over
+      * `rowsBetween`; generic collect_list variant. */
+    def sliding(w: Int, partition: Seq[Column], order: Seq[Column],
+        valueCol: Column, as: String = "window"): DataFrame = {
+      val win = Window.partitionBy(partition: _*).orderBy(order: _*)
+        .rowsBetween(-(w - 1), Window.currentRow)
+      df.withColumn(as, collect_list(valueCol).over(win))
+    }
+
+    /** zef `scan[+]` (impl.py:3568): running fold (here: running aggregate
+      * expression over the prefix window). */
+    def scan(agg: Column, partition: Seq[Column], order: Seq[Column],
+        as: String = "scan"): DataFrame = {
+      val win = Window.partitionBy(partition: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(as, agg.over(win))
+    }
+
+    /** zef `take_while[pred]` (impl.py:3768): longest prefix satisfying
+      * pred under a total order — global min violating index, then filter.
+      * Two distributed passes, no driver iteration. */
+    def takeWhile(pred: Column, order: Seq[Column]): DataFrame = {
+      val idx = enumerate(order, "__i")
+      val firstBad = idx.filter(!pred).agg(min(col("__i"))).collect()(0)
+      val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
+      idx.filter(col("__i") < cut).drop("__i")
+    }
+
+    /** zef `skip_while[pred]` (impl.py:3678). */
+    def skipWhile(pred: Column, order: Seq[Column]): DataFrame = {
+      val idx = enumerate(order, "__i")
+      val firstBad = idx.filter(!pred).agg(min(col("__i"))).collect()(0)
+      val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
+      idx.filter(col("__i") >= cut).drop("__i")
+    }
+
+    /** zef `group[f]` — consecutive runs (impl.py:5890): sessionize by
+      * change-flag + running sum. Single window shuffle. */
+    def groupConsecutive(keyCol: Column, order: Seq[Column],
+        runCol: String = "run_id"): DataFrame = {
+      val w = Window.orderBy(order: _*)
+      // NOTE global order ⇒ single-partition window; use only where a run
+      // structure over the WHOLE set is wanted (zef list semantics). For
+      // keyed runs use partition+order via groupConsecutiveKeyed.
+      df.withColumn("__chg",
+        when(lag(keyCol, 1).over(w).isNull ||
+          lag(keyCol, 1).over(w) =!= keyCol, 1).otherwise(0))
+        .withColumn(runCol, sum(col("__chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__chg")
+    }
+
+    def groupConsecutiveKeyed(partition: Seq[Column], keyCol: Column,
+        order: Seq[Column], runCol: String = "run_id"): DataFrame = {
+      val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+      df.withColumn("__chg",
+        when(lag(keyCol, 1).over(w).isNull ||
+          lag(keyCol, 1).over(w) =!= keyCol, 1).otherwise(0))
+        .withColumn(runCol, sum(col("__chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__chg")
+    }
+
+    /** zef `interleave` (impl.py:1183): round-robin merge of this and
+      * other under per-side orders. */
+    def interleave(other: DataFrame, order: Seq[Column]): DataFrame = {
+      val a = df.enumerate(order, "__i").withColumn("__src", lit(0))
+      val b = other.enumerate(order, "__i").withColumn("__src", lit(1))
+      a.unionByName(b).orderBy(col("__i"), col("__src"))
+        .drop("__i", "__src")
+    }
+
+    /** zef `reverse` (impl.py:1824) = flip the order columns downstream;
+      * provided for pipeline readability. */
+    def reversed(order: Seq[Column]): DataFrame = df.orderBy(order.map(_.desc): _*)
+
+    /** zef `max_by/min_by[f]` top-1 per group (impl.py:3084). */
+    def maxBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
+      distinctBy(partition, order.map(_.desc))
+    def minBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
+      distinctBy(partition, order)
+  }
+}

@@ -23,7 +23,8 @@ object Registry {
     Relational.entries,
     GraphQueries.entries,
     Wrangling.entries,
-    Streaming.entries)
+    Streaming.entries,
+    DslQueries.entries)
 
   lazy val entries: Seq[QueryDef] = modules.flatten
 

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{VT, ZCol}
+import graft.ops.ZOps._
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import VT._
+
+  def nums = {
+    val s = spark; import s.implicits._
+    (1 to 20).map(i => (i.toLong, s"v$i", i % 5)).toDF("id", "name", "grp")
+  }
+
+  test("VT calculus: union/intersection/complement/between/pattern") {
+    val df = nums
+    assert(df.zFilter("id", Between(5, 10)).count() == 6)
+    assert(df.zFilter("id", Between(1, 5) | Between(15, 20)).count() == 11)
+    assert(df.zFilter("id", Between(1, 10) & Is(_ % 2 === 0)).count() == 5)
+    assert(df.zFilter("id", !Between(1, 15)).count() == 5)
+    assert(df.zFilter("name", InSet("v1", "v2", "zzz")).count() == 2)
+    val s = spark; import s.implicits._
+    val structs = Seq((1, ("a", 5)), (2, ("b", 50))).toDF("id", "st")
+    assert(structs.zFilter("st",
+      Pattern("_1" -> InSet("a", "b"), "_2" -> Between(0, 10))).count() == 1)
+  }
+
+  test("matchOn: first matching case wins") {
+    val s = spark; import s.implicits._
+    val df = Seq(1, 7, 30, -2).toDF("x")
+    val out = df.select(VT.matchOn(col("x"), Seq(
+      Is((c: org.apache.spark.sql.Column) => c < 0) -> lit("neg"),
+      Between(0, 9) -> lit("small"),
+      Between(10, 99) -> lit("big")), lit("other")).as("m"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("small", "small", "big", "neg"))
+  }
+
+  test("enumerate: scalable global index matches orderBy position") {
+    val e = nums.enumerate(Seq(col("id").desc))
+    val rows = e.orderBy("idx").collect()
+    assert(rows.map(_.getAs[Long]("idx")).toSeq == (0L until 20L))
+    assert(rows.head.getAs[Long]("id") == 20L) // desc order → 20 first
+  }
+
+  test("chunk/stride under explicit order") {
+    val c = nums.chunk(6, Seq(col("id")))
+    val sizes = c.groupBy("chunk_id").count().orderBy("chunk_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(sizes == Seq(6L, 6L, 6L, 2L))
+    assert(nums.stride(5, Seq(col("id"))).count() == 4)
+  }
+
+  test("takeWhile/skipWhile partition the ordered set") {
+    val tw = nums.takeWhile(col("id") < 8, Seq(col("id")))
+    val sw = nums.skipWhile(col("id") < 8, Seq(col("id")))
+    assert(tw.count() == 7 && sw.count() == 13)
+    assert(tw.count() + sw.count() == nums.count())
+    // pred violated at the start → empty prefix
+    assert(nums.takeWhile(col("id") > 5, Seq(col("id"))).count() == 0)
+  }
+
+  test("distinctBy keeps first per key under order") {
+    val d = nums.distinctBy(Seq(col("grp")), Seq(col("id")))
+    assert(d.count() == 5)
+    assert(d.agg(sum("id")).collect()(0).getLong(0) == 1 + 2 + 3 + 4 + 5)
+    val dLast = nums.maxBy(Seq(col("grp")), Seq(col("id")))
+    assert(dLast.agg(sum("id")).collect()(0).getLong(0) == 16 + 17 + 18 + 19 + 20)
+  }
+
+  test("groupConsecutive sessionizes runs") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a"), (5, "a"), (6, "a"))
+      .toDF("pos", "k")
+    val runs = df.groupConsecutive(col("k"), Seq(col("pos")))
+      .groupBy("run_id").agg(count(lit(1)).as("n"), first("k").as("k"))
+      .orderBy("run_id").collect()
+    assert(runs.map(r => (r.getAs[String]("k"), r.getAs[Long]("n"))).toSeq ==
+      Seq(("a", 2L), ("b", 1L), ("a", 3L)))
+  }
+
+  test("interleave round-robins two ordered sets") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("id", "v")
+    val b = Seq((1L, "b1"), (2L, "b2")).toDF("id", "v")
+    val out = a.interleave(b, Seq(col("id"))).collect().map(_.getString(1))
+    assert(out.toSeq == Seq("a1", "b1", "a2", "b2"))
+  }
+
+  test("ZCol: case conversions") {
+    val s = spark; import s.implicits._
+    val df = Seq("hello worldFoo", "AlreadyPascalCase").toDF("t")
+    val r = df.select(
+      ZCol.toSnakeCase(col("t")).as("snake"),
+      ZCol.toKebabCase(col("t")).as("kebab"),
+      ZCol.toPascalCase(col("t")).as("pascal"),
+      ZCol.toCamelCase(col("t")).as("camel"),
+      ZCol.toScreamingSnakeCase(col("t")).as("scream")).collect()
+    assert(r(0).getString(0) == "hello_world_foo")
+    assert(r(0).getString(1) == "hello-world-foo")
+    assert(r(0).getString(2) == "HelloWorldFoo")
+    assert(r(0).getString(3) == "helloWorldFoo")
+    assert(r(1).getString(0) == "already_pascal_case")
+    assert(r(1).getString(4) == "ALREADY_PASCAL_CASE")
+  }
+
+  test("ZCol: intToAlpha bijective base-26") {
+    val s = spark; import s.implicits._
+    val df = Seq(1L, 2L, 26L, 27L, 28L, 52L, 53L, 703L).toDF("n")
+    val out = df.select(ZCol.intToAlpha(col("n")).as("a")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a", "b", "z", "aa", "ab", "az", "ba", "aaa"))
+  }
+
+  test("ZCol: padCenter, clamp, dict ops") {
+    val s = spark; import s.implicits._
+    val df = Seq(("ab", 3L)).toDF("t", "n")
+    val r = df.select(
+      ZCol.padCenter(col("t"), 6, "*").as("p"),
+      ZCol.clamp(col("n"), lit(5), lit(10)).as("c")).collect()(0)
+    assert(r.getString(0) == "**ab**")
+    assert(r.getLong(1) == 5L)
+    val m = Seq(1).toDF("x").select(
+      map(lit("a"), lit(1), lit("b"), lit(2)).as("m"))
+    val got = m.select(
+      ZCol.get(col("m"), "z", lit(-1)).as("g"),
+      map_keys(ZCol.insert(col("m"), "c", lit(3))).as("ins"),
+      map_keys(ZCol.remove(col("m"), "a")).as("rem"),
+      ZCol.get(ZCol.update(col("m"), "a", _ + 10), "a", lit(-1)).as("upd"))
+      .collect()(0)
+    assert(got.getInt(0) == -1)
+    assert(got.getSeq[String](1).toSet == Set("a", "b", "c"))
+    assert(got.getSeq[String](2).toSeq == Seq("b"))
+    assert(got.getInt(3) == 11)
+  }
+
+  test("ZCol: is_alpha family and valueHash stability") {
+    val s = spark; import s.implicits._
+    val df = Seq(("abc", "123", "a1b2", "a b")).toDF("a", "n", "an", "sp")
+    val r = df.select(
+      ZCol.isAlpha(col("a")), ZCol.isNumeric(col("n")),
+      ZCol.isAlphaNumeric(col("an")), ZCol.isAlpha(col("sp"))).collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
+    val h = df.select(ZCol.valueHash(col("a"))).collect()(0).getString(0)
+    assert(h == df.select(ZCol.valueHash(col("a"))).collect()(0).getString(0))
+  }
+}
