@@ -1,19 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every registered query on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Protocol (BASELINE.md): per query one warm-up run then `SPARK_GRAFT_RUNS`
+  * timed runs (default 3), reporting the median; plus a bulk-load metric
+  * (graph encode rows/s) as query class 1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = GraftSession.local(cpus)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+
+    // Class 1: bulk load — relational tables → graph encoding, end to end.
+    val loadSecs = time {
+      val g = graft.core.GraphEncoder.encodeTpchUncached(spark, sfDir)
+      g.atoms.count(); g.values.count()
+    }
+
+    val results: Seq[(String, Double)] =
+      queries.Registry.entries.map { q =>
+        try {
+          q.fn(spark, sfDir).count() // warm-up (also primes graph caches)
+          val t = median((1 to runs).map(_ => time(q.fn(spark, sfDir).count())))
+          q.name -> t
+        } catch { case _: Throwable => q.name -> -1.0 }
+      }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":$loadSecs,"runs_per_query":$runs,"cpus":$cpus}""")
     spark.stop()
   }
 }
