@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * (`python/zef/core/graph_slice.py:24-74`) — so time travel is a parameter
   * change, zero data movement (SURVEY §2.2, §4.2).
   */
-final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame) {
+final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
+    tags: DataFrame) {
 
   def spark: SparkSession = atoms.sparkSession
 
@@ -74,20 +75,31 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame) {
 }
 
 object Graph {
+  /** Back-compat constructor: graph without tag bindings. */
+  def apply(atoms: DataFrame, values: DataFrame, txs: DataFrame): Graph =
+    Graph(atoms, values, txs, emptyTags(atoms.sparkSession))
+
+  private def emptyTags(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[TagRow].toDF()
+  }
+
   /** Union two graphs (e.g. a bulk-load snapshot + an event-history stream).
     * Identity of shared atoms is by atom_id/origin_uid — the cross-graph
     * merge semantics of zef's EternalUID (`core/include/uids.h`). */
   def merge(a: Graph, b: Graph): Graph = Graph(
     a.atoms.unionByName(b.atoms).dropDuplicates("atom_id"),
     a.values.unionByName(b.values),
-    a.txs.unionByName(b.txs).dropDuplicates("tx_id"))
+    a.txs.unionByName(b.txs).dropDuplicates("tx_id"),
+    a.tags.unionByName(b.tags))
 
   def empty(spark: SparkSession): Graph = {
     import spark.implicits._
     Graph(
       spark.emptyDataset[AtomRow].toDF(),
       spark.emptyDataset[ValueRow].toDF(),
-      spark.emptyDataset[TxRow].toDF())
+      spark.emptyDataset[TxRow].toDF(),
+      emptyTags(spark))
   }
 
   /** Validity predicate: atom alive in slice S (SURVEY §1.1 GraphSlice row). */
@@ -122,6 +134,19 @@ final case class GraphSlice(graph: Graph, slice: Int) {
   /** Relative time travel — zef `time_travel[n]` (impl.py:5493): pure slice
     * arithmetic, no data movement. */
   def timeTravel(delta: Int): GraphSlice = GraphSlice(graph, slice + delta)
+
+  /** Tag lookup `g[tag]` as of this frame (zef tag resolution,
+    * blobs.h:314-330): latest binding ≤ slice; tombstoned or never-bound →
+    * empty set. */
+  def byTag(tag: String): AtomSet = {
+    val latest = graph.tags
+      .filter(col("tag") === tag && col("tx_slice") <= slice)
+      .groupBy(col("tag"))
+      .agg(max_by(col("atom_id"), col("tx_slice")).as("atom_id"))
+      .filter(col("atom_id").isNotNull)
+      .select("atom_id")
+    AtomSet(this, graph.atoms.filter(Graph.aliveAt(slice)).join(latest, "atom_id"))
+  }
 
   private[core] def aliveRelations(rt: String): DataFrame =
     graph.atoms.filter(
@@ -222,6 +247,39 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       .select(col("ae_id") +: vcols.map(c => col(s"__v.$c").as(c)): _*)
     df.select("atom_id").join(rels, "atom_id").join(latest, "ae_id")
       .drop("ae_id")
+  }
+
+  /** zef `gather[rules]` (impl.py:9800): bounded BFS collecting the
+    * reachable subgraph along the given relation types (both directions),
+    * relation atoms included. Iterative frontier joins — each step is one
+    * distributed join round; the loop is driver-side but bounded by
+    * maxSteps and stops early on an empty frontier (one cheap count per
+    * step, the unavoidable BFS synchronization point). */
+  def gather(rts: Seq[String], maxSteps: Int): AtomSet = {
+    var visited = df.select("atom_id")
+    var frontier = visited
+    var relIds = spark.emptyDataFrame.select(lit("").as("atom_id")).limit(0)
+    var step = 0
+    var done = false
+    while (step < maxSteps && !done) {
+      val hops = rts.map { rt =>
+        val rels = frame.aliveRelations(rt)
+        val out = rels.join(frontier.withColumnRenamed("atom_id", "src_id"), "src_id")
+          .select(col("atom_id").as("rel_id"), col("dst_id").as("next_id"))
+        val in = rels.join(frontier.withColumnRenamed("atom_id", "dst_id"), "dst_id")
+          .select(col("atom_id").as("rel_id"), col("src_id").as("next_id"))
+        out.unionByName(in)
+      }.reduce(_ unionByName _)
+      relIds = relIds.unionByName(hops.select(col("rel_id").as("atom_id"))).distinct()
+      val next = hops.select(col("next_id").as("atom_id")).distinct()
+        .join(visited, Seq("atom_id"), "left_anti").persist()
+      done = next.isEmpty
+      visited = visited.unionByName(next).distinct()
+      frontier = next
+      step += 1
+    }
+    val ids = visited.unionByName(relIds).distinct()
+    AtomSet(frame, atoms.filter(Graph.aliveAt(frame.slice)).join(ids, "atom_id"))
   }
 
   /** Field value as a single aliased column (picks the typed column). */

@@ -57,6 +57,11 @@ final case class ValueRow(
   * tx_id == time_slice (monotone). */
 final case class TxRow(tx_id: Int, ts: Timestamp)
 
+/** Tag binding event (reference ASSIGN_TAG_NAME_EDGE chain,
+  * `core/include/blobs.h:314-330`): the binding of `tag` as of slice S is
+  * the latest row with tx_slice ≤ S; atom_id None = tombstone (untag). */
+final case class TagRow(tag: String, atom_id: Option[String], tx_slice: Int)
+
 object ValueRow {
   def of(aeId: String, slice: Int, v: Any): ValueRow = v match {
     case s: String     => ValueRow(aeId, slice, "str", Some(s), None, None, None, None)

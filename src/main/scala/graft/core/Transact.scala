@@ -34,6 +34,10 @@ final case class AssignField(ownerKey: String, rt: String, value: Any,
   * (and, for entities, of their field relations' visibility is governed by
   * the relation atoms — terminate those explicitly or via cascade=true). */
 final case class TerminateAtom(key: String) extends Wish
+/** zef `tag` (impl.py:7361): bind a name to an atom as of this tx. */
+final case class TagAtom(key: String, tag: String) extends Wish
+/** zef `untag` (impl.py:7406): tombstone the binding. */
+final case class UntagAtom(tag: String) extends Wish
 
 final case class Receipt(ids: Map[String, String], slice: Int)
 
@@ -84,6 +88,7 @@ object Transactor {
 
     val newAtoms = scala.collection.mutable.ArrayBuffer[AtomRow]()
     val newValues = scala.collection.mutable.ArrayBuffer[ValueRow]()
+    val newTags = scala.collection.mutable.ArrayBuffer[TagRow]()
     val terminated = scala.collection.mutable.ArrayBuffer[String]()
     val receipt = scala.collection.mutable.Map[String, String]()
 
@@ -146,6 +151,10 @@ object Transactor {
         newValues += ValueRow.of(ae, slice, value)
       case TerminateAtom(key) =>
         terminated += refAll(key)
+      case TagAtom(key, tag) =>
+        newTags += TagRow(tag, Some(refAll(key)), slice)
+      case UntagAtom(tag) =>
+        newTags += TagRow(tag, None, slice)
       case _ =>
     }
 
@@ -171,7 +180,11 @@ object Transactor {
       else g.values.unionByName(spark.createDataset(newValues.toSeq).toDF())
     val txsFinal = g.txs.unionByName(
       spark.createDataset(Seq(TxRow(slice, ts))).toDF())
+    val tagsFinal =
+      if (newTags.isEmpty) g.tags
+      else g.tags.unionByName(spark.createDataset(newTags.toSeq).toDF())
 
-    (Graph(atomsFinal, valuesFinal, txsFinal), Receipt(receipt.toMap, slice))
+    (Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal),
+      Receipt(receipt.toMap, slice))
   }
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Nested-structure ops (SURVEY §2.6): `flatten_dict` / `unflatten_dict`
+  * (reference impl.py:10047,10089) over StructType columns — schema-driven
+  * pure projections (resolved at plan time; zero runtime cost beyond the
+  * projection itself).
+  */
+object StructOps {
+
+  /** zef `flatten_dict`: expand every nested struct field into a top-level
+    * column named by its path joined with `sep`. */
+  def flattenStruct(df: DataFrame, sep: String = "_"): DataFrame = {
+    def fieldPaths(schema: StructType, prefix: Seq[String]): Seq[(Seq[String], Column)] =
+      schema.fields.toSeq.flatMap { f =>
+        val path = prefix :+ f.name
+        f.dataType match {
+          case s: StructType => fieldPaths(s, path)
+          case _ => Seq(path -> col(path.mkString(".")))
+        }
+      }
+    val cols = fieldPaths(df.schema, Nil).map { case (p, c) => c.as(p.mkString(sep)) }
+    df.select(cols: _*)
+  }
+
+  /** zef `unflatten_dict`: rebuild nested structs from `sep`-joined column
+    * names (inverse of flattenStruct for one nesting level per separator). */
+  def unflattenStruct(df: DataFrame, sep: String = "_"): DataFrame = {
+    val groups = df.columns.groupBy(c =>
+      if (c.contains(sep)) c.split(java.util.regex.Pattern.quote(sep), 2)(0) else "")
+    val cols: Seq[Column] = groups.toSeq.sortBy(_._1).flatMap {
+      case ("", flat) => flat.toSeq.sorted.map(col)
+      case (prefix, members) =>
+        Seq(struct(members.toSeq.sorted.map { m =>
+          col(m).as(m.split(java.util.regex.Pattern.quote(sep), 2)(1))
+        }: _*).as(prefix))
+    }
+    df.select(cols: _*)
+  }
+
+  /** zef `get_in[path]` (impl.py:820): nested field access by path. */
+  def getIn(c: Column, path: Seq[String]): Column =
+    path.foldLeft(c)(_ getField _)
+
+  /** zef `update_in[path][f]` (impl.py:923): nested field update. */
+  def updateIn(c: Column, path: Seq[String], f: Column => Column): Column =
+    path match {
+      case Seq(last) => c.withField(last, f(c.getField(last)))
+      case head +: tail =>
+        c.withField(head, updateIn(c.getField(head), tail, f))
+    }
+
+  /** zef `insert_in[path][v]` (impl.py:851). */
+  def insertIn(c: Column, path: Seq[String], v: Column): Column =
+    path match {
+      case Seq(last) => c.withField(last, v)
+      case head +: tail => c.withField(head, insertIn(c.getField(head), tail, v))
+    }
+
+  /** zef `remove_in[path]` (impl.py:886). */
+  def removeIn(c: Column, path: Seq[String]): Column =
+    path match {
+      case Seq(last) => c.dropFields(last)
+      case head +: tail => c.withField(head, removeIn(c.getField(head), tail))
+    }
+
+  /** zef `transpose` (impl.py:365): list-of-lists row/col swap for an
+    * ArrayType(ArrayType) column (ragged input truncates to the shortest
+    * row, matching zip semantics). */
+  def transpose(c: Column): Column = {
+    val minLen = array_min(transform(c, r => size(r)))
+    transform(sequence(lit(0), minLen - 1),
+      i => transform(c, row => element_at(row, i + 1)))
+  }
+}

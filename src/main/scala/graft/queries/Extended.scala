@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{AtomSet, GraphEncoder}
+import graft.gql.GqlLite
+import graft.wrangling.EntityResolution
+
+/** GraphQL front-end (§3.3), entity resolution (§2.12), and recursive
+  * traversal (§2.1 gather) — oracle-verified. */
+object Extended {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // SimpleGQL query root: filter dict + multi-key sort + pagination in
+    // ONE Catalyst plan (vs the reference's per-entity resolvers).
+    QueryDef(
+      "gql_filter_sort_page",
+      (s, d) => {
+        import GqlLite._
+        val g = GraphEncoder.encodeTpch(s, d)
+        run(g.now, Query("Customer",
+          fields = Seq(("c_name", "v_str", "name"),
+            ("c_acctbal", "v_double", "acctbal"),
+            ("c_mktsegment", "v_str", "segment")),
+          filter = Some(And(Cmp("acctbal", "gt", 1000.0),
+            In("segment", Seq("BUILDING", "MACHINERY")))),
+          sort = Seq(SortKey("acctbal", asc = false)),
+          first = Some(20), offset = Some(5)))
+      },
+      Some("""SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS atom_id,
+             |  c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+             |FROM customer
+             |WHERE c_acctbal > 1000.0 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+             |ORDER BY acctbal DESC, atom_id ASC
+             |LIMIT 20 OFFSET 5""".stripMargin),
+      Seq("gql_query", "filter", "sort", "take", "skip", "pagination")),
+
+    // SimpleGQL aggregate root: count + min/max/sum/avg in one agg pass.
+    QueryDef(
+      "gql_aggregate",
+      (s, d) => {
+        import GqlLite._
+        val g = GraphEncoder.encodeTpch(s, d)
+        aggregate(g.now, "Customer",
+          Seq(("c_acctbal", "v_double", "acctbal")),
+          filter = Some(Cmp("acctbal", "gt", 1000.0)))
+      },
+      Some("""SELECT count(*) AS count,
+             |  min(c_acctbal) AS acctbal_min, max(c_acctbal) AS acctbal_max,
+             |  round(sum(c_acctbal), 2) AS acctbal_sum,
+             |  round(avg(c_acctbal), 4) AS acctbal_avg
+             |FROM customer WHERE c_acctbal > 1000.0""".stripMargin),
+      Seq("gql_aggregate", "count", "min", "max", "sum", "mean")),
+
+    // identify_entities: resolve incoming records (half real names, half
+    // unknown) against the graph store by field value.
+    QueryDef(
+      "er_identify_entities",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val cust = graft.Tables.customer(s, d)
+        val incoming = cust.filter(col("c_custkey") <= 40)
+          .select(col("c_custkey").as("in_id"), col("c_name").as("cname"))
+          .unionAll(cust.filter(col("c_custkey") <= 10)
+            .select((col("c_custkey") + 100000).as("in_id"),
+              concat(col("c_name"), lit("-unknown")).as("cname")))
+        EntityResolution.identifyEntities(incoming, g.now,
+          "Customer", "c_name", "cname")
+          .orderBy(col("in_id"))
+      },
+      Some("""WITH incoming AS (
+             |  SELECT c_custkey AS in_id, c_name AS cname FROM customer WHERE c_custkey <= 40
+             |  UNION ALL
+             |  SELECT c_custkey + 100000, c_name || '-unknown' FROM customer WHERE c_custkey <= 10)
+             |SELECT i.in_id, i.cname,
+             |  CASE WHEN c.c_custkey IS NULL THEN NULL
+             |       ELSE 'e:Customer/' || CAST(c.c_custkey AS VARCHAR) END AS matched_atom_id
+             |FROM incoming i LEFT JOIN customer c ON i.cname = c.c_name
+             |ORDER BY in_id""".stripMargin),
+      Seq("identify_entities", "deduplicate", "lookup_join")),
+
+    // gather: 2-step BFS from one customer over Placed+MemberOf — reaches
+    // its orders, its nation, and (via the nation, in-direction) all
+    // fellow customers; relation atoms collected too.
+    QueryDef(
+      "graph_gather_2step",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val seed = AtomSet(g.now,
+          g.atoms.filter(col("atom_id") === "e:Customer/0"))
+        seed.gather(Seq("Placed", "MemberOf"), 2)
+          .df.groupBy(col("kind"), col("atype"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("kind"), col("atype"))
+      },
+      Some("""WITH c0 AS (SELECT c_nationkey FROM customer WHERE c_custkey = 0),
+             |no AS (SELECT count(*) AS n FROM orders WHERE o_custkey = 0),
+             |nc AS (SELECT count(*) AS n FROM customer, c0
+             |       WHERE customer.c_nationkey = c0.c_nationkey)
+             |SELECT kind, atype, n FROM (
+             |  SELECT 'entity' AS kind, 'Customer' AS atype, nc.n FROM nc
+             |  UNION ALL SELECT 'entity', 'Nation', 1
+             |  UNION ALL SELECT 'entity', 'Order', no.n FROM no
+             |  UNION ALL SELECT 'relation', 'MemberOf', nc.n FROM nc
+             |  UNION ALL SELECT 'relation', 'Placed', no.n FROM no
+             |) ORDER BY kind, atype""".stripMargin),
+      Seq("gather", "Outs", "Ins", "blueprint"))
+  )
+}

@@ -24,7 +24,8 @@ object Registry {
     GraphQueries.entries,
     Wrangling.entries,
     Streaming.entries,
-    DslQueries.entries)
+    DslQueries.entries,
+    Extended.entries)
 
   lazy val entries: Seq[QueryDef] = modules.flatten
 

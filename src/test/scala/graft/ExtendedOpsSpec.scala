@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.gql.GqlLite
+import graft.ops.StructOps
+import graft.wrangling.EntityResolution
+
+class ExtendedOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def chainGraph: Graph = {
+    // a -Knows-> b -Knows-> c -Knows-> d; c -Owns-> x
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutEntity("P", "b"), PutEntity("P", "c"),
+      PutEntity("P", "d"), PutEntity("Thing", "x"),
+      PutRelation("Knows", "a", "b"), PutRelation("Knows", "b", "c"),
+      PutRelation("Knows", "c", "d"), PutRelation("Owns", "c", "x"),
+      TagAtom("a", "root-person")))
+    g
+  }
+
+  test("gather: bounded BFS collects subgraph with relation atoms") {
+    val g = chainGraph
+    val seed = AtomSet(g.now, g.atoms.filter(col("atom_id") === "e:P/a"))
+    val oneHop = seed.gather(Seq("Knows"), 1)
+    // a, b + the a->b relation atom
+    assert(oneHop.df.filter(col("kind") === "entity").count() == 2)
+    assert(oneHop.df.filter(col("kind") === "relation").count() == 1)
+    val all = seed.gather(Seq("Knows", "Owns"), 10)
+    assert(all.df.filter(col("kind") === "entity").count() == 5)
+    assert(all.df.filter(col("kind") === "relation").count() == 4)
+    // early stop: maxSteps larger than diameter is fine (loop exits)
+  }
+
+  test("tags: bind, resolve as-of, rebind, tombstone") {
+    var g = chainGraph
+    assert(g.now.byTag("root-person").df.collect()(0)
+      .getAs[String]("atom_id") == "e:P/a")
+    val s1 = g.maxSlice
+    val (g2, _) = Transactor.transact(g, Seq(TagAtom("e:P/b", "root-person")))
+    val (g3, _) = Transactor.transact(g2, Seq(UntagAtom("root-person")))
+    assert(g3.at(s1).byTag("root-person").df.collect()(0)
+      .getAs[String]("atom_id") == "e:P/a") // old frame sees old binding
+    assert(g3.at(s1 + 1).byTag("root-person").df.collect()(0)
+      .getAs[String]("atom_id") == "e:P/b")
+    assert(g3.now.byTag("root-person").count() == 0) // tombstoned
+  }
+
+  test("GqlLite: filter/sort/pagination compile to one plan") {
+    import GqlLite._
+    val g = GraphEncoder.encodeTpch(spark, sf)
+    val q = Query("Customer",
+      fields = Seq(("c_name", "v_str", "name"),
+        ("c_acctbal", "v_double", "acctbal"),
+        ("c_mktsegment", "v_str", "segment")),
+      filter = Some(And(Cmp("acctbal", "gt", 1000.0),
+        In("segment", Seq("BUILDING", "MACHINERY")))),
+      sort = Seq(SortKey("acctbal", asc = false)),
+      first = Some(5), offset = Some(2))
+    val rows = GqlLite.run(g.now, q).collect()
+    assert(rows.length == 5)
+    val bals = rows.map(_.getAs[Double]("acctbal"))
+    assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => Seq("BUILDING", "MACHINERY")
+      .contains(r.getAs[String]("segment"))))
+    // aggregate root: one agg() pass
+    val agg = GqlLite.aggregate(g.now, "Customer",
+      Seq(("c_acctbal", "v_double", "acctbal")),
+      filter = Some(Cmp("acctbal", "gt", 1000.0))).collect()(0)
+    assert(agg.getAs[Long]("count") > 0)
+    assert(agg.getAs[Double]("acctbal_min") > 1000.0)
+  }
+
+  test("inferTypes: shape rules classify JSON, unknown falls through") {
+    import spark.implicits._
+    import EntityResolution._
+    val df = Seq(
+      """{"name":"joe","age":"33"}""",
+      """{"title":"spark","pages":"300"}""",
+      """{"whatever":"x"}""").toDF("j")
+    val out = inferTypes(df, "j", Seq(
+      TypeRule("Person", Seq("name", "age")),
+      TypeRule("Book", Seq("title")))).collect()
+    assert(out.map(_.getAs[String]("inferred_type")).toSeq ==
+      Seq("Person", "Book", "ZEF_Unknown"))
+  }
+
+  test("identifyEntities: lookup join against existing graph entities") {
+    import spark.implicits._
+    val g = GraphEncoder.encodeTpch(spark, sf)
+    val incoming = Seq("Customer#000000001", "Customer#000000002", "nobody")
+      .toDF("cname")
+    val out = EntityResolution.identifyEntities(
+      incoming, g.now, "Customer", "c_name", "cname").collect()
+    val byName = out.map(r => r.getAs[String]("cname") ->
+      r.getAs[String]("matched_atom_id")).toMap
+    assert(byName("Customer#000000001") == "e:Customer/1")
+    assert(byName("nobody") == null)
+  }
+
+  test("StructOps: flatten/unflatten round-trip, nested edits, transpose") {
+    import spark.implicits._
+    val df = Seq((1, ("x", (2.5, true)))).toDF("id", "s")
+      .select(col("id"), col("s._1").as("a"),
+        struct(col("s._2._1").as("p"), col("s._2._2").as("q")).as("inner"))
+    val flat = StructOps.flattenStruct(df)
+    assert(flat.columns.toSet == Set("id", "a", "inner_p", "inner_q"))
+    val back = StructOps.unflattenStruct(flat)
+    assert(back.select("inner.p").collect()(0).getDouble(0) == 2.5)
+    val edited = df.select(StructOps.updateIn(col("inner"), Seq("p"), _ * 2).as("e"))
+    assert(edited.select("e.p").collect()(0).getDouble(0) == 5.0)
+    val t = Seq(Seq(Seq(1, 2, 3), Seq(4, 5, 6))).toDF("m")
+      .select(StructOps.transpose(col("m")).as("t")).collect()(0)
+      .getSeq[Seq[Int]](0)
+    assert(t == Seq(Seq(1, 4), Seq(2, 5), Seq(3, 6)))
+  }
+}
