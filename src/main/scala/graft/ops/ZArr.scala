@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Array edit ops (SURVEY §2.5: `insert_at/remove_at/update_at/replace_at/
+  * splice/permute_to/indexes_of`, reference impl.py:964-1156, 8186, 8450,
+  * 9777, 9937). All 0-based like the reference's Python list semantics;
+  * Spark's `slice`/`element_at` 1-based indexing is an internal detail.
+  * Pure higher-order-function expressions — codegen'd, no UDFs.
+  */
+object ZArr {
+
+  /** zef `insert_at[idx][el]` (impl.py:1037). */
+  def insertAt(arr: Column, idx: Int, el: Column): Column =
+    concat(slice(arr, 1, idx), array(el),
+      slice(arr, idx + 1, Int.MaxValue - idx - 1))
+
+  /** zef `remove_at[idx]` (impl.py:1156). */
+  def removeAt(arr: Column, idx: Int): Column =
+    concat(slice(arr, 1, idx), slice(arr, idx + 2, Int.MaxValue - idx - 2))
+
+  /** zef `update_at[idx][f]` (impl.py:964). */
+  def updateAt(arr: Column, idx: Int, f: Column => Column): Column =
+    transform(arr, (el, i) => when(i === idx, f(el)).otherwise(el))
+
+  /** zef `replace_at[idx][el]` (impl.py:8186). */
+  def replaceAt(arr: Column, idx: Int, el: Column): Column =
+    updateAt(arr, idx, _ => el)
+
+  /** zef `splice[start][n][repl]` (impl.py:9937): remove n elements at
+    * start, insert repl there. */
+  def splice(arr: Column, start: Int, n: Int, repl: Column): Column =
+    concat(slice(arr, 1, start), repl,
+      slice(arr, start + n + 1, Int.MaxValue - start - n - 1))
+
+  /** zef `permute_to[indices]` (impl.py:8450): reorder by 0-based index
+    * list. */
+  def permuteTo(arr: Column, indices: Seq[Int]): Column =
+    array(indices.map(i => element_at(arr, i + 1)): _*)
+
+  /** zef `indexes_of[el]` (impl.py:9777): 0-based positions of matches. */
+  def indexesOf(arr: Column, el: Column): Column =
+    filter(transform(arr, (x, i) => when(x === el, i).otherwise(lit(-1))),
+      i => i >= 0)
+
+  /** zef `trim/trim_left/trim_right[el]` list variants (impl.py:2199-2322):
+    * drop leading/trailing elements equal to el. */
+  def trimLeft(arr: Column, el: Column): Column = {
+    val firstKeep = array_position(transform(arr, x => x =!= el), true)
+    when(firstKeep === 0, slice(arr, 1, 0)) // all-separator → empty, typed
+      .otherwise(slice(arr, firstKeep.cast("int"), lit(Int.MaxValue - 1)))
+  }
+  def trimRight(arr: Column, el: Column): Column = reverse(trimLeft(reverse(arr), el))
+  def trim(arr: Column, el: Column): Column = trimRight(trimLeft(arr, el), el)
+
+  /** zef `cycle[n]` / `repeat[n]` (impl.py:1857,1899). */
+  def cycle(arr: Column, n: Int): Column = flatten(array_repeat(arr, n))
+
+  /** zef `split[el]` on lists (impl.py:4684): split into runs at separator
+    * elements (separator not included). */
+  def splitOn(arr: Column, el: Column): Column = {
+    // positions: segment id = count of separators before each element
+    val tagged = transform(arr, (x, i) =>
+      struct(x.as("v"),
+        size(filter(slice(arr, lit(1), i + 1), y => y === el)).as("seg"),
+        (x === el).as("is_sep")))
+    val nSeg = size(filter(arr, x => x === el)) + 1
+    transform(sequence(lit(0), nSeg - 1), s =>
+      transform(
+        filter(tagged, t => t.getField("seg") === s && !t.getField("is_sep")),
+        t => t.getField("v")))
+  }
+}

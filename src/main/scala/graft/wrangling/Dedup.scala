@@ -37,6 +37,31 @@ object Dedup {
     shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Single-pass MinHash signatures via the custom Catalyst aggregate
+    * (graft.functions.MinHashAgg): 2 hash evaluations per shingle instead
+    * of k, one k-long buffer instead of k aggregate columns. Returns
+    * (id, sig: array<long>). */
+  def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol),
+      explode(TextOps.wordShingles(col(textCol), shingleN)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg.minhash(col("__s"), numHashes).as("sig"))
+
+  /** LSH banding over an array signature (fast-path companion). */
+  def minhashCandidatesFromSig(sigs: DataFrame, idCol: String,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("sig_h"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
+    val a = banded.select(col(idCol).as("id_a"), col("__b"))
+    val b = banded.select(col(idCol).as("id_b"), col("__b"))
+    a.join(b, a("__b") === b("__b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** LSH candidate pairs: signatures split into `bands`, docs sharing any
     * full band collide. Returns (id_a, id_b) with id_a < id_b, distinct.
     * The band bucket join is the classic sub-quadratic near-dup path. */

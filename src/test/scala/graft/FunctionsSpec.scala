@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.ZArr
+import graft.wrangling.Dedup
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("MinHashAgg: signature length, determinism, partial-merge correctness") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "x y z w q r s")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesFast(df, "doc_id", "text", 16, 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) == sigs(2L)) // same shingle set → identical signature
+    assert(sigs(1L) != sigs(3L))
+    // merge correctness: signature is invariant to partitioning
+    val sigs1 = Dedup.minhashSignaturesFast(df.repartition(7), "doc_id",
+      "text", 16, 1).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs1 == sigs)
+  }
+
+  test("MinHashAgg: similarity estimate tracks exact jaccard") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = (1 to 45).map(i => s"w$i").mkString(" ") + " z1 z2 z3 z4 z5" // J=0.818
+    val far = (100 to 150).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesFast(df, "doc_id", "text", 128, 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(math.abs(est(sigs(1L), sigs(2L)) - 0.818) < 0.15)
+    assert(est(sigs(1L), sigs(3L)) < 0.1)
+  }
+
+  test("fast LSH candidates + exact verify match classic pipeline behavior") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+    val sigs = Dedup.minhashSignaturesFast(docs, "doc_id", "text", 32, 1)
+    val cands = Dedup.minhashCandidatesFromSig(sigs, "doc_id", 32, 16)
+    val verified = Dedup.jaccardForPairs(docs, cands, "doc_id", "text", 1)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(verified.size.toDouble / exact.size >= 0.8)
+  }
+
+  test("ZArr: edit ops are 0-based and total") {
+    import spark.implicits._
+    val df = Seq(Seq(10, 20, 30, 40)).toDF("a")
+    def got(c: org.apache.spark.sql.Column): Seq[Int] =
+      df.select(c).collect()(0).getSeq[Int](0)
+    assert(got(ZArr.insertAt(col("a"), 1, lit(15))) == Seq(10, 15, 20, 30, 40))
+    assert(got(ZArr.insertAt(col("a"), 0, lit(5))) == Seq(5, 10, 20, 30, 40))
+    assert(got(ZArr.removeAt(col("a"), 2)) == Seq(10, 20, 40))
+    assert(got(ZArr.updateAt(col("a"), 1, _ * 2)) == Seq(10, 40, 30, 40))
+    assert(got(ZArr.replaceAt(col("a"), 3, lit(99))) == Seq(10, 20, 30, 99))
+    assert(got(ZArr.splice(col("a"), 1, 2, array(lit(7), lit(8), lit(9)))) ==
+      Seq(10, 7, 8, 9, 40))
+    assert(got(ZArr.permuteTo(col("a"), Seq(3, 1, 0, 2))) == Seq(40, 20, 10, 30))
+    assert(got(ZArr.cycle(col("a"), 2)) == Seq(10, 20, 30, 40, 10, 20, 30, 40))
+  }
+
+  test("ZArr: indexesOf, trim family, splitOn") {
+    import spark.implicits._
+    val df = Seq(Seq(0, 5, 0, 7, 0)).toDF("a")
+    assert(df.select(ZArr.indexesOf(col("a"), lit(0))).collect()(0)
+      .getSeq[Int](0) == Seq(0, 2, 4))
+    assert(df.select(ZArr.trimLeft(col("a"), lit(0))).collect()(0)
+      .getSeq[Int](0) == Seq(5, 0, 7, 0))
+    assert(df.select(ZArr.trim(col("a"), lit(0))).collect()(0)
+      .getSeq[Int](0) == Seq(5, 0, 7))
+    val allSep = Seq(Seq(0, 0)).toDF("a")
+    assert(allSep.select(ZArr.trim(col("a"), lit(0))).collect()(0)
+      .getSeq[Int](0).isEmpty)
+    val runs = df.select(ZArr.splitOn(col("a"), lit(0))).collect()(0)
+      .getSeq[Seq[Int]](0)
+    assert(runs == Seq(Seq(), Seq(5), Seq(7), Seq()))
+  }
+}
