@@ -94,12 +94,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dedup: block, verify, threshold. */
+  /** Full MinHash-LSH near-dedup: block, verify, threshold. Uses the
+    * single-pass MinHashAgg signature path (2 hashes/row vs k). */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 32, bands: Int = 8,
       shingleN: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val cands = minhashCandidates(sigs, idCol, numHashes, bands)
+    val sigs = minhashSignaturesFast(df, idCol, textCol, numHashes, shingleN)
+    val cands = minhashCandidatesFromSig(sigs, idCol, numHashes, bands)
     jaccardForPairs(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
