@@ -1,0 +1,64 @@
+package graft.fx
+
+import org.apache.spark.sql.DataFrame
+import graft.core._
+
+/** zef_function registry (SURVEY §2.11; reference
+  * `python/zef/core/zef_functions.py:268-448`): functions persisted ON the
+  * graph as entities carrying their source and content hash, callable by
+  * name/ref.
+  *
+  * The JVM can't compile arbitrary source at runtime without shipping a
+  * compiler, so the contract is split exactly like the reference's
+  * (source persisted for audit/distribution; a process-local table maps
+  * content hash → compiled lambda): `register` stores source+hash as an
+  * `ET.ZefFunction` entity; `bind` attaches the compiled implementation
+  * for this process; `invoke` resolves name → hash → implementation.
+  */
+object FnRegistry {
+
+  final case class ZefFunction(name: String, source: String, hash: String)
+
+  private val impls =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame => DataFrame]
+
+  def sourceHash(source: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(source.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Persist a function onto the graph (source + hash as fields), tagged by
+    * name for as-of lookup. */
+  def register(g: Graph, name: String, source: String,
+      impl: DataFrame => DataFrame): (Graph, String) = {
+    val h = sourceHash(source)
+    impls.put(h, impl)
+    val (g2, _) = Transactor.transact(g, Seq(
+      PutEntity("ZefFunction", name),
+      PutField(name, "Source", source),
+      PutField(name, "SourceHash", h),
+      TagAtom(name, s"fn:$name")))
+    (g2, h)
+  }
+
+  /** Resolve a function by name in a frame (as-of semantics apply: the
+    * binding visible in THAT slice). */
+  def lookup(slice: GraphSlice, name: String): Option[ZefFunction] = {
+    val rows = slice.byTag(s"fn:$name")
+      .fields(("Source", "v_str", "source"), ("SourceHash", "v_str", "hash"))
+      .collect()
+    rows.headOption.map(r => ZefFunction(name,
+      r.getAs[String]("source"), r.getAs[String]("hash")))
+  }
+
+  /** Invoke by name: hash-addressed dispatch, erroring if this process has
+    * no implementation bound for the persisted hash (same failure mode as
+    * the reference when source can't be resolved). */
+  def invoke(slice: GraphSlice, name: String, arg: DataFrame): DataFrame = {
+    val fn = lookup(slice, name).getOrElse(
+      throw new NoSuchElementException(s"no ZefFunction '$name' in slice"))
+    val impl = impls.getOrElse(fn.hash,
+      throw new IllegalStateException(
+        s"function '$name' (hash ${fn.hash}) has no bound implementation"))
+    impl(arg)
+  }
+}

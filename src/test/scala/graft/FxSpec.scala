@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.fx._
+
+class FxSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("FX: effects are data; interpreter executes them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fx").toString
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    // description only — nothing happened yet
+    val write = FX.LocalFileWrite(df, s"$dir/t", "parquet")
+    assert(!new java.io.File(s"$dir/t").exists())
+    FxRuntime.run(spark, write)
+    val back = FxRuntime.run(spark, FX.LocalFileRead(s"$dir/t"))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(back.count() == 2)
+    // GraphTransact effect
+    val (g, r) = FxRuntime.run(spark,
+      FX.GraphTransact(Graph.empty(spark), Seq(PutEntity("X", "x1"))))
+      .asInstanceOf[(Graph, Receipt)]
+    assert(g.now.all("X").count() == 1 && r.ids("x1") == "e:X/x1")
+  }
+
+  test("FnRegistry: persist on graph, as-of lookup, hash-addressed invoke") {
+    import spark.implicits._
+    val src = "df => df.filter(col(\"x\") > 1)"
+    val (g, h) = FnRegistry.register(Graph.empty(spark), "only_big", src,
+      df => df.filter(col("x") > 1))
+    val fn = FnRegistry.lookup(g.now, "only_big").get
+    assert(fn.hash == h && fn.source == src)
+    val out = FnRegistry.invoke(g.now, "only_big", Seq(1, 2, 3).toDF("x"))
+    assert(out.count() == 2)
+    assertThrows[NoSuchElementException] {
+      FnRegistry.invoke(g.now, "nope", Seq(1).toDF("x"))
+    }
+    // the function entity is a real graph atom with history
+    assert(g.now.all("ZefFunction").count() == 1)
+  }
+
+  test("FlatGraph: collected subgraph preserves traversal + field semantics") {
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutEntity("P", "b"), PutEntity("Q", "c"),
+      PutRelation("Knows", "a", "b"), PutRelation("Owns", "b", "c"),
+      PutField("a", "Name", "Alice"), PutField("b", "Name", "Bob")))
+    val seed = AtomSet(g.now, g.atoms.filter(col("atom_id") === "e:P/a"))
+    val sub = seed.gather(Seq("Knows", "Owns"), 3)
+    val flat = FlatGraph.fromAtomSet(sub)
+    assert(flat.all("P").map(_.atom_id).toSet == Set("e:P/a", "e:P/b"))
+    assert(flat.outs("e:P/a", "Knows").map(_.atom_id) == Vector("e:P/b"))
+    assert(flat.ins("e:P/b", "Knows").map(_.atom_id) == Vector("e:P/a"))
+    assert(flat.field("e:P/b", "Name").get.v_str.contains("Bob"))
+    assert(flat.field("e:Q/c", "Name").isEmpty)
+  }
+}
