@@ -1,0 +1,59 @@
+package graft.analytics
+
+import org.apache.spark.graphx.{Edge, Graph => XGraph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraphSlice, Kind}
+
+/** Graph analytics via GraphX (north star: "GraphX for graph analytics");
+  * the reference exports to NetworkX for the same purpose
+  * (`python/zef/experimental/networkx.py:57-160`) — here the export is a
+  * view transformation inside the cluster, not a driver round-trip.
+  *
+  * Vertex ids: GraphX needs Long ids; atom_ids hash via xxhash64 with the
+  * string kept alongside for the reverse mapping (collision probability at
+  * corpus scale is negligible for analytics; exact algorithms stay on the
+  * DataFrame representation).
+  */
+object GraphAlgos {
+
+  /** Slice view → GraphX graph over the given relation types. */
+  def toGraphX(slice: GraphSlice, rts: Seq[String]): (XGraph[String, String], DataFrame) = {
+    val spark = slice.graph.spark
+    val atoms = slice.aliveAtoms
+    val verts = atoms.filter(col("kind") =!= Kind.Relation)
+      .select(xxhash64(col("atom_id")).as("vid"), col("atom_id"))
+    val rels = atoms.filter(
+      col("kind") === Kind.Relation && col("atype").isInCollection(rts))
+      .select(xxhash64(col("src_id")).as("src"),
+        xxhash64(col("dst_id")).as("dst"), col("atype"))
+    val vrdd = verts.rdd.map(r => (r.getLong(0), r.getString(1)))
+    val erdd = rels.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    (XGraph(vrdd, erdd), verts)
+  }
+
+  /** PageRank over a relation type — returns (atom_id, rank). */
+  def pageRank(slice: GraphSlice, rts: Seq[String], tol: Double = 0.001): DataFrame = {
+    val spark = slice.graph.spark
+    import spark.implicits._
+    val (g, verts) = toGraphX(slice, rts)
+    val ranks = g.pageRank(tol).vertices.toDF("vid", "rank")
+    ranks.join(verts, "vid").select(col("atom_id"), col("rank"))
+  }
+
+  /** Connected components over candidate-duplicate PAIRS — the clustering
+    * stage of scale-out dedup (SURVEY §2.12: "blocking + pairwise predicate
+    * join + connected components"). Input (id_a, id_b) long pairs; output
+    * (id, cluster_id) where cluster_id = min id in the component. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val verts = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val g = XGraph(verts, edges)
+    // GraphX connectedComponents labels each vertex with the min VertexId
+    g.connectedComponents().vertices.toDF("id", "cluster_id")
+  }
+}
