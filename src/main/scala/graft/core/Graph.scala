@@ -270,13 +270,19 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
           .select(col("atom_id").as("rel_id"), col("src_id").as("next_id"))
         out.unionByName(in)
       }.reduce(_ unionByName _)
-      relIds = relIds.unionByName(hops.select(col("rel_id").as("atom_id"))).distinct()
+      // dedup only the next frontier (keeps joins small); the running
+      // visited/rel unions stay dup-tolerant and are distinct'd ONCE at
+      // the end — anti-joins don't need distinct inputs, and a distinct
+      // per step would add two shuffles per hop
+      relIds = relIds.unionByName(hops.select(col("rel_id").as("atom_id")))
       val next = hops.select(col("next_id").as("atom_id")).distinct()
-        .join(visited, Seq("atom_id"), "left_anti").persist()
-      done = next.isEmpty
-      visited = visited.unionByName(next).distinct()
-      frontier = next
+        .join(visited, Seq("atom_id"), "left_anti")
       step += 1
+      // early-stop action only when another iteration would follow — the
+      // last step's emptiness check would be a wasted job
+      if (step < maxSteps) { next.persist(); done = next.isEmpty }
+      visited = visited.unionByName(next)
+      frontier = next
     }
     val ids = visited.unionByName(relIds).distinct()
     AtomSet(frame, atoms.filter(Graph.aliveAt(frame.slice)).join(ids, "atom_id"))
