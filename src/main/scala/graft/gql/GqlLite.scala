@@ -71,6 +71,46 @@ object GqlLite {
     df
   }
 
+  // ---- Mutations (generate_api2.py:525-702): add/update/delete compile
+  // to Wish lists and run through the staged write path (§3.2 reuse). ----
+  sealed trait Mutation
+  final case class AddEntity(et: String, key: String,
+      fields: Map[String, Any]) extends Mutation
+  final case class UpdateEntity(atomId: String,
+      fields: Map[String, Any]) extends Mutation
+  final case class DeleteEntity(atomId: String) extends Mutation
+
+  def compileMutation(m: Mutation): Seq[graft.core.Wish] = m match {
+    case AddEntity(et, key, fields) =>
+      graft.core.PutEntity(et, key) +:
+        fields.toSeq.sortBy(_._1).map { case (rt, v) =>
+          graft.core.PutField(key, rt, v) }
+    case UpdateEntity(id, fields) =>
+      fields.toSeq.sortBy(_._1).map { case (rt, v) =>
+        graft.core.AssignField(id, rt, v) }
+    case DeleteEntity(id) => Seq(graft.core.TerminateAtom(id))
+  }
+
+  /** Run mutations with an optional auth predicate — the SimpleGQL auth
+    * hook (test_simplegql.py:28-77): update/delete targets must satisfy
+    * the predicate IN THE CURRENT FRAME or the whole transaction is
+    * rejected (checked distributed, before any write). */
+  def mutate(g: graft.core.Graph, ms: Seq[Mutation],
+      auth: Option[(graft.core.GraphSlice, String) => Boolean] = None)
+      : (graft.core.Graph, graft.core.Receipt) = {
+    auth.foreach { check =>
+      val targets = ms.collect {
+        case UpdateEntity(id, _) => id
+        case DeleteEntity(id) => id
+      }
+      targets.foreach { id =>
+        if (!check(g.now, id))
+          throw new SecurityException(s"auth hook rejected mutation of $id")
+      }
+    }
+    graft.core.Transactor.transact(g, ms.flatMap(compileMutation))
+  }
+
   /** Aggregate root (`resolve_aggregate`, generate_api2.py:442-481): count
     * + per-field min/max/sum/avg in one agg() pass. */
   def aggregate(slice: GraphSlice, et: String,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.gql.GqlLite
+
+class ZefListGqlMutationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("ZefList: ordered elements with index on meta-relation") {
+    val (g0, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Song", "s1"), PutEntity("Song", "s2"), PutEntity("Song", "s3")))
+    val (g, _) = ZefList.create(g0, "playlist",
+      Seq("e:Song/s2", "e:Song/s3", "e:Song/s1"))
+    val els = ZefList.elements(g.now, "playlist").collect()
+    assert(els.map(_.getAs[Long]("idx")).toSeq == Seq(0L, 1L, 2L))
+    assert(els.map(_.getAs[String]("element_id")).toSeq ==
+      Seq("e:Song/s2", "e:Song/s3", "e:Song/s1"))
+    assert(g.now.all("ZEF_List").count() == 1)
+  }
+
+  test("GqlLite mutations: add/update/delete through the write path") {
+    import GqlLite._
+    val (g1, r1) = mutate(Graph.empty(spark), Seq(
+      AddEntity("User", "u1", Map("Name" -> "Ann", "Score" -> 10.0)),
+      AddEntity("User", "u2", Map("Name" -> "Bob"))))
+    assert(g1.now.all("User").count() == 2)
+    assert(r1.ids("u1") == "e:User/u1")
+
+    val (g2, _) = mutate(g1, Seq(
+      UpdateEntity("e:User/u1", Map("Score" -> 99.0))))
+    val score = g2.now.all("User")
+      .fieldValue("Score", "v_double", "s").collect()
+    assert(score.map(_.getAs[Double]("s")).toSet == Set(99.0))
+    // history preserved: old frame still sees 10.0
+    assert(g2.at(1).all("User").fieldValue("Score", "v_double", "s")
+      .collect()(0).getAs[Double]("s") == 10.0)
+
+    val (g3, _) = mutate(g2, Seq(DeleteEntity("e:User/u2")))
+    assert(g3.now.all("User").count() == 1)
+    assert(g3.at(2).all("User").count() == 2) // time travel sees it alive
+  }
+
+  test("GqlLite auth hook rejects unauthorized mutations atomically") {
+    import GqlLite._
+    val (g, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("Doc", "d1", Map("Owner" -> "ann")),
+      AddEntity("Doc", "d2", Map("Owner" -> "bob"))))
+    // auth: only ann's docs may be mutated
+    val annOnly = (slice: GraphSlice, id: String) => {
+      val owner = AtomSet(slice,
+        slice.graph.atoms.filter(col("atom_id") === id))
+        .fieldValue("Owner", "v_str", "o").collect()
+      owner.nonEmpty && owner(0).getAs[String]("o") == "ann"
+    }
+    val (g2, _) = mutate(g,
+      Seq(UpdateEntity("e:Doc/d1", Map("Owner" -> "ann2"))), Some(annOnly))
+    assert(g2.maxSlice == 2)
+    intercept[SecurityException] {
+      mutate(g2, Seq(DeleteEntity("e:Doc/d2")), Some(annOnly))
+    }
+    // nothing written by the rejected tx
+    assert(g2.now.all("Doc").count() == 2)
+  }
+}
