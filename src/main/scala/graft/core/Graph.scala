@@ -54,6 +54,29 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
           .withColumn("dst_type", lit(null).cast("string")))
   }
 
+  /** Observed-schema registry (SURVEY §1.3: token → observed cardinalities/
+    * types): the delegate meta-layer with cardinality inference — per
+    * (relation type, src type, dst type): instance count and whether the
+    * out-degree is everywhere ≤1 (i.e. `Out[rt]` is safe vs `Outs[rt]`).
+    * Derived, never materialized as delegate atoms (SURVEY §7.4). */
+  def schemaRegistry: DataFrame = {
+    val ends = atoms.select(col("atom_id"), col("atype").as("t"),
+      col("kind").as("k"))
+    val rels = atoms.filter(col("kind") === Kind.Relation)
+      .join(ends.select(col("atom_id").as("src_id"), col("t").as("src_type"),
+        col("k").as("src_kind")), Seq("src_id"), "left")
+      .join(ends.select(col("atom_id").as("dst_id"), col("t").as("dst_type"),
+        col("k").as("dst_kind")), Seq("dst_id"), "left")
+    rels
+      .groupBy(col("atype"), col("src_type"), col("dst_type"), col("dst_kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("src_id")).as("n_sources"))
+      .withColumn("unique_out", col("n") === col("n_sources"))
+      .withColumn("is_field", col("dst_kind") === Kind.AttributeEntity)
+      .drop("dst_kind")
+  }
+
   /** Instantiated/terminated/assigned events in a slice range — zef
     * `events[...]` (impl.py:5168). The event representation is derived from
     * the interval columns + value rows; no separate event log needed. */

@@ -136,6 +136,22 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(hasPet.getAs[String]("dst_type") == "Pet")
   }
 
+  test("schemaRegistry infers cardinality and field-ness") {
+    val g = fixture
+    val reg = g.schemaRegistry.collect()
+      .map(r => (r.getAs[String]("atype"), r.getAs[String]("src_type")) -> r).toMap
+    // FirstName: one per Person, field (AE target), unique
+    val fn = reg(("FirstName", "Person"))
+    assert(fn.getAs[Boolean]("unique_out") && fn.getAs[Boolean]("is_field"))
+    // NickName: 3 instances from 1 person → NOT unique
+    val nn = reg(("NickName", "Person"))
+    assert(!nn.getAs[Boolean]("unique_out"))
+    // HasPet: entity-entity relation, not a field
+    val hp = reg(("HasPet", "Person"))
+    assert(!hp.getAs[Boolean]("is_field"))
+    assert(hp.getAs[String]("dst_type") == "Pet")
+  }
+
   test("merge unions graphs idempotently on atom_id") {
     val g = fixture
     val merged = Graph.merge(g, g)
