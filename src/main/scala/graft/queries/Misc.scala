@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.Tables
+
+/** Serialization / JSON / distinct-exact operators (SURVEY §2.8, §2.5)
+  * plus the spark.sql text surface — oracle-verified. */
+object Misc {
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // zef from_json (impl.py:7656): parse the events props JSON column and
+    // aggregate an extracted field.
+    QueryDef(
+      "json_extract_agg",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.withColumn("k",
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            round(avg(col("k")), 4).as("avg_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      Seq("from_json", "to_json", "get_in", "group_by")),
+
+    // zef base64 codecs (impl.py:9047-9142).
+    QueryDef(
+      "base64_roundtrip",
+      (s, d) => {
+        Tables.documents(s, d)
+          .filter(col("doc_id") <= 30)
+          .select(col("doc_id"),
+            base64(col("source").cast("binary")).as("b64"),
+            unbase64(base64(col("source").cast("binary"))).cast("string").as("back"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, base64(encode(source)) AS b64, source AS back
+             |FROM documents WHERE doc_id <= 30 ORDER BY doc_id""".stripMargin),
+      Seq("base64", "to_bytes", "utf8bytes_to_string")),
+
+    // exact distinct-count family (zef distinct is exact; superset
+    // approx_count_distinct is library-available but not oracle-comparable).
+    QueryDef(
+      "count_distinct_exact",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_orderkey) AS n_orders,
+             |  count(DISTINCT l_partkey) AS n_parts
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      Seq("distinct", "is_distinct", "count")),
+
+    // The spark.sql text surface over registered views — SQL parity path.
+    QueryDef(
+      "sql_text_surface",
+      (s, d) => {
+        Tables.all.foreach(t =>
+          Tables.table(s, d, t).createOrReplaceTempView(t))
+        s.sql("""
+          SELECT n_name, count(*) AS n_customers,
+                 round(sum(c_acctbal), 2) AS total_bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, count(*) AS n_customers,
+             |  round(sum(c_acctbal), 2) AS total_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      Seq("sql_surface", "join", "group_by"))
+  )
+}

@@ -25,7 +25,8 @@ object Registry {
     Wrangling.entries,
     Streaming.entries,
     DslQueries.entries,
-    Extended.entries)
+    Extended.entries,
+    Misc.entries)
 
   lazy val entries: Seq[QueryDef] = modules.flatten
 
