@@ -155,5 +155,20 @@ object ZOps {
       distinctBy(partition, order.map(_.desc))
     def minBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
       distinctBy(partition, order)
+
+    /** Skew-salted join (the manual tool for when AQE's skew-join split is
+      * not enough — e.g. one key holding >50% of rows): the skewed LEFT
+      * side gets a random salt in [0, salt); the RIGHT side is replicated
+      * `salt` times; the join key becomes (key, salt). Result equals the
+      * plain inner join on `key`, with the hot key's rows spread across
+      * `salt` tasks. Deterministic row content, nondeterministic
+      * partition placement — exactly the point. */
+    def saltedJoin(right: DataFrame, key: String, salt: Int): DataFrame = {
+      val saltedLeft = df.withColumn("__salt",
+        (rand(seed = 42) * salt).cast("int"))
+      val explodedRight = right.withColumn("__salt",
+        explode(sequence(lit(0), lit(salt - 1))))
+      saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
+    }
   }
 }

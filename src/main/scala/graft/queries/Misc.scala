@@ -63,6 +63,39 @@ object Misc {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       Seq("distinct", "is_distinct", "count")),
 
+    // infer_types at the driver surface: shape+predicate rules over the
+    // events props JSON, aggregated per inferred type.
+    QueryDef(
+      "er_infer_types",
+      (s, d) => {
+        import graft.wrangling.EntityResolution._
+        inferTypes(Tables.events(s, d), "props", Seq(
+          TypeRule("SmallK", Seq("k"),
+            m => element_at(m, "k").cast("long") < 50),
+          TypeRule("BigK", Seq("k"))))
+          .groupBy(col("inferred_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("inferred_type"))
+      },
+      Some("""SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+             |            THEN 'SmallK' ELSE 'BigK' END AS inferred_type,
+             |       count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY inferred_type""".stripMargin),
+      Seq("infer_types", "pattern", "match")),
+
+    // Embedding near-dup pairs, LSH-blocked (rows-only: hash-bucketed).
+    QueryDef(
+      "wr_embedding_near_dups",
+      (s, d) => {
+        graft.wrangling.Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.35, dim = 64)
+          .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      Seq("similarity_search", "near_dup", "lsh", "cosine")),
+
     // The spark.sql text surface over registered views — SQL parity path.
     QueryDef(
       "sql_text_surface",

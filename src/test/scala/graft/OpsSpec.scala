@@ -136,6 +136,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.getInt(3) == 11)
   }
 
+  test("saltedJoin equals plain join with the hot key spread") {
+    val s = spark; import s.implicits._
+    // heavily skewed left: 1000 rows on key 1, 5 on key 2
+    val left = ((1 to 1000).map(i => (1L, i)) ++ (1 to 5).map(i => (2L, i)))
+      .toDF("k", "v")
+    val right = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val salted = left.saltedJoin(right, "k", salt = 8)
+    val plain = left.join(right, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1000L, 2L -> 5L))
+  }
+
   test("ZCol: is_alpha family and valueHash stability") {
     val s = spark; import s.implicits._
     val df = Seq(("abc", "123", "a1b2", "a b")).toDF("a", "n", "an", "sp")
