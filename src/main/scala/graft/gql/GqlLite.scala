@@ -49,19 +49,33 @@ object GqlLite {
   /** Sort keys with `asc/desc` + `then` chaining (generate_api2.py:871-898). */
   final case class SortKey(field: String, asc: Boolean = true)
 
+  /** Relation-hop projection (`@relation`/`@incoming` fields,
+    * generate_api2.py:911-970): count of related atoms per entity, as one
+    * aggregated join — still no per-entity resolution. */
+  final case class Hop(rt: String, incoming: Boolean, as: String)
+
   /** One query-root: entity type + field projections (+ optional filter,
-    * sort, pagination, aggregates) — `queryType { field, ... }`. */
+    * sort, pagination, hops, aggregates) — `queryType { field, ... }`. */
   final case class Query(
       et: String,
       fields: Seq[(String, String, String)], // (relationType, typedCol, outName)
       filter: Option[Filter] = None,
       sort: Seq[SortKey] = Nil,
       first: Option[Int] = None,
-      offset: Option[Int] = None)
+      offset: Option[Int] = None,
+      hops: Seq[Hop] = Nil)
 
   /** Compile + run: one plan, no per-entity resolution. */
   def run(slice: GraphSlice, q: Query): DataFrame = {
     var df = slice.all(q.et).fields(q.fields: _*)
+    q.hops.foreach { h =>
+      val endCol = if (h.incoming) "dst_id" else "src_id"
+      val counts = slice.allRelations(h.rt).df
+        .groupBy(col(endCol).as("atom_id"))
+        .agg(count(lit(1)).as(h.as))
+      df = df.join(counts, Seq("atom_id"), "left")
+        .withColumn(h.as, coalesce(col(h.as), lit(0L)))
+    }
     q.filter.foreach(f => df = df.filter(compileFilter(f)))
     val sortCols = q.sort.map(s => if (s.asc) col(s.field).asc else col(s.field).desc) :+
       col("atom_id").asc // deterministic pagination tiebreak
@@ -91,12 +105,52 @@ object GqlLite {
     case DeleteEntity(id) => Seq(graft.core.TerminateAtom(id))
   }
 
+  /** Declared-schema constraints enforced in the write path
+    * (SimpleGQL `@unique` / required `!`, generate_api2.py:976-1010,
+    * SURVEY §1.3): checked against the CURRENT frame + the incoming batch
+    * before any write; violation rejects the whole transaction. */
+  final case class Constraints(
+      unique: Map[String, Seq[String]] = Map(), // et -> unique field rts
+      required: Map[String, Seq[String]] = Map()) // et -> required field rts
+
+  private def checkConstraints(g: graft.core.Graph, ms: Seq[Mutation],
+      c: Constraints): Unit = {
+    val adds = ms.collect { case a: AddEntity => a }
+    // required: every AddEntity carries all required fields
+    adds.foreach { a =>
+      c.required.getOrElse(a.et, Nil).foreach { rt =>
+        if (!a.fields.contains(rt))
+          throw new IllegalArgumentException(
+            s"constraint violation: ${a.et}.$rt is required")
+      }
+    }
+    // unique: no duplicate within the batch, none colliding with the store
+    c.unique.foreach { case (et, rts) =>
+      rts.foreach { rt =>
+        val batchVals = adds.filter(_.et == et).flatMap(_.fields.get(rt))
+        if (batchVals.distinct.size != batchVals.size)
+          throw new IllegalArgumentException(
+            s"constraint violation: duplicate $et.$rt within transaction")
+        if (batchVals.nonEmpty) {
+          val existing = g.now.all(et)
+            .fieldValue(rt, "v_str", "__v")
+            .filter(col("__v").isInCollection(batchVals.map(_.toString)))
+            .limit(1).count()
+          if (existing > 0)
+            throw new IllegalArgumentException(
+              s"constraint violation: $et.$rt value already exists")
+        }
+      }
+    }
+  }
+
   /** Run mutations with an optional auth predicate — the SimpleGQL auth
     * hook (test_simplegql.py:28-77): update/delete targets must satisfy
     * the predicate IN THE CURRENT FRAME or the whole transaction is
     * rejected (checked distributed, before any write). */
   def mutate(g: graft.core.Graph, ms: Seq[Mutation],
-      auth: Option[(graft.core.GraphSlice, String) => Boolean] = None)
+      auth: Option[(graft.core.GraphSlice, String) => Boolean] = None,
+      constraints: Constraints = Constraints())
       : (graft.core.Graph, graft.core.Receipt) = {
     auth.foreach { check =>
       val targets = ms.collect {
@@ -108,6 +162,7 @@ object GqlLite {
           throw new SecurityException(s"auth hook rejected mutation of $id")
       }
     }
+    checkConstraints(g, ms, constraints)
     graft.core.Transactor.transact(g, ms.flatMap(compileMutation))
   }
 

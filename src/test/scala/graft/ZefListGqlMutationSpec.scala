@@ -43,6 +43,51 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
     assert(g3.at(2).all("User").count() == 2) // time travel sees it alive
   }
 
+  test("GqlLite constraints: @unique and required enforced pre-write") {
+    import GqlLite._
+    val cons = Constraints(
+      unique = Map("User" -> Seq("Email")),
+      required = Map("User" -> Seq("Email")))
+    val (g, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("User", "u1", Map("Email" -> "a@x.com"))), constraints = cons)
+    // duplicate vs store
+    intercept[IllegalArgumentException] {
+      mutate(g, Seq(AddEntity("User", "u2", Map("Email" -> "a@x.com"))),
+        constraints = cons)
+    }
+    // duplicate within batch
+    intercept[IllegalArgumentException] {
+      mutate(g, Seq(
+        AddEntity("User", "u3", Map("Email" -> "b@x.com")),
+        AddEntity("User", "u4", Map("Email" -> "b@x.com"))), constraints = cons)
+    }
+    // missing required
+    intercept[IllegalArgumentException] {
+      mutate(g, Seq(AddEntity("User", "u5", Map("Name" -> "NoMail"))),
+        constraints = cons)
+    }
+    // rejected txs wrote nothing
+    assert(g.now.all("User").count() == 1)
+    // distinct value passes
+    val (g2, _) = mutate(g, Seq(
+      AddEntity("User", "u6", Map("Email" -> "c@x.com"))), constraints = cons)
+    assert(g2.now.all("User").count() == 2)
+  }
+
+  test("GqlLite hops: relation counts in one aggregated join") {
+    import GqlLite._
+    val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
+    val rows = GqlLite.run(g.now, Query("Customer",
+      fields = Seq(("c_name", "v_str", "name")),
+      hops = Seq(Hop("Placed", incoming = false, as = "n_orders")),
+      sort = Seq(SortKey("n_orders", asc = false)),
+      first = Some(5))).collect()
+    assert(rows.length == 5)
+    val counts = rows.map(_.getAs[Long]("n_orders"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.head > 0)
+  }
+
   test("GqlLite auth hook rejects unauthorized mutations atomically") {
     import GqlLite._
     val (g, _) = mutate(Graph.empty(spark), Seq(
