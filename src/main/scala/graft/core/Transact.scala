@@ -39,7 +39,8 @@ final case class TagAtom(key: String, tag: String) extends Wish
 /** zef `untag` (impl.py:7406): tombstone the binding. */
 final case class UntagAtom(tag: String) extends Wish
 
-final case class Receipt(ids: Map[String, String], slice: Int)
+final case class Receipt(ids: Map[String, String], slice: Int,
+    newAtoms: Seq[AtomRow] = Nil, newValues: Seq[ValueRow] = Nil)
 
 /** Wish → command → atomic append; the Spark restatement of zef's staged
   * write path (`graph_additions/_explanations.txt:1-60`): interpretation and
@@ -185,6 +186,6 @@ object Transactor {
       else g.tags.unionByName(spark.createDataset(newTags.toSeq).toDF())
 
     (Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal),
-      Receipt(receipt.toMap, slice))
+      Receipt(receipt.toMap, slice, newAtoms.toSeq, newValues.toSeq))
   }
 }

@@ -67,6 +67,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(assigned(0).getAs[Double]("v_double") == 5.0)
   }
 
+  test("graph CDC feed: tx-log tail drives live subscriptions per batch") {
+    import graft.streaming.GraphFeed
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed").toString
+    // two transactions, each appended to the feed as its own file batch
+    val (g1, r1) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "p1"), PutField("p1", "Score", 1.0)))
+    GraphFeed.appendDelta(feedDir, r1.newAtoms, r1.newValues, spark)
+    val (g2, r2) = Transactor.transact(g1, Seq(
+      PutEntity("Person", "p2"), PutEntity("Robot", "r1"),
+      PutField("p2", "Score", 2.0)))
+    GraphFeed.appendDelta(feedDir, r2.newAtoms, r2.newValues, spark)
+
+    // live subscription: on[instantiated[Person]] over the streaming feed
+    val q = GraphSubscriptions.onInstantiated(
+      GraphFeed.atomFeed(spark, feedDir), "Person")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_cdc").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_cdc").collect()
+    assert(got.length == 2) // p1, p2 — Robot filtered by the subscription
+    assert(got.map(_.getAs[String]("atom_id")).toSet ==
+      Set("e:Person/p1", "e:Person/p2"))
+    assert(got.map(_.getAs[Int]("tx_slice")).toSet == Set(1, 2))
+    // assigned-value subscription over the value feed
+    val q2 = GraphSubscriptions.onAssigned(
+      GraphFeed.valueFeed(spark, feedDir), g2.atoms, "Score")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_cdc_vals").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("t_cdc_vals").count() == 2)
+  }
+
   test("watermarked tumbling agg drops nothing when data is in order") {
     val wm = Streams.tumblingAggWatermarked(Tables.events(spark, sf),
       "1 day", "2 hours").agg(sum("n")).collect()(0).getLong(0)
