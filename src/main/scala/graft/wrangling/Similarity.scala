@@ -79,21 +79,32 @@ object Similarity {
   }
 
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked
-    * (bucket join on signature chunks instead of a cross-join). */
+    * (bucket join on signature chunks instead of a cross-join).
+    *
+    * Order of operations matters at scale: candidate pairs are distinct'd
+    * as BARE ID PAIRS (16 bytes/row) before the vectors are re-attached —
+    * distinct-ing rows that carry two embedding arrays would shuffle ~65×
+    * more bytes for the same result. Recall is governed by bits/chunkBits:
+    * low thresholds (weakly similar pairs) need more probes; the exact
+    * verification stage keeps precision at 1 either way. */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bits: Int = 16, chunkBits: Int = 4): DataFrame = {
     val sigd = embeddings.withColumn("__sig", lshSignature(col(vecCol), dim, bits))
     val chunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
-    val exploded = sigd.select(col(idCol), col(vecCol),
+    val exploded = sigd.select(col(idCol),
       explode(array((0 until chunks).map(i =>
         struct(lit(i).as("ci"),
           shiftright(col("__sig"), i * chunkBits).bitwiseAND(lit(mask)).as("cv"))): _*))
         .as("__c"))
-    val a = exploded.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__c"))
-    val b = exploded.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__c"))
-    a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
+    val a = exploded.select(col(idCol).as("id_a"), col("__c"))
+    val b = exploded.select(col(idCol).as("id_b"), col("__c"))
+    val pairIds = a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = embeddings.select(col(idCol), col(vecCol))
+    pairIds
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("__va"), col("__vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
