@@ -158,6 +158,33 @@ final case class GraphSlice(graph: Graph, slice: Int) {
     * arithmetic, no data movement. */
   def timeTravel(delta: Int): GraphSlice = GraphSlice(graph, slice + delta)
 
+  /** zef `select_by_field[rt][val]` (impl.py:6143) — THE indexed lookup the
+    * reference added because filter-after-resolve was too slow
+    * (benchmark_filter.py:24-31). Same inversion here, in plan form: the
+    * value predicate is applied to the VALUES SCAN first (pushdown-able
+    * column predicate; at rest this scan is further pruned by min/max +
+    * bloom on the value columns), THEN the late assignments are resolved
+    * as-of, then the tiny survivor set joins up to entities — instead of
+    * resolving every entity's field and filtering last. */
+  def selectByField(et: String, rt: String, vcol: String, value: Any): AtomSet = {
+    val hits = graph.values
+      .filter(col("tx_slice") <= slice && col(vcol) === lit(value))
+      .select(col("ae_id"), col("tx_slice"))
+    // as-of check: the matching assignment must be the LATEST ≤ slice
+    val latest = graph.values.filter(col("tx_slice") <= slice)
+      .groupBy("ae_id").agg(max(col("tx_slice")).as("__top"))
+    val currentHits = hits.join(latest, "ae_id")
+      .filter(col("tx_slice") === col("__top"))
+      .select("ae_id").distinct()
+    val owners = graph.atoms.filter(
+      col("kind") === Kind.Relation && col("atype") === rt && Graph.aliveAt(slice))
+      .join(currentHits.withColumnRenamed("ae_id", "dst_id"), "dst_id")
+      .select(col("src_id").as("atom_id"))
+    AtomSet(this, graph.atoms.filter(
+      col("kind") === Kind.Entity && col("atype") === et && Graph.aliveAt(slice))
+      .join(owners, "atom_id"))
+  }
+
   /** Tag lookup `g[tag]` as of this frame (zef tag resolution,
     * blobs.h:314-330): latest binding ≤ slice; tombstoned or never-bound →
     * empty set. */

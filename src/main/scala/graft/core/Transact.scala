@@ -104,11 +104,20 @@ object Transactor {
         Seq(aeId(owner, rt, inst), fieldRelId(owner, rt, inst))
       case _ => Nil
     }.toSet
-    val existing: Set[String] =
-      if (candidateIds.isEmpty) Set.empty
-      else g.atoms.select("atom_id")
+    // (atom_id -> currently alive?) — an id that exists only with closed
+    // intervals can be RE-instantiated: a new interval row with the same
+    // atom_id opens at this slice (zef terminate→instantiate round trip;
+    // aliveAt(S) then matches exactly one interval row per frame).
+    val existingAlive: Map[String, Boolean] =
+      if (candidateIds.isEmpty) Map.empty
+      else g.atoms
         .filter(col("atom_id").isInCollection(candidateIds))
-        .as[String].collect().toSet
+        .groupBy(col("atom_id"))
+        .agg(org.apache.spark.sql.functions.max(
+          col("term_slice").isNull.cast("int")).as("alive"))
+        .collect().map(r => r.getString(0) -> (r.getInt(1) == 1)).toMap
+    val existing: Set[String] = existingAlive.keySet
+    val aliveNow: Set[String] = existingAlive.filter(_._2).keySet
 
     // DAG ordering is implicit in wish types: entities, then relations,
     // then fields, then assigns/terminates (reference
@@ -117,7 +126,7 @@ object Transactor {
       case PutEntity(et, key) =>
         val id = atomId(Kind.Entity, et, key)
         receipt(key) = id
-        if (!existing.contains(id))
+        if (!aliveNow.contains(id)) // absent OR terminated → (re)open
           newAtoms += AtomRow(id, Kind.Entity, et, None, None, slice, None, id)
       case _ =>
     }
@@ -127,7 +136,7 @@ object Transactor {
         val k = Option(key).getOrElse(s"$srcKey-$dstKey")
         val id = atomId(Kind.Relation, rt, k)
         receipt(k) = id
-        if (!existing.contains(id))
+        if (!aliveNow.contains(id))
           newAtoms += AtomRow(id, Kind.Relation, rt, Some(src), Some(dst),
             slice, None, id)
       case _ =>
@@ -140,12 +149,15 @@ object Transactor {
         val owner = refAll(ownerKey)
         val ae = aeId(owner, rt, inst)
         val rel = fieldRelId(owner, rt, inst)
-        if (!existing.contains(ae)) {
+        // AE and its field relation are (re)opened independently: a
+        // cascade-terminate of the owner kills the relation but leaves the
+        // AE atom (unreachable), so re-instantiation may need either one.
+        if (!aliveNow.contains(ae))
           newAtoms += AtomRow(ae, Kind.AttributeEntity, rt, None, None,
             slice, None, ae)
+        if (!aliveNow.contains(rel))
           newAtoms += AtomRow(rel, Kind.Relation, rt, Some(owner), Some(ae),
             slice, None, rel)
-        }
         newValues += ValueRow.of(ae, slice, value)
       case AssignField(ownerKey, rt, value, inst) =>
         val ae = aeId(refAll(ownerKey), rt, inst)

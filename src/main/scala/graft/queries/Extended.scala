@@ -79,6 +79,21 @@ object Extended {
              |ORDER BY in_id""".stripMargin),
       Seq("identify_entities", "deduplicate", "lookup_join")),
 
+    // select_by_field: the indexed lookup — value predicate pushed into the
+    // values scan first, entity join last (reference benchmark_filter.py's
+    // whole reason to exist).
+    QueryDef(
+      "graph_select_by_field",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        g.now.selectByField("Customer", "c_mktsegment", "v_str", "BUILDING")
+          .df.select(col("atom_id")).orderBy(col("atom_id"))
+      },
+      Some("""SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS atom_id
+             |FROM customer WHERE c_mktsegment = 'BUILDING'
+             |ORDER BY atom_id""".stripMargin),
+      Seq("select_by_field", "filter", "all")),
+
     // gather: 2-step BFS from one customer over Placed+MemberOf — reaches
     // its orders, its nation, and (via the nation, in-direction) all
     // fellow customers; relation atoms collected too.

@@ -136,6 +136,43 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(hasPet.getAs[String]("dst_type") == "Pet")
   }
 
+  test("terminate then re-instantiate opens a new validity interval") {
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "x"), PutField("x", "Name", "first-life")))
+    val (g2, _) = Transactor.transact(g1, Seq(TerminateAtom("e:Person/x")))
+    assert(g2.now.all("Person").count() == 0)
+    val (g3, _) = Transactor.transact(g2, Seq(
+      PutEntity("Person", "x"), PutField("x", "Name", "second-life")))
+    // alive again in the new frame, dead in the old one
+    assert(g3.now.all("Person").count() == 1)
+    assert(g3.at(2).all("Person").count() == 0)
+    assert(g3.at(1).all("Person").count() == 1)
+    // each frame resolves its own interval's field value
+    assert(g3.now.all("Person").fieldValue("Name", "v_str", "n")
+      .collect()(0).getAs[String]("n") == "second-life")
+    assert(g3.at(1).all("Person").fieldValue("Name", "v_str", "n")
+      .collect()(0).getAs[String]("n") == "first-life")
+  }
+
+  test("selectByField: indexed lookup equals filter-after-resolve") {
+    val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
+    val fast = g.now.selectByField("Customer", "c_mktsegment", "v_str", "BUILDING")
+      .df.select("atom_id").collect().map(_.getString(0)).toSet
+    val naive = g.now.all("Customer")
+      .fieldValue("c_mktsegment", "v_str", "seg")
+      .filter(col("seg") === "BUILDING")
+      .select("atom_id").collect().map(_.getString(0)).toSet
+    assert(fast == naive && fast.nonEmpty)
+    // as-of correctness: a re-assigned field must not match its OLD value
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutField("a", "Status", "active")))
+    val (g2, _) = Transactor.transact(g1, Seq(
+      AssignField("e:P/a", "Status", "retired")))
+    assert(g2.now.selectByField("P", "Status", "v_str", "active").count() == 0)
+    assert(g2.now.selectByField("P", "Status", "v_str", "retired").count() == 1)
+    assert(g2.at(1).selectByField("P", "Status", "v_str", "active").count() == 1)
+  }
+
   test("schemaRegistry infers cardinality and field-ness") {
     val g = fixture
     val reg = g.schemaRegistry.collect()
