@@ -311,15 +311,17 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     var relIds = spark.emptyDataFrame.select(lit("").as("atom_id")).limit(0)
     var step = 0
     var done = false
+    // one relations view for ALL requested types (single isin filter), two
+    // joins per step (out + in direction) regardless of |rts|
+    val rels = frame.graph.atoms.filter(
+      col("kind") === Kind.Relation && col("atype").isInCollection(rts) &&
+        Graph.aliveAt(frame.slice))
     while (step < maxSteps && !done) {
-      val hops = rts.map { rt =>
-        val rels = frame.aliveRelations(rt)
-        val out = rels.join(frontier.withColumnRenamed("atom_id", "src_id"), "src_id")
-          .select(col("atom_id").as("rel_id"), col("dst_id").as("next_id"))
-        val in = rels.join(frontier.withColumnRenamed("atom_id", "dst_id"), "dst_id")
-          .select(col("atom_id").as("rel_id"), col("src_id").as("next_id"))
-        out.unionByName(in)
-      }.reduce(_ unionByName _)
+      val out = rels.join(frontier.withColumnRenamed("atom_id", "src_id"), "src_id")
+        .select(col("atom_id").as("rel_id"), col("dst_id").as("next_id"))
+      val in = rels.join(frontier.withColumnRenamed("atom_id", "dst_id"), "dst_id")
+        .select(col("atom_id").as("rel_id"), col("src_id").as("next_id"))
+      val hops = out.unionByName(in)
       // dedup only the next frontier (keeps joins small); the running
       // visited/rel unions stay dup-tolerant and are distinct'd ONCE at
       // the end — anti-joins don't need distinct inputs, and a distinct

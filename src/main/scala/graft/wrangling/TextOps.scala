@@ -68,8 +68,13 @@ object TextOps {
 
   def langScore(text: Column, lang: String): Column =
     if (lang == "zh")
-      // CJK unified ideograph count
-      length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("double")
+      // CJK unified ideograph count; the expensive character-class replace
+      // is gated behind a cheap containment test (an rlike scan bails at
+      // the first hit/miss vs rewriting the whole string) — identical
+      // score, big constant-factor win on non-CJK corpora
+      when(text.rlike("[\\x{4e00}-\\x{9fff}]"),
+        length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")))
+        .otherwise(lit(0)).cast("double")
     else
       size(filter(tokens(lower(text)),
         w => w.isInCollection(langMarkers(lang)))).cast("double")
