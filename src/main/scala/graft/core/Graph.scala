@@ -267,6 +267,18 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
   def targets: AtomSet =
     resolve(df.filter(col("kind") === Kind.Relation).select(col("dst_id").as("__to")))
 
+  /** zef `ins_and_outs` (impl.py:6426): neighbors in both directions. */
+  def insAndOuts(rt: String): AtomSet =
+    resolve(hop(rt, "src_id", "dst_id").unionByName(hop(rt, "dst_id", "src_id")))
+
+  /** zef `relations(z1, rt, z2)` / `has_relation` (impl.py:7012, 7005): the
+    * relation atoms running from this set to `other`. Semi-joins on both
+    * endpoints; emptiness = has_relation false. */
+  def relationsTo(other: AtomSet, rt: String): AtomSet =
+    AtomSet(frame, frame.aliveRelations(rt)
+      .join(df.select(col("atom_id").as("src_id")), Seq("src_id"), "left_semi")
+      .join(other.df.select(col("atom_id").as("dst_id")), Seq("dst_id"), "left_semi"))
+
   /** zef `has_out[rt]` as a set filter (impl.py:5728): left-semi join. */
   def hasOut(rt: String): AtomSet =
     AtomSet(frame, df.join(

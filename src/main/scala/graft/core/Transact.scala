@@ -92,6 +92,9 @@ object Transactor {
     val newTags = scala.collection.mutable.ArrayBuffer[TagRow]()
     val terminated = scala.collection.mutable.ArrayBuffer[String]()
     val receipt = scala.collection.mutable.Map[String, String]()
+    // ids already (re)opened within THIS tx — duplicate wishes are
+    // idempotent (reference dedups commands, graph_delta.py:1046)
+    val createdInTx = scala.collection.mutable.Set[String]()
 
     // Existing-atom check scoped to the ids this tx could touch (pushed-down
     // isin filter — never a full scan collect, graph size notwithstanding).
@@ -126,7 +129,7 @@ object Transactor {
       case PutEntity(et, key) =>
         val id = atomId(Kind.Entity, et, key)
         receipt(key) = id
-        if (!aliveNow.contains(id)) // absent OR terminated → (re)open
+        if (!aliveNow.contains(id) && createdInTx.add(id))
           newAtoms += AtomRow(id, Kind.Entity, et, None, None, slice, None, id)
       case _ =>
     }
@@ -136,7 +139,7 @@ object Transactor {
         val k = Option(key).getOrElse(s"$srcKey-$dstKey")
         val id = atomId(Kind.Relation, rt, k)
         receipt(k) = id
-        if (!aliveNow.contains(id))
+        if (!aliveNow.contains(id) && createdInTx.add(id))
           newAtoms += AtomRow(id, Kind.Relation, rt, Some(src), Some(dst),
             slice, None, id)
       case _ =>
@@ -152,10 +155,10 @@ object Transactor {
         // AE and its field relation are (re)opened independently: a
         // cascade-terminate of the owner kills the relation but leaves the
         // AE atom (unreachable), so re-instantiation may need either one.
-        if (!aliveNow.contains(ae))
+        if (!aliveNow.contains(ae) && createdInTx.add(ae))
           newAtoms += AtomRow(ae, Kind.AttributeEntity, rt, None, None,
             slice, None, ae)
-        if (!aliveNow.contains(rel))
+        if (!aliveNow.contains(rel) && createdInTx.add(rel))
           newAtoms += AtomRow(rel, Kind.Relation, rt, Some(owner), Some(ae),
             slice, None, rel)
         newValues += ValueRow.of(ae, slice, value)
