@@ -27,6 +27,17 @@ object ZOps {
     /** zef `filter[VT]` (impl.py:6105) — VT calculus predicate. */
     def zFilter(c: String, vt: VT): DataFrame = df.filter(vt.isA(col(c)))
 
+    /** zef `Assert[pred][msg]` (impl.py:5674): every row must satisfy the
+      * predicate or the job fails with the message — checked in-flow as a
+      * filter condition (a dropped projection would be pruned away by the
+      * optimizer and never evaluate; a filter always runs), no extra pass
+      * over the data. */
+    def zAssert(pred: Column, msg: String): DataFrame =
+      df.filter(
+        when(pred, lit(true)).otherwise(
+          raise_error(concat(lit(s"Assert failed: $msg — row: "),
+            to_json(struct(df.columns.map(col): _*)))).cast("boolean")))
+
     /** zef `take[n]` / `skip[n]` over an explicit total order
       * (impl.py:3711,3508). Negative take = from the end (reverse order). */
     def zTake(n: Int, order: Seq[Column]): DataFrame =

@@ -96,6 +96,47 @@ object Misc {
       None,
       Seq("similarity_search", "near_dup", "lsh", "cosine")),
 
+    // part/supplier coverage: brand-level stats with a size filter.
+    QueryDef(
+      "part_brand_stats",
+      (s, d) => {
+        Tables.part(s, d)
+          .filter(col("p_size").between(10, 40))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            round(avg(col("p_retailprice")), 4).as("avg_price"),
+            max(col("p_size")).as("max_size"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_parts,
+             |  round(avg(p_retailprice), 4) AS avg_price,
+             |  max(p_size) AS max_size
+             |FROM part WHERE p_size BETWEEN 10 AND 40
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      Seq("group_by", "mean", "max", "is_between", "filter")),
+
+    // 3-table supply chain: supplier -> lineitem -> part, nation-joined.
+    QueryDef(
+      "supplier_part_chain",
+      (s, d) => {
+        val sup = Tables.supplier(s, d); val li = Tables.lineitem(s, d)
+        val nat = Tables.nation(s, d)
+        sup.join(li, col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(countDistinct(col("s_suppkey")).as("n_suppliers"),
+            round(sum(col("l_extendedprice")), 2).as("shipped_value"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  count(DISTINCT s_suppkey) AS n_suppliers,
+             |  round(sum(l_extendedprice), 2) AS shipped_value
+             |FROM supplier
+             |JOIN lineitem ON s_suppkey = l_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      Seq("Outs", "group_by", "distinct", "sum", "broadcast_join")),
+
     // The spark.sql text surface over registered views — SQL parity path.
     QueryDef(
       "sql_text_surface",

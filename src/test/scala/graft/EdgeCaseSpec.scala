@@ -63,6 +63,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(df.zSkip(99, Seq(col("n"))).count() == 0)
   }
 
+  test("zAssert passes clean data through, fails on violation with message") {
+    val s = spark; import s.implicits._
+    val df = (1 to 5).toDF("n")
+    assert(df.zAssert(col("n") > 0, "positive").count() == 5)
+    val e = intercept[Exception] {
+      df.zAssert(col("n") < 5, "all under five").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("all under five")))
+  }
+
   test("transact with empty wish list still advances the slice") {
     val (g1, r) = Transactor.transact(Graph.empty(spark), Seq())
     assert(r.slice == 1 && g1.maxSlice == 1)
