@@ -39,7 +39,64 @@ object GraphStore {
     Graph(atoms, values, txs, tags)
   }
 
-  // Durable incremental append (per-tx delta with termination as a
-  // Delta-style MERGE on the affected partitions) is the round-2 layout
-  // work item; until then save() persists full snapshots.
+  /** Durable incremental append: one transaction's delta lands as appended
+    * files — new atoms/values/tx/tags rows plus termination CLOSURE rows
+    * `(atom_id, term_slice)` in a side table. `load` reconciles closures
+    * into the denormalized interval column (left join + coalesce), so the
+    * on-disk format stays append-only (no partition rewrites); a real
+    * table format would compact closures into the atoms partitions as a
+    * background MERGE. Cascade semantics match Transactor: relations of a
+    * closed atom close with it. */
+  def appendTx(spark: SparkSession, path: String, r: Receipt): Unit = {
+    import spark.implicits._
+    if (r.newAtoms.nonEmpty)
+      spark.createDataset(r.newAtoms).toDF()
+        .write.mode(SaveMode.Append).partitionBy("kind", "atype")
+        .parquet(s"$path/atoms")
+    if (r.newValues.nonEmpty)
+      spark.createDataset(r.newValues).toDF()
+        .write.mode(SaveMode.Append).parquet(s"$path/values")
+    if (r.newTags.nonEmpty)
+      spark.createDataset(r.newTags).toDF()
+        .write.mode(SaveMode.Append).parquet(s"$path/tags")
+    if (r.terminatedIds.nonEmpty)
+      r.terminatedIds.map(id => (id, r.slice)).toDF("atom_id", "term_slice")
+        .write.mode(SaveMode.Append).parquet(s"$path/closures")
+    spark.createDataset(Seq(TxRow(r.slice, r.ts))).toDF()
+      .write.mode(SaveMode.Append).parquet(s"$path/txs")
+  }
+
+  /** Load with closure reconciliation (see [[appendTx]]). */
+  def loadWithClosures(spark: SparkSession, path: String): Graph = {
+    val g = load(spark, path)
+    val closuresPath = new java.io.File(s"$path/closures")
+    if (!closuresPath.exists()) g
+    else {
+      val closures = spark.read.parquet(s"$path/closures")
+        .select(col("atom_id"), col("term_slice").as("__c"))
+      // cascade: a relation closes when either endpoint closes
+      val rels = g.atoms.filter(col("kind") === Kind.Relation)
+        .select(col("atom_id"), col("src_id"), col("dst_id"))
+      val cascade = rels
+        .join(closures.withColumnRenamed("atom_id", "src_id"), Seq("src_id"))
+        .select(col("atom_id"), col("__c"))
+        .unionByName(rels
+          .join(closures.withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"))
+          .select(col("atom_id"), col("__c")))
+      val allClosures = closures.select(col("atom_id"), col("__c"))
+        .unionByName(cascade)
+      // per INTERVAL ROW (atom_id, inst_slice): earliest closure at-or-after
+      // the interval opened — re-instantiated rows only close on closures
+      // issued after their own open slice
+      val perRow = g.atoms.select(col("atom_id"), col("inst_slice"))
+        .join(allClosures, Seq("atom_id"))
+        .filter(col("__c") >= col("inst_slice"))
+        .groupBy("atom_id", "inst_slice").agg(min("__c").as("__t"))
+      val atoms = g.atoms.join(perRow, Seq("atom_id", "inst_slice"), "left")
+        .withColumn("term_slice",
+          when(col("term_slice").isNull, col("__t")).otherwise(col("term_slice")))
+        .drop("__t")
+      g.copy(atoms = atoms)
+    }
+  }
 }

@@ -40,7 +40,9 @@ final case class TagAtom(key: String, tag: String) extends Wish
 final case class UntagAtom(tag: String) extends Wish
 
 final case class Receipt(ids: Map[String, String], slice: Int,
-    newAtoms: Seq[AtomRow] = Nil, newValues: Seq[ValueRow] = Nil)
+    newAtoms: Seq[AtomRow] = Nil, newValues: Seq[ValueRow] = Nil,
+    terminatedIds: Seq[String] = Nil, newTags: Seq[TagRow] = Nil,
+    ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"))
 
 /** Wish → command → atomic append; the Spark restatement of zef's staged
   * write path (`graph_additions/_explanations.txt:1-60`): interpretation and
@@ -201,6 +203,7 @@ object Transactor {
       else g.tags.unionByName(spark.createDataset(newTags.toSeq).toDF())
 
     (Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal),
-      Receipt(receipt.toMap, slice, newAtoms.toSeq, newValues.toSeq))
+      Receipt(receipt.toMap, slice, newAtoms.toSeq, newValues.toSeq,
+        terminated.toSeq, newTags.toSeq, ts))
   }
 }

@@ -8,6 +8,37 @@ import graft.core._
 class GraphStoreSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
+  test("incremental append: per-tx deltas + closure reconciliation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val g0 = Graph.empty(spark)
+    // tx1: two people, one tagged
+    val (g1, r1) = Transactor.transact(g0, Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
+      PutEntity("Person", "b"), PutRelation("Knows", "a", "b"),
+      TagAtom("a", "first")))
+    GraphStore.appendTx(spark, dir, r1)
+    // tx2: terminate a (cascades to the Knows relation + field rel)
+    val (g2, r2) = Transactor.transact(g1, Seq(TerminateAtom("e:Person/a")))
+    GraphStore.appendTx(spark, dir, r2)
+    // tx3: re-instantiate a with a new name
+    val (g3, r3) = Transactor.transact(g2, Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann2")))
+    GraphStore.appendTx(spark, dir, r3)
+
+    val loaded = GraphStore.loadWithClosures(spark, dir)
+    assert(loaded.maxSlice == 3)
+    // frame-by-frame parity with the in-memory graph
+    assert(loaded.at(1).all("Person").count() == 2)
+    assert(loaded.at(2).all("Person").count() == 1) // only b
+    assert(loaded.now.all("Person").count() == 2)   // a re-instantiated
+    assert(loaded.at(1).all("Person").hasOut("Knows").count() == 1)
+    assert(loaded.now.all("Person").hasOut("Knows").count() == 0) // cascaded
+    val names = loaded.now.all("Person")
+      .fieldValue("Name", "v_str", "n").collect().map(_.getAs[String]("n"))
+    assert(names.toSet == Set("Ann2"))
+    assert(loaded.at(1).byTag("first").count() == 1)
+  }
+
   test("save/load round-trip preserves graph semantics and prunes by type") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutField("joe", "Name", "Joe"),
