@@ -108,13 +108,59 @@ object Graph {
   }
 
   /** Union two graphs (e.g. a bulk-load snapshot + an event-history stream).
-    * Identity of shared atoms is by atom_id/origin_uid — the cross-graph
-    * merge semantics of zef's EternalUID (`core/include/uids.h`). */
-  def merge(a: Graph, b: Graph): Graph = Graph(
-    a.atoms.unionByName(b.atoms).dropDuplicates("atom_id"),
-    a.values.unionByName(b.values),
-    a.txs.unionByName(b.txs).dropDuplicates("tx_id"),
-    a.tags.unionByName(b.tags))
+    * Identity of shared atoms is by atom_id — the cross-graph merge
+    * semantics of zef's EternalUID (`core/include/uids.h`); see
+    * [[mergeByOrigin]] when local ids differ.
+    *
+    * Dedup is interval-row-granular, not atom-granular: a re-instantiated
+    * atom legitimately carries several (atom_id, inst_slice) interval rows
+    * and ALL must survive — deduping on atom_id alone would drop temporal
+    * history nondeterministically. Where both graphs carry the same
+    * interval with different closure knowledge (one open, one terminated),
+    * the terminated row wins (more information), earliest termination
+    * first for determinism. Values/tags dedup symmetrically so overlapping
+    * graphs don't double-count assignment events in events(). */
+  def merge(a: Graph, b: Graph): Graph = {
+    val atomCols = a.atoms.columns.map(col)
+    val mergedAtoms = a.atoms.unionByName(b.atoms)
+      .groupBy(col("atom_id"), col("inst_slice"))
+      .agg(min_by(struct(atomCols: _*),
+        coalesce(col("term_slice"), lit(Int.MaxValue))).as("__r"))
+      .select("__r.*")
+    Graph(
+      mergedAtoms,
+      a.values.unionByName(b.values)
+        .dropDuplicates(Seq("ae_id", "tx_slice", "vtype")),
+      a.txs.unionByName(b.txs).dropDuplicates("tx_id"),
+      a.tags.unionByName(b.tags).dropDuplicates(Seq("tag", "tx_slice")))
+  }
+
+  /** Cross-graph merge by ETERNAL identity — zef's origin_uid semantics
+    * (`python/zef/core/graph_delta.py:643`, `internals/merges.py`): two
+    * graphs that encoded the same real-world atom under DIFFERENT local
+    * atom_ids still merge to one surviving identity when their origin_uid
+    * matches. `a` is the receiving graph: its local ids win; every
+    * reference in `b` (relation endpoints, value assignments, tags) is
+    * re-pointed to the surviving id, then the result is deduped like
+    * [[merge]]. All re-pointing is equi-joins on the (usually small)
+    * shared-identity map — no driver-side iteration. */
+  def mergeByOrigin(a: Graph, b: Graph): Graph = {
+    // one canonical local id per origin in the receiving graph
+    val canonical = a.atoms.groupBy(col("origin_uid"))
+      .agg(min(col("atom_id")).as("__a_id"))
+    val bmap = b.atoms.select(col("atom_id").as("__b_id"), col("origin_uid"))
+      .distinct()
+      .join(canonical, "origin_uid")
+      .filter(col("__b_id") =!= col("__a_id"))
+      .select(col("__b_id"), col("__a_id"))
+    def remap(df: DataFrame, c: String): DataFrame =
+      df.join(bmap.withColumnRenamed("__b_id", c), Seq(c), "left")
+        .withColumn(c, coalesce(col("__a_id"), col(c)))
+        .drop("__a_id")
+    val bAtoms = remap(remap(remap(b.atoms, "atom_id"), "src_id"), "dst_id")
+    merge(a, Graph(bAtoms, remap(b.values, "ae_id"),
+      b.txs, remap(b.tags, "atom_id")))
+  }
 
   def empty(spark: SparkSession): Graph = {
     import spark.implicits._
@@ -229,6 +275,25 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
   /** zef `Outs[rt]` (impl.py:6334): all targets of outgoing rt. */
   def outs(rt: String): AtomSet = resolve(hop(rt, "src_id", "dst_id"))
 
+  /** Provenance-preserving `Outs[rt]`: the target atoms PLUS a column naming
+    * the source atom each was reached from. One relations scan, one join —
+    * downstream per-source aggregations need no second relation join to
+    * recover who pointed at what (the zef pipeline keeps provenance by
+    * carrying the originating ZefRef; a plain `outs` drops it). */
+  def outsWithSource(rt: String, srcCol: String = "src_atom_id"): AtomSet = {
+    val pairs = hop(rt, "src_id", "dst_id")
+      .select(col("__to").as("atom_id"), col("__from").as(srcCol))
+    AtomSet(frame,
+      atoms.filter(Graph.aliveAt(frame.slice)).join(pairs, "atom_id"))
+  }
+
+  def insWithSource(rt: String, srcCol: String = "src_atom_id"): AtomSet = {
+    val pairs = hop(rt, "dst_id", "src_id")
+      .select(col("__to").as("atom_id"), col("__from").as(srcCol))
+    AtomSet(frame,
+      atoms.filter(Graph.aliveAt(frame.slice)).join(pairs, "atom_id"))
+  }
+
   /** zef `Ins[rt]` (impl.py:6397): all sources of incoming rt. */
   def ins(rt: String): AtomSet = resolve(hop(rt, "dst_id", "src_id"))
 
@@ -296,7 +361,9 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     * As-of resolution is a single partial-aggregable `max_by(value, tx_slice)`
     * over assignments ≤ S — no window over full history, no per-row lookups
     * (SURVEY §7.4 "as-of value semantics at scale").
-    * Returns (atom_id, v_str, v_long, v_double, v_bool, v_ts).
+    * Returns all non-core columns carried on this set (e.g. the provenance
+    * column from `outsWithSource`) plus atom_id and the typed value columns
+    * (v_str, v_long, v_double, v_bool, v_ts).
     */
   def field(rt: String): DataFrame = {
     val rels = frame.aliveRelations(rt)
@@ -307,7 +374,9 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       .groupBy("ae_id")
       .agg(max_by(struct(vcols.map(col): _*), col("tx_slice")).as("__v"))
       .select(col("ae_id") +: vcols.map(c => col(s"__v.$c").as(c)): _*)
-    df.select("atom_id").join(rels, "atom_id").join(latest, "ae_id")
+    val carried = df.columns.filterNot(Schema.atomCols.contains)
+    df.select((col("atom_id") +: carried.map(col)): _*)
+      .join(rels, "atom_id").join(latest, "ae_id")
       .drop("ae_id")
   }
 
@@ -323,6 +392,15 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     var relIds = spark.emptyDataFrame.select(lit("").as("atom_id")).limit(0)
     var step = 0
     var done = false
+    // cache hygiene (was: a persist per step, never freed — pinned one
+    // frontier in executor storage per BFS step for the session): frontiers
+    // are still persisted while the loop runs (each is read by the next
+    // step's two joins + the emptiness check + the final union), but the
+    // final id set is materialized with an EAGER localCheckpoint — lineage
+    // truncates there, so every frontier cache can be dropped before
+    // returning. Storage after gather(): one small checkpointed id list,
+    // auto-cleaned by the ContextCleaner when the result is released.
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
     // one relations view for ALL requested types (single isin filter), two
     // joins per step (out + in direction) regardless of |rts|
     val rels = frame.graph.atoms.filter(
@@ -344,11 +422,17 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       step += 1
       // early-stop action only when another iteration would follow — the
       // last step's emptiness check would be a wasted job
-      if (step < maxSteps) { next.persist(); done = next.isEmpty }
+      if (step < maxSteps) {
+        next.persist(); persisted += next
+        done = next.isEmpty
+      }
       visited = visited.unionByName(next)
       frontier = next
     }
-    val ids = visited.unionByName(relIds).distinct()
+    // eager materialization truncates lineage at the id list; frontier
+    // caches are then dead weight and are freed before returning
+    val ids = visited.unionByName(relIds).distinct().localCheckpoint(true)
+    persisted.foreach(_.unpersist(blocking = false))
     AtomSet(frame, atoms.filter(Graph.aliveAt(frame.slice)).join(ids, "atom_id"))
   }
 

@@ -62,6 +62,14 @@ final case class TxRow(tx_id: Int, ts: Timestamp)
   * the latest row with tx_slice ≤ S; atom_id None = tombstone (untag). */
 final case class TagRow(tag: String, atom_id: Option[String], tx_slice: Int)
 
+object Schema {
+  /** Core atom columns; any other column on an AtomSet's df is carried
+    * pipeline metadata (e.g. traversal provenance) and is preserved by
+    * projection ops like `field`. */
+  val atomCols: Set[String] = Set("atom_id", "kind", "atype", "src_id",
+    "dst_id", "inst_slice", "term_slice", "origin_uid")
+}
+
 object ValueRow {
   def of(aeId: String, slice: Int, v: Any): ValueRow = v match {
     case s: String     => ValueRow(aeId, slice, "str", Some(s), None, None, None, None)

@@ -98,6 +98,21 @@ object Transactor {
     // idempotent (reference dedups commands, graph_delta.py:1046)
     val createdInTx = scala.collection.mutable.Set[String]()
 
+    // Relation keys this tx defines — needed BEFORE the alive-check so that
+    // a PutField on a relation referenced by its tx key resolves the owner
+    // to the same id the write phase (refAll) will use. Resolving with a
+    // weaker map here queried the wrong ae/rel ids, so replaying a tx
+    // appended duplicate open intervals for the same atom_id.
+    val relationIds: Map[String, String] = wishes.collect {
+      case PutRelation(rt, s0, d0, key) =>
+        val k = Option(key).getOrElse(s"$s0-$d0")
+        k -> atomId(Kind.Relation, rt, k)
+    }.toMap
+    // same resolution order as refAll: tx-local entity/relation keys first,
+    // then pass-through for full atom_ids / unknown keys
+    def resolveOwner(key: String): String =
+      entityIds.getOrElse(key, relationIds.getOrElse(key, key))
+
     // Existing-atom check scoped to the ids this tx could touch (pushed-down
     // isin filter — never a full scan collect, graph size notwithstanding).
     val candidateIds: Set[String] = wishes.flatMap {
@@ -105,7 +120,7 @@ object Transactor {
       case PutRelation(rt, s0, d0, key) =>
         Seq(atomId(Kind.Relation, rt, Option(key).getOrElse(s"$s0-$d0")))
       case PutField(ownerKey, rt, _, inst) =>
-        val owner = entityIds.getOrElse(ownerKey, ownerKey)
+        val owner = resolveOwner(ownerKey)
         Seq(aeId(owner, rt, inst), fieldRelId(owner, rt, inst))
       case _ => Nil
     }.toSet

@@ -124,17 +124,24 @@ object GqlLite {
             s"constraint violation: ${a.et}.$rt is required")
       }
     }
-    // unique: no duplicate within the batch, none colliding with the store
+    // unique: no duplicate within the batch, none colliding with the store.
+    // The store check reads the TYPED value column for each value's runtime
+    // type (mirroring ValueRow.of) — a v_str-only compare would silently
+    // pass long/double/bool/ts collisions (their v_str is null).
     c.unique.foreach { case (et, rts) =>
       rts.foreach { rt =>
         val batchVals = adds.filter(_.et == et).flatMap(_.fields.get(rt))
         if (batchVals.distinct.size != batchVals.size)
           throw new IllegalArgumentException(
             s"constraint violation: duplicate $et.$rt within transaction")
-        if (batchVals.nonEmpty) {
+        batchVals.groupBy(typedCol).foreach { case (vcol, vs) =>
+          val lits = vs.map {
+            case i: Int => lit(i.toLong) // v_long stores longs
+            case v => lit(v)
+          }
           val existing = g.now.all(et)
-            .fieldValue(rt, "v_str", "__v")
-            .filter(col("__v").isInCollection(batchVals.map(_.toString)))
+            .fieldValue(rt, vcol, "__v")
+            .filter(col("__v").isin(lits: _*))
             .limit(1).count()
           if (existing > 0)
             throw new IllegalArgumentException(
@@ -142,6 +149,18 @@ object GqlLite {
         }
       }
     }
+  }
+
+  /** Typed values column holding a runtime value — mirrors
+    * graft.core.ValueRow.of's dispatch. */
+  private def typedCol(v: Any): String = v match {
+    case _: String => "v_str"
+    case _: Int | _: Long => "v_long"
+    case _: Double => "v_double"
+    case _: Boolean => "v_bool"
+    case _: java.sql.Timestamp => "v_ts"
+    case other => throw new IllegalArgumentException(
+      s"unsupported unique-field value type: ${other.getClass}")
   }
 
   /** Run mutations with an optional auth predicate — the SimpleGQL auth

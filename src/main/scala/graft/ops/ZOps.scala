@@ -60,19 +60,44 @@ object ZOps {
       df.groupBy(cols: _*).agg(count(lit(1)).as("freq"))
 
     /** zef `enumerate` (impl.py:1723): global 0-based index under a total
-      * order — scalable: range-partition sort, then per-partition offsets
-      * (zipWithIndex does the two-phase count+offset internally; no
-      * single-partition window). */
+      * order — scalable AND DataFrame-native (no RDD round-trip, stays in
+      * WholeStageCodegen, keeps Catalyst lineage for downstream pushdown):
+      *
+      *   1. range-partition + sort-within-partitions on the order key
+      *      (ONE balanced shuffle);
+      *   2. per-row local position from `monotonically_increasing_id`'s
+      *      low 33 bits (a map-side counter in iteration order, i.e. the
+      *      sorted order — zero extra shuffle);
+      *   3. per-partition row counts aggregated to a tiny (#partitions)-row
+      *      table, cumulated into start offsets, broadcast-joined back.
+      *
+      * The sorted+indexed result is frozen with an EAGER localCheckpoint
+      * before fan-out: range partitioning samples boundaries, and two plan
+      * branches (or two actions, e.g. takeWhile's cut probe then the main
+      * read) would otherwise sample independently — counts computed against
+      * one partitioning, local positions against another, silently wrong
+      * indexes. The checkpoint materializes the partitioning exactly once
+      * (cost ≈ one shuffle write, stored as InternalRows with no encoder
+      * round-trip — unlike an RDD zipWithIndex round-trip, downstream stays
+      * in WholeStageCodegen) and the ContextCleaner frees it when the
+      * result Dataset is released. */
     def enumerate(order: Seq[Column], idxCol: String = "idx"): DataFrame = {
       val sorted = df.repartitionByRange(
         math.max(df.sparkSession.sparkContext.defaultParallelism, 1), order: _*)
         .sortWithinPartitions(order: _*)
-      val schema = org.apache.spark.sql.types.StructType(
-        sorted.schema.fields :+ StructField(idxCol, LongType, nullable = false))
-      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ i)
-      }
-      df.sparkSession.createDataFrame(rdd, schema)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__local",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+        .localCheckpoint()
+      val offsets = sorted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__off", coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid"), col("__off"))
+      sorted.join(broadcast(offsets), "__pid")
+        .withColumn(idxCol, col("__local") + col("__off"))
+        .drop("__pid", "__local", "__off")
     }
 
     /** zef `chunk[n]` (impl.py:1306): fixed-size blocks under a total order. */
@@ -121,20 +146,59 @@ object ZOps {
       idx.filter(col("__i") >= cut).drop("__i")
     }
 
-    /** zef `group[f]` — consecutive runs (impl.py:5890): sessionize by
-      * change-flag + running sum. Single window shuffle. */
+    /** zef `group[f]` — consecutive runs over a GLOBAL total order
+      * (impl.py:5890), two-phase and scale-safe (no single-partition
+      * window over the full set):
+      *
+      *   1. range-partition + sort on the order key (one balanced shuffle);
+      *   2. per physical partition: change flags + local run ids via a
+      *      window PARTITIONED by `spark_partition_id` (second balanced
+      *      shuffle — each task owns whole partitions, never the world);
+      *   3. stitch across partition boundaries with a tiny per-partition
+      *      stats table (first key, last key, #runs): partition p's first
+      *      run merges with p-1's last run iff the boundary keys are equal;
+      *      global run offsets are a cumulative sum over the stats rows,
+      *      broadcast-joined back.
+      *
+      * Global run ids are 1-based and dense. As in [[enumerate]], the range
+      * partitioning is frozen with an eager localCheckpoint so the stats
+      * branch and the main branch see the SAME sampled boundaries.
+      */
     def groupConsecutive(keyCol: Column, order: Seq[Column],
         runCol: String = "run_id"): DataFrame = {
-      val w = Window.orderBy(order: _*)
-      // NOTE global order ⇒ single-partition window; use only where a run
-      // structure over the WHOLE set is wanted (zef list semantics). For
-      // keyed runs use partition+order via groupConsecutiveKeyed.
-      df.withColumn("__chg",
-        when(lag(keyCol, 1).over(w).isNull ||
-          lag(keyCol, 1).over(w) =!= keyCol, 1).otherwise(0))
-        .withColumn(runCol, sum(col("__chg")).over(
+      val sorted = df.repartitionByRange(
+        math.max(df.sparkSession.sparkContext.defaultParallelism, 1), order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__key", keyCol)
+        .localCheckpoint()
+      val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      val flagged = sorted
+        .withColumn("__chg",
+          when(lag(col("__key"), 1).over(w).isNull ||
+            lag(col("__key"), 1).over(w) =!= col("__key"), 1L).otherwise(0L))
+        .withColumn("__localRun", sum(col("__chg")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .drop("__chg")
+      val orderKey = struct(order: _*)
+      val stats = flagged.groupBy(col("__pid")).agg(
+        sum(col("__chg")).as("__nruns"),
+        min_by(col("__key"), orderKey).as("__firstKey"),
+        max_by(col("__key"), orderKey).as("__lastKey"))
+      // tiny table (#partitions rows): offset_p = Σ_{q<p} nruns_q − Σ_{q≤p} merge_q
+      val tw = Window.orderBy(col("__pid"))
+      val offsets = stats
+        .withColumn("__merge",
+          when(lag(col("__lastKey"), 1).over(tw) === col("__firstKey"), 1L)
+            .otherwise(0L))
+        .withColumn("__off",
+          coalesce(sum(col("__nruns")).over(
+            tw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) -
+            sum(col("__merge")).over(
+              tw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("__pid"), col("__off"))
+      flagged.join(broadcast(offsets), "__pid")
+        .withColumn(runCol, col("__localRun") + col("__off"))
+        .drop("__pid", "__key", "__chg", "__localRun", "__off")
     }
 
     def groupConsecutiveKeyed(partition: Seq[Column], keyCol: Column,

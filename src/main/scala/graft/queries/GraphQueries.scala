@@ -56,14 +56,14 @@ object GraphQueries {
       "graph_traversal_outs_agg",
       (s, d) => {
         val g = GraphEncoder.encodeTpch(s, d)
-        val custOrders = g.now.all("Customer").outs("Placed")
-        custOrders.fieldValue("o_totalprice", "v_double", "total")
-          .join(
-            g.now.allRelations("Placed").df
-              .select(col("src_id"), col("dst_id").as("atom_id")), "atom_id")
-          .groupBy(col("src_id").as("customer_id"))
+        // provenance-preserving traversal: ONE Placed-relations scan/join;
+        // field() carries the src column through, so no second relation
+        // join is needed to recover which customer placed each order.
+        g.now.all("Customer").outsWithSource("Placed", "customer_id")
+          .field("o_totalprice")
+          .groupBy(col("customer_id"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum(col("total")), 2).as("sum_total"))
+            round(sum(col("v_double")), 2).as("sum_total"))
           .orderBy(col("customer_id"))
       },
       Some("""SELECT 'e:Customer/' || CAST(o_custkey AS VARCHAR) AS customer_id,

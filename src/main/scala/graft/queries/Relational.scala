@@ -332,11 +332,16 @@ object Relational {
       "enumerate_rank",
       (s, d) => {
         import s.implicits._
+        // top-k, not rank-then-filter: orderBy+limit plans as
+        // TakeOrderedAndProject (per-partition top-100, merge at driver) —
+        // no Exchange SinglePartition over the full table. The row_number
+        // window then runs over the 100 surviving rows only.
         val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
         ord(s, d)
           .select($"o_orderkey", $"o_totalprice")
-          .withColumn("idx", row_number().over(w) - 1)
-          .filter($"idx" < 100)
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(100)
+          .withColumn("idx", row_number().over(w).cast("int") - 1)
           .orderBy($"idx")
       },
       Some("""SELECT o_orderkey, o_totalprice, idx FROM

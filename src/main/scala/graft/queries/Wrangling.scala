@@ -235,7 +235,9 @@ object Wrangling {
       (s, d) => {
         val fps = Dedup.simhash(
           Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text")
-        Dedup.simhashPairs(fps, "doc_id", maxDist = 16)
+        // maxDist 7 = the 8-chunk blocking's recall guarantee (100% recall
+        // proven in WranglingSpec vs an exact-Hamming cross-join baseline).
+        Dedup.simhashPairs(fps, "doc_id", maxDist = 7)
           .orderBy(col("id_a"), col("id_b"))
       },
       None,

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import graft.core.{AtomRow, ValueRow}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import graft.core.{AtomRow, Receipt, TagRow, ValueRow}
 
 /** Durable tx-log tail — the change-data feed behind live subscriptions
   * (SURVEY §2.9: "Delta CDF or tx-log tail"). Each transaction's delta is
@@ -9,9 +10,41 @@ import graft.core.{AtomRow, ValueRow}
   * it replays transactions in order, one micro-batch per tx file
   * (`maxFilesPerTrigger=1`). GraphSubscriptions filters compose on the
   * resulting streaming DataFrames unchanged.
+  *
+  * Terminations are recorded as CLOSURE rows `(atom_id, atype, term_slice)`
+  * in their own sub-feed: the Transactor records them as interval-column
+  * rewrites, not appended atom rows, so without a closure delta a
+  * termination would never reach the CDC feed and `on[terminated]`
+  * subscriptions would silently produce nothing.
   */
 object GraphFeed {
 
+  val closureSchema: StructType = StructType(Seq(
+    StructField("atom_id", StringType),
+    StructField("atype", StringType),
+    StructField("term_slice", IntegerType)))
+
+  /** Append one transaction's full delta: new atoms, values, tags, and
+    * termination closures (with the closed atom's type attached for
+    * subscription filtering — resolved from the receipt's pre-close rows
+    * when possible, else from the id scheme's `kind:atype/...` prefix). */
+  def appendDelta(feedDir: String, r: Receipt, spark: SparkSession): Unit = {
+    import spark.implicits._
+    appendDelta(feedDir, r.newAtoms, r.newValues, spark)
+    if (r.newTags.nonEmpty)
+      spark.createDataset(r.newTags).toDF()
+        .coalesce(1).write.mode("append").parquet(s"$feedDir/tags")
+    if (r.terminatedIds.nonEmpty) {
+      val rows = r.terminatedIds.map { id =>
+        org.apache.spark.sql.Row(id, atypeOf(id), r.slice)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), closureSchema)
+        .write.mode("append").parquet(s"$feedDir/closures")
+    }
+  }
+
+  /** Atom/value-only variant (bulk encoders with no terminations). */
   def appendDelta(feedDir: String, newAtoms: Seq[AtomRow],
       newValues: Seq[ValueRow], spark: SparkSession): Unit = {
     import spark.implicits._
@@ -21,6 +54,14 @@ object GraphFeed {
     if (newValues.nonEmpty)
       spark.createDataset(newValues).toDF()
         .coalesce(1).write.mode("append").parquet(s"$feedDir/values")
+  }
+
+  /** atype from the deterministic id scheme "prefix:ATYPE/key"
+    * (Transactor.atomId); null when the id is foreign. */
+  private def atypeOf(atomId: String): String = {
+    val colon = atomId.indexOf(':'); val slash = atomId.indexOf('/')
+    if (colon >= 0 && slash > colon + 1) atomId.substring(colon + 1, slash)
+    else null
   }
 
   def atomFeed(spark: SparkSession, feedDir: String): DataFrame =
@@ -34,4 +75,18 @@ object GraphFeed {
       .schema(Encoders.product[ValueRow].schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$feedDir/values")
+
+  /** Termination-closure tail — the input for `on[terminated]` over the
+    * durable feed (GraphSubscriptions.onTerminatedClosures). */
+  def closureFeed(spark: SparkSession, feedDir: String): DataFrame =
+    spark.readStream
+      .schema(closureSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/closures")
+
+  def tagFeed(spark: SparkSession, feedDir: String): DataFrame =
+    spark.readStream
+      .schema(Encoders.product[TagRow].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feedDir/tags")
 }

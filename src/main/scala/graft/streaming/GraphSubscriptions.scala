@@ -37,10 +37,21 @@ object GraphSubscriptions {
         col("v_str"), col("v_long"), col("v_double"), col("v_bool"), col("v_ts"))
   }
 
-  /** Terminations: atoms whose interval closed in the feed. */
+  /** Terminations: atoms whose interval closed in the feed (batch-replay
+    * path, where term_slice is already reconciled into the rows). */
   def onTerminated(atomFeed: DataFrame, atype: String): DataFrame =
     atomFeed
       .filter(col("atype") === atype && col("term_slice").isNotNull)
+      .select(col("atom_id"), col("term_slice").as("tx_slice"),
+        lit("terminated").as("event"))
+
+  /** Terminations over the DURABLE feed: transactions record closures as
+    * `(atom_id, atype, term_slice)` rows in the closure sub-feed
+    * (GraphFeed.closureFeed) — the atoms sub-feed only ever sees open
+    * intervals, so this, not [[onTerminated]], is the live-CDC path. */
+  def onTerminatedClosures(closureFeed: DataFrame, atype: String): DataFrame =
+    closureFeed
+      .filter(col("atype") === atype)
       .select(col("atom_id"), col("term_slice").as("tx_slice"),
         lit("terminated").as("event"))
 }

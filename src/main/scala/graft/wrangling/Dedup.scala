@@ -145,12 +145,19 @@ object Dedup {
   }
 
   /** SimHash candidate pairs with Hamming distance ≤ maxDist, blocked by
-    * 16-bit chunks (any pair within distance 3 shares at least one chunk). */
-  def simhashPairs(fps: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    * 8-bit chunks: 64 bits split into 8 chunks, so by pigeonhole any pair
+    * within Hamming distance ≤ 7 differs in at most 7 chunks and therefore
+    * SHARES at least one chunk — 100% recall guaranteed for maxDist ≤ 7.
+    * Larger maxDist would silently lose pairs, so it is rejected rather
+    * than approximated. (Finer chunks = stronger guarantee but more bucket
+    * collisions; 8×8 is the sweet spot for near-dup distances ≤ 7.) */
+  def simhashPairs(fps: DataFrame, idCol: String, maxDist: Int = 7): DataFrame = {
+    require(maxDist <= 7,
+      s"simhashPairs: 8-chunk blocking guarantees recall only for maxDist <= 7, got $maxDist")
     val chunks = fps.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until 8).map(i =>
         struct(lit(i).as("ci"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
+          shiftright(col("simhash"), i * 8).bitwiseAND(lit(0xffL)).as("cv"))): _*))
         .as("__c"))
     val a = chunks.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("__c"))
     val b = chunks.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("__c"))

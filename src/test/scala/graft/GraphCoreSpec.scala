@@ -194,5 +194,80 @@ class GraphCoreSpec extends AnyFunSuite {
     val merged = Graph.merge(g, g)
     assert(merged.atoms.count() == g.atoms.count())
     assert(merged.txs.count() == g.txs.count())
+    // values/tags dedup symmetrically: no double-counted assignment events
+    assert(merged.values.count() == g.values.count())
+    assert(merged.events(0, g.maxSlice).count() ==
+      g.events(0, g.maxSlice).count())
+  }
+
+  test("merge preserves re-instantiation history (interval-row granular)") {
+    // x lives, dies, lives again → two interval rows under one atom_id
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "x")))
+    val (g2, _) = Transactor.transact(g1, Seq(TerminateAtom("e:Person/x")))
+    val (g3, _) = Transactor.transact(g2, Seq(PutEntity("Person", "x")))
+    val merged = Graph.merge(g3, g3)
+    assert(merged.atoms.filter(col("atom_id") === "e:Person/x").count() == 2)
+    // temporal history intact across the merge
+    assert(merged.at(1).all("Person").count() == 1)
+    assert(merged.at(2).all("Person").count() == 0)
+    assert(merged.now.all("Person").count() == 1)
+    // closure knowledge wins: merging an open-interval copy (g1) with the
+    // later-terminated copy (g2) keeps the terminated row
+    val m2 = Graph.merge(g1, g2)
+    assert(m2.at(2).all("Person").count() == 0)
+  }
+
+  test("mergeByOrigin folds same-origin atoms under different local ids") {
+    // two graphs encode the same person under different local keys but a
+    // shared origin_uid; b also hangs a pet + relation off its local id
+    val (a, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "joe-a"), PutField("joe-a", "Name", "Joe")))
+    val (b0, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "joe-b"), PutEntity("Pet", "rex"),
+      PutRelation("HasPet", "joe-b", "rex"),
+      PutField("joe-b", "Age", 33L)))
+    val shared = "origin-joe"
+    def withOrigin(g: Graph, localId: String): Graph = g.copy(atoms =
+      g.atoms.withColumn("origin_uid",
+        when(col("atom_id") === localId, lit(shared))
+          .otherwise(col("origin_uid"))))
+    val aO = withOrigin(a, "e:Person/joe-a")
+    val bO = withOrigin(b0, "e:Person/joe-b")
+    val m = Graph.mergeByOrigin(aO, bO)
+    // one surviving identity: a's local id; b's id is gone
+    assert(m.atoms.filter(col("atom_id") === "e:Person/joe-a").count() == 1)
+    assert(m.atoms.filter(col("atom_id") === "e:Person/joe-b").count() == 0)
+    // b's relation re-pointed at the surviving id
+    val hasPet = m.atoms.filter(col("atype") === "HasPet").collect()
+    assert(hasPet.length == 1)
+    assert(hasPet(0).getAs[String]("src_id") == "e:Person/joe-a")
+    // b's field (Age) now resolves from the surviving id
+    val joe = m.now.all("Person")
+    assert(joe.count() == 1)
+    assert(joe.fieldValue("Age", "v_long", "age")
+      .collect()(0).getAs[Long]("age") == 33L)
+    assert(joe.fieldValue("Name", "v_str", "n")
+      .collect()(0).getAs[String]("n") == "Joe")
+  }
+
+  test("replaying a tx with a PutField on a relation key is idempotent") {
+    // regression: candidateIds used to resolve the PutField owner with a
+    // weaker map than the write phase, so a replay appended a duplicate
+    // open interval for the same ae/rel atom_id
+    val wishes = Seq(
+      PutEntity("Person", "joe"), PutEntity("Pet", "spot"),
+      PutRelation("HasPet", "joe", "spot", "joe-spot"),
+      PutField("joe-spot", "Date",
+        java.sql.Timestamp.valueOf("2020-05-01 12:34:00")))
+    val (g1, _) = Transactor.transact(Graph.empty(spark), wishes)
+    val (g2, _) = Transactor.transact(g1, wishes) // replay
+    val dates = g2.atoms.filter(col("atype") === "Date")
+    // exactly one AE + one field relation, not duplicated open intervals
+    assert(dates.filter(col("kind") === Kind.AttributeEntity).count() == 1)
+    assert(dates.filter(col("kind") === Kind.Relation).count() == 1)
+    // traversal sees ONE value row per frame, not duplicates
+    val rel = g2.now.allRelations("HasPet")
+    assert(rel.fieldValue("Date", "v_ts", "d").count() == 1)
   }
 }

@@ -99,6 +99,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_cdc_vals").count() == 2)
   }
 
+  test("graph CDC feed: terminations reach on[terminated] via closure rows") {
+    import graft.streaming.GraphFeed
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed_t").toString
+    val (g1, r1) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "p1"), PutEntity("Person", "p2"),
+      PutEntity("Robot", "r1")))
+    GraphFeed.appendDelta(feedDir, r1, spark)
+    val (_, r2) = Transactor.transact(g1, Seq(
+      TerminateAtom("e:Person/p2"), TerminateAtom("e:Robot/r1")))
+    GraphFeed.appendDelta(feedDir, r2, spark)
+
+    val q = GraphSubscriptions.onTerminatedClosures(
+      GraphFeed.closureFeed(spark, feedDir), "Person")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_cdc_term").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_cdc_term").collect()
+    assert(got.length == 1) // p2 terminated; Robot filtered by atype
+    assert(got(0).getAs[String]("atom_id") == "e:Person/p2")
+    assert(got(0).getAs[Int]("tx_slice") == 2)
+    assert(got(0).getAs[String]("event") == "terminated")
+  }
+
   test("watermarked tumbling agg drops nothing when data is in order") {
     val wm = Streams.tumblingAggWatermarked(Tables.events(spark, sf),
       "1 day", "2 hours").agg(sum("n")).collect()(0).getLong(0)

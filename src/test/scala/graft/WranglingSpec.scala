@@ -79,6 +79,28 @@ class WranglingSpec extends AnyFunSuite {
     assert(ham(fp(1L), fp(3L)) <= 16)
   }
 
+  test("simhashPairs: 100% recall vs exact-Hamming baseline at maxDist=7") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+    // exact baseline: all-pairs Hamming (cross join — fine at test scale)
+    val a = fps.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = fps.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(fps, "doc_id", maxDist = 7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8-chunk pigeonhole blocking: identical pair sets, both directions
+    assert(blocked == exact, s"blocked=${blocked.size} exact=${exact.size}")
+    // and the guarantee's edge: asking beyond it must fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(fps, "doc_id", maxDist = 8)
+    }
+  }
+
   test("lsh ANN topk overlaps exact brute-force topk") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 1).select("embedding")

@@ -74,6 +74,35 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
     assert(g2.now.all("User").count() == 2)
   }
 
+  test("GqlLite @unique checks typed (non-string) values against the store") {
+    import GqlLite._
+    val cons = Constraints(unique = Map("Device" -> Seq("Serial")))
+    // long-valued unique field: v_str is null for these rows, so a
+    // string-column-only check would silently pass the collision
+    val (g, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("Device", "d1", Map("Serial" -> 12345L))), constraints = cons)
+    intercept[IllegalArgumentException] {
+      mutate(g, Seq(AddEntity("Device", "d2", Map("Serial" -> 12345L))),
+        constraints = cons)
+    }
+    // Int vs stored Long collides too (both live in v_long)
+    intercept[IllegalArgumentException] {
+      mutate(g, Seq(AddEntity("Device", "d3", Map("Serial" -> 12345))),
+        constraints = cons)
+    }
+    val (g2, _) = mutate(g, Seq(
+      AddEntity("Device", "d4", Map("Serial" -> 99999L))), constraints = cons)
+    assert(g2.now.all("Device").count() == 2)
+    // double-valued unique field
+    val consD = Constraints(unique = Map("Probe" -> Seq("Calib")))
+    val (h, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("Probe", "p1", Map("Calib" -> 2.5))), constraints = consD)
+    intercept[IllegalArgumentException] {
+      mutate(h, Seq(AddEntity("Probe", "p2", Map("Calib" -> 2.5))),
+        constraints = consD)
+    }
+  }
+
   test("GqlLite hops: relation counts in one aggregated join") {
     import GqlLite._
     val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
