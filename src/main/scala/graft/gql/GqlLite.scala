@@ -67,7 +67,9 @@ object GqlLite {
 
   /** Compile + run: one plan, no per-entity resolution. */
   def run(slice: GraphSlice, q: Query): DataFrame = {
-    var df = slice.all(q.et).fields(q.fields: _*)
+    var df =
+      if (q.fields.isEmpty) slice.all(q.et).df.select(col("atom_id"))
+      else slice.all(q.et).fields(q.fields: _*)
     q.hops.foreach { h =>
       val endCol = if (h.incoming) "dst_id" else "src_id"
       val counts = slice.allRelations(h.rt).df
@@ -189,8 +191,13 @@ object GqlLite {
     * + per-field min/max/sum/avg in one agg() pass. */
   def aggregate(slice: GraphSlice, et: String,
       fields: Seq[(String, String, String)],
-      filter: Option[Filter] = None): DataFrame = {
-    var df = slice.all(et).fields(fields: _*)
+      filter: Option[Filter] = None,
+      filterFields: Seq[(String, String, String)] = Nil): DataFrame = {
+    // filterFields are projected so the predicate can resolve, but take no
+    // part in the min/max/sum/avg output
+    val proj = fields ++ filterFields.filterNot(f =>
+      fields.exists(_._3 == f._3))
+    var df = slice.all(et).fields(proj: _*)
     filter.foreach(f => df = df.filter(compileFilter(f)))
     val aggs = count(lit(1)).as("count") +: fields.flatMap { case (_, _, out) =>
       Seq(min(col(out)).as(s"${out}_min"), max(col(out)).as(s"${out}_max"),

@@ -9,6 +9,29 @@ import graft.wrangling.EntityResolution
   * traversal (§2.1 gather) — oracle-verified. */
 object Extended {
 
+  /** SimpleGQL schema over the TPC-H-encoded graph — the SDL input for the
+    * parsed-text queries (schema_file_parser.py grammar: scalars, `!`,
+    * `[T]`, @unique/@search/@relation(rt:)/@incoming). */
+  val TpchGqlSchema: String =
+    """# Zef.SchemaVersion: v1
+      |type Customer {
+      |  name: String! @unique @relation(rt: "c_name")
+      |  acctbal: Float @search @relation(rt: "c_acctbal")
+      |  segment: String @relation(rt: "c_mktsegment")
+      |  orders: [Order] @relation(rt: "Placed")
+      |  nation: Nation @relation(rt: "MemberOf")
+      |}
+      |type Order {
+      |  totalprice: Float @search @relation(rt: "o_totalprice")
+      |  status: String @relation(rt: "o_orderstatus")
+      |  orderdate: DateTime @relation(rt: "o_orderdate")
+      |  customer: Customer @incoming @relation(rt: "Placed")
+      |}
+      |type Nation {
+      |  nname: String @relation(rt: "n_name")
+      |  customers: [Customer] @incoming @relation(rt: "MemberOf")
+      |}""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
 
     // SimpleGQL query root: filter dict + multi-key sort + pagination in
@@ -51,6 +74,94 @@ object Extended {
              |  round(avg(c_acctbal), 4) AS acctbal_avg
              |FROM customer WHERE c_acctbal > 1000.0""".stripMargin),
       Seq("gql_aggregate", "count", "min", "max", "sum", "mean")),
+
+    // The GraphQL TEXT surface end-to-end: schema SDL string + query
+    // string → GqlParser → GqlApi → the same one-plan compiler. Exercises
+    // and/or/not/between/in/contains filters, desc/then-asc sort,
+    // first/offset pagination, and field aliases.
+    QueryDef(
+      "gql_parsed_query",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+        graft.gql.GqlApi.query(g.now, schema,
+          """query {
+            |  queryCustomer(
+            |    filter: {and: [
+            |      {acctbal: {between: {min: 2000.0, max: 9000.0}}},
+            |      {or: [{segment: {eq: "BUILDING"}},
+            |            {segment: {in: ["MACHINERY"]}}]},
+            |      {not: {name: {contains: "9"}}}]},
+            |    order: {desc: acctbal, then: {asc: name}},
+            |    first: 25, offset: 10) {
+            |    id
+            |    cname: name
+            |    acctbal
+            |    segment
+            |  }
+            |}""".stripMargin)
+      },
+      Some("""SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS id,
+             |  c_name AS cname, c_acctbal AS acctbal, c_mktsegment AS segment
+             |FROM customer
+             |WHERE (c_acctbal BETWEEN 2000.0 AND 9000.0)
+             |  AND (c_mktsegment = 'BUILDING' OR c_mktsegment IN ('MACHINERY'))
+             |  AND NOT contains(c_name, '9')
+             |ORDER BY acctbal DESC, cname ASC, id ASC
+             |LIMIT 25 OFFSET 10""".stripMargin),
+      Seq("gql_query", "graphql_parse", "filter", "sort", "pagination")),
+
+    // Parsed relation-hop count (`orders { count }`) + sort on the hop —
+    // still one aggregated join, no per-entity resolvers.
+    QueryDef(
+      "gql_parsed_hop",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+        graft.gql.GqlApi.query(g.now, schema,
+          """query {
+            |  queryCustomer(order: {desc: norders, then: {asc: name}},
+            |                first: 15) {
+            |    id
+            |    name
+            |    norders: orders { count }
+            |  }
+            |}""".stripMargin)
+      },
+      Some("""SELECT id, name, norders FROM (
+             |  SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS id,
+             |    c_name AS name,
+             |    (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS norders
+             |  FROM customer c)
+             |ORDER BY norders DESC, name ASC, id ASC
+             |LIMIT 15""".stripMargin),
+      Seq("gql_query", "graphql_parse", "relation_hop", "Outs")),
+
+    // Parsed aggregate root with variables: count + Min/Max/Sum/Avg.
+    QueryDef(
+      "gql_parsed_aggregate",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+        graft.gql.GqlApi.query(g.now, schema,
+          """query AggOrders($st: String) {
+            |  aggregateOrder(filter: {status: {eq: $st}}) {
+            |    count
+            |    totalpriceMin
+            |    totalpriceMax
+            |    totalpriceSum
+            |    totalpriceAvg
+            |  }
+            |}""".stripMargin,
+          vars = Map("st" -> "F"))
+      },
+      Some("""SELECT count(*) AS count,
+             |  min(o_totalprice) AS "totalpriceMin",
+             |  max(o_totalprice) AS "totalpriceMax",
+             |  round(sum(o_totalprice), 2) AS "totalpriceSum",
+             |  round(avg(o_totalprice), 4) AS "totalpriceAvg"
+             |FROM orders WHERE o_orderstatus = 'F'""".stripMargin),
+      Seq("gql_aggregate", "graphql_parse", "variables")),
 
     // identify_entities: resolve incoming records (half real names, half
     // unknown) against the graph store by field value.

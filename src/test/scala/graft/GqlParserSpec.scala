@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.gql.{GqlApi, GqlLite, GqlParser}
+
+/** The GraphQL TEXT surface: schema SDL parsing (schema_file_parser.py
+  * semantics), operation parsing, and parsed mutations through the staged
+  * write path with auth + declared constraints.
+  */
+class GqlParserSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  val sdl: String =
+    """# Zef.SchemaVersion: v1
+      |type User @auth(query: "z >> RT.Owner") {
+      |  email: String! @unique
+      |  givenName: String
+      |  score: Float @search
+      |  active: Boolean
+      |  birthday: DateTime
+      |  serial: Int @unique @relation(rt: "SerialNo")
+      |  transactions: [Transaction] @incoming @relation(rt: "User")
+      |}
+      |enum TransactionType { EXPENSE INCOME }
+      |type Transaction {
+      |  amount: Float! @search
+      |  type: TransactionType!
+      |  user: User
+      |}""".stripMargin
+
+  test("schema SDL: fields, directives, rt defaulting, enums, auth") {
+    val s = GqlParser.parseSchema(sdl)
+    assert(s.types.keySet == Set("User", "Transaction"))
+    assert(s.enums("TransactionType") == Seq("EXPENSE", "INCOME"))
+    val u = s.tpe("User")
+    // simple_capitalize default: givenName -> GivenName (not Givenname)
+    assert(u.field("givenName").rt == "GivenName")
+    // @relation(rt:) override
+    assert(u.field("serial").rt == "SerialNo")
+    assert(u.field("email").required && u.field("email").unique)
+    assert(u.field("score").search && !u.field("score").required)
+    val tx = u.field("transactions")
+    assert(tx.list && tx.incoming && tx.tpe == "Transaction" && tx.rt == "User")
+    assert(u.auth("query").contains("RT.Owner"))
+    // declared constraints land keyed by relation type
+    val c = s.constraints
+    assert(c.unique("User").toSet == Set("Email", "SerialNo"))
+    assert(c.required("User") == Seq("Email"))
+    // relation-typed required fields are not value constraints; enum and
+    // scalar required fields are
+    assert(c.required("Transaction").toSet == Set("Amount", "Type"))
+  }
+
+  test("operation parsing: aliases, variables, nested args, block strings") {
+    val op = GqlParser.parseOperation(
+      """query Q($lim: Int) {
+        |  me: queryUser(filter: {score: {ge: 1.5}}, first: $lim) {
+        |    id
+        |    n: givenName
+        |  }
+        |}""".stripMargin, vars = Map("lim" -> 7))
+    assert(op.kind == "query" && op.roots.size == 1)
+    val r = op.roots.head
+    assert(r.alias == "me" && r.name == "queryUser")
+    assert(r.args.get("first").contains(GqlParser.VInt(7)))
+    assert(r.sels.map(_.alias) == Seq("id", "n"))
+    assert(r.sels(1).name == "givenName")
+  }
+
+  def seeded: Graph = {
+    val schema = GqlParser.parseSchema(sdl)
+    val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation {
+        |  addUser(input: [
+        |    {id: "u1", email: "ann@x.com", givenName: "Ann", score: 9.5,
+        |     active: true, serial: 100},
+        |    {id: "u2", email: "bob@x.com", givenName: "Bob", score: 4.0,
+        |     active: false, serial: 200}
+        |  ])
+        |}""".stripMargin)
+    g
+  }
+
+  test("parsed query end-to-end: filter + sort + projection over mutations") {
+    val schema = GqlParser.parseSchema(sdl)
+    val rows = GqlApi.query(seeded.now, schema,
+      """query {
+        |  queryUser(filter: {score: {ge: 5.0}}, order: {desc: score}) {
+        |    id
+        |    givenName
+        |    active
+        |  }
+        |}""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("id") == "e:User/u1")
+    assert(rows(0).getAs[String]("givenName") == "Ann")
+    assert(rows(0).getAs[Boolean]("active"))
+  }
+
+  test("parsed getUser(id:) and boolean short-form filter") {
+    val schema = GqlParser.parseSchema(sdl)
+    val g = seeded
+    val one = GqlApi.query(g.now, schema,
+      """{ getUser(id: "e:User/u2") { id email } }""").collect()
+    assert(one.length == 1 && one(0).getAs[String]("email") == "bob@x.com")
+    val actives = GqlApi.query(g.now, schema,
+      """{ queryUser(filter: {active: true}) { id } }""").collect()
+    assert(actives.map(_.getString(0)).toSeq == Seq("e:User/u1"))
+  }
+
+  test("parsed mutation: constraints from the schema are enforced") {
+    val schema = GqlParser.parseSchema(sdl)
+    val g = seeded
+    // @unique email collision (string-typed)
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g, schema,
+        """mutation { addUser(input: [{id: "u3", email: "ann@x.com"}]) }""")
+    }
+    // @unique serial collision (long-typed — the typed-column store check)
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g, schema,
+        """mutation { addUser(input: [{id: "u3", email: "c@x.com", serial: 100}]) }""")
+    }
+    // required email missing
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g, schema,
+        """mutation { addUser(input: [{id: "u3", givenName: "Cat"}]) }""")
+    }
+    // distinct values pass
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation { addUser(input: [{id: "u3", email: "c@x.com", serial: 300}]) }""")
+    assert(g2.now.all("User").count() == 3)
+  }
+
+  test("parsed update/delete resolve their filter; auth hook enforced") {
+    val schema = GqlParser.parseSchema(sdl)
+    val g = seeded
+    // update by field filter (not id): Bob gets a new score
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation {
+        |  updateUser(input: {filter: {email: {eq: "bob@x.com"}},
+        |                     set: {score: 6.5}})
+        |}""".stripMargin)
+    val bob = GqlApi.query(g2.now, schema,
+      """{ getUser(id: "e:User/u2") { score } }""").collect()
+    assert(bob(0).getAs[Double]("score") == 6.5)
+    // auth hook: only ann's row may be mutated → delete of bob rejected
+    val annOnly = (slice: GraphSlice, id: String) => id == "e:User/u1"
+    intercept[SecurityException] {
+      GqlApi.mutate(g2, schema,
+        """mutation { deleteUser(filter: {id: "e:User/u2"}) }""",
+        auth = Some(annOnly))
+    }
+    // allowed delete goes through and closes the interval
+    val (g3, _) = GqlApi.mutate(g2, schema,
+      """mutation { deleteUser(filter: {id: "e:User/u1"}) }""",
+      auth = Some(annOnly))
+    assert(g3.now.all("User").count() == 1)
+    assert(g3.at(g3.maxSlice - 1).all("User").count() == 2) // time travel
+  }
+
+  test("parsed aggregate root with enum filter over mutations") {
+    val schema = GqlParser.parseSchema(sdl)
+    val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation {
+        |  addTransaction(input: [
+        |    {id: "t1", amount: 10.0, type: EXPENSE},
+        |    {id: "t2", amount: 30.0, type: EXPENSE},
+        |    {id: "t3", amount: 5.0, type: INCOME}
+        |  ])
+        |}""".stripMargin)
+    val agg = GqlApi.query(g.now, schema,
+      """query {
+        |  aggregateTransaction(filter: {type: {eq: EXPENSE}}) {
+        |    count
+        |    amountSum
+        |    amountMax
+        |  }
+        |}""".stripMargin).collect()(0)
+    assert(agg.getAs[Long]("count") == 2)
+    assert(agg.getAs[Double]("amountSum") == 40.0)
+    assert(agg.getAs[Double]("amountMax") == 30.0)
+  }
+}
