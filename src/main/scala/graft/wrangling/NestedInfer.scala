@@ -1,0 +1,278 @@
+package graft.wrangling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+import graft.core.{Graph, Kind, TxRow}
+
+/** Nested `infer_types` — the reference's rule-fixpoint type inference over
+  * nested JSON objects (`python/zef/core/op_implementations/
+  * data_wrangling.py:19-163`), restated for scale.
+  *
+  * The reference builds an in-memory object tree per document
+  * (`create_object`), flattens it to (source, relation, target) triples
+  * (`flatten_object`), and iterates a rule list to fixpoint, each step
+  * re-typing one `ET.ZEF_Unknown` object whose triple matches a rule with a
+  * `Z` marker at the position to replace (`resolve_unknown`, `infer_types`).
+  *
+  * Here the object tree of EVERY document lives in two DataFrames — an
+  * `objects` table and a `triples` table — built by a depth-bounded
+  * flattening loop of narrow map operations (no UDFs, no shuffles), and the
+  * fixpoint is a driver loop whose every step is one distributed join of the
+  * triples against the current type map plus one rule-predicate union.
+  * Rules are data on the driver (they are tiny); documents never leave the
+  * cluster. Convergence is per-OBJECT bulk: each round assigns every object
+  * whose triple matches some rule (first matching rule wins, like the
+  * reference's rule-list order), so rounds are O(type-dependency depth),
+  * not O(object count) like the reference's one-replacement-per-iteration
+  * driver loop — same fixpoint, cluster-friendly schedule.
+  */
+object NestedInfer {
+
+  val UnknownType: String = EntityResolution.UnknownType
+
+  /** Triple-pattern element (reference `match_rule`, data_wrangling.py:74):
+    * `Z` marks the object to re-type (exactly one per rule, reference
+    * `validate_rules`), `T(et)` matches an object currently typed `et`,
+    * `V(s)` matches a scalar target (or the relation name), `AnyP` matches
+    * anything. */
+  sealed trait Pat
+  case object ZP extends Pat
+  case object AnyP extends Pat
+  final case class T(et: String) extends Pat
+  final case class V(value: String) extends Pat
+
+  /** `[(src, rel, tgt), replacement]` rule. */
+  final case class TripleRule(src: Pat, rel: Pat, tgt: Pat, toType: String) {
+    require(Seq(src, rel, tgt).count(_ == ZP) == 1,
+      s"rule must contain exactly one Z (got src=$src rel=$rel tgt=$tgt)")
+    require(rel != ZP, "Z in the relation position cannot type an object")
+  }
+
+  /** Flattened representation of nested JSON documents.
+    *
+    * objects: (obj_id, obj_type) — obj_type from the "type" key when
+    *   present (reference create_object), else ZEF_Unknown.
+    * triples: (src_id, rel, tgt_id, tgt_value) — tgt_id non-null for
+    *   object-valued fields, tgt_value for scalars. Array fields emit one
+    *   triple per element (reference flatten_object's list branch).
+    */
+  final case class Flattened(objects: DataFrame, triples: DataFrame)
+
+  private val mapSS = MapType(StringType, StringType)
+
+  /** Flatten nested JSON into objects + triples. `maxDepth` bounds the
+    * driver loop — depth is a property of the SCHEMA (how deeply documents
+    * nest), not of data volume, so the loop stays O(schema depth) rounds of
+    * narrow, codegen'd map work regardless of document count. */
+  def flatten(df: DataFrame, idCol: String, jsonCol: String,
+      maxDepth: Int = 8): Flattened = {
+    val spark = df.sparkSession
+    var frontier = df.select(
+      concat(col(idCol).cast("string"), lit(":$")).as("obj_id"),
+      col(jsonCol).as("__json"))
+
+    var objects = Vector.empty[DataFrame]
+    var triples = Vector.empty[DataFrame]
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val parsed = frontier
+        .withColumn("__m", from_json(col("__json"), mapSS))
+        .filter(col("__m").isNotNull)
+      objects :+= parsed.select(
+        col("obj_id"),
+        coalesce(element_at(col("__m"), "type"), lit(UnknownType))
+          .as("obj_type"))
+
+      // one row per (object, key, raw value); nested objects/arrays come
+      // back from from_json as their raw JSON text (StringType target)
+      val entries = parsed.select(col("obj_id"),
+          explode(map_entries(col("__m"))).as("__e"))
+        .select(col("obj_id"), col("__e.key").as("rel"),
+          col("__e.value").as("raw"))
+        .filter(col("rel") =!= "type" && col("raw").isNotNull)
+
+      val isObj = col("raw").startsWith("{")
+      val isArr = col("raw").startsWith("[")
+
+      // scalar fields → value triples
+      triples :+= entries.filter(!isObj && !isArr).select(
+        col("obj_id").as("src_id"), col("rel"),
+        lit(null).cast("string").as("tgt_id"), col("raw").as("tgt_value"))
+
+      // array fields → one triple per element (object or scalar)
+      val arrElems = entries.filter(isArr).select(col("obj_id"), col("rel"),
+          posexplode(from_json(col("raw"), ArrayType(StringType))))
+        .withColumnRenamed("col", "elem")
+        .filter(col("elem").isNotNull)
+      val elemIsObj = col("elem").startsWith("{")
+      val arrChildId =
+        concat(col("obj_id"), lit("/"), col("rel"), lit("["), col("pos"), lit("]"))
+      triples :+= arrElems.filter(!elemIsObj).select(
+        col("obj_id").as("src_id"), col("rel"),
+        lit(null).cast("string").as("tgt_id"), col("elem").as("tgt_value"))
+      val arrChildren = arrElems.filter(elemIsObj).select(
+        arrChildId.as("obj_id"), col("elem").as("__json"),
+        col("obj_id").as("__parent"), col("rel").as("__rel"))
+      triples :+= arrChildren.select(
+        col("__parent").as("src_id"), col("__rel").as("rel"),
+        col("obj_id").as("tgt_id"), lit(null).cast("string").as("tgt_value"))
+
+      // object fields → child objects + object triples
+      val objChildren = entries.filter(isObj).select(
+        concat(col("obj_id"), lit("/"), col("rel")).as("obj_id"),
+        col("raw").as("__json"),
+        col("obj_id").as("__parent"), col("rel").as("__rel"))
+      triples :+= objChildren.select(
+        col("__parent").as("src_id"), col("__rel").as("rel"),
+        col("obj_id").as("tgt_id"), lit(null).cast("string").as("tgt_value"))
+
+      frontier = objChildren.select(col("obj_id"), col("__json"))
+        .unionByName(arrChildren.select(col("obj_id"), col("__json")))
+      depth += 1
+      // emptiness probe only when another level could follow
+      if (depth < maxDepth) done = frontier.isEmpty
+    }
+    Flattened(objects.reduce(_ unionByName _),
+      triples.reduce(_ unionByName _))
+  }
+
+  private def srcPred(p: Pat): Column = p match {
+    case ZP      => col("src_type") === UnknownType
+    case AnyP    => lit(true)
+    case T(et)   => col("src_type") === et
+    case V(_)    => lit(false) // triple sources are always objects
+  }
+  private def relPred(p: Pat): Column = p match {
+    case V(rt)   => col("rel") === rt
+    case AnyP    => lit(true)
+    case T(_)    => lit(false)
+    case ZP      => lit(false) // rejected at rule construction
+  }
+  private def tgtPred(p: Pat): Column = p match {
+    case ZP      => col("tgt_id").isNotNull && col("tgt_type") === UnknownType
+    case AnyP    => lit(true)
+    case T(et)   => col("tgt_id").isNotNull && col("tgt_type") === et
+    case V(v)    => col("tgt_value") === v
+  }
+
+  /** Run the rule fixpoint: returns (obj_id, obj_type) with every resolvable
+    * ZEF_Unknown replaced; unmatched objects keep the sentinel (reference
+    * semantics — `resolve_unknown` only ever replaces Unknowns).
+    *
+    * Each round: triples ⋈ types (src) ⟕ types (tgt), then one unioned
+    * rule-predicate scan; first matching rule per object wins (min_by on
+    * rule index — the reference applies rules in list order). Converged
+    * when a round assigns nothing. Rounds are bounded by the longest chain
+    * of type dependencies between rules, so `maxIters` is a safety rail,
+    * not the expected exit. */
+  def fixpoint(flat: Flattened, rules: Seq[TripleRule],
+      maxIters: Int = 25): DataFrame = {
+    var types = flat.objects.localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val t = flat.triples
+        .join(types.select(col("obj_id").as("src_id"),
+          col("obj_type").as("src_type")), "src_id")
+        .join(types.select(col("obj_id").as("tgt_id"),
+          col("obj_type").as("tgt_type")), Seq("tgt_id"), "left")
+      val perRule = rules.zipWithIndex.map { case (r, i) =>
+        val zCol = if (r.src == ZP) col("src_id") else col("tgt_id")
+        t.filter(srcPred(r.src) && relPred(r.rel) && tgtPred(r.tgt))
+          .select(zCol.as("obj_id"), lit(i).as("__prio"),
+            lit(r.toType).as("__new"))
+      }
+      val assignments = perRule.reduce(_ unionByName _)
+        .groupBy("obj_id")
+        .agg(min_by(col("__new"), col("__prio")).as("__new"))
+      val updated = types.join(assignments, Seq("obj_id"), "left")
+        .withColumn("obj_type",
+          when(col("obj_type") === UnknownType && col("__new").isNotNull,
+            col("__new")).otherwise(col("obj_type")))
+        .drop("__new")
+        .localCheckpoint(true) // truncate lineage; also materializes the round
+      converged = assignments.isEmpty
+      types = updated
+      iter += 1
+    }
+    types
+  }
+
+  /** infer_types end-to-end: flatten + fixpoint (reference
+    * data_wrangling.py:144-163). */
+  def inferTypes(df: DataFrame, idCol: String, jsonCol: String,
+      rules: Seq[TripleRule], maxDepth: Int = 8): Flattened = {
+    val flat = flatten(df, idCol, jsonCol, maxDepth)
+    Flattened(fixpoint(flat, rules), flat.triples)
+  }
+
+  private def nullV = Seq(
+    lit(null).cast("string").as("v_str"),
+    lit(null).cast("long").as("v_long"),
+    lit(null).cast("double").as("v_double"),
+    lit(null).cast("boolean").as("v_bool"),
+    lit(null).cast("timestamp").as("v_ts"))
+
+  /** Emit the typed object forest as a graph — the reference's
+    * "obj → graph wishes" step (its infer_types output is transacted via
+    * graph templates). Bulk path, mirroring [[graft.core.GraphEncoder]]:
+    * one entity atom per object, one relation atom per object triple, one
+    * AE + relation + value row per scalar triple; all at `instSlice`.
+    * Scalar values land in v_str (JSON scalars are text; numeric reads cast
+    * in the query, like the reference's untyped AET.String default). */
+  def toGraph(flat: Flattened, instSlice: Int = 1,
+      ts: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      : Graph = {
+    val spark = flat.objects.sparkSession
+    import spark.implicits._
+    val slice = lit(instSlice).cast("int")
+    val noTerm = lit(null).cast("int").as("term_slice")
+    val noEnd = Seq(lit(null).cast("string").as("src_id"),
+      lit(null).cast("string").as("dst_id"))
+
+    val entities = flat.objects.select(
+      Seq(col("obj_id").as("atom_id"), lit(Kind.Entity).as("kind"),
+        col("obj_type").as("atype")) ++ noEnd ++
+        Seq(slice.as("inst_slice"), noTerm, col("obj_id").as("origin_uid")): _*)
+
+    val objTriples = flat.triples.filter(col("tgt_id").isNotNull)
+    val relAtoms = objTriples.select(
+      concat(lit("r:"), col("rel"), lit("/"), col("src_id"), lit(">"),
+        col("tgt_id")).as("atom_id"),
+      lit(Kind.Relation).as("kind"), col("rel").as("atype"),
+      col("src_id"), col("tgt_id").as("dst_id"),
+      slice.as("inst_slice"), noTerm,
+      concat(lit("r:"), col("rel"), lit("/"), col("src_id"), lit(">"),
+        col("tgt_id")).as("origin_uid"))
+
+    val scalars = flat.triples.filter(col("tgt_id").isNull)
+    val aeId = concat(lit("ae:"), col("rel"), lit("/"), col("src_id"))
+    val fieldRelId = concat(lit("rel:"), col("rel"), lit("/"), col("src_id"))
+    val aeAtoms = scalars.select(
+      Seq(aeId.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
+        col("rel").as("atype")) ++ noEnd ++
+        Seq(slice.as("inst_slice"), noTerm, aeId.as("origin_uid")): _*)
+    val fieldRels = scalars.select(
+      fieldRelId.as("atom_id"), lit(Kind.Relation).as("kind"),
+      col("rel").as("atype"),
+      col("src_id"), aeId.as("dst_id"),
+      slice.as("inst_slice"), noTerm, fieldRelId.as("origin_uid"))
+
+    // multi-valued scalar fields (array elements) share one AE per
+    // (object, rel): collapse to one value row deterministically (first by
+    // element order was lost at the triple level; min is stable) — matches
+    // the encoder's one-AE-per-field layout
+    val values = scalars
+      .groupBy(aeId.as("ae_id"))
+      .agg(min(col("tgt_value")).as("v_str"))
+      .select(Seq(col("ae_id"), lit(instSlice).cast("int").as("tx_slice"),
+        lit("str").as("vtype"), col("v_str")) ++ nullV.tail: _*)
+
+    val atoms = Seq(entities, relAtoms,
+        aeAtoms.dropDuplicates("atom_id"), fieldRels.dropDuplicates("atom_id"))
+      .reduce(_ unionByName _)
+    Graph(atoms, values, Seq(TxRow(instSlice, ts)).toDF())
+  }
+}
