@@ -15,8 +15,11 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
 
   def spark: SparkSession = atoms.sparkSession
 
-  /** Latest slice — zef `now` (impl.py:4848). One tiny agg over txs. */
-  def maxSlice: Int = {
+  /** Latest slice — zef `now` (impl.py:4848). One tiny agg over txs,
+    * cached per Graph instance: the Graph is immutable (every transact
+    * returns a NEW Graph), so the answer can never go stale, and caching
+    * removes one Spark job from every `g.now` query. */
+  lazy val maxSlice: Int = {
     val r = txs.agg(max("tx_id")).collect()(0)
     if (r.isNullAt(0)) 0 else r.getInt(0)
   }
@@ -216,8 +219,13 @@ final case class GraphSlice(graph: Graph, slice: Int) {
     val hits = graph.values
       .filter(col("tx_slice") <= slice && col(vcol) === lit(value))
       .select(col("ae_id"), col("tx_slice"))
-    // as-of check: the matching assignment must be the LATEST ≤ slice
+    // as-of check: the matching assignment must be the LATEST ≤ slice.
+    // The aggregate runs over values SEMI-JOINED down to the hit AEs first,
+    // so its cost is ∝ the lookup's selectivity (the hit set's history),
+    // NOT the whole values table — a full-table groupBy here would make
+    // every point lookup pay a 100 TB shuffle regardless of selectivity.
     val latest = graph.values.filter(col("tx_slice") <= slice)
+      .join(hits.select("ae_id").distinct(), Seq("ae_id"), "left_semi")
       .groupBy("ae_id").agg(max(col("tx_slice")).as("__top"))
     val currentHits = hits.join(latest, "ae_id")
       .filter(col("tx_slice") === col("__top"))

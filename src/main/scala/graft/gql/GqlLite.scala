@@ -130,25 +130,33 @@ object GqlLite {
     // The store check reads the TYPED value column for each value's runtime
     // type (mirroring ValueRow.of) — a v_str-only compare would silently
     // pass long/double/bool/ts collisions (their v_str is null).
-    c.unique.foreach { case (et, rts) =>
-      rts.foreach { rt =>
+    // All (et, rt, typed-col) probes run as ONE Spark job: each probe frame
+    // is tagged with its constraint and unioned, and a single take(1) finds
+    // any violation — a multi-constraint schema pays one job, not one per
+    // constraint.
+    val probes = c.unique.toSeq.flatMap { case (et, rts) =>
+      rts.flatMap { rt =>
         val batchVals = adds.filter(_.et == et).flatMap(_.fields.get(rt))
         if (batchVals.distinct.size != batchVals.size)
           throw new IllegalArgumentException(
             s"constraint violation: duplicate $et.$rt within transaction")
-        batchVals.groupBy(typedCol).foreach { case (vcol, vs) =>
+        batchVals.groupBy(typedCol).map { case (vcol, vs) =>
           val lits = vs.map {
             case i: Int => lit(i.toLong) // v_long stores longs
             case v => lit(v)
           }
-          val existing = g.now.all(et)
+          g.now.all(et)
             .fieldValue(rt, vcol, "__v")
             .filter(col("__v").isin(lits: _*))
-            .limit(1).count()
-          if (existing > 0)
-            throw new IllegalArgumentException(
-              s"constraint violation: $et.$rt value already exists")
+            .select(lit(et).as("__et"), lit(rt).as("__rt"))
         }
+      }
+    }
+    if (probes.nonEmpty) {
+      probes.reduce(_ unionByName _).limit(1).collect().foreach { row =>
+        throw new IllegalArgumentException(
+          s"constraint violation: ${row.getString(0)}.${row.getString(1)} " +
+            "value already exists")
       }
     }
   }

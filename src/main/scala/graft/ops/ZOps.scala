@@ -22,6 +22,21 @@ import org.apache.spark.sql.types.{LongType, StructField}
   */
 object ZOps {
 
+  /** Below this plan-statistics size estimate, total-order ops (enumerate /
+    * groupConsecutive / consecutiveRuns) run as a single-partition window:
+    * the distributed two-phase machinery costs more than the computation
+    * for inputs that fit one task. Same adaptivity principle as Spark's
+    * autoBroadcastJoinThreshold, same default. Override per-session with
+    * `spark.conf.set("graft.smallSortThreshold", bytes)` (0 forces the
+    * distributed path — used by specs to exercise it at toy sizes). */
+  val DefaultSmallSortThreshold: Long = 64L << 20
+
+  private def isSmallSort(d: DataFrame): Boolean = {
+    val thr = d.sparkSession.conf.getOption("graft.smallSortThreshold")
+      .map(_.toLong).getOrElse(DefaultSmallSortThreshold)
+    d.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
+  }
+
   implicit final class DataFrameZOps(private val df: DataFrame) extends AnyVal {
 
     /** zef `filter[VT]` (impl.py:6105) — VT calculus predicate. */
@@ -71,24 +86,34 @@ object ZOps {
       *   3. per-partition row counts aggregated to a tiny (#partitions)-row
       *      table, cumulated into start offsets, broadcast-joined back.
       *
-      * The sorted+indexed result is frozen with an EAGER localCheckpoint
+      * The sorted+indexed result is frozen with a LAZY localCheckpoint
       * before fan-out: range partitioning samples boundaries, and two plan
       * branches (or two actions, e.g. takeWhile's cut probe then the main
       * read) would otherwise sample independently — counts computed against
       * one partitioning, local positions against another, silently wrong
-      * indexes. The checkpoint materializes the partitioning exactly once
-      * (cost ≈ one shuffle write, stored as InternalRows with no encoder
-      * round-trip — unlike an RDD zipWithIndex round-trip, downstream stays
-      * in WholeStageCodegen) and the ContextCleaner frees it when the
-      * result Dataset is released. */
+      * indexes. Lazy (persist-backed) beats eager here: the freeze
+      * materializes DURING the first consuming action instead of as a
+      * separate up-front job, so a single-action caller (stride, chunk)
+      * pays zero extra passes — the offsets branch and the main join read
+      * the same cached partitions via the block manager (concurrent
+      * computation of one partition is serialized there, so both branches
+      * always see identical boundaries). Rows are stored as InternalRows
+      * with no encoder round-trip — unlike an RDD zipWithIndex round-trip,
+      * downstream stays in WholeStageCodegen — and the ContextCleaner frees
+      * the blocks when the result Dataset is released. */
     def enumerate(order: Seq[Column], idxCol: String = "idx"): DataFrame = {
+      // adaptive: tiny inputs (plan-stats estimate) skip the two-phase
+      // machinery — see groupConsecutive's scale note
+      if (isSmallSort(df))
+        return df.withColumn(idxCol,
+          row_number().over(Window.orderBy(order: _*)).cast("long") - 1)
       val sorted = df.repartitionByRange(
         math.max(df.sparkSession.sparkContext.defaultParallelism, 1), order: _*)
         .sortWithinPartitions(order: _*)
         .withColumn("__pid", spark_partition_id())
         .withColumn("__local",
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val offsets = sorted.groupBy(col("__pid"))
         .agg(count(lit(1)).as("__n"))
         .withColumn("__off", coalesce(sum(col("__n")).over(
@@ -161,34 +186,53 @@ object ZOps {
       *      broadcast-joined back.
       *
       * Global run ids are 1-based and dense. As in [[enumerate]], the range
-      * partitioning is frozen with an eager localCheckpoint so the stats
-      * branch and the main branch see the SAME sampled boundaries.
+      * partitioning is frozen with a LAZY localCheckpoint so the stats
+      * branch and the main branch see the SAME sampled boundaries — lazy,
+      * so the freeze costs no separate job (see enumerate's scale note).
+      *
+      * ADAPTIVE, like Spark's own broadcast-vs-shuffle join choice: below
+      * [[ZOps.smallSortThreshold]] (plan-statistics estimate, default
+      * 64 MB) the whole input fits one task comfortably and the two-phase
+      * machinery (range sample + shuffle + freeze + stitch) costs more
+      * than the computation itself — a single-partition window wins and
+      * nothing is at risk. Above it, the two-phase scale path runs. Both
+      * paths produce identical output.
       */
     def groupConsecutive(keyCol: Column, order: Seq[Column],
         runCol: String = "run_id"): DataFrame = {
-      val sorted = df.repartitionByRange(
-        math.max(df.sparkSession.sparkContext.defaultParallelism, 1), order: _*)
-        .sortWithinPartitions(order: _*)
-        .withColumn("__pid", spark_partition_id())
-        .withColumn("__key", keyCol)
-        .localCheckpoint()
-      val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-      val flagged = sorted
-        .withColumn("__chg",
-          when(lag(col("__key"), 1).over(w).isNull ||
-            lag(col("__key"), 1).over(w) =!= col("__key"), 1L).otherwise(0L))
-        .withColumn("__localRun", sum(col("__chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      if (isSmallSort(df)) {
+        val w = Window.orderBy(order: _*)
+        return df
+          .withColumn("__chg",
+            when(lag(lit(1), 1).over(w).isNull ||
+              !(lag(keyCol, 1).over(w) <=> keyCol), 1L).otherwise(0L))
+          .withColumn(runCol, sum(col("__chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .drop("__chg")
+      }
+      // shared flags phase: range shuffle + per-partition window, frozen
+      // lazily ABOVE the expensive work so the stats branch and the main
+      // join both read one cached computation with identical range bounds.
+      // (A per-partition imperative mapPartitions pass was measured too:
+      // its encoder round-trip costs MORE than the window's __pid
+      // re-exchange at realistic row widths, and it exits
+      // WholeStageCodegen — the window version stays fully codegen'd.
+      // Change flags are null-safe: consecutive null keys are ONE run.)
+      val flagged = df.groupConsecutiveFlags(keyCol, order)
       val orderKey = struct(order: _*)
       val stats = flagged.groupBy(col("__pid")).agg(
         sum(col("__chg")).as("__nruns"),
         min_by(col("__key"), orderKey).as("__firstKey"),
         max_by(col("__key"), orderKey).as("__lastKey"))
       // tiny table (#partitions rows): offset_p = Σ_{q<p} nruns_q − Σ_{q≤p} merge_q
+      // merge is NULL-SAFE on the boundary keys (a null-keyed run spanning a
+      // boundary must still merge) but never fires on the first partition
+      // (lag-of-nothing is not a matching null key).
       val tw = Window.orderBy(col("__pid"))
       val offsets = stats
         .withColumn("__merge",
-          when(lag(col("__lastKey"), 1).over(tw) === col("__firstKey"), 1L)
+          when(lag(lit(1), 1).over(tw).isNotNull &&
+            (lag(col("__lastKey"), 1).over(tw) <=> col("__firstKey")), 1L)
             .otherwise(0L))
         .withColumn("__off",
           coalesce(sum(col("__nruns")).over(
@@ -205,11 +249,93 @@ object ZOps {
         order: Seq[Column], runCol: String = "run_id"): DataFrame = {
       val w = Window.partitionBy(partition: _*).orderBy(order: _*)
       df.withColumn("__chg",
-        when(lag(keyCol, 1).over(w).isNull ||
-          lag(keyCol, 1).over(w) =!= keyCol, 1).otherwise(0))
+        when(lag(lit(1), 1).over(w).isNull ||
+          !(lag(keyCol, 1).over(w) <=> keyCol), 1).otherwise(0))
         .withColumn(runCol, sum(col("__chg")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .drop("__chg")
+    }
+
+    /** Run-LEVEL `group[f]` — one row `(runCol, keyOut, lenOut)` per maximal
+      * consecutive run, never materializing a per-row run id. For run-length
+      * analytics (sessionization, streak stats) this is the scale shape:
+      * [[groupConsecutive]] + `groupBy(run_id)` shuffles one group per run
+      * (≈ row count for alternating keys); here runs are reduced
+      * PER PARTITION first (the partial agg collapses each partition to its
+      * run list map-side), only boundary runs — at most 2 per partition —
+      * need cross-partition reconciliation, and they take a driver-free
+      * tiny-aggregate path. Output run ids are 1-based, dense, in run order.
+      */
+    def consecutiveRuns(keyCol: Column, order: Seq[Column],
+        runCol: String = "run_id", keyOut: String = "key",
+        lenOut: String = "run_len"): DataFrame = {
+      // adaptive: below the small-sort threshold, per-row run ids + one
+      // tiny agg beat the boundary-merge machinery
+      if (isSmallSort(df))
+        return df.groupConsecutive(keyCol, order, runCol)
+          .groupBy(col(runCol))
+          .agg(min(keyCol).as(keyOut), count(lit(1)).as(lenOut))
+      val flagged = df.groupConsecutiveFlags(keyCol, order)
+      // collapse each partition to its runs: __localRun is contiguous
+      // within a partition, so the hash agg partially aggregates map-side
+      // with at most (#runs in partition) live groups
+      val runs = flagged.groupBy(col("__pid"), col("__localRun"))
+        .agg(min(col("__key")).as("__key"), count(lit(1)).as("__len"))
+        .localCheckpoint(eager = false)
+      val stats = runs.groupBy(col("__pid")).agg(
+        max(col("__localRun")).as("__nruns"),
+        min_by(col("__key"), col("__localRun")).as("__firstKey"),
+        max_by(col("__key"), col("__localRun")).as("__lastKey"))
+      val tw = Window.orderBy(col("__pid"))
+      val offsets = stats
+        .withColumn("__mergeIn",
+          when(lag(lit(1), 1).over(tw).isNotNull &&
+            (lag(col("__lastKey"), 1).over(tw) <=> col("__firstKey")), 1L)
+            .otherwise(0L))
+        .withColumn("__mergeOut",
+          coalesce(lead(col("__mergeIn"), 1).over(tw), lit(0L)))
+        .withColumn("__off",
+          coalesce(sum(col("__nruns")).over(
+            tw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) -
+            sum(col("__mergeIn")).over(
+              tw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("__pid"), col("__off"), col("__mergeIn"), col("__mergeOut"),
+          col("__nruns"))
+      val withId = runs.join(broadcast(offsets), "__pid")
+        .withColumn(runCol, col("__localRun") + col("__off"))
+      // a run needs cross-partition merging only if it touches a merging
+      // boundary; everything else passes through MAP-SIDE (broadcast join,
+      // no shuffle). Chains (a whole partition being one run) are safe:
+      // every segment of the chain lands on the same global run id, and the
+      // tiny aggregate sums their lengths.
+      val boundary =
+        (col("__localRun") === 1 && col("__mergeIn") === 1L) ||
+          (col("__localRun") === col("__nruns") && col("__mergeOut") === 1L)
+      val through = withId.filter(!boundary)
+        .select(col(runCol), col("__key").as(keyOut), col("__len").as(lenOut))
+      val merged = withId.filter(boundary)
+        .groupBy(col(runCol))
+        .agg(min(col("__key")).as(keyOut), sum(col("__len")).as(lenOut))
+      through.unionByName(merged)
+    }
+
+    /** Shared first phase of [[groupConsecutive]]/[[consecutiveRuns]]:
+      * range-partition + sort + per-partition change flags and local run
+      * ids, frozen (lazily) for multi-branch consumption. */
+    private[ops] def groupConsecutiveFlags(keyCol: Column,
+        order: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      df.repartitionByRange(
+        math.max(df.sparkSession.sparkContext.defaultParallelism, 1), order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__key", keyCol)
+        .withColumn("__chg",
+          when(lag(lit(1), 1).over(w).isNull ||
+            !(lag(col("__key"), 1).over(w) <=> col("__key")), 1L).otherwise(0L))
+        .withColumn("__localRun", sum(col("__chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint(eager = false)
     }
 
     /** zef `interleave` (impl.py:1183): round-robin merge of this and

@@ -58,14 +58,16 @@ object DslQueries {
       Seq("stride", "chunk", "nth")),
 
     // zef group[f] consecutive runs (impl.py:5890): runs of equal
-    // event_type in global time order, summarized.
+    // event_type in global time order, summarized. Uses the run-LEVEL op:
+    // runs collapse map-side per partition (never a shuffle with one group
+    // per run), only the ≤2 boundary runs per partition reconcile across
+    // partitions — the scale shape for run-length analytics.
     QueryDef(
       "dsl_group_consecutive",
       (s, d) => Tables.events(s, d)
-        .groupConsecutive(col("event_type"), evOrder)
-        .groupBy(col("run_id")).agg(
-          first(col("event_type")).as("event_type"),
-          count(lit(1)).as("run_len"))
+        .select(col("ts"), col("event_id"), col("event_type"))
+        .consecutiveRuns(col("event_type"), evOrder,
+          keyOut = "event_type", lenOut = "run_len")
         .groupBy(col("event_type"), col("run_len"))
         .agg(count(lit(1)).as("n_runs"))
         .orderBy(col("event_type"), col("run_len")),

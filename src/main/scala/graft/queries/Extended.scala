@@ -205,6 +205,54 @@ object Extended {
              |ORDER BY atom_id""".stripMargin),
       Seq("select_by_field", "filter", "all")),
 
+    // Nested infer_types end-to-end (data_wrangling.py:19-163): nested JSON
+    // docs (customer ⊃ nation object ⊃ phones array) → flatten → rule
+    // fixpoint (chained rules: Nation is only typable AFTER Customer) →
+    // graph emission → typed traversal. The oracle computes the expected
+    // result straight from the relational tables — if flattening, the
+    // fixpoint, array preservation, or the typed traversal were wrong, the
+    // join/count/min below would all diverge.
+    QueryDef(
+      "er_infer_nested",
+      (s, d) => {
+        import graft.wrangling.NestedInfer
+        import NestedInfer._
+        val cust = graft.Tables.customer(s, d).filter(col("c_custkey") < 300)
+        val nat = graft.Tables.nation(s, d)
+        val docs = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+          .select(col("c_custkey").as("doc_id"),
+            to_json(struct(
+              col("c_name").as("name"),
+              col("c_mktsegment").as("segment"),
+              struct(col("n_name").as("name")).as("nation"),
+              array(concat(col("c_name"), lit("-p1")),
+                concat(col("c_name"), lit("-p2"))).as("phones"))).as("doc"))
+        val rules = Seq(
+          TripleRule(ZP, V("segment"), AnyP, "Customer"),
+          TripleRule(T("Customer"), V("nation"), ZP, "Nation"))
+        val g = NestedInfer.toGraph(
+          NestedInfer.inferTypes(docs, "doc_id", "doc", rules))
+        val custSet = g.now.all("Customer")
+        val names = custSet.fieldValue("name", "v_str", "cname")
+        val nations = custSet.outsWithSource("nation", "__cust").df
+          .filter(col("atype") === "Nation")
+        val nname = graft.core.AtomSet(g.now, nations).field("name")
+          .select(col("__cust").as("atom_id"), col("v_str").as("nname"))
+        val phones = custSet.field("phones")
+          .groupBy("atom_id")
+          .agg(count(lit(1)).as("nphones"), min(col("v_str")).as("phone_min"))
+        names.join(nname, "atom_id").join(phones, "atom_id")
+          .select(col("cname"), col("nname"), col("nphones"), col("phone_min"))
+          .orderBy(col("cname"))
+      },
+      Some("""SELECT c_name AS cname, n_name AS nname,
+             |  CAST(2 AS BIGINT) AS nphones,
+             |  c_name || '-p1' AS phone_min
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_custkey < 300
+             |ORDER BY cname""".stripMargin),
+      Seq("infer_types", "flatten_object", "rule_fixpoint", "Outs", "field")),
+
     // gather: 2-step BFS from one customer over Placed+MemberOf — reaches
     // its orders, its nation, and (via the nation, in-direction) all
     // fellow customers; relation atoms collected too.

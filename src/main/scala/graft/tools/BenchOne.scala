@@ -1,0 +1,26 @@
+package graft.tools
+
+import graft._
+
+/** Focused timing for the named queries: 1 warm-up + 3 timed runs, median,
+  * against SPARK_GRAFT_SF_DIR (default sf0.1) at local[32] — the same
+  * protocol as Bench but only for the queries under the knife.
+  * Run: sbt "runMain graft.tools.BenchOne <names...>" */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <query names...>")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    args.foreach { n =>
+      val q = queries.Registry.entries.find(_.name == n)
+        .getOrElse(sys.error(s"unknown query $n"))
+      q.fn(spark, sf).count() // warm-up
+      val ts = (1 to 3).map(_ => time(q.fn(spark, sf).count())).sorted
+      println(f"[bench-one] $n median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

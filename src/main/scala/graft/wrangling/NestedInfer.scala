@@ -53,9 +53,12 @@ object NestedInfer {
     *
     * objects: (obj_id, obj_type) — obj_type from the "type" key when
     *   present (reference create_object), else ZEF_Unknown.
-    * triples: (src_id, rel, tgt_id, tgt_value) — tgt_id non-null for
+    * triples: (src_id, rel, tgt_id, tgt_value, pos) — tgt_id non-null for
     *   object-valued fields, tgt_value for scalars. Array fields emit one
-    *   triple per element (reference flatten_object's list branch).
+    *   triple per element (reference flatten_object's list branch), with
+    *   `pos` carrying the element index so multi-valued fields keep every
+    *   element AND its order through to the graph (pos is null for plain
+    *   scalar/object fields).
     */
   final case class Flattened(objects: DataFrame, triples: DataFrame)
 
@@ -96,12 +99,16 @@ object NestedInfer {
       val isObj = col("raw").startsWith("{")
       val isArr = col("raw").startsWith("[")
 
+      val noPos = lit(null).cast("int").as("pos")
+
       // scalar fields → value triples
       triples :+= entries.filter(!isObj && !isArr).select(
         col("obj_id").as("src_id"), col("rel"),
-        lit(null).cast("string").as("tgt_id"), col("raw").as("tgt_value"))
+        lit(null).cast("string").as("tgt_id"), col("raw").as("tgt_value"),
+        noPos)
 
-      // array fields → one triple per element (object or scalar)
+      // array fields → one triple per element (object or scalar), keeping
+      // the element index
       val arrElems = entries.filter(isArr).select(col("obj_id"), col("rel"),
           posexplode(from_json(col("raw"), ArrayType(StringType))))
         .withColumnRenamed("col", "elem")
@@ -111,13 +118,16 @@ object NestedInfer {
         concat(col("obj_id"), lit("/"), col("rel"), lit("["), col("pos"), lit("]"))
       triples :+= arrElems.filter(!elemIsObj).select(
         col("obj_id").as("src_id"), col("rel"),
-        lit(null).cast("string").as("tgt_id"), col("elem").as("tgt_value"))
+        lit(null).cast("string").as("tgt_id"), col("elem").as("tgt_value"),
+        col("pos").cast("int").as("pos"))
       val arrChildren = arrElems.filter(elemIsObj).select(
         arrChildId.as("obj_id"), col("elem").as("__json"),
-        col("obj_id").as("__parent"), col("rel").as("__rel"))
+        col("obj_id").as("__parent"), col("rel").as("__rel"),
+        col("pos").cast("int").as("__pos"))
       triples :+= arrChildren.select(
         col("__parent").as("src_id"), col("__rel").as("rel"),
-        col("obj_id").as("tgt_id"), lit(null).cast("string").as("tgt_value"))
+        col("obj_id").as("tgt_id"), lit(null).cast("string").as("tgt_value"),
+        col("__pos").as("pos"))
 
       // object fields → child objects + object triples
       val objChildren = entries.filter(isObj).select(
@@ -126,7 +136,8 @@ object NestedInfer {
         col("obj_id").as("__parent"), col("rel").as("__rel"))
       triples :+= objChildren.select(
         col("__parent").as("src_id"), col("__rel").as("rel"),
-        col("obj_id").as("tgt_id"), lit(null).cast("string").as("tgt_value"))
+        col("obj_id").as("tgt_id"), lit(null).cast("string").as("tgt_value"),
+        noPos)
 
       frontier = objChildren.select(col("obj_id"), col("__json"))
         .unionByName(arrChildren.select(col("obj_id"), col("__json")))
@@ -248,8 +259,17 @@ object NestedInfer {
         col("tgt_id")).as("origin_uid"))
 
     val scalars = flat.triples.filter(col("tgt_id").isNull)
-    val aeId = concat(lit("ae:"), col("rel"), lit("/"), col("src_id"))
-    val fieldRelId = concat(lit("rel:"), col("rel"), lit("/"), col("src_id"))
+    // one AE per (object, rel, pos): array elements each get their own AE
+    // (suffixed with the element index) so NO element value is dropped and
+    // element order survives as part of the identity — the reference's
+    // flatten_object list branch keeps one triple per element too
+    // (data_wrangling.py:49-60); a one-AE-per-field collapse would silently
+    // keep a single array element.
+    val posSuffix = when(col("pos").isNotNull,
+      concat(lit("["), col("pos"), lit("]"))).otherwise(lit(""))
+    val aeId = concat(lit("ae:"), col("rel"), posSuffix, lit("/"), col("src_id"))
+    val fieldRelId =
+      concat(lit("rel:"), col("rel"), posSuffix, lit("/"), col("src_id"))
     val aeAtoms = scalars.select(
       Seq(aeId.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
         col("rel").as("atype")) ++ noEnd ++
@@ -260,15 +280,9 @@ object NestedInfer {
       col("src_id"), aeId.as("dst_id"),
       slice.as("inst_slice"), noTerm, fieldRelId.as("origin_uid"))
 
-    // multi-valued scalar fields (array elements) share one AE per
-    // (object, rel): collapse to one value row deterministically (first by
-    // element order was lost at the triple level; min is stable) — matches
-    // the encoder's one-AE-per-field layout
     val values = scalars
-      .groupBy(aeId.as("ae_id"))
-      .agg(min(col("tgt_value")).as("v_str"))
-      .select(Seq(col("ae_id"), lit(instSlice).cast("int").as("tx_slice"),
-        lit("str").as("vtype"), col("v_str")) ++ nullV.tail: _*)
+      .select(Seq(aeId.as("ae_id"), lit(instSlice).cast("int").as("tx_slice"),
+        lit("str").as("vtype"), col("tgt_value").as("v_str")) ++ nullV.tail: _*)
 
     val atoms = Seq(entities, relAtoms,
         aeAtoms.dropDuplicates("atom_id"), fieldRels.dropDuplicates("atom_id"))

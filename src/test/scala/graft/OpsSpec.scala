@@ -40,10 +40,15 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("enumerate: scalable global index matches orderBy position") {
-    val e = nums.enumerate(Seq(col("id").desc))
-    val rows = e.orderBy("idx").collect()
-    assert(rows.map(_.getAs[Long]("idx")).toSeq == (0L until 20L))
-    assert(rows.head.getAs[Long]("id") == 20L) // desc order → 20 first
+    def check(): Unit = {
+      val e = nums.enumerate(Seq(col("id").desc))
+      val rows = e.orderBy("idx").collect()
+      assert(rows.map(_.getAs[Long]("idx")).toSeq == (0L until 20L))
+      assert(rows.head.getAs[Long]("id") == 20L) // desc order → 20 first
+    }
+    check() // small adaptive path
+    spark.conf.set("graft.smallSortThreshold", "0") // force distributed path
+    try check() finally spark.conf.unset("graft.smallSortThreshold")
   }
 
   test("chunk/stride under explicit order") {
@@ -80,6 +85,39 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("run_id").collect()
     assert(runs.map(r => (r.getAs[String]("k"), r.getAs[Long]("n"))).toSeq ==
       Seq(("a", 2L), ("b", 1L), ("a", 3L)))
+  }
+
+  test("consecutiveRuns matches groupConsecutive, incl. cross-partition chains and null keys") {
+    val s = spark; import s.implicits._
+    // 12k rows: alternating short runs, one giant 4k-row run (guaranteed to
+    // span several range partitions → exercises the boundary-merge chain),
+    // and null-key runs (consecutive nulls = ONE run, null-safe compare)
+    val rows = (0 until 4000).map(i => (i.toLong, Some((i / 7 % 3).toString))) ++
+      (4000 until 8000).map(i => (i.toLong, Some("HOT"))) ++
+      (8000 until 8040).map(i => (i.toLong, None: Option[String])) ++
+      (8040 until 12000).map(i => (i.toLong, Some((i % 2).toString)))
+    val df = rows.toDF("pos", "k")
+    def runsOf(d: org.apache.spark.sql.DataFrame) = d.orderBy("run_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    // small path (12k rows is far below the threshold)
+    val actSmall = runsOf(df.consecutiveRuns(col("k"), Seq(col("pos"))))
+    // force the DISTRIBUTED path for both ops and cross-check
+    spark.conf.set("graft.smallSortThreshold", "0")
+    try {
+      val expected = df.groupConsecutive(col("k"), Seq(col("pos")))
+        .groupBy("run_id")
+        .agg(first(col("k")).as("key"), count(lit(1)).as("run_len"))
+      val act = runsOf(df.consecutiveRuns(col("k"), Seq(col("pos"))))
+      assert(act == runsOf(expected))
+      // both adaptive paths agree exactly
+      assert(act == actSmall)
+      // the giant run (spans several range partitions) survived as ONE run
+      assert(act.count(_._3 == 4000L) == 1)
+      // consecutive nulls collapsed to one 40-row run (null-safe compare)
+      assert(act.filter(_._2.isEmpty).map(_._3) == Seq(40L))
+      // ids dense 1..n
+      assert(act.map(_._1) == (1L to act.length.toLong))
+    } finally spark.conf.unset("graft.smallSortThreshold")
   }
 
   test("interleave round-robins two ordered sets") {
