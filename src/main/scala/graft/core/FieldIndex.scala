@@ -1,0 +1,109 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable value-hash field index — the Spark restatement of the
+  * reference's value-hash lookup index (`core/include/graph.h:223-226`,
+  * the machinery behind `select_by_field`, impl.py:6143) and of SimpleGQL's
+  * declared `@search` intent (`test_simplegql.py:50-60`): fields the schema
+  * marks searchable get an index table so point lookups probe an
+  * rt-partitioned, hash-sorted parquet scan instead of aggregating value
+  * history.
+  *
+  * Layout: one row per (field relation, assignment) —
+  * `(rt, vhash, ae_id, owner_id, tx_slice)` — written partitioned by `rt`
+  * (directory pruning) and sorted by `vhash` within files (parquet
+  * row-group min/max skips everything but the probed bucket). The index is
+  * append-only, exactly like the store's values table: stale entries (an AE
+  * whose value later changed) survive as candidates and are eliminated by
+  * the probe's as-of verification, so maintenance is a pure append of the
+  * transaction delta — no rewrites, no tombstones.
+  *
+  * Hash collisions and staleness both only ever ADD candidates; the probe
+  * re-checks the current typed value exactly, so correctness never depends
+  * on the index — only the amount of pruning does.
+  */
+object FieldIndex {
+
+  val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+
+  /** Canonical 64-bit value hash: one expression over the typed value
+    * columns, used identically at build time (over columns) and probe time
+    * (over a typed literal) — same expression, same result, so a probe can
+    * never miss its bucket. */
+  def vhashExpr(vstr: Column, vlong: Column, vdouble: Column, vbool: Column,
+      vts: Column): Column =
+    xxhash64(
+      coalesce(
+        when(vstr.isNotNull, concat(lit("s:"), vstr)),
+        when(vlong.isNotNull, concat(lit("l:"), vlong.cast("string"))),
+        when(vdouble.isNotNull, concat(lit("d:"), vdouble.cast("string"))),
+        when(vbool.isNotNull, concat(lit("b:"), vbool.cast("string"))),
+        when(vts.isNotNull, concat(lit("t:"), vts.cast("long").cast("string"))),
+        lit("")))
+
+  private def vhashOfCols: Column = vhashExpr(col("v_str"), col("v_long"),
+    col("v_double"), col("v_bool"), col("v_ts"))
+
+  /** Probe-side hash of a runtime value (mirrors ValueRow.of's type
+    * dispatch; constant-folded by Catalyst into a pushable literal). */
+  def vhashOf(value: Any): Column = {
+    val nul = lit(null)
+    value match {
+      case s: String => vhashExpr(lit(s), nul, nul, nul, nul)
+      case i: Int => vhashExpr(nul, lit(i.toLong), nul, nul, nul)
+      case l: Long => vhashExpr(nul, lit(l), nul, nul, nul)
+      case d: Double => vhashExpr(nul, nul, lit(d), nul, nul)
+      case b: Boolean => vhashExpr(nul, nul, nul, lit(b), nul)
+      case t: java.sql.Timestamp => vhashExpr(nul, nul, nul, nul, lit(t))
+      case other => throw new IllegalArgumentException(
+        s"unsupported index probe type: ${other.getClass}")
+    }
+  }
+
+  /** Index rows for the given field relation types: relations scan (pruned
+    * to the rts) joined to values — one shuffle at build, map-only probes
+    * forever after. */
+  def build(g: Graph, rts: Seq[String]): DataFrame = {
+    val rels = g.atoms.filter(
+      col("kind") === Kind.Relation && col("atype").isInCollection(rts))
+      .select(col("atype").as("rt"), col("src_id").as("owner_id"),
+        col("dst_id").as("ae_id"))
+    g.values.join(rels, "ae_id")
+      .select(col("rt"), vhashOfCols.as("vhash"), col("ae_id"),
+        col("owner_id"), col("tx_slice"))
+  }
+
+  /** Write (or overwrite) the index at `path`: partitioned by rt, files
+    * sorted by vhash for row-group skipping. */
+  def save(index: DataFrame, path: String): Unit =
+    index.repartition(col("rt")).sortWithinPartitions(col("vhash"))
+      .write.mode(SaveMode.Overwrite).partitionBy("rt").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Append one transaction's index delta: new assignments joined to their
+    * owning field relation (from the receipt itself for fields created in
+    * this tx, from the stored atoms for re-assignments to existing AEs). */
+  def appendTx(spark: SparkSession, storePath: String, indexPath: String,
+      r: Receipt, rts: Seq[String]): Unit = {
+    import spark.implicits._
+    if (r.newValues.isEmpty) return
+    val newVals = spark.createDataset(r.newValues).toDF()
+    val fromTx = spark.createDataset(r.newAtoms).toDF()
+      .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
+      .select(col("atype").as("rt"), col("src_id").as("owner_id"),
+        col("dst_id").as("ae_id"))
+    val stored = spark.read.parquet(s"$storePath/atoms")
+      .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
+      .select(col("atype").as("rt"), col("src_id").as("owner_id"),
+        col("dst_id").as("ae_id"))
+    val delta = newVals.join(fromTx.unionByName(stored).distinct(), "ae_id")
+      .select(col("rt"), vhashOfCols.as("vhash"), col("ae_id"),
+        col("owner_id"), col("tx_slice"))
+    if (!delta.isEmpty)
+      delta.write.mode(SaveMode.Append).partitionBy("rt").parquet(indexPath)
+  }
+}

@@ -230,6 +230,35 @@ final case class GraphSlice(graph: Graph, slice: Int) {
     val currentHits = hits.join(latest, "ae_id")
       .filter(col("tx_slice") === col("__top"))
       .select("ae_id").distinct()
+    entitiesOwning(currentHits, et, rt)
+  }
+
+  /** Indexed `select_by_field` — probes a [[FieldIndex]] table instead of
+    * scanning values: the rt partition-prunes the index directory, the
+    * constant-folded vhash predicate skips row groups (files are
+    * vhash-sorted), and only the surviving candidate AEs touch the values
+    * table for the exact as-of re-check. Collisions/stale index entries
+    * only widen the candidate set — the re-check keeps results identical
+    * to [[selectByField]] (the reference's declared-index promise,
+    * test_simplegql.py:50-60 + graph.h:223-226). */
+  def selectByFieldIndexed(index: org.apache.spark.sql.DataFrame, et: String,
+      rt: String, vcol: String, value: Any): AtomSet = {
+    val cand = index.filter(col("rt") === rt &&
+        col("vhash") === FieldIndex.vhashOf(value) && col("tx_slice") <= slice)
+      .select("ae_id").distinct()
+    val currentHits = graph.values.filter(col("tx_slice") <= slice)
+      .join(cand, Seq("ae_id"), "left_semi")
+      .groupBy("ae_id")
+      .agg(max_by(col(vcol), col("tx_slice")).as("__cur"))
+      .filter(col("__cur") === lit(value))
+      .select("ae_id")
+    entitiesOwning(currentHits, et, rt)
+  }
+
+  /** Shared tail of the select_by_field paths: current-hit AEs → alive
+    * owning relations of type rt → alive entities of type et. */
+  private def entitiesOwning(currentHits: DataFrame, et: String,
+      rt: String): AtomSet = {
     val owners = graph.atoms.filter(
       col("kind") === Kind.Relation && col("atype") === rt && Graph.aliveAt(slice))
       .join(currentHits.withColumnRenamed("ae_id", "dst_id"), "dst_id")

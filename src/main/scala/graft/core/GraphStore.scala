@@ -66,6 +66,34 @@ object GraphStore {
       .write.mode(SaveMode.Append).parquet(s"$path/txs")
   }
 
+  /** Save plus a [[FieldIndex]] over the given field relation types —
+    * typically `schema.searchRts` from a parsed SimpleGQL schema, honoring
+    * its declared `@search` directives. */
+  def saveWithIndex(g: Graph, path: String, indexRts: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    save(g, path, mode)
+    if (indexRts.nonEmpty)
+      FieldIndex.save(FieldIndex.build(g, indexRts), s"$path/index")
+  }
+
+  def loadIndex(spark: SparkSession, path: String): Option[
+      org.apache.spark.sql.DataFrame] = {
+    val p = new java.io.File(s"$path/index")
+    if (p.exists()) Some(FieldIndex.load(spark, s"$path/index")) else None
+  }
+
+  /** [[appendTx]] plus index maintenance for the given rts (pure append —
+    * see FieldIndex's staleness note). */
+  def appendTxIndexed(spark: SparkSession, path: String, r: Receipt,
+      indexRts: Seq[String]): Unit = {
+    // index delta first: it reads the STORED atoms for existing-AE owners
+    // and the receipt for this-tx relations — appending atoms first would
+    // double-count the new relations
+    if (indexRts.nonEmpty)
+      FieldIndex.appendTx(spark, path, s"$path/index", r, indexRts)
+    appendTx(spark, path, r)
+  }
+
   /** Load with closure reconciliation (see [[appendTx]]). */
   def loadWithClosures(spark: SparkSession, path: String): Graph = {
     val g = load(spark, path)

@@ -275,6 +275,11 @@ object GqlParser {
       required = types.map { case (n, t) =>
         n -> t.fields.filter(f => f.required && !isEntity(f.tpe)).map(_.rt)
       }.filter(_._2.nonEmpty))
+
+    /** Relation types the schema declares `@search` — the store indexes
+      * exactly these (FieldIndex; reference test_simplegql.py:50-60). */
+    def searchRts: Seq[String] =
+      types.values.flatMap(_.fields.filter(_.search).map(_.rt)).toSeq.distinct
   }
 
   /** simple_capitalize — firebaseID → FirebaseID, not FirebaseId

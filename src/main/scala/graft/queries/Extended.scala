@@ -17,7 +17,7 @@ object Extended {
       |type Customer {
       |  name: String! @unique @relation(rt: "c_name")
       |  acctbal: Float @search @relation(rt: "c_acctbal")
-      |  segment: String @relation(rt: "c_mktsegment")
+      |  segment: String @search @relation(rt: "c_mktsegment")
       |  orders: [Order] @relation(rt: "Placed")
       |  nation: Nation @relation(rt: "MemberOf")
       |}
@@ -31,6 +31,25 @@ object Extended {
       |  nname: String @relation(rt: "n_name")
       |  customers: [Customer] @incoming @relation(rt: "MemberOf")
       |}""".stripMargin
+
+  /** Memoized durable FieldIndex over the TPC-H graph's `@search` fields
+    * (built once per (session, sfDir), like GraphEncoder's graph cache):
+    * the parsed schema DECLARES what gets indexed, the store builds it,
+    * queries probe it — the full @search contract. */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  def tpchIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    indexCache.getOrElseUpdate((s, d), {
+      val g = GraphEncoder.encodeTpch(s, d)
+      val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+      val path =
+        s"/tmp/graft_fieldindex/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.core.FieldIndex.save(
+        graft.core.FieldIndex.build(g, schema.searchRts), path)
+      graft.core.FieldIndex.load(s, path)
+    })
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -252,6 +271,23 @@ object Extended {
              |WHERE c_custkey < 300
              |ORDER BY cname""".stripMargin),
       Seq("infer_types", "flatten_object", "rule_fixpoint", "Outs", "field")),
+
+    // select_by_field through the DURABLE value-hash index (the reference's
+    // declared-index intent: @search in the schema SDL → FieldIndex on
+    // disk → partition-pruned, hash-sorted probe + exact as-of re-check).
+    // Same oracle as graph_select_by_field — identical results, indexed plan.
+    QueryDef(
+      "graph_select_by_field_indexed",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        g.now.selectByFieldIndexed(tpchIndex(s, d),
+          "Customer", "c_mktsegment", "v_str", "BUILDING")
+          .df.select(col("atom_id")).orderBy(col("atom_id"))
+      },
+      Some("""SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS atom_id
+             |FROM customer WHERE c_mktsegment = 'BUILDING'
+             |ORDER BY atom_id""".stripMargin),
+      Seq("select_by_field", "field_index", "search_directive")),
 
     // gather: 2-step BFS from one customer over Placed+MemberOf — reaches
     // its orders, its nation, and (via the nation, in-direction) all

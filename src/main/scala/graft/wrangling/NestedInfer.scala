@@ -80,9 +80,16 @@ object NestedInfer {
     var depth = 0
     var done = false
     while (depth < maxDepth && !done) {
+      // each level's parse is frozen (lazy, persist-backed): FIVE branches
+      // consume it (objects, three triple kinds, the next frontier) and the
+      // next level's lineage starts here — without the freeze every branch
+      // of every level re-runs all previous levels' from_json, an O(depth²)
+      // recompute pyramid that also re-executes under every downstream
+      // action over the result
       val parsed = frontier
         .withColumn("__m", from_json(col("__json"), mapSS))
         .filter(col("__m").isNotNull)
+        .localCheckpoint(eager = false)
       objects :+= parsed.select(
         col("obj_id"),
         coalesce(element_at(col("__m"), "type"), lit(UnknownType))
@@ -145,8 +152,10 @@ object NestedInfer {
       // emptiness probe only when another level could follow
       if (depth < maxDepth) done = frontier.isEmpty
     }
+    // the triple union is scanned by every fixpoint round AND by every
+    // consumer of the result graph — freeze it once
     Flattened(objects.reduce(_ unionByName _),
-      triples.reduce(_ unionByName _))
+      triples.reduce(_ unionByName _).localCheckpoint(eager = false))
   }
 
   private def srcPred(p: Pat): Column = p match {
@@ -195,17 +204,23 @@ object NestedInfer {
           .select(zCol.as("obj_id"), lit(i).as("__prio"),
             lit(r.toType).as("__new"))
       }
+      // frozen: the convergence probe AND the update join both read the
+      // round's assignments — without the freeze the whole rule scan runs
+      // twice per round
       val assignments = perRule.reduce(_ unionByName _)
         .groupBy("obj_id")
         .agg(min_by(col("__new"), col("__prio")).as("__new"))
-      val updated = types.join(assignments, Seq("obj_id"), "left")
-        .withColumn("obj_type",
-          when(col("obj_type") === UnknownType && col("__new").isNotNull,
-            col("__new")).otherwise(col("obj_type")))
-        .drop("__new")
-        .localCheckpoint(true) // truncate lineage; also materializes the round
+        .localCheckpoint(eager = false)
       converged = assignments.isEmpty
-      types = updated
+      if (!converged) {
+        // converged rounds skip the (pointless) identity update entirely
+        types = types.join(assignments, Seq("obj_id"), "left")
+          .withColumn("obj_type",
+            when(col("obj_type") === UnknownType && col("__new").isNotNull,
+              col("__new")).otherwise(col("obj_type")))
+          .drop("__new")
+          .localCheckpoint(true) // truncate lineage; materializes the round
+      }
       iter += 1
     }
     types
@@ -284,9 +299,14 @@ object NestedInfer {
       .select(Seq(aeId.as("ae_id"), lit(instSlice).cast("int").as("tx_slice"),
         lit("str").as("vtype"), col("tgt_value").as("v_str")) ++ nullV.tail: _*)
 
+    // the result graph's tables are scanned many times by any real
+    // consumer (traversals join atoms against atoms against values):
+    // persist them like GraphEncoder's bulk-load cache so the flatten +
+    // fixpoint lineage executes once, not once per scan
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val atoms = Seq(entities, relAtoms,
         aeAtoms.dropDuplicates("atom_id"), fieldRels.dropDuplicates("atom_id"))
-      .reduce(_ unionByName _)
-    Graph(atoms, values, Seq(TxRow(instSlice, ts)).toDF())
+      .reduce(_ unionByName _).persist(lvl)
+    Graph(atoms, values.persist(lvl), Seq(TxRow(instSlice, ts)).toDF())
   }
 }

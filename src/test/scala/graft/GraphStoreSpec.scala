@@ -39,6 +39,61 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(loaded.at(1).byTag("first").count() == 1)
   }
 
+  test("FieldIndex: @search-declared index, indexed lookup parity, append maintenance") {
+    val schema = graft.gql.GqlParser.parseSchema(
+      """type Person {
+        |  name: String! @search @relation(rt: "Name")
+        |  age: Int @search @relation(rt: "Age")
+        |  nick: String @relation(rt: "Nick")
+        |}""".stripMargin)
+    assert(schema.searchRts.toSet == Set("Name", "Age")) // @search honored, Nick not indexed
+
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
+      PutField("a", "Age", 30),
+      PutEntity("Person", "b"), PutField("b", "Name", "Bob"),
+      PutField("b", "Age", 30)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    GraphStore.saveWithIndex(g1, dir, schema.searchRts)
+    assert(new java.io.File(s"$dir/index/rt=Name").exists())
+    assert(!new java.io.File(s"$dir/index/rt=Nick").exists())
+
+    val loaded = GraphStore.load(spark, dir)
+    val idx = GraphStore.loadIndex(spark, dir).get
+    def ids(as: AtomSet) = as.df.select("atom_id").collect()
+      .map(_.getString(0)).sorted.toSeq
+    // indexed == plain, string and long typed probes
+    assert(ids(loaded.now.selectByFieldIndexed(idx, "Person", "Name", "v_str", "Ann"))
+      == ids(loaded.now.selectByField("Person", "Name", "v_str", "Ann")))
+    assert(ids(loaded.now.selectByFieldIndexed(idx, "Person", "Age", "v_long", 30))
+      == Seq("e:Person/a", "e:Person/b"))
+
+    // append maintenance: reassign Ann -> Ann2, index delta lands, as-of holds
+    val (g2, r2) = Transactor.transact(g1, Seq(
+      AssignField("e:Person/a", "Name", "Ann2")))
+    GraphStore.appendTxIndexed(spark, dir, r2, schema.searchRts)
+    val l2 = GraphStore.loadWithClosures(spark, dir)
+    val idx2 = GraphStore.loadIndex(spark, dir).get
+    // stale entry eliminated by the as-of re-check at now...
+    assert(ids(l2.now.selectByFieldIndexed(idx2, "Person", "Name", "v_str", "Ann"))
+      == Seq())
+    assert(ids(l2.now.selectByFieldIndexed(idx2, "Person", "Name", "v_str", "Bob"))
+      == Seq("e:Person/b"))
+    assert(ids(l2.now.selectByFieldIndexed(idx2, "Person", "Name", "v_str", "Ann2"))
+      == Seq("e:Person/a"))
+    // ...but the historical frame still finds the old value
+    assert(ids(l2.at(1).selectByFieldIndexed(idx2, "Person", "Name", "v_str", "Ann"))
+      == Seq("e:Person/a"))
+    // new-in-tx field relations also index (PutField in a later tx)
+    val (_, r3) = Transactor.transact(g2, Seq(
+      PutEntity("Person", "c"), PutField("c", "Name", "Cid")))
+    GraphStore.appendTxIndexed(spark, dir, r3, schema.searchRts)
+    val l3 = GraphStore.loadWithClosures(spark, dir)
+    val idx3 = GraphStore.loadIndex(spark, dir).get
+    assert(ids(l3.now.selectByFieldIndexed(idx3, "Person", "Name", "v_str", "Cid"))
+      == Seq("e:Person/c"))
+  }
+
   test("save/load round-trip preserves graph semantics and prunes by type") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutField("joe", "Name", "Joe"),
