@@ -121,16 +121,42 @@ object GqlApi {
   // ------------------------------------------------------------------
   // Query execution
   // ------------------------------------------------------------------
-  /** Run a query document against a frame. Exactly one root field. */
+  /** Type-level @auth enforcement (test_simplegql.py:28-77): the schema's
+    * `@auth(<key>: "{...filter...}")` expression — a filter object over the
+    * type's fields with `$claim` variables — compiles against the caller's
+    * auth claims and is AND-ed into the plan. Declared auth with no claims
+    * is an outright denial (the reference rejects tokenless requests).
+    * Returns the compiled filter + the fields it touches (the projection
+    * must include them). */
+  private def authFilter(schema: SchemaDef, tpe: TypeDef, key: String,
+      claims: Option[Map[String, Any]])
+      : Option[(GqlLite.Filter, Set[String])] =
+    tpe.auth.get(key).map { expr =>
+      val c = claims.getOrElse(throw new SecurityException(
+        s"type ${tpe.name} requires auth claims for '$key'"))
+      compileFilter(schema, tpe, GqlParser.parseFilterObject(expr, c))
+    }
+
+  private def andOpt(a: Option[GqlLite.Filter], b: Option[GqlLite.Filter])
+      : Option[GqlLite.Filter] = (a, b) match {
+    case (Some(x), Some(y)) => Some(GqlLite.And(x, y))
+    case (x, y) => x.orElse(y)
+  }
+
+  /** Run a query document against a frame. Exactly one root field.
+    * `authClaims` feed the schema's type-level @auth(query:) expressions —
+    * the result set is the auth-filtered subset, still one plan. */
   def query(slice: GraphSlice, schema: SchemaDef, text: String,
-      vars: Map[String, Any] = Map()): DataFrame = {
+      vars: Map[String, Any] = Map(),
+      authClaims: Option[Map[String, Any]] = None): DataFrame = {
     val op = parseOperation(text, vars)
     require(op.kind == "query", s"expected a query document, got ${op.kind}")
     require(op.roots.size == 1, "exactly one root field per query document")
     val root = op.roots.head
     root.name match {
       case n if n.startsWith("query") =>
-        runQuery(slice, schema, schema.tpe(n.stripPrefix("query")), root)
+        runQuery(slice, schema, schema.tpe(n.stripPrefix("query")), root,
+          authClaims)
       case n if n.startsWith("get") =>
         val tpe = schema.tpe(n.stripPrefix("get"))
         val id = root.args.get("id") match {
@@ -138,15 +164,16 @@ object GqlApi {
           case other => throw new IllegalArgumentException(s"get needs id:, got $other")
         }
         runQuery(slice, schema, tpe, root.copy(args =
-          VObj(Seq("filter" -> VObj(Seq("id" -> VStr(id)))))))
+          VObj(Seq("filter" -> VObj(Seq("id" -> VStr(id)))))), authClaims)
       case n if n.startsWith("aggregate") =>
-        runAggregate(slice, schema, schema.tpe(n.stripPrefix("aggregate")), root)
+        runAggregate(slice, schema, schema.tpe(n.stripPrefix("aggregate")),
+          root, authClaims)
       case other => throw new IllegalArgumentException(s"unknown root field $other")
     }
   }
 
   private def runQuery(slice: GraphSlice, schema: SchemaDef, tpe: TypeDef,
-      root: Sel): DataFrame = {
+      root: Sel, authClaims: Option[Map[String, Any]] = None): DataFrame = {
     // selections: scalar fields (+ aliases), `id`, and relation-field
     // count hops (`rel { count }` — the one-plan aggregated-join shape;
     // full nested-entity selection is the reference's N+1 resolver,
@@ -170,13 +197,16 @@ object GqlApi {
         }
       }
     }
-    val (filter, filterFields) = root.args.get("filter") match {
+    val (userFilter, userTouched) = root.args.get("filter") match {
       case Some(o: VObj) =>
         val (f, touched) = compileFilter(schema, tpe, o)
         (Some(f), touched)
       case Some(other) => throw new IllegalArgumentException(s"bad filter $other")
       case None => (None, Set.empty[String])
     }
+    val auth = authFilter(schema, tpe, "query", authClaims)
+    val filter = andOpt(userFilter, auth.map(_._1))
+    val filterFields = userTouched ++ auth.map(_._2).getOrElse(Set())
     val sort = root.args.get("order").map(o => compileSort(asObj(o))).getOrElse(Nil)
     val first = root.args.get("first").map { case VInt(i) => i.toInt
       case other => throw new IllegalArgumentException(s"bad first $other") }
@@ -198,7 +228,7 @@ object GqlApi {
   }
 
   private def runAggregate(slice: GraphSlice, schema: SchemaDef, tpe: TypeDef,
-      root: Sel): DataFrame = {
+      root: Sel, authClaims: Option[Map[String, Any]] = None): DataFrame = {
     val stats = Seq("Min", "Max", "Sum", "Avg")
     // selections: count | {field}{Min|Max|Sum|Avg} (aggregate_fields_dict,
     // generate_api2.py:119-219)
@@ -215,11 +245,14 @@ object GqlApi {
       val fd = tpe.field(f)
       (fd.rt, vcolOf(schema, fd), f)
     }
-    val (filter, filterTouched) = root.args.get("filter") match {
+    val (userFilter, userTouched) = root.args.get("filter") match {
       case Some(o: VObj) =>
         val (f, t) = compileFilter(schema, tpe, o); (Some(f), t)
       case _ => (None, Set.empty[String])
     }
+    val auth = authFilter(schema, tpe, "query", authClaims)
+    val filter = andOpt(userFilter, auth.map(_._1))
+    val filterTouched = userTouched ++ auth.map(_._2).getOrElse(Set())
     val filterFields = filterTouched.toSeq.sorted
       .filterNot(f => f == "atom_id" || fields.exists(_._3 == f))
       .map { f =>
@@ -242,7 +275,8 @@ object GqlApi {
     * programmatic stand-in for the reference's @auth expressions). */
   def mutate(g: Graph, schema: SchemaDef, text: String,
       vars: Map[String, Any] = Map(),
-      auth: Option[(GraphSlice, String) => Boolean] = None)
+      auth: Option[(GraphSlice, String) => Boolean] = None,
+      authClaims: Option[Map[String, Any]] = None)
       : (Graph, Receipt) = {
     val op = parseOperation(text, vars)
     require(op.kind == "mutation", s"expected a mutation document, got ${op.kind}")
@@ -276,7 +310,8 @@ object GqlApi {
           val tpe = schema.tpe(n.stripPrefix("update"))
           val input = asObj(root.args.get("input").getOrElse(
             throw new IllegalArgumentException("update needs input:")))
-          val ids = resolveIds(g, schema, tpe, input.get("filter"))
+          val ids = resolveIds(g, schema, tpe, input.get("filter"),
+            authFilter(schema, tpe, "update", authClaims))
           val set = asObj(input.get("set").getOrElse(
             throw new IllegalArgumentException("update needs set:")))
           val fields = set.fields.map { case (fname, v) =>
@@ -286,7 +321,8 @@ object GqlApi {
           ids.map(GqlLite.UpdateEntity(_, fields))
         case n if n.startsWith("delete") =>
           val tpe = schema.tpe(n.stripPrefix("delete"))
-          resolveIds(g, schema, tpe, root.args.get("filter"))
+          resolveIds(g, schema, tpe, root.args.get("filter"),
+            authFilter(schema, tpe, "delete", authClaims))
             .map(GqlLite.DeleteEntity(_))
         case other => throw new IllegalArgumentException(
           s"unknown mutation root '$other'")
@@ -299,18 +335,22 @@ object GqlApi {
     * resolve_update/resolve_delete in generate_api2.py). Mutations are
     * OLTP-scale like the reference's — the id list lands on the driver. */
   private def resolveIds(g: Graph, schema: SchemaDef, tpe: TypeDef,
-      filterV: Option[V]): Seq[String] = {
+      filterV: Option[V],
+      auth: Option[(GqlLite.Filter, Set[String])] = None): Seq[String] = {
     val o = asObj(filterV.getOrElse(
       throw new IllegalArgumentException("mutation needs filter:")))
-    // fast path: pure id filter needs no plan at all
-    o.fields match {
+    // fast path: pure id filter needs no plan at all — unless an @auth
+    // expression must vet the targets too
+    if (auth.isEmpty) o.fields match {
       case Seq(("id", VStr(s))) => return Seq(s)
       case Seq(("id", VList(ids))) =>
         return ids.map { case VStr(s) => s; case other =>
           throw new IllegalArgumentException(s"bad id $other") }
       case _ => ()
     }
-    val (f, touched) = compileFilter(schema, tpe, o)
+    val (f0, touched0) = compileFilter(schema, tpe, o)
+    val f = auth.map(a => GqlLite.And(f0, a._1)).getOrElse(f0)
+    val touched = touched0 ++ auth.map(_._2).getOrElse(Set())
     val fieldSpecs = touched.toSeq.sorted.map { fn =>
       val fd = tpe.field(fn)
       (fd.rt, vcolOf(schema, fd), fn)

@@ -244,6 +244,17 @@ object GqlParser {
   def parseOperation(text: String, vars: Map[String, Any] = Map()): Operation =
     new P(lex(text), vars).parseOperation()
 
+  /** Parse a standalone filter object (`{owner: {eq: $email}}`) with
+    * variables — the form @auth expressions take (GqlApi compiles them
+    * into the query plan; the reference's zef-lang auth strings serve the
+    * same role, generate_api2.py + test_simplegql.py:28-77). */
+  def parseFilterObject(text: String, vars: Map[String, Any]): VObj =
+    new P(lex(text), vars).parseValue() match {
+      case o: VObj => o
+      case other => throw new IllegalArgumentException(
+        s"@auth expression must be a filter object, got $other")
+    }
+
   // ------------------------------------------------------------------
   // Schema SDL
   // ------------------------------------------------------------------

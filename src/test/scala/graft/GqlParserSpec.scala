@@ -15,7 +15,7 @@ class GqlParserSpec extends AnyFunSuite {
 
   val sdl: String =
     """# Zef.SchemaVersion: v1
-      |type User @auth(query: "z >> RT.Owner") {
+      |type User {
       |  email: String! @unique
       |  givenName: String
       |  score: Float @search
@@ -44,7 +44,10 @@ class GqlParserSpec extends AnyFunSuite {
     assert(u.field("score").search && !u.field("score").required)
     val tx = u.field("transactions")
     assert(tx.list && tx.incoming && tx.tpe == "Transaction" && tx.rt == "User")
-    assert(u.auth("query").contains("RT.Owner"))
+    // @auth metadata parses (enforcement is covered by its own test below)
+    val authed = GqlParser.parseSchema(
+      """type D @auth(query: "{owner: {eq: $email}}") { owner: String }""")
+    assert(authed.tpe("D").auth("query").contains("owner"))
     // declared constraints land keyed by relation type
     val c = s.constraints
     assert(c.unique("User").toSet == Set("Email", "SerialNo"))
@@ -160,6 +163,51 @@ class GqlParserSpec extends AnyFunSuite {
       auth = Some(annOnly))
     assert(g3.now.all("User").count() == 1)
     assert(g3.at(g3.maxSlice - 1).all("User").count() == 2) // time travel
+  }
+
+  test("@auth(query:) filters the query path per claims, still one plan") {
+    val authSdl =
+      """type Doc @auth(query: "{owner: {eq: $email}}",
+        |               delete: "{owner: {eq: $email}}") {
+        |  owner: String!
+        |  title: String!
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(authSdl)
+    val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation {
+        |  addDoc(input: [
+        |    {id: "d1", owner: "ann@x", title: "A1"},
+        |    {id: "d2", owner: "ann@x", title: "A2"},
+        |    {id: "d3", owner: "bob@x", title: "B1"}
+        |  ])
+        |}""".stripMargin)
+    def titles(claims: Map[String, Any]) =
+      GqlApi.query(g.now, schema,
+        """{ queryDoc(order: {asc: title}) { title } }""",
+        authClaims = Some(claims))
+        .collect().map(_.getString(0)).toSeq
+    // each caller sees exactly their own subset
+    assert(titles(Map("email" -> "ann@x")) == Seq("A1", "A2"))
+    assert(titles(Map("email" -> "bob@x")) == Seq("B1"))
+    assert(titles(Map("email" -> "eve@x")) == Seq())
+    // declared auth + no claims = denial, not a full-table answer
+    intercept[SecurityException] {
+      GqlApi.query(g.now, schema, """{ queryDoc { title } }""")
+    }
+    // aggregate root is auth-filtered the same way
+    val agg = GqlApi.query(g.now, schema,
+      """{ aggregateDoc { count } }""",
+      authClaims = Some(Map("email" -> "ann@x"))).collect()(0)
+    assert(agg.getAs[Long]("count") == 2)
+    // delete auth: bob's claims can't delete ann's docs even by id
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation { deleteDoc(filter: {id: "e:Doc/d1"}) }""",
+      authClaims = Some(Map("email" -> "bob@x")))
+    assert(g2.now.all("Doc").count() == 3) // no-op: auth filter vetoed the id
+    val (g3, _) = GqlApi.mutate(g, schema,
+      """mutation { deleteDoc(filter: {id: "e:Doc/d1"}) }""",
+      authClaims = Some(Map("email" -> "ann@x")))
+    assert(g3.now.all("Doc").count() == 2)
   }
 
   test("parsed aggregate root with enum filter over mutations") {
