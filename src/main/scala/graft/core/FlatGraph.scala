@@ -8,17 +8,21 @@ package graft.core
   */
 final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
 
+  // traversal views are ALIVE-only (a snapshot starts all-alive; local
+  // terminations via insert() must drop out of traversals, matching the
+  // cluster frame's aliveAt predicate)
+  private lazy val aliveAtoms: Vector[AtomRow] = atoms.filter(_.term_slice.isEmpty)
   private lazy val byId: Map[String, AtomRow] = atoms.map(a => a.atom_id -> a).toMap
   private lazy val outEdges: Map[String, Vector[AtomRow]] =
-    atoms.filter(_.kind == Kind.Relation).groupBy(_.src_id.get)
+    aliveAtoms.filter(_.kind == Kind.Relation).groupBy(_.src_id.get)
   private lazy val inEdges: Map[String, Vector[AtomRow]] =
-    atoms.filter(_.kind == Kind.Relation).groupBy(_.dst_id.get)
+    aliveAtoms.filter(_.kind == Kind.Relation).groupBy(_.dst_id.get)
 
   def apply(id: String): AtomRow = byId(id)
   def get(id: String): Option[AtomRow] = byId.get(id)
 
   def all(et: String): Vector[AtomRow] =
-    atoms.filter(a => a.kind == Kind.Entity && a.atype == et)
+    aliveAtoms.filter(a => a.kind == Kind.Entity && a.atype == et)
 
   def outs(id: String, rt: String): Vector[AtomRow] =
     outEdges.getOrElse(id, Vector.empty).filter(_.atype == rt)
@@ -40,6 +44,81 @@ final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
   }
 
   def size: Int = atoms.size
+
+  /** First slice not yet used by this snapshot's rows. */
+  def nextSlice: Int =
+    (atoms.map(_.inst_slice) ++ values.map(_.tx_slice)).maxOption.getOrElse(0) + 1
+
+  /** Local insert/extend — the reference's in-process FlatGraph mutation
+    * (`flatgraph_implementations.py` insert/extend), applying the SAME
+    * [[Wish]] vocabulary and id scheme as the cluster write path
+    * ([[Transactor]]) to the local vectors: entities, relations (with
+    * endpoint key resolution), fields (AE + field relation on first use),
+    * re-assignment, termination with relation cascade. Purely local —
+    * nothing touches Spark; to publish, `transact` the SAME wish list onto
+    * the cluster graph and both sides land on identical atom rows
+    * (FxSpec round-trips this). Unsupported here: tags (FlatGraph carries
+    * no tag table). */
+  def insert(wishes: Seq[Wish], slice: Int = nextSlice): FlatGraph = {
+    import Transactor.{atomId, aeId, fieldRelId}
+    val entityIds = wishes.collect {
+      case PutEntity(et, key) => key -> atomId(Kind.Entity, et, key) }.toMap
+    val relationIds = wishes.collect {
+      case PutRelation(rt, s0, d0, key) =>
+        val k = Option(key).getOrElse(s"$s0-$d0")
+        k -> atomId(Kind.Relation, rt, k)
+    }.toMap
+    def ref(key: String): String =
+      entityIds.getOrElse(key, relationIds.getOrElse(key,
+        if (key.contains(":")) key
+        else throw new IllegalArgumentException(
+          s"unknown key '$key' — pass a full atom_id for existing atoms")))
+
+    val out = scala.collection.mutable.ArrayBuffer[AtomRow](atoms: _*)
+    val vals = scala.collection.mutable.ArrayBuffer[ValueRow](values: _*)
+    def alive(id: String): Boolean =
+      out.exists(a => a.atom_id == id && a.term_slice.isEmpty)
+    def put(row: AtomRow): Unit = if (!alive(row.atom_id)) out += row
+
+    wishes.foreach {
+      case PutEntity(et, key) =>
+        put(AtomRow(atomId(Kind.Entity, et, key), Kind.Entity, et,
+          None, None, slice, None, atomId(Kind.Entity, et, key)))
+      case _ => ()
+    }
+    wishes.foreach {
+      case PutRelation(rt, srcKey, dstKey, key) =>
+        val k = Option(key).getOrElse(s"$srcKey-$dstKey")
+        val id = atomId(Kind.Relation, rt, k)
+        put(AtomRow(id, Kind.Relation, rt, Some(ref(srcKey)),
+          Some(ref(dstKey)), slice, None, id))
+      case _ => ()
+    }
+    wishes.foreach {
+      case PutField(ownerKey, rt, value, inst) =>
+        val owner = ref(ownerKey)
+        val ae = aeId(owner, rt, inst)
+        val rel = fieldRelId(owner, rt, inst)
+        put(AtomRow(ae, Kind.AttributeEntity, rt, None, None, slice, None, ae))
+        put(AtomRow(rel, Kind.Relation, rt, Some(owner), Some(ae), slice,
+          None, rel))
+        vals += ValueRow.of(ae, slice, value)
+      case AssignField(ownerKey, rt, value, inst) =>
+        vals += ValueRow.of(aeId(ref(ownerKey), rt, inst), slice, value)
+      case TerminateAtom(key) =>
+        val id = ref(key)
+        for (i <- out.indices) {
+          val a = out(i)
+          val hit = a.term_slice.isEmpty && (a.atom_id == id ||
+            a.src_id.contains(id) || a.dst_id.contains(id)) // cascade
+          if (hit) out(i) = a.copy(term_slice = Some(slice))
+        }
+      case _: PutEntity | _: PutRelation => ()
+      case w => throw new IllegalArgumentException(
+        s"FlatGraph.insert does not support $w")
+    }
+    FlatGraph(out.toVector, vals.toVector)
+  }
 }
 
 object FlatGraph {

@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Graph, GraphEncoder, TxRow}
+
+/** SQL → graph import — the reference's `experimental/sql_import.py:41-373`
+  * (declarative mapping of relational tables onto entities/fields/
+  * relations), restated on `spark.read.jdbc` + [[GraphEncoder]]:
+  * tables become entity types, scalar columns become field AEs, foreign-key
+  * column pairs become entity-entity relations. The mapping is data (a
+  * case-class spec, the analogue of the reference's mapping file), the
+  * encoding is the same bulk path every other source uses — map-only per
+  * table, deterministic ids, no driver iteration.
+  *
+  * Scale: each table read can be range-partitioned over a numeric column
+  * (`JdbcPartition`) so a large source table arrives as N parallel JDBC
+  * cursors instead of one; everything downstream is the ordinary
+  * distributed encode.
+  */
+object SqlImport {
+
+  /** Parallel-read spec for one table: `column` must be numeric;
+    * [lower, upper] bounds the stride split across `num` partitions. */
+  final case class JdbcPartition(column: String, lower: Long, upper: Long,
+      num: Int)
+
+  /** One table → one entity type: `keyCol` builds the deterministic atom
+    * id, `fieldCols` become field AEs (typed from the JDBC schema). */
+  final case class EntityMap(table: String, et: String, keyCol: String,
+      fieldCols: Seq[String], partition: Option[JdbcPartition] = None)
+
+  /** One FK pair → one relation type (held on the table that carries the
+    * FK — `srcKeyCol` identifies the owning entity, `dstKeyCol` the
+    * referenced one). */
+  final case class RelationMap(table: String, rt: String,
+      srcEt: String, srcKeyCol: String, dstEt: String, dstKeyCol: String)
+
+  final case class Mapping(entities: Seq[EntityMap],
+      relations: Seq[RelationMap] = Nil)
+
+  def readTable(spark: SparkSession, url: String, table: String,
+      props: Properties,
+      partition: Option[JdbcPartition] = None): DataFrame = partition match {
+    case Some(p) =>
+      spark.read.jdbc(url, table, p.column, p.lower, p.upper, p.num, props)
+    case None => spark.read.jdbc(url, table, props)
+  }
+
+  /** Import the mapped tables as a slice-1 bulk-load graph. Each source
+    * table is read once even when it appears in several mapping entries. */
+  def importGraph(spark: SparkSession, url: String, mapping: Mapping,
+      props: Properties = new Properties,
+      instSlice: Int = 1,
+      ts: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      : Graph = {
+    import spark.implicits._
+    val parts = mapping.entities.flatMap(e => e.partition.map(e.table -> _)).toMap
+    val tables = (mapping.entities.map(_.table) ++ mapping.relations.map(_.table))
+      .distinct.map(t => t -> readTable(spark, url, t, props, parts.get(t)))
+      .toMap
+    val encoded = mapping.entities.map { e =>
+      GraphEncoder.encodeEntities(tables(e.table), e.et, e.keyCol,
+        e.fieldCols, instSlice)
+    }
+    val rels = mapping.relations.map { r =>
+      GraphEncoder.encodeRelations(tables(r.table), r.rt,
+        r.srcEt, r.srcKeyCol, r.dstEt, r.dstKeyCol, instSlice)
+    }
+    val atoms = (encoded.map(_._1) ++ rels).reduce(_ unionByName _)
+    val values = encoded.map(_._2).reduce(_ unionByName _)
+    Graph(atoms, values, Seq(TxRow(instSlice, ts)).toDF())
+  }
+}

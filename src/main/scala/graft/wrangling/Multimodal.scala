@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample as batch transforms.
   *
   * The Spark-side plumbing — schema, batching, partition sizing, feature
-  * shapes — is real and tested. The codec step is STUBBED (no image/audio
-  * libraries in this container): [[MediaCodec.decodeStub]] treats the byte
-  * payload as the decoded sample buffer. Swapping in a real codec changes
-  * only that one function.
+  * shapes — is real and tested. IMAGES have a REAL codec: pure-JVM
+  * `javax.imageio` (PNG/GIF/BMP/JPEG as shipped with the JDK) drives
+  * [[MediaCodec.decodeImage]]/[[MediaCodec.resizeImage]] and the
+  * [[extractImageFeatures]] pipeline end-to-end. Audio/video stay STUBBED
+  * ([[MediaCodec.decodeStub]] treats the byte payload as the decoded
+  * sample buffer — no such codecs exist in this container); swapping in a
+  * real one changes only that function.
   *
   * Scale notes: media rows are large (MBs); keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -28,10 +31,68 @@ object Multimodal {
       features: Array[Double], n_frames: Int)
 
   object MediaCodec {
-    /** STUB — stands in for the real image/audio decoder (???): interprets
-      * the payload bytes as the decoded buffer. Deterministic by
-      * construction so tests are stable. */
+    /** STUB — stands in for the real AUDIO/VIDEO decoder (no such codec in
+      * this container): interprets the payload bytes as the decoded buffer.
+      * Deterministic by construction so tests are stable. Images use the
+      * real [[decodeImage]] below. */
     def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+    /** REAL image decode via javax.imageio: encoded bytes → (width, height,
+      * row-major packed RGB buffer). None = payload is not a decodable
+      * image (the pipeline drops it rather than poisoning the batch). */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)) catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](w * h * 3)
+        var y = 0; var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(i) = ((rgb >> 16) & 0xff).toByte
+            out(i + 1) = ((rgb >> 8) & 0xff).toByte
+            out(i + 2) = (rgb & 0xff).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        Some((w, h, out))
+      }
+    }
+
+    /** REAL image resize (AWT smooth-scaled thumbnail) → RGB buffer of the
+      * target geometry. */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int)
+        : Option[Array[Byte]] = {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)) catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
+          0, 0, null)
+        g.dispose()
+        val out = new Array[Byte](w * h * 3)
+        var y = 0; var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = dst.getRGB(x, y)
+            out(i) = ((rgb >> 16) & 0xff).toByte
+            out(i + 1) = ((rgb >> 8) & 0xff).toByte
+            out(i + 2) = (rgb & 0xff).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    }
 
     /** Byte-value histogram as the stand-in feature extractor (this part is
       * real computation, not a stub): 32 bins, L1-normalized. */
@@ -82,6 +143,29 @@ object Multimodal {
             MediaCodec.pool(acc.map(_ / per.size), featureDim)
           }
         MediaFeatures(r.media_id, r.meta.kind, feats, frames.size)
+      }
+    }
+  }
+
+  /** IMAGE feature extraction — the real-codec pipeline: decode (imageio)
+    * → optional resize to a canonical geometry → per-channel byte
+    * histogram → mean-pool to `featureDim`. Undecodable payloads are
+    * dropped (not nulled) so downstream similarity joins never see
+    * garbage vectors. mapPartitions keeps the decoder warm per batch. */
+  def extractImageFeatures(media: Dataset[MediaRow],
+      resizeTo: Option[(Int, Int)] = None,
+      featureDim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val buf = resizeTo match {
+          case Some((w, h)) => MediaCodec.resizeImage(r.payload, w, h)
+          case None => MediaCodec.decodeImage(r.payload).map(_._3)
+        }
+        buf.map { b =>
+          MediaFeatures(r.media_id, "image",
+            MediaCodec.pool(MediaCodec.byteHistogram(b), featureDim), 1)
+        }
       }
     }
   }

@@ -57,4 +57,43 @@ class FxSpec extends AnyFunSuite {
     assert(flat.field("e:P/b", "Name").get.v_str.contains("Bob"))
     assert(flat.field("e:Q/c", "Name").isEmpty)
   }
+
+  test("FlatGraph insert/extend: local Wish mutation, then transact the delta — frames agree") {
+    val (g0, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutField("a", "Name", "Ann"),
+      PutEntity("P", "b"), PutField("b", "Name", "Bob"),
+      PutRelation("Knows", "a", "b")))
+    val flat0 = FlatGraph.fromAtomSet(
+      AtomSet(g0.now, g0.now.all("P").df))
+
+    // local mutation: new entity + relation + field, a reassignment, and a
+    // termination with cascade — all offline, no Spark involved
+    val delta = Seq(
+      PutEntity("P", "c"), PutField("c", "Name", "Cid"),
+      PutRelation("Knows", "e:P/b", "c"),
+      AssignField("e:P/a", "Name", "Ann2"),
+      TerminateAtom("e:P/b"))
+    val flat1 = flat0.insert(delta)
+
+    // local semantics: c exists and is reachable...
+    assert(flat1.all("P").map(_.atom_id).toSet ==
+      Set("e:P/a", "e:P/c")) // b terminated
+    assert(flat1.field("e:P/c", "Name").get.v_str.contains("Cid"))
+    // ...reassignment is latest-wins...
+    assert(flat1.field("e:P/a", "Name").get.v_str.contains("Ann2"))
+    // ...termination cascaded to b's relations (both directions)
+    assert(flat1.outs("e:P/a", "Knows").isEmpty)
+    assert(flat1.ins("e:P/c", "Knows").isEmpty)
+
+    // publish: the SAME wish list transacts onto the cluster graph and the
+    // resulting frame agrees with the local one
+    val (g1, _) = Transactor.transact(g0, delta)
+    val now = g1.now
+    assert(now.all("P").df.select("atom_id").collect().map(_.getString(0))
+      .toSet == flat1.all("P").map(_.atom_id).toSet)
+    val names = now.all("P").fieldValue("Name", "v_str", "n")
+      .collect().map(_.getAs[String]("n")).toSet
+    assert(names == Set("Ann2", "Cid"))
+    assert(now.all("P").hasOut("Knows").count() == 0)
+  }
 }

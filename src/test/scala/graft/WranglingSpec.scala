@@ -137,6 +137,58 @@ class WranglingSpec extends AnyFunSuite {
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
+  test("image codec: real PNG decode -> resize -> features end-to-end") {
+    import Multimodal._
+    // deterministic PNGs generated in-process (pure-JVM imageio)
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(8, 8)((_, _) => 0xff0000)
+    val halves = png(16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+
+    // decode: geometry + exact pixel round-trip
+    val Some((w, h, buf)) = MediaCodec.decodeImage(red)
+    assert(w == 8 && h == 8 && buf.length == 8 * 8 * 3)
+    assert(buf.grouped(3).forall(p =>
+      (p(0) & 0xff) == 255 && (p(1) & 0xff) == 0 && (p(2) & 0xff) == 0))
+    // resize: 16x16 -> 4x4 buffer of the right shape, still half dark/light
+    val Some(small) = MediaCodec.resizeImage(halves, 4, 4)
+    assert(small.length == 4 * 4 * 3)
+    val lum = small.grouped(3).map(p => (p(0) & 0xff)).toSeq
+    assert(lum.count(_ < 64) == 8 && lum.count(_ > 192) == 8)
+    // non-image payload is rejected, not mangled
+    assert(MediaCodec.decodeImage("not an image".getBytes).isEmpty)
+
+    // distributed pipeline: decode -> features; undecodable rows dropped
+    val s = spark; import s.implicits._
+    val media = Seq(
+      MediaRow(1L, red, MediaMeta("image", 8, 8, 0, 0)),
+      MediaRow(2L, halves, MediaMeta("image", 16, 16, 0, 0)),
+      MediaRow(3L, "junk".getBytes, MediaMeta("image", 0, 0, 0, 0))).toDS()
+    val feats = Multimodal.extractImageFeatures(media, featureDim = 8)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L)) // junk dropped
+    assert(feats.forall(_.features.length == 8))
+    // solid red: histogram mass sits in the 0-bin (G,B=0) and top bin (R=255)
+    val redHist = feats(0).features
+    assert(redHist.head > 0 && redHist.last > 0)
+    assert(math.abs(redHist.sum * (32 / 8) - redHist.sum * 4) < 1e-9)
+    // deterministic across runs
+    val again = Multimodal.extractImageFeatures(media, featureDim = 8)
+      .collect().sortBy(_.media_id)
+    assert(feats.zip(again).forall { case (a, b) =>
+      a.features.sameElements(b.features) })
+    // resize inside the pipeline gives the canonical-geometry features
+    val resized = Multimodal.extractImageFeatures(media,
+      resizeTo = Some((4, 4)), featureDim = 8).collect()
+    assert(resized.length == 2 && resized.forall(_.features.length == 8))
+  }
+
   test("rollingHash: equal texts equal, different texts differ") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "a b c x"))
