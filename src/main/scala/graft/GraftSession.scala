@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // executors this size (tens of GiB) broadcast far bigger sides than
+      // the 10 MB default profitably — dimension tables and cached derived
+      // tables (e.g. Graph.latestValues) should hash-map, not shuffle
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
       // rejects; read as long and normalize in Tables.events.

@@ -26,6 +26,29 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
 
   def now: GraphSlice = GraphSlice(this, maxSlice)
 
+  /** Latest typed value per AE as of `slice` — THE hot derived table of
+    * the as-of read path: every `field()`/`fields()` resolution reduces to
+    * a join against it. Computed once per (graph instance, slice) and kept
+    * persisted (the session-cached current-values table of SURVEY §7.4 /
+    * BASELINE.md): graphs are immutable, so entries can never go stale,
+    * and a transact produces a NEW instance with an empty cache. Includes
+    * the winning tx_slice so consumers can still tie-break multi-AE
+    * fields. */
+  def latestValues(slice: Int): DataFrame =
+    latestValuesCache.getOrElseUpdate(slice, {
+      val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+      values.filter(col("tx_slice") <= slice)
+        .groupBy("ae_id")
+        .agg(max_by(struct((Seq("tx_slice") ++ vcols).map(col): _*),
+          col("tx_slice")).as("__v"))
+        .select(col("ae_id") +:
+          (Seq("tx_slice") ++ vcols).map(c => col(s"__v.$c").as(c)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  @transient private lazy val latestValuesCache =
+    scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
+
   /** Absolute frame — zef `to_frame`/`at`. */
   def at(slice: Int): GraphSlice = GraphSlice(this, slice)
 
@@ -405,12 +428,10 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
   def field(rt: String): DataFrame = {
     val rels = frame.aliveRelations(rt)
       .select(col("src_id").as("atom_id"), col("dst_id").as("ae_id"))
-    val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
-    val latest = frame.graph.values
-      .filter(col("tx_slice") <= frame.slice)
-      .groupBy("ae_id")
-      .agg(max_by(struct(vcols.map(col): _*), col("tx_slice")).as("__v"))
-      .select(col("ae_id") +: vcols.map(c => col(s"__v.$c").as(c)): _*)
+    // as-of resolution reads the session-cached current-values table —
+    // the aggregate runs once per (graph, slice), every field access after
+    // the first is a pure join
+    val latest = frame.graph.latestValues(frame.slice).drop("tx_slice")
     val carried = df.columns.filterNot(Schema.atomCols.contains)
     df.select((col("atom_id") +: carried.map(col)): _*)
       .join(rels, "atom_id").join(latest, "ae_id")
@@ -491,7 +512,7 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       .select(col("src_id").as("atom_id"), col("dst_id").as("ae_id"),
         col("atype"))
     val resolved = rels
-      .join(frame.graph.values.filter(col("tx_slice") <= frame.slice), "ae_id")
+      .join(frame.graph.latestValues(frame.slice), "ae_id")
       .groupBy(col("atom_id"))
       .pivot("atype", rtNames)
       .agg(max_by(struct(vcols.map(col): _*), col("tx_slice")))

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Parse, TextFormats}
+import graft.ops.Parse._
+
+/** YAML/TOML text formats + parse[grammar] combinators (impl.py:7678-7766,
+  * 9984) — driver-side parsing that bridges to the engine via toJson. */
+class TextFormatsSpec extends AnyFunSuite {
+
+  test("YAML: nested mappings, sequences, flow lists, typed scalars") {
+    val doc =
+      """# a config
+        |name: graft
+        |version: 3
+        |ratio: 0.75
+        |active: true
+        |nothing: ~
+        |tags: [spark, "graph db", olap]
+        |server:
+        |  host: example.local
+        |  ports:
+        |    - 8080
+        |    - 9090
+        |users:
+        |  - name: ann
+        |    admin: true
+        |  - name: bob
+        |    admin: false
+        |""".stripMargin
+    val v = TextFormats.fromYaml(doc).asInstanceOf[Map[String, Any]]
+    assert(v("name") == "graft" && v("version") == 3L && v("ratio") == 0.75)
+    assert(v("active") == true && v("nothing") == null)
+    assert(v("tags") == Vector("spark", "graph db", "olap"))
+    val server = v("server").asInstanceOf[Map[String, Any]]
+    assert(server("host") == "example.local")
+    assert(server("ports") == Vector(8080L, 9090L))
+    val users = v("users").asInstanceOf[Vector[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(users.map(_("name")) == Vector("ann", "bob"))
+    assert(users.map(_("admin")) == Vector(true, false))
+  }
+
+  test("YAML round-trip: toYaml -> fromYaml is identity on trees") {
+    val tree = Map(
+      "a" -> 1L, "b" -> Map("c" -> "x y", "d" -> Vector(1L, 2L)),
+      "e" -> Vector(Map("k" -> "v")), "f" -> true)
+    assert(TextFormats.fromYaml(TextFormats.toYaml(tree)) == tree)
+  }
+
+  test("TOML: tables, dotted headers, arrays, comments") {
+    val doc =
+      """title = "graft" # inline comment
+        |n = 42
+        |[db]
+        |host = "localhost"
+        |ports = [5432, 5433]
+        |[db.auth]
+        |user = "ann"
+        |enabled = true
+        |""".stripMargin
+    val v = TextFormats.fromToml(doc)
+    assert(v("title") == "graft" && v("n") == 42L)
+    val db = v("db").asInstanceOf[Map[String, Any]]
+    assert(db("host") == "localhost" && db("ports") == Vector(5432L, 5433L))
+    val auth = db("auth").asInstanceOf[Map[String, Any]]
+    assert(auth("user") == "ann" && auth("enabled") == true)
+  }
+
+  test("toJson bridge: yaml/toml -> json parses cleanly") {
+    val json = TextFormats.yamlToJson("a: 1\nb: [x, y]\nc:\n  d: true")
+    assert(json == """{"a":1,"b":["x","y"],"c":{"d":true}}""")
+    assert(TextFormats.tomlToJson("k = \"v\"\n[t]\nx = 1") ==
+      """{"k":"v","t":{"x":1}}""")
+  }
+
+  test("parse[grammar]: recursive arithmetic grammar evaluates") {
+    // expr := term (('+'|'-') term)* ; term := factor (('*'|'/') factor)* ;
+    // factor := number | '(' expr ')'
+    lazy val expr: P[Double] = defer {
+      (term ~ ((tok("+") | tok("-")) ~ term).rep).map { case (h, t) =>
+        t.foldLeft(h) { case (acc, ("+", x)) => acc + x
+                        case (acc, (_, x)) => acc - x } }
+    }
+    lazy val term: P[Double] = defer {
+      (factor ~ ((tok("*") | tok("/")) ~ factor).rep).map { case (h, t) =>
+        t.foldLeft(h) { case (acc, ("*", x)) => acc * x
+                        case (acc, (_, x)) => acc / x } }
+    }
+    lazy val factor: P[Double] = defer {
+      number | (tok("(") ~> expr <~ tok(")"))
+    }
+    assert(expr.parseAll("1 + 2 * 3") == 7.0)
+    assert(expr.parseAll("(1 + 2) * 3 - 4 / 2") == 7.0)
+    // furthest-failure offset is reported
+    val e = intercept[IllegalArgumentException](expr.parseAll("1 + * 2"))
+    assert(e.getMessage.contains("offset 4"))
+  }
+
+  test("parse[grammar]: sepBy / quoted / ident combinators") {
+    val kv = ((ident <~ tok("=")) ~ (quoted | number.map(_.toString)))
+    val line = kv.sepBy(tok(";")).map(_.toMap)
+    assert(line.parseAll("""a = "x"; b = 2; c = "q\"z"""") ==
+      Map("a" -> "x", "b" -> "2.0", "c" -> "q\"z"))
+  }
+}
