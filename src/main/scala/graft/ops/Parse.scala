@@ -44,23 +44,45 @@ object Parse {
     def sepBy[B](sep: P[B]): P[Vector[A]] =
       ((this ~ (sep ~> this).rep).map { case (h, t) => h +: t }) | P.ok(Vector())
 
-    /** Parse the WHOLE string or throw with the furthest-failure offset. */
-    def parseAll(s: String): A = run(s, 0) match {
-      case Right((a, i)) if i == s.length => a
-      case Right((_, i)) => throw new IllegalArgumentException(
-        s"parse error: trailing input at offset $i: '${s.drop(i).take(20)}'")
-      case Left(e) => throw new IllegalArgumentException(
-        s"parse error at offset $e: '${s.drop(e).take(20)}'")
+    /** Parse the WHOLE string or throw with the furthest-failure offset.
+      * The watermark survives *successful* branches (`rep`, `opt`, `|`
+      * fallback): a trailing-input error reports the furthest point any
+      * alternative reached, not just where the top-level parser stopped. */
+    def parseAll(s: String): A = {
+      P.watermark.set(-1)
+      run(s, 0) match {
+        case Right((a, i)) if i == s.length => a
+        case Right((_, i)) =>
+          val e = math.max(i, P.watermark.get)
+          throw new IllegalArgumentException(
+            s"parse error at offset $e: '${s.drop(e).take(20)}'")
+        case Left(e0) =>
+          val e = math.max(e0, P.watermark.get)
+          throw new IllegalArgumentException(
+            s"parse error at offset $e: '${s.drop(e).take(20)}'")
+      }
     }
   }
 
   object P {
     def ok[A](a: A): P[A] = P((_, i) => Right((a, i)))
+
+    /** Furthest failure seen during the current `parseAll` run, including
+      * failures later swallowed by a success (`rep` stopping, `opt`/`|`
+      * falling back). Thread-local: grammars are plain values shared across
+      * threads (e.g. inside a UDF), but each parse runs on one thread. */
+    private[Parse] val watermark: ThreadLocal[Int] =
+      ThreadLocal.withInitial(() => -1)
+
+    private[Parse] def fail(i: Int): Left[Int, Nothing] = {
+      if (i > watermark.get) watermark.set(i)
+      Left(i)
+    }
   }
 
   /** Literal string. */
   def lit(t: String): P[String] = P { (s, i) =>
-    if (s.startsWith(t, i)) Right((t, i + t.length)) else Left(i)
+    if (s.startsWith(t, i)) Right((t, i + t.length)) else P.fail(i)
   }
 
   /** Regex (anchored at the position). */
@@ -69,7 +91,7 @@ object Parse {
     P { (s, i) =>
       r.findFirstIn(s.substring(i)) match {
         case Some(m) => Right((m, i + m.length))
-        case None => Left(i)
+        case None => P.fail(i)
       }
     }
   }
@@ -84,4 +106,26 @@ object Parse {
 
   /** Lazy wrapper for recursive grammars. */
   def defer[A](p: => P[A]): P[A] = P((s, i) => p.run(s, i))
+
+  /** `parse[grammar]` over a DataFrame column — the UDF-at-the-edge bridge
+    * (same pattern as [[TextFormats.yamlToJson]]): the grammar runs per row
+    * on executors, non-matching rows yield null. Grammars are immutable
+    * values, so sharing one `P` across executor threads is safe (the
+    * failure watermark is thread-local and unused on this path).
+    *
+    * The result type must be Spark-encodable (primitives, case classes,
+    * collections of those) — parse to a case class for a struct column.
+    */
+  def parseColumn[A](p: P[A], c: org.apache.spark.sql.Column)
+      (implicit tt: scala.reflect.runtime.universe.TypeTag[A])
+      : org.apache.spark.sql.Column = {
+    val f = org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) None
+      else p.run(s, 0) match {
+        case Right((a, i)) if i == s.length => Some(a)
+        case _ => None
+      }
+    }
+    f(c)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.ops.{Parse, TextFormats}
 import graft.ops.Parse._
 
@@ -103,4 +104,27 @@ class TextFormatsSpec extends AnyFunSuite {
     assert(line.parseAll("""a = "x"; b = 2; c = "q\"z"""") ==
       Map("a" -> "x", "b" -> "2.0", "c" -> "q\"z"))
   }
+
+  test("parseColumn: log-line grammar over a DataFrame, null on non-match") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // "<LEVEL> <code> \"<message>\"" -> struct(level, code, msg)
+    val logLine: P[LogLine] =
+      (ident ~ number ~ quoted).map { case ((lvl, code), msg) =>
+        LogLine(lvl, code.toLong, msg) }
+    val df = Seq(
+      """ERROR 503 "upstream timeout"""",
+      """INFO 200 "ok"""",
+      "not a log line").toDF("raw")
+    val out = df.select(Parse.parseColumn(logLine, col("raw")).as("log"))
+      .select("log.level", "log.code", "log.msg")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      ("ERROR", 503L, "upstream timeout"),
+      ("INFO", 200L, "ok"),
+      (null, -1L, null)))
+  }
 }
+
+/** Top-level so the udf TypeTag resolves (local case classes don't encode). */
+case class LogLine(level: String, code: Long, msg: String)
