@@ -47,13 +47,93 @@ object GqlApi {
   }
 
   // ------------------------------------------------------------------
-  // Filter compilation (build_filter_zefop, generate_api2.py:785-860)
+  // Filter compilation (build_filter_zefop, generate_api2.py:785-862)
   // ------------------------------------------------------------------
-  /** VObj filter → GqlLite.Filter + the set of field names it touches
-    * (needed so the one-plan projection includes filtered-only fields). */
+  /** A compiled filter: the predicate tree, the scalar field names it
+    * touches (the one-plan projection must include them), and the
+    * count-join columns it needs (list-quantifier predicates reference
+    * per-parent counts materialized before the filter runs). */
+  final case class CompiledFilter(f: GqlLite.Filter, touched: Set[String],
+      hops: Vector[GqlLite.Hop] = Vector(),
+      condHops: Vector[GqlLite.CondHop] = Vector())
+
+  /** Synthetic column names for quantifier count-joins — unique
+    * process-wide so user+auth filters on one query never collide. */
+  private val qctr = new java.util.concurrent.atomic.AtomicInteger
+
   def compileFilter(schema: SchemaDef, tpe: TypeDef, o: VObj)
-      : (GqlLite.Filter, Set[String]) = {
+      : CompiledFilter = {
     val touched = Set.newBuilder[String]
+    val hops = Vector.newBuilder[GqlLite.Hop]
+    val condHops = Vector.newBuilder[GqlLite.CondHop]
+
+    // inner filter over the child type → the child-side Query a CondHop
+    // runs to get matching child ids (recursive: the inner filter may
+    // itself carry quantifiers)
+    def childQuery(childTpe: TypeDef, o: VObj): GqlLite.Query = {
+      val cf = compileFilter(schema, childTpe, o)
+      val fieldSpecs = cf.touched.toSeq.sorted.filterNot(_ == "atom_id").map { fn =>
+        val fd = childTpe.field(fn)
+        (fd.rt, vcolOf(schema, fd), fn)
+      }
+      GqlLite.Query(childTpe.name, fieldSpecs, Some(cf.f),
+        hops = cf.hops, condHops = cf.condHops)
+    }
+
+    // size: {eq/in/le/lt/ge/gt/between} over the per-parent child count
+    def countCmp(as: String, o: VObj): GqlLite.Filter = {
+      def n(v: V): Long = v match {
+        case VInt(i) => i
+        case other => throw new IllegalArgumentException(s"size takes ints, got $other")
+      }
+      val cmp = o.fields.map {
+        case ("eq", sv) => GqlLite.Eq(as, n(sv))
+        case ("in", VList(vs)) => GqlLite.In(as, vs.map(n))
+        case (op @ ("le" | "lt" | "ge" | "gt"), sv) => GqlLite.Cmp(as, op, n(sv))
+        case ("between", bv) =>
+          val b = asObj(bv)
+          GqlLite.BetweenF(as, n(b.get("min").get), n(b.get("max").get))
+        case (op, _) => throw new IllegalArgumentException(
+          s"unknown size comparison operator '$op'")
+      }
+      if (cmp.size == 1) cmp.head else GqlLite.And(cmp: _*)
+    }
+
+    // relation field: {any: {...}} / {all: {...}} / {size: {cmp}} for list
+    // fields; a bare inner filter on a single-entity field means "related
+    // entity exists and satisfies it" (generate_api2.py:827-831)
+    def relPred(fd: FieldDef, v: VObj): GqlLite.Filter = {
+      val childTpe = schema.tpe(fd.tpe)
+      if (!fd.list) {
+        val as = s"__q${qctr.incrementAndGet()}"
+        condHops += GqlLite.CondHop(fd.rt, fd.incoming, as, childQuery(childTpe, v))
+        return GqlLite.Raw(col(as) > 0)
+      }
+      val parts = v.fields.map {
+        case ("any", sub) =>
+          val as = s"__q${qctr.incrementAndGet()}"
+          condHops += GqlLite.CondHop(fd.rt, fd.incoming, as,
+            childQuery(childTpe, asObj(sub)))
+          GqlLite.Raw(col(as) > 0)
+        case ("all", sub) =>
+          val asM = s"__q${qctr.incrementAndGet()}"
+          val asT = s"__q${qctr.incrementAndGet()}"
+          condHops += GqlLite.CondHop(fd.rt, fd.incoming, asM,
+            childQuery(childTpe, asObj(sub)))
+          hops += GqlLite.Hop(fd.rt, fd.incoming, asT)
+          GqlLite.Raw(col(asM) === col(asT)) // vacuously true at 0 children
+        case ("size", sub) =>
+          val asT = s"__q${qctr.incrementAndGet()}"
+          hops += GqlLite.Hop(fd.rt, fd.incoming, asT)
+          countCmp(asT, asObj(sub))
+        case (k, _) => throw new IllegalArgumentException(
+          s"unknown list filter keyword '$k' (want any/all/size)")
+      }
+      if (parts.isEmpty) throw new IllegalArgumentException(
+        s"empty list filter for field '${fd.name}'")
+      if (parts.size == 1) parts.head else GqlLite.And(parts: _*)
+    }
+
     def walk(o: VObj): GqlLite.Filter = {
       val parts = o.fields.map {
         case ("and", VList(vs)) => GqlLite.And(vs.map(asObj).map(walk): _*)
@@ -67,34 +147,37 @@ object GqlApi {
           touched += fname; GqlLite.Eq(fname, b)
         case (fname, v) =>
           val fd = tpe.field(fname)
-          touched += fname
-          val cmp = asObj(v).fields.map {
-            case ("eq", sv) => GqlLite.Eq(fname, convert(schema, fd, sv))
-            case ("in", VList(vs)) =>
-              GqlLite.In(fname, vs.map(convert(schema, fd, _)))
-            case ("contains", VStr(s)) => GqlLite.Contains(fname, s)
-            case ("le", sv) => GqlLite.Cmp(fname, "le", convert(schema, fd, sv))
-            case ("lt", sv) => GqlLite.Cmp(fname, "lt", convert(schema, fd, sv))
-            case ("ge", sv) => GqlLite.Cmp(fname, "ge", convert(schema, fd, sv))
-            case ("gt", sv) => GqlLite.Cmp(fname, "gt", convert(schema, fd, sv))
-            case ("between", bv) =>
-              val b = asObj(bv)
-              GqlLite.BetweenF(fname,
-                convert(schema, fd, b.get("min").get),
-                convert(schema, fd, b.get("max").get))
-            case (op, _) => throw new IllegalArgumentException(
-              s"unknown comparison operator '$op'")
+          if (schema.isEntity(fd.tpe)) relPred(fd, asObj(v))
+          else {
+            touched += fname
+            val cmp = asObj(v).fields.map {
+              case ("eq", sv) => GqlLite.Eq(fname, convert(schema, fd, sv))
+              case ("in", VList(vs)) =>
+                GqlLite.In(fname, vs.map(convert(schema, fd, _)))
+              case ("contains", VStr(s)) => GqlLite.Contains(fname, s)
+              case ("le", sv) => GqlLite.Cmp(fname, "le", convert(schema, fd, sv))
+              case ("lt", sv) => GqlLite.Cmp(fname, "lt", convert(schema, fd, sv))
+              case ("ge", sv) => GqlLite.Cmp(fname, "ge", convert(schema, fd, sv))
+              case ("gt", sv) => GqlLite.Cmp(fname, "gt", convert(schema, fd, sv))
+              case ("between", bv) =>
+                val b = asObj(bv)
+                GqlLite.BetweenF(fname,
+                  convert(schema, fd, b.get("min").get),
+                  convert(schema, fd, b.get("max").get))
+              case (op, _) => throw new IllegalArgumentException(
+                s"unknown comparison operator '$op'")
+            }
+            if (cmp.isEmpty) throw new IllegalArgumentException(
+              s"empty comparison object for field '$fname'")
+            if (cmp.size == 1) cmp.head else GqlLite.And(cmp: _*)
           }
-          if (cmp.isEmpty) throw new IllegalArgumentException(
-            s"empty comparison object for field '$fname'")
-          if (cmp.size == 1) cmp.head else GqlLite.And(cmp: _*)
       }
       if (parts.isEmpty)
         throw new IllegalArgumentException("empty filter object")
       if (parts.size == 1) parts.head else GqlLite.And(parts: _*)
     }
     val f = walk(o)
-    (f, touched.result())
+    CompiledFilter(f, touched.result(), hops.result(), condHops.result())
   }
 
   private def asObj(v: V): VObj = v match {
@@ -129,17 +212,19 @@ object GqlApi {
     * Returns the compiled filter + the fields it touches (the projection
     * must include them). */
   private def authFilter(schema: SchemaDef, tpe: TypeDef, key: String,
-      claims: Option[Map[String, Any]])
-      : Option[(GqlLite.Filter, Set[String])] =
+      claims: Option[Map[String, Any]]): Option[CompiledFilter] =
     tpe.auth.get(key).map { expr =>
       val c = claims.getOrElse(throw new SecurityException(
         s"type ${tpe.name} requires auth claims for '$key'"))
       compileFilter(schema, tpe, GqlParser.parseFilterObject(expr, c))
     }
 
-  private def andOpt(a: Option[GqlLite.Filter], b: Option[GqlLite.Filter])
-      : Option[GqlLite.Filter] = (a, b) match {
-    case (Some(x), Some(y)) => Some(GqlLite.And(x, y))
+  /** AND two optional compiled filters, merging their join requirements. */
+  private def andCf(a: Option[CompiledFilter], b: Option[CompiledFilter])
+      : Option[CompiledFilter] = (a, b) match {
+    case (Some(x), Some(y)) => Some(CompiledFilter(
+      GqlLite.And(x.f, y.f), x.touched ++ y.touched,
+      x.hops ++ y.hops, x.condHops ++ y.condHops))
     case (x, y) => x.orElse(y)
   }
 
@@ -172,58 +257,89 @@ object GqlApi {
     }
   }
 
-  private def runQuery(slice: GraphSlice, schema: SchemaDef, tpe: TypeDef,
-      root: Sel, authClaims: Option[Map[String, Any]] = None): DataFrame = {
-    // selections: scalar fields (+ aliases), `id`, and relation-field
-    // count hops (`rel { count }` — the one-plan aggregated-join shape;
-    // full nested-entity selection is the reference's N+1 resolver,
-    // intentionally not reproduced)
+  /** Compile a selection set over `tpe` into an atom_id-keyed frame plus
+    * the (source col → alias) output list. Relation fields compile to ONE
+    * aggregated join each: `{count}` → a count hop; scalar/entity
+    * sub-selections → a [[GqlLite.NestedJoin]] packing the recursively
+    * compiled child frame into a sorted array<struct> column
+    * (internal_resolve_field, generate_api2.py:911-970 — minus the
+    * per-entity resolver calls). Nested fields accept their own `filter:`
+    * argument; each level re-applies its own type's @auth(query:). */
+  private def planSelections(slice: GraphSlice, schema: SchemaDef,
+      tpe: TypeDef, sels: Seq[Sel], filterV: Option[V],
+      authClaims: Option[Map[String, Any]], extraNeeded: Seq[String])
+      : (DataFrame, Vector[(String, String)]) = {
     var hops = Vector.empty[GqlLite.Hop]
+    var nested = Vector.empty[GqlLite.NestedJoin]
     var outs = Vector.empty[(String, String)] // (source col, alias)
     var scalarFields = Vector.empty[String]
-    root.sels.foreach { s =>
-      if (s.name == "id") outs :+= ("atom_id", s.alias)
+    sels.foreach { s =>
+      if (s.name == "id") outs :+= (("atom_id", s.alias))
       else {
         val fd = tpe.field(s.name)
         if (schema.isEntity(fd.tpe)) {
-          require(s.sels.map(_.name) == Seq("count"),
-            s"relation field '${s.name}': only {count} sub-selection is " +
-              "supported (nested entity resolution is not one-plan)")
-          hops :+= GqlLite.Hop(fd.rt, fd.incoming, s.alias)
-          outs :+= ((s.alias, s.alias))
+          if (s.sels.map(_.name) == Seq("count")) {
+            hops :+= GqlLite.Hop(fd.rt, fd.incoming, s.alias)
+            outs :+= ((s.alias, s.alias))
+          } else {
+            require(s.sels.nonEmpty,
+              s"relation field '${s.name}' needs a sub-selection")
+            val childTpe = schema.tpe(fd.tpe)
+            val (childDf0, childOuts) = planSelections(slice, schema,
+              childTpe, s.sels, s.args.get("filter"), authClaims, Nil)
+            val childDf = childDf0.select(col("atom_id") +:
+              childOuts.map { case (src, al) => col(src).as(al) }: _*)
+            nested :+= GqlLite.NestedJoin(fd.rt, fd.incoming, s.alias,
+              childDf, childOuts.map(_._2), single = !fd.list)
+            outs :+= ((s.alias, s.alias))
+          }
         } else {
           scalarFields :+= s.name
           outs :+= ((s.name, s.alias))
         }
       }
     }
-    val (userFilter, userTouched) = root.args.get("filter") match {
-      case Some(o: VObj) =>
-        val (f, touched) = compileFilter(schema, tpe, o)
-        (Some(f), touched)
+    val userFilter = filterV match {
+      case Some(o: VObj) => Some(compileFilter(schema, tpe, o))
       case Some(other) => throw new IllegalArgumentException(s"bad filter $other")
-      case None => (None, Set.empty[String])
+      case None => None
     }
-    val auth = authFilter(schema, tpe, "query", authClaims)
-    val filter = andOpt(userFilter, auth.map(_._1))
-    val filterFields = userTouched ++ auth.map(_._2).getOrElse(Set())
+    val cf = andCf(userFilter, authFilter(schema, tpe, "query", authClaims))
+    // project every field the plan touches: selected ∪ filtered ∪ sorted
+    val needed = (scalarFields ++ cf.map(_.touched.toSeq.sorted).getOrElse(Nil) ++
+      extraNeeded).distinct.filterNot(_ == "atom_id")
+      .filterNot(f => hops.exists(_.as == f))
+    val fieldSpecs = needed.map { f =>
+      val fd = tpe.field(f)
+      require(!schema.isEntity(fd.tpe),
+        s"'$f' is a relation field; sort on relation fields is not supported")
+      (fd.rt, vcolOf(schema, fd), f)
+    }
+    val q = GqlLite.Query(tpe.name, fieldSpecs, cf.map(_.f),
+      hops = hops ++ cf.map(_.hops).getOrElse(Vector()),
+      condHops = cf.map(_.condHops).getOrElse(Vector()).toSeq,
+      nested = nested)
+    (GqlLite.run(slice, q), outs)
+  }
+
+  private def runQuery(slice: GraphSlice, schema: SchemaDef, tpe: TypeDef,
+      root: Sel, authClaims: Option[Map[String, Any]] = None): DataFrame = {
     val sort = root.args.get("order").map(o => compileSort(asObj(o))).getOrElse(Nil)
     val first = root.args.get("first").map { case VInt(i) => i.toInt
       case other => throw new IllegalArgumentException(s"bad first $other") }
     val offset = root.args.get("offset").map { case VInt(i) => i.toInt
       case other => throw new IllegalArgumentException(s"bad offset $other") }
-    // project every field the plan touches: selected ∪ filtered ∪ sorted
-    val needed = (scalarFields ++ filterFields ++ sort.map(_.field))
-      .distinct.filterNot(_ == "atom_id")
-      .filterNot(f => hops.exists(_.as == f))
-    val fieldSpecs = needed.map { f =>
-      val fd = tpe.field(f)
-      require(!schema.isEntity(fd.tpe),
-        s"'$f' is a relation field; filter/sort on relation fields is not supported")
-      (fd.rt, vcolOf(schema, fd), f)
+    val (df0, outs) = planSelections(slice, schema, tpe, root.sels,
+      root.args.get("filter"), authClaims, sort.map(_.field))
+    var df = df0
+    if (sort.nonEmpty || first.isDefined || offset.isDefined) {
+      val sortCols = sort.map(s =>
+        if (s.asc) col(s.field).asc else col(s.field).desc) :+
+        col("atom_id").asc // deterministic pagination tiebreak
+      df = df.orderBy(sortCols: _*)
     }
-    val q = GqlLite.Query(tpe.name, fieldSpecs, filter, sort, first, offset, hops)
-    val df = GqlLite.run(slice, q)
+    offset.foreach(o => df = df.offset(o))
+    first.foreach(n => df = df.limit(n))
     df.select(outs.map { case (src, alias) => col(src).as(alias) }: _*)
   }
 
@@ -245,21 +361,20 @@ object GqlApi {
       val fd = tpe.field(f)
       (fd.rt, vcolOf(schema, fd), f)
     }
-    val (userFilter, userTouched) = root.args.get("filter") match {
-      case Some(o: VObj) =>
-        val (f, t) = compileFilter(schema, tpe, o); (Some(f), t)
-      case _ => (None, Set.empty[String])
+    val userFilter = root.args.get("filter") match {
+      case Some(o: VObj) => Some(compileFilter(schema, tpe, o))
+      case _ => None
     }
-    val auth = authFilter(schema, tpe, "query", authClaims)
-    val filter = andOpt(userFilter, auth.map(_._1))
-    val filterTouched = userTouched ++ auth.map(_._2).getOrElse(Set())
-    val filterFields = filterTouched.toSeq.sorted
+    val cf = andCf(userFilter, authFilter(schema, tpe, "query", authClaims))
+    val filterFields = cf.map(_.touched.toSeq.sorted).getOrElse(Nil)
       .filterNot(f => f == "atom_id" || fields.exists(_._3 == f))
       .map { f =>
         val fd = tpe.field(f)
         (fd.rt, vcolOf(schema, fd), f)
       }
-    val agg = GqlLite.aggregate(slice, tpe.name, fields, filter, filterFields)
+    val agg = GqlLite.aggregate(slice, tpe.name, fields, cf.map(_.f),
+      filterFields, cf.map(_.hops).getOrElse(Vector()).toSeq,
+      cf.map(_.condHops).getOrElse(Vector()).toSeq)
     agg.select(parsed.map {
       case (alias, "count", None) => col("count").as(alias)
       case (alias, st, Some(f)) => col(s"${f}_$st").as(alias)
@@ -336,7 +451,7 @@ object GqlApi {
     * OLTP-scale like the reference's — the id list lands on the driver. */
   private def resolveIds(g: Graph, schema: SchemaDef, tpe: TypeDef,
       filterV: Option[V],
-      auth: Option[(GqlLite.Filter, Set[String])] = None): Seq[String] = {
+      auth: Option[CompiledFilter] = None): Seq[String] = {
     val o = asObj(filterV.getOrElse(
       throw new IllegalArgumentException("mutation needs filter:")))
     // fast path: pure id filter needs no plan at all — unless an @auth
@@ -348,14 +463,13 @@ object GqlApi {
           throw new IllegalArgumentException(s"bad id $other") }
       case _ => ()
     }
-    val (f0, touched0) = compileFilter(schema, tpe, o)
-    val f = auth.map(a => GqlLite.And(f0, a._1)).getOrElse(f0)
-    val touched = touched0 ++ auth.map(_._2).getOrElse(Set())
-    val fieldSpecs = touched.toSeq.sorted.map { fn =>
+    val cf = andCf(Some(compileFilter(schema, tpe, o)), auth).get
+    val fieldSpecs = cf.touched.toSeq.sorted.filterNot(_ == "atom_id").map { fn =>
       val fd = tpe.field(fn)
       (fd.rt, vcolOf(schema, fd), fn)
     }
-    GqlLite.run(g.now, GqlLite.Query(tpe.name, fieldSpecs, Some(f)))
+    GqlLite.run(g.now, GqlLite.Query(tpe.name, fieldSpecs, Some(cf.f),
+        hops = cf.hops, condHops = cf.condHops))
       .select("atom_id").collect().map(_.getString(0)).toSeq
   }
 }

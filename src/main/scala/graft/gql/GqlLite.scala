@@ -30,6 +30,9 @@ object GqlLite {
   final case class And(fs: Filter*) extends Filter
   final case class Or(fs: Filter*) extends Filter
   final case class Not(f: Filter) extends Filter
+  /** Pre-compiled predicate over synthetic columns (list-quantifier
+    * filters reference count-join columns materialized by [[CondHop]]). */
+  final case class Raw(c: Column) extends Filter
 
   def compileFilter(f: Filter): Column = f match {
     case Eq(field, v) => col(field) === lit(v)
@@ -44,6 +47,7 @@ object GqlLite {
     case And(fs @ _*) => fs.map(compileFilter).reduce(_ && _)
     case Or(fs @ _*) => fs.map(compileFilter).reduce(_ || _)
     case Not(f0) => !compileFilter(f0)
+    case Raw(c) => c
   }
 
   /** Sort keys with `asc/desc` + `then` chaining (generate_api2.py:871-898). */
@@ -54,6 +58,23 @@ object GqlLite {
     * aggregated join — still no per-entity resolution. */
   final case class Hop(rt: String, incoming: Boolean, as: String)
 
+  /** Conditional count-hop: per-parent count of related atoms that satisfy
+    * a child query — the join shape behind list-quantifier filters
+    * (`any`/`all`/`size`, build_filter_zefop, generate_api2.py:839-862).
+    * `any` → count > 0 (semi-join); `all` → count == total (two counts);
+    * `size` → scalar comparison on a plain [[Hop]]'s total. Child queries
+    * recurse: an inner filter may carry its own cond-hops. */
+  final case class CondHop(rt: String, incoming: Boolean, as: String,
+      childQ: Query)
+
+  /** Nested entity sub-selection (internal_resolve_field,
+    * generate_api2.py:911-970) as ONE aggregated join: the child selection
+    * compiles to its own frame (atom_id + projected columns), joined
+    * through the relation table and packed per parent as a sorted
+    * array<struct> column — no per-entity resolver calls. */
+  final case class NestedJoin(rt: String, incoming: Boolean, as: String,
+      child: DataFrame, childCols: Seq[String], single: Boolean = false)
+
   /** One query-root: entity type + field projections (+ optional filter,
     * sort, pagination, hops, aggregates) — `queryType { field, ... }`. */
   final case class Query(
@@ -63,14 +84,17 @@ object GqlLite {
       sort: Seq[SortKey] = Nil,
       first: Option[Int] = None,
       offset: Option[Int] = None,
-      hops: Seq[Hop] = Nil)
+      hops: Seq[Hop] = Nil,
+      condHops: Seq[CondHop] = Nil,
+      nested: Seq[NestedJoin] = Nil)
 
-  /** Compile + run: one plan, no per-entity resolution. */
-  def run(slice: GraphSlice, q: Query): DataFrame = {
-    var df =
-      if (q.fields.isEmpty) slice.all(q.et).df.select(col("atom_id"))
-      else slice.all(q.et).fields(q.fields: _*)
-    q.hops.foreach { h =>
+  /** Count-join columns (plain + conditional) onto an atom_id-keyed frame —
+    * shared by [[run]] and [[aggregate]]. Each hop is one aggregated join;
+    * absent parents read 0. */
+  private def applyCountJoins(slice: GraphSlice, df0: DataFrame,
+      hops: Seq[Hop], condHops: Seq[CondHop]): DataFrame = {
+    var df = df0
+    hops.foreach { h =>
       val endCol = if (h.incoming) "dst_id" else "src_id"
       val counts = slice.allRelations(h.rt).df
         .groupBy(col(endCol).as("atom_id"))
@@ -78,10 +102,53 @@ object GqlLite {
       df = df.join(counts, Seq("atom_id"), "left")
         .withColumn(h.as, coalesce(col(h.as), lit(0L)))
     }
+    condHops.foreach { h =>
+      val parentEnd = if (h.incoming) "dst_id" else "src_id"
+      val childEnd = if (h.incoming) "src_id" else "dst_id"
+      val ids = run(slice, h.childQ).select(col("atom_id").as(childEnd))
+      val counts = slice.allRelations(h.rt).df
+        .join(ids, Seq(childEnd), "left_semi")
+        .groupBy(col(parentEnd).as("atom_id"))
+        .agg(count(lit(1)).as(h.as))
+      df = df.join(counts, Seq("atom_id"), "left")
+        .withColumn(h.as, coalesce(col(h.as), lit(0L)))
+    }
+    df
+  }
+
+  /** Compile + run: one plan, no per-entity resolution. */
+  def run(slice: GraphSlice, q: Query): DataFrame = {
+    var df =
+      if (q.fields.isEmpty) slice.all(q.et).df.select(col("atom_id"))
+      else slice.all(q.et).fields(q.fields: _*)
+    df = applyCountJoins(slice, df, q.hops, q.condHops)
     q.filter.foreach(f => df = df.filter(compileFilter(f)))
-    val sortCols = q.sort.map(s => if (s.asc) col(s.field).asc else col(s.field).desc) :+
-      col("atom_id").asc // deterministic pagination tiebreak
-    df = df.orderBy(sortCols: _*)
+    // nested arrays join after the filter: only surviving parents pay
+    q.nested.foreach { n =>
+      val parentEnd = if (n.incoming) "dst_id" else "src_id"
+      val childEnd = if (n.incoming) "src_id" else "dst_id"
+      val rel = slice.allRelations(n.rt).df
+        .select(col(parentEnd).as("__parent"), col(childEnd).as("atom_id"))
+      val packed = rel.join(n.child, Seq("atom_id"))
+        .select(col("__parent"),
+          struct(n.childCols.map(col): _*).as("__c"))
+        .groupBy(col("__parent").as("atom_id"))
+        .agg(sort_array(collect_list(col("__c"))).as(n.as)) // deterministic order
+      df = df.join(packed, Seq("atom_id"), "left")
+      // single (non-list) relation field → one struct, null when absent;
+      // list field → empty array when absent
+      df =
+        if (n.single) df.withColumn(n.as, element_at(col(n.as), 1))
+        else df.withColumn(n.as,
+          coalesce(col(n.as), array().cast(df.schema(n.as).dataType)))
+    }
+    // a global sort only when the query asks for order or pagination
+    if (q.sort.nonEmpty || q.first.isDefined || q.offset.isDefined) {
+      val sortCols = q.sort.map(s =>
+        if (s.asc) col(s.field).asc else col(s.field).desc) :+
+        col("atom_id").asc // deterministic pagination tiebreak
+      df = df.orderBy(sortCols: _*)
+    }
     q.offset.foreach(o => df = df.offset(o))
     q.first.foreach(n => df = df.limit(n))
     df
@@ -200,12 +267,16 @@ object GqlLite {
   def aggregate(slice: GraphSlice, et: String,
       fields: Seq[(String, String, String)],
       filter: Option[Filter] = None,
-      filterFields: Seq[(String, String, String)] = Nil): DataFrame = {
+      filterFields: Seq[(String, String, String)] = Nil,
+      hops: Seq[Hop] = Nil, condHops: Seq[CondHop] = Nil): DataFrame = {
     // filterFields are projected so the predicate can resolve, but take no
     // part in the min/max/sum/avg output
     val proj = fields ++ filterFields.filterNot(f =>
       fields.exists(_._3 == f._3))
-    var df = slice.all(et).fields(proj: _*)
+    var df =
+      if (proj.isEmpty) slice.all(et).df.select(col("atom_id"))
+      else slice.all(et).fields(proj: _*)
+    df = applyCountJoins(slice, df, hops, condHops)
     filter.foreach(f => df = df.filter(compileFilter(f)))
     val aggs = count(lit(1)).as("count") +: fields.flatMap { case (_, _, out) =>
       Seq(min(col(out)).as(s"${out}_min"), max(col(out)).as(s"${out}_max"),

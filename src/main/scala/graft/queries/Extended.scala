@@ -156,6 +156,68 @@ object Extended {
              |LIMIT 15""".stripMargin),
       Seq("gql_query", "graphql_parse", "relation_hop", "Outs")),
 
+    // Nested entity sub-selection (internal_resolve_field,
+    // generate_api2.py:911-970) as ONE aggregated join: child selection
+    // compiled to its own frame, packed per parent as array<struct> —
+    // flattened here with explode_outer so DuckDB can check it (empty
+    // arrays must survive as one null child row, like a LEFT JOIN).
+    QueryDef(
+      "gql_parsed_nested",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+        val df = graft.gql.GqlApi.query(g.now, schema,
+          """query {
+            |  queryCustomer(filter: {acctbal: {gt: 9000.0}}) {
+            |    name
+            |    orders(filter: {totalprice: {gt: 100000.0}}) {
+            |      totalprice
+            |      status
+            |    }
+            |  }
+            |}""".stripMargin)
+        df.select(col("name"), explode_outer(col("orders")).as("o"))
+          .select(col("name"), col("o.totalprice").as("totalprice"),
+            col("o.status").as("status"))
+          .orderBy(col("name"), col("totalprice"))
+      },
+      Some("""SELECT c_name AS name, o.o_totalprice AS totalprice,
+             |  o.o_orderstatus AS status
+             |FROM customer c LEFT JOIN orders o
+             |  ON o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+             |WHERE c.c_acctbal > 9000.0
+             |ORDER BY name, totalprice""".stripMargin),
+      Seq("gql_query", "graphql_parse", "nested_selection", "Outs")),
+
+    // List-quantifier filters (build_filter_zefop, generate_api2.py:839-862):
+    // any → semi-join count > 0, size → plain count compare; both as
+    // count-join columns materialized before the filter, still one plan.
+    QueryDef(
+      "gql_quantified_filter",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+        graft.gql.GqlApi.query(g.now, schema,
+          """query {
+            |  queryCustomer(filter: {and: [
+            |      {orders: {any: {totalprice: {gt: 400000.0}}}},
+            |      {orders: {size: {ge: 10}}}]},
+            |    order: {asc: name}) {
+            |    name
+            |    acctbal
+            |  }
+            |}""".stripMargin)
+      },
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey
+             |          AND o.o_totalprice > 400000.0)
+             |  AND (SELECT count(*) FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey) >= 10
+             |ORDER BY name""".stripMargin),
+      Seq("gql_query", "graphql_parse", "quantifier_filter", "any", "size")),
+
     // Parsed aggregate root with variables: count + Min/Max/Sum/Avg.
     QueryDef(
       "gql_parsed_aggregate",

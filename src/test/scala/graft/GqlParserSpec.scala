@@ -210,6 +210,119 @@ class GqlParserSpec extends AnyFunSuite {
     assert(g3.now.all("Doc").count() == 2)
   }
 
+  /** seeded users + transactions linked through rt "User"
+    * (Transaction --User--> User; User.transactions is @incoming). */
+  def linked: (Graph, GqlParser.SchemaDef) = {
+    val schema = GqlParser.parseSchema(sdl)
+    val (g2, _) = GqlApi.mutate(seeded, schema,
+      """mutation {
+        |  addTransaction(input: [
+        |    {id: "t1", amount: 10.0, type: EXPENSE},
+        |    {id: "t2", amount: 30.0, type: INCOME},
+        |    {id: "t3", amount: 5.0, type: EXPENSE}
+        |  ])
+        |}""".stripMargin)
+    val (g3, _) = Transactor.transact(g2, Seq(
+      PutRelation("User", "e:Transaction/t1", "e:User/u1"),
+      PutRelation("User", "e:Transaction/t2", "e:User/u1"),
+      PutRelation("User", "e:Transaction/t3", "e:User/u2")))
+    (g3, schema)
+  }
+
+  test("nested entity sub-selection: one aggregated join per level") {
+    val (g, schema) = linked
+    import org.apache.spark.sql.Row
+    val rows = GqlApi.query(g.now, schema,
+      """{ queryUser(order: {asc: givenName}) {
+        |    givenName
+        |    transactions(filter: {amount: {ge: 6.0}}) { amount type }
+        |} }""".stripMargin).collect()
+    assert(rows.length == 2)
+    val annTx = rows(0).getAs[scala.collection.Seq[Row]]("transactions")
+    assert(annTx.map(r => (r.getAs[Double]("amount"), r.getAs[String]("type")))
+      == Seq((10.0, "EXPENSE"), (30.0, "INCOME")))
+    // Bob's only transaction (5.0) fails the nested filter → empty array
+    assert(rows(1).getAs[scala.collection.Seq[Row]]("transactions").isEmpty)
+    // single (non-list) relation field: a struct, null when absent
+    val tx = GqlApi.query(g.now, schema,
+      """{ queryTransaction(order: {asc: amount}) {
+        |    amount
+        |    user { email }
+        |} }""".stripMargin).collect()
+    assert(tx.map(_.getAs[Row]("user")).map(u =>
+      if (u == null) null else u.getAs[String]("email")).toSeq
+      == Seq("bob@x.com", "ann@x.com", "ann@x.com"))
+    // count sub-selection still works alongside
+    val counts = GqlApi.query(g.now, schema,
+      """{ queryUser(order: {asc: givenName}) { transactions { count } } }""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(counts == Seq(2L, 1L))
+  }
+
+  test("list-quantifier filters any/all/size compile to count joins") {
+    val (g, schema) = linked
+    def users(f: String): Seq[String] = GqlApi.query(g.now, schema,
+      s"""{ queryUser(filter: $f, order: {asc: givenName}) { givenName } }""")
+      .collect().map(_.getString(0)).toSeq
+    assert(users("{transactions: {any: {amount: {gt: 20.0}}}}") == Seq("Ann"))
+    assert(users("{transactions: {all: {amount: {le: 10.0}}}}") == Seq("Bob"))
+    assert(users("{transactions: {size: {eq: 2}}}") == Seq("Ann"))
+    assert(users("{not: {transactions: {any: {type: {eq: INCOME}}}}}") == Seq("Bob"))
+    assert(users("{transactions: {any: {amount: {gt: 4.0}}}, active: false}")
+      == Seq("Bob"))
+    // single-entity relation filter: related atom exists and satisfies
+    val amts = GqlApi.query(g.now, schema,
+      """{ queryTransaction(filter: {user: {givenName: {eq: "Ann"}}},
+        |                   order: {asc: amount}) { amount } }""".stripMargin)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(amts == Seq(10.0, 30.0))
+    // aggregate root takes quantified filters too
+    val agg = GqlApi.query(g.now, schema,
+      """{ aggregateUser(filter: {transactions: {any: {amount: {ge: 6.0}}}}) {
+        |    count } }""".stripMargin).collect()(0)
+    assert(agg.getAs[Long]("count") == 1)
+  }
+
+  test("nested sub-selection under @auth filters every level") {
+    val sdl2 =
+      """type Folder {
+        |  name: String!
+        |  docs: [Doc] @incoming @relation(rt: "In")
+        |}
+        |type Doc @auth(query: "{owner: {eq: $email}}") {
+        |  owner: String!
+        |  title: String!
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(sdl2)
+    val (g1, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation { addFolder(input: [{id: "f1", name: "shared"}]) }""")
+    val (g2, _) = GqlApi.mutate(g1, schema,
+      """mutation {
+        |  addDoc(input: [
+        |    {id: "d1", owner: "ann@x", title: "A1"},
+        |    {id: "d2", owner: "bob@x", title: "B1"}
+        |  ])
+        |}""".stripMargin)
+    val (g, _) = Transactor.transact(g2, Seq(
+      PutRelation("In", "e:Doc/d1", "e:Folder/f1"),
+      PutRelation("In", "e:Doc/d2", "e:Folder/f1")))
+    import org.apache.spark.sql.Row
+    def docTitles(claims: Map[String, Any]): Seq[String] =
+      GqlApi.query(g.now, schema,
+        """{ queryFolder { name docs { title } } }""",
+        authClaims = Some(claims)).collect()(0)
+        .getAs[scala.collection.Seq[Row]]("docs")
+        .map(_.getAs[String]("title")).toSeq
+    // the child level re-applies Doc's @auth: each caller sees only theirs
+    assert(docTitles(Map("email" -> "ann@x")) == Seq("A1"))
+    assert(docTitles(Map("email" -> "bob@x")) == Seq("B1"))
+    assert(docTitles(Map("email" -> "eve@x")) == Seq())
+    // no claims at all → the authed child level denies the whole query
+    intercept[SecurityException] {
+      GqlApi.query(g.now, schema, """{ queryFolder { name docs { title } } }""")
+    }
+  }
+
   test("parsed aggregate root with enum filter over mutations") {
     val schema = GqlParser.parseSchema(sdl)
     val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
