@@ -421,6 +421,54 @@ object GqlApi {
             }.toMap
             GqlLite.AddEntity(tpe.name, key, fields)
           }
+        case n if n.startsWith("upfetch") =>
+          // resolve_upfetch (generate_api2.py:580-628): upsert keyed on the
+          // type's @upfetch field — existing holder updated in place, value
+          // unseen in the frame becomes a fresh entity. All input rows
+          // resolve in ONE plan (an In-filter probe on the upfetch field),
+          // not one lookup per row.
+          val tpe = schema.tpe(n.stripPrefix("upfetch"))
+          val uf = tpe.fields.find(_.upfetch).getOrElse(
+            throw new IllegalArgumentException(
+              s"type ${tpe.name} declares no @upfetch field"))
+          val inputs = root.args.get("input") match {
+            case Some(VList(vs)) => vs.map(asObj)
+            case Some(o: VObj) => Seq(o)
+            case other => throw new IllegalArgumentException(
+              s"upfetch needs input:, got $other")
+          }
+          val keys = inputs.map { in =>
+            convert(schema, uf, in.get(uf.name).getOrElse(
+              throw new IllegalArgumentException(
+                s"upfetch input must carry the @upfetch field '${uf.name}'")))
+          }
+          require(keys.distinct.size == keys.size,
+            s"duplicate ${uf.name} values within one upfetch batch")
+          val vcol = vcolOf(schema, uf)
+          val hits = GqlLite.run(g.now, GqlLite.Query(tpe.name,
+              Seq((uf.rt, vcol, uf.name)),
+              Some(GqlLite.In(uf.name, keys))))
+            .select(col(uf.name), col("atom_id")).collect()
+            .map(r => r.get(0) -> r.getString(1)).toMap
+          inputs.zip(keys).map { case (in, key) =>
+            val fields = in.fields.filterNot(_._1 == "id").map { case (fname, v) =>
+              val fd = tpe.field(fname)
+              require(!schema.isEntity(fd.tpe),
+                s"upfetch: relation field '$fname' is not supported in input")
+              fd.rt -> convert(schema, fd, v)
+            }.toMap
+            hits.get(key) match {
+              case Some(id) =>
+                // the key field re-assigns its own value: idempotent
+                GqlLite.UpdateEntity(id, fields)
+              case None =>
+                GqlLite.AddEntity(tpe.name,
+                  java.util.UUID.nameUUIDFromBytes(
+                    (tpe.name + in.fields.sortBy(_._1).mkString(";"))
+                      .getBytes("UTF-8")).toString,
+                  fields)
+            }
+          }
         case n if n.startsWith("update") =>
           val tpe = schema.tpe(n.stripPrefix("update"))
           val input = asObj(root.args.get("input").getOrElse(

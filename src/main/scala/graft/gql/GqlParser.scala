@@ -263,7 +263,7 @@ object GqlParser {
     * `tpe` the named GraphQL type with list/required unwrapped. */
   final case class FieldDef(name: String, tpe: String, list: Boolean,
       required: Boolean, unique: Boolean, search: Boolean,
-      incoming: Boolean, rt: String)
+      incoming: Boolean, rt: String, upfetch: Boolean = false)
 
   final case class TypeDef(name: String, fields: Seq[FieldDef],
       auth: Map[String, String]) {
@@ -338,6 +338,7 @@ object GqlParser {
             } else tname = p.expectName()
             if (p.peekIsPunct("!")) { p.expectPunct("!"); required = true }
             var unique = false; var search = false; var incoming = false
+            var upfetch = false
             var rt = capitalize(fname)
             while (p.peekIsPunct("@")) {
               p.expectPunct("@")
@@ -347,6 +348,7 @@ object GqlParser {
                 case "unique" => unique = true
                 case "search" => search = true
                 case "incoming" => incoming = true
+                case "upfetch" => upfetch = true
                 case "relation" =>
                   args.get("rt") match {
                     case Some(VStr(s)) => rt = s
@@ -359,8 +361,12 @@ object GqlParser {
                   s"unknown field directive @$other")
               }
             }
+            if (upfetch && !(unique && required))
+              throw new IllegalArgumentException(
+                s"@upfetch field '$fname' must also be @unique and required " +
+                  "(the reference's resolve_upfetch relies on both)")
             fields += FieldDef(fname, tname, list, required, unique,
-              search, incoming, rt)
+              search, incoming, rt, upfetch)
           }
           p.expectPunct("}")
           types += name -> TypeDef(name, fields.result(), auth.result())

@@ -16,7 +16,7 @@ class GqlParserSpec extends AnyFunSuite {
   val sdl: String =
     """# Zef.SchemaVersion: v1
       |type User {
-      |  email: String! @unique
+      |  email: String! @unique @upfetch
       |  givenName: String
       |  score: Float @search
       |  active: Boolean
@@ -41,6 +41,11 @@ class GqlParserSpec extends AnyFunSuite {
     // @relation(rt:) override
     assert(u.field("serial").rt == "SerialNo")
     assert(u.field("email").required && u.field("email").unique)
+    assert(u.field("email").upfetch && !u.field("serial").upfetch)
+    // @upfetch demands @unique + required (resolve_upfetch's precondition)
+    intercept[IllegalArgumentException] {
+      GqlParser.parseSchema("type T { name: String @upfetch }")
+    }
     assert(u.field("score").search && !u.field("score").required)
     val tx = u.field("transactions")
     assert(tx.list && tx.incoming && tx.tpe == "Transaction" && tx.rt == "User")
@@ -136,6 +141,48 @@ class GqlParserSpec extends AnyFunSuite {
     val (g2, _) = GqlApi.mutate(g, schema,
       """mutation { addUser(input: [{id: "u3", email: "c@x.com", serial: 300}]) }""")
     assert(g2.now.all("User").count() == 3)
+  }
+
+  test("parsed upfetch mutation: update-or-add keyed on the @upfetch field") {
+    val schema = GqlParser.parseSchema(sdl)
+    val g = seeded
+    val annId = GqlApi.query(g.now, schema,
+      """{ queryUser(filter: {email: {eq: "ann@x.com"}}) { id } }""")
+      .collect()(0).getString(0)
+    // one batch, both branches: ann exists (update in place), dora doesn't
+    // (fresh entity) — resolved in a single In-probe plan
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation {
+        |  upfetchUser(input: [
+        |    {email: "ann@x.com", givenName: "Annette", score: 10.0},
+        |    {email: "dora@x.com", givenName: "Dora", serial: 400}
+        |  ])
+        |}""".stripMargin)
+    assert(g2.now.all("User").count() == 3) // ann reused, not duplicated
+    val ann2 = GqlApi.query(g2.now, schema,
+      """{ queryUser(filter: {email: {eq: "ann@x.com"}}) { id givenName score } }""")
+      .collect()(0)
+    assert(ann2.getString(0) == annId) // same atom — updated, not re-added
+    assert(ann2.getAs[String]("givenName") == "Annette")
+    assert(ann2.getAs[Double]("score") == 10.0)
+    val dora = GqlApi.query(g2.now, schema,
+      """{ queryUser(filter: {email: {eq: "dora@x.com"}}) { givenName } }""")
+      .collect()
+    assert(dora.length == 1 && dora(0).getString(0) == "Dora")
+    // create-branch still trips OTHER @unique constraints (serial 100 = u1's)
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g2, schema,
+        """mutation { upfetchUser(input: [{email: "new@x.com", serial: 100}]) }""")
+    }
+    // replaying the same upfetch is idempotent on entity count
+    val (g3, _) = GqlApi.mutate(g2, schema,
+      """mutation { upfetchUser(input: [{email: "dora@x.com", givenName: "Dora"}]) }""")
+    assert(g3.now.all("User").count() == 3)
+    // an input without the @upfetch field is rejected
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g2, schema,
+        """mutation { upfetchUser(input: [{givenName: "X"}]) }""")
+    }
   }
 
   test("parsed update/delete resolve their filter; auth hook enforced") {
