@@ -29,8 +29,13 @@ object Bench {
       g.atoms.count(); g.values.count()
     }
 
+    // dev aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries (the driver
+    // never sets it, so the per-round protocol is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, Double)] =
-      queries.Registry.entries.map { q =>
+      queries.Registry.entries
+        .filter(q => only.forall(_.contains(q.name))).map { q =>
         try {
           q.fn(spark, sfDir).count() // warm-up (also primes graph caches)
           val t = median((1 to runs).map(_ => time(q.fn(spark, sfDir).count())))

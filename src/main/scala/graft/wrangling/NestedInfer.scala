@@ -189,41 +189,72 @@ object NestedInfer {
     * not the expected exit. */
   def fixpoint(flat: Flattened, rules: Seq[TripleRule],
       maxIters: Int = 25): DataFrame = {
-    var types = flat.objects.localCheckpoint(true)
+    val base = flat.objects.localCheckpoint(true)
+    // Checkpointed RDD stats are too weak for Catalyst to pick broadcast
+    // joins on its own, and a shuffle join per rule-scan turns each round
+    // into ~15 AQE stage-jobs of pure scheduling overhead. The object table
+    // size is KNOWN here (base is materialized), so dispatch adaptively —
+    // same pattern as ZOps' group_consecutive: small object sets broadcast
+    // (zero shuffles per round), huge ones fall back to shuffle joins,
+    // which is the correct plan when types genuinely can't fit an executor.
+    val bcTypes = base.count() <= 5_000_000L
+    def hint(df: DataFrame): DataFrame = if (bcTypes) broadcast(df) else df
+    // Accumulated re-typings. Only ZEF_Unknown objects ever change type, and
+    // a resolved object never matches Z again, so rounds produce DISJOINT
+    // (obj_id → new type) deltas; the current types table is the cheap view
+    // `base ⟕ union(deltas)` with coalesce. Each delta is tiny (objects
+    // typed that round) and eagerly checkpointed, so per-round cost is the
+    // rule scan + one small-table join — NOT a full types-table rewrite and
+    // materialization per round (the r3 constant-factor tax).
+    var resolved: Option[DataFrame] = None
+    def typesView: DataFrame = resolved match {
+      case None => base
+      case Some(r) => base.join(hint(r), Seq("obj_id"), "left")
+        .select(col("obj_id"),
+          coalesce(col("__new"), col("obj_type")).as("obj_type"))
+    }
+    // a triple can only fire a rule whose rel pattern admits it — when no
+    // rule has an AnyP relation, restrict the scanned triples ONCE to the
+    // named rels (typical rule lists name a handful of rels; documents
+    // carry many more fields than that)
+    val scanTriples =
+      if (rules.exists(_.rel == AnyP)) flat.triples
+      else {
+        val rels = rules.collect { case TripleRule(_, V(rt), _, _) => rt }.distinct
+        flat.triples.filter(col("rel").isin(rels: _*)).localCheckpoint(true)
+      }
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val t = flat.triples
-        .join(types.select(col("obj_id").as("src_id"),
-          col("obj_type").as("src_type")), "src_id")
-        .join(types.select(col("obj_id").as("tgt_id"),
-          col("obj_type").as("tgt_type")), Seq("tgt_id"), "left")
+      val types = typesView
+      val t = scanTriples
+        .join(hint(types.select(col("obj_id").as("src_id"),
+          col("obj_type").as("src_type"))), "src_id")
+        .join(hint(types.select(col("obj_id").as("tgt_id"),
+          col("obj_type").as("tgt_type"))), Seq("tgt_id"), "left")
       val perRule = rules.zipWithIndex.map { case (r, i) =>
         val zCol = if (r.src == ZP) col("src_id") else col("tgt_id")
         t.filter(srcPred(r.src) && relPred(r.rel) && tgtPred(r.tgt))
           .select(zCol.as("obj_id"), lit(i).as("__prio"),
             lit(r.toType).as("__new"))
       }
-      // frozen: the convergence probe AND the update join both read the
-      // round's assignments — without the freeze the whole rule scan runs
-      // twice per round
-      val assignments = perRule.reduce(_ unionByName _)
+      // eagerly frozen: the convergence probe, the delta union, and the
+      // final view all read the round's assignments — and they are small.
+      // Re-wrapped as a fresh LogicalRDD (new attribute ids): each round's
+      // delta descends from the previous deltas' plan, and unioning frames
+      // that share attribute ids trips Catalyst's union constraint rewrite.
+      val ck = perRule.reduce(_ unionByName _)
         .groupBy("obj_id")
         .agg(min_by(col("__new"), col("__prio")).as("__new"))
-        .localCheckpoint(eager = false)
-      converged = assignments.isEmpty
+        .localCheckpoint(eager = true)
+      converged = ck.isEmpty // reads the cached checkpoint blocks — cheap
       if (!converged) {
-        // converged rounds skip the (pointless) identity update entirely
-        types = types.join(assignments, Seq("obj_id"), "left")
-          .withColumn("obj_type",
-            when(col("obj_type") === UnknownType && col("__new").isNotNull,
-              col("__new")).otherwise(col("obj_type")))
-          .drop("__new")
-          .localCheckpoint(true) // truncate lineage; materializes the round
+        val fresh = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+        resolved = Some(resolved.map(_.unionByName(fresh)).getOrElse(fresh))
       }
       iter += 1
     }
-    types
+    typesView
   }
 
   /** infer_types end-to-end: flatten + fixpoint (reference
