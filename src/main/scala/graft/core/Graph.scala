@@ -34,20 +34,39 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
     * and a transact produces a NEW instance with an empty cache. Includes
     * the winning tx_slice so consumers can still tie-break multi-AE
     * fields. */
-  def latestValues(slice: Int): DataFrame =
-    latestValuesCache.getOrElseUpdate(slice, {
+  def latestValues(slice: Int): DataFrame = latestValuesCache.synchronized {
+    val hit = latestValuesCache.get(slice) // LinkedHashMap access refreshes LRU order
+    if (hit != null) hit
+    else {
       val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
-      values.filter(col("tx_slice") <= slice)
+      val df = values.filter(col("tx_slice") <= slice)
         .groupBy("ae_id")
         .agg(max_by(struct((Seq("tx_slice") ++ vcols).map(col): _*),
           col("tx_slice")).as("__v"))
         .select(col("ae_id") +:
           (Seq("tx_slice") ++ vcols).map(c => col(s"__v.$c").as(c)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      latestValuesCache.put(slice, df)
+      df
+    }
+  }
 
+  /** Bounded LRU of persisted [[latestValues]] tables. Entries never go
+    * STALE (graphs are immutable; a transact returns a fresh instance with
+    * an empty cache) but they do pin memory: a session that time-travels
+    * across many frames would otherwise keep one aggregated table per
+    * visited slice alive forever. Policy: the [[Graph.MaxCachedSlices]]
+    * most recently USED slices stay persisted; older ones are unpersisted
+    * on eviction and rebuilt on demand. */
   @transient private lazy val latestValuesCache =
-    scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
+    new java.util.LinkedHashMap[Int, DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, DataFrame]): Boolean = {
+        val evict = size() > Graph.MaxCachedSlices
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** Absolute frame — zef `to_frame`/`at`. */
   def at(slice: Int): GraphSlice = GraphSlice(this, slice)
@@ -124,6 +143,13 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
 }
 
 object Graph {
+
+  /** How many slices' [[Graph.latestValues]] tables stay persisted per graph
+    * instance (LRU). 2 covers the dominant access pattern — `now` plus one
+    * historical frame under comparison (time_travel diffs) — without letting
+    * a frame-hopping session pin unbounded derived tables. */
+  val MaxCachedSlices: Int = 2
+
   /** Back-compat constructor: graph without tag bindings. */
   def apply(atoms: DataFrame, values: DataFrame, txs: DataFrame): Graph =
     Graph(atoms, values, txs, emptyTags(atoms.sparkSession))

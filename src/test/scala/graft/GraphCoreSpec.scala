@@ -50,6 +50,26 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(g1.now.all("Person").count() == 1)
   }
 
+  test("latestValues cache: LRU-bounded, evicted slices unpersist") {
+    import org.apache.spark.storage.StorageLevel
+    val g = fixture // 3 slices
+    val lv1 = g.latestValues(1)
+    val lv2 = g.latestValues(2)
+    lv1.count(); lv2.count()
+    assert(lv1.storageLevel != StorageLevel.NONE)
+    assert(lv2.storageLevel != StorageLevel.NONE)
+    // touching slice 1 makes slice 2 the LRU entry; the 3rd slice then
+    // evicts (and unpersists) slice 2, not slice 1
+    g.latestValues(1)
+    val lv3 = g.latestValues(3)
+    lv3.count()
+    assert(lv2.storageLevel == StorageLevel.NONE, "LRU slice unpersisted")
+    assert(lv1.storageLevel != StorageLevel.NONE, "recently-used slice kept")
+    assert(lv3.storageLevel != StorageLevel.NONE)
+    // evicted slices rebuild on demand with identical content
+    assert(g.latestValues(2).count() == lv2.count())
+  }
+
   test("multi-valued fields per slice: 2 at s1, 3 at s2, 0 at s3") {
     val g = fixture
     def nicknames(s: Int) =
