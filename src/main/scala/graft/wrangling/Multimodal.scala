@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * shapes — is real and tested. IMAGES have a REAL codec: pure-JVM
   * `javax.imageio` (PNG/GIF/BMP/JPEG as shipped with the JDK) drives
   * [[MediaCodec.decodeImage]]/[[MediaCodec.resizeImage]] and the
-  * [[extractImageFeatures]] pipeline end-to-end. Audio/video stay STUBBED
-  * ([[MediaCodec.decodeStub]] treats the byte payload as the decoded
-  * sample buffer — no such codecs exist in this container); swapping in a
-  * real one changes only that function.
+  * [[extractImageFeatures]] pipeline end-to-end. AUDIO has a REAL codec
+  * too: `javax.sound.sampled` (WAV/AIFF/AU as shipped with the JDK) drives
+  * [[MediaCodec.decodeAudio]] → mono PCM → [[extractAudioFeatures]].
+  * Only VIDEO stays STUBBED ([[MediaCodec.decodeStub]] treats the byte
+  * payload as the decoded frame buffer — no video codec exists in this
+  * container); swapping in a real one changes only that function.
   *
   * Scale notes: media rows are large (MBs); keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -31,10 +33,10 @@ object Multimodal {
       features: Array[Double], n_frames: Int)
 
   object MediaCodec {
-    /** STUB — stands in for the real AUDIO/VIDEO decoder (no such codec in
+    /** STUB — stands in for the real VIDEO decoder (no video codec in
       * this container): interprets the payload bytes as the decoded buffer.
       * Deterministic by construction so tests are stable. Images use the
-      * real [[decodeImage]] below. */
+      * real [[decodeImage]] and audio the real [[decodeAudio]] below. */
     def decodeStub(payload: Array[Byte]): Array[Byte] = payload
 
     /** REAL image decode via javax.imageio: encoded bytes → (width, height,
@@ -94,6 +96,67 @@ object Multimodal {
       }
     }
 
+    /** REAL audio decode via javax.sound.sampled (WAV/AIFF/AU, shipped
+      * with the JDK): encoded bytes → (sampleRate, channels, mono PCM
+      * samples in [-1,1]). Multi-channel input mixes down to mono (mean
+      * across channels per frame). None = payload is not decodable audio
+      * (dropped by the pipeline, like undecodable images). */
+    def decodeAudio(payload: Array[Byte])
+        : Option[(Float, Int, Array[Float])] = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+        val fmt = in.getFormat
+        // normalize to 16-bit signed little-endian PCM so sample math is
+        // uniform across source encodings (8-bit, big-endian, unsigned…)
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        pcm.close(); in.close()
+        val ch = fmt.getChannels
+        val nFrames = bytes.length / (2 * ch)
+        val mono = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0.0f
+          var c = 0
+          while (c < ch) {
+            val off = (f * ch + c) * 2
+            val v = (((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)).toShort
+            s += v / 32768.0f
+            c += 1
+          }
+          mono(f) = s / ch
+          f += 1
+        }
+        Some((fmt.getSampleRate, ch, mono))
+      } catch { case _: Exception => None }
+    }
+
+    /** Cheap acoustic descriptors of a PCM window: RMS energy,
+      * zero-crossing rate, peak amplitude, DC offset — the classic
+      * first-pass features for audio quality filtering / near-dup
+      * blocking. */
+    def audioDescriptors(w: Array[Float]): Array[Double] = {
+      if (w.isEmpty) return Array(0.0, 0.0, 0.0, 0.0)
+      var sumSq = 0.0; var sum = 0.0; var peak = 0.0; var zc = 0
+      var i = 0
+      while (i < w.length) {
+        val v = w(i)
+        sumSq += v * v; sum += v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && (v >= 0) != (w(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      Array(math.sqrt(sumSq / w.length), zc.toDouble / w.length, peak,
+        sum / w.length)
+    }
+
     /** Byte-value histogram as the stand-in feature extractor (this part is
       * real computation, not a stub): 32 bins, L1-normalized. */
     def byteHistogram(buf: Array[Byte], bins: Int = 32): Array[Double] = {
@@ -143,6 +206,45 @@ object Multimodal {
             MediaCodec.pool(acc.map(_ / per.size), featureDim)
           }
         MediaFeatures(r.media_id, r.meta.kind, feats, frames.size)
+      }
+    }
+  }
+
+  /** AUDIO feature extraction — the real-codec pipeline: decode
+    * (javax.sound.sampled: WAV/AIFF/AU) → mono PCM → sliding sample
+    * windows → per-window acoustic descriptors (RMS / zero-crossings /
+    * peak / DC) averaged across windows, concatenated with an
+    * amplitude-quantization histogram → mean-pool to `featureDim`.
+    * Undecodable payloads are dropped, mirroring [[extractImageFeatures]].
+    * mapPartitions keeps per-batch shape; n_frames = window count. */
+  def extractAudioFeatures(media: Dataset[MediaRow],
+      windowSize: Int = 2048, stride: Int = 2,
+      featureDim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeAudio(r.payload).map { case (_, _, pcm) =>
+          val step = math.max(1, windowSize * stride)
+          val offsets =
+            if (pcm.length < windowSize) Seq(0)
+            else 0 to (pcm.length - windowSize) by step
+          val wins = offsets.map(off =>
+            java.util.Arrays.copyOfRange(pcm, off,
+              math.min(off + windowSize, pcm.length)))
+          val desc = new Array[Double](4)
+          wins.foreach { w =>
+            val d = MediaCodec.audioDescriptors(w)
+            var i = 0; while (i < 4) { desc(i) += d(i); i += 1 }
+          }
+          var i = 0
+          while (i < 4) { desc(i) /= wins.size; i += 1 }
+          // amplitude histogram over [-1,1] quantized to bytes
+          val quant = pcm.map(v =>
+            (math.max(-1f, math.min(1f, v)) * 127).toByte)
+          val hist = MediaCodec.byteHistogram(quant)
+          MediaFeatures(r.media_id, "audio",
+            MediaCodec.pool(desc ++ hist, featureDim), wins.size)
+        }
       }
     }
   }

@@ -189,6 +189,66 @@ class WranglingSpec extends AnyFunSuite {
     assert(resized.length == 2 && resized.forall(_.features.length == 8))
   }
 
+  test("audio codec: real WAV decode -> windows -> features end-to-end") {
+    import Multimodal._
+    import javax.sound.sampled._
+    // deterministic WAVs generated in-process (pure-JVM javax.sound)
+    def wav(freq: Double, sr: Float = 8000f, ms: Int = 250,
+        channels: Int = 1, amp: Double = 0.5): Array[Byte] = {
+      val n = (sr * ms / 1000).toInt
+      val data = new Array[Byte](n * 2 * channels)
+      for (i <- 0 until n; c <- 0 until channels) {
+        val v = (math.sin(2 * math.Pi * freq * i / sr) * amp * 32767).toShort
+        val off = (i * channels + c) * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sr, 16,
+        channels, channels * 2, sr, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    // decode: format metadata + sample count + signal shape
+    val a440 = wav(440)
+    val Some((sr, ch, pcm)) = MediaCodec.decodeAudio(a440)
+    assert(sr == 8000f && ch == 1 && pcm.length == 2000)
+    // sine at amplitude 0.5: RMS = 0.5/sqrt(2), zcr = 2*440/8000
+    val d = MediaCodec.audioDescriptors(pcm)
+    assert(math.abs(d(0) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${d(0)}")
+    assert(math.abs(d(1) - 2 * 440.0 / 8000) < 0.01, s"zcr ${d(1)}")
+    assert(d(2) <= 0.5001 && d(2) > 0.45) // peak
+    assert(math.abs(d(3)) < 0.01) // DC offset of a sine ~ 0
+    // stereo mixes down to mono, same length in frames
+    val Some((_, ch2, pcm2)) = MediaCodec.decodeAudio(wav(440, channels = 2))
+    assert(ch2 == 2 && pcm2.length == 2000)
+    assert(math.abs(MediaCodec.audioDescriptors(pcm2)(0) - d(0)) < 0.01)
+    // non-audio payload rejected, not mangled
+    assert(MediaCodec.decodeAudio("not audio".getBytes).isEmpty)
+
+    // distributed pipeline: decode -> windows -> pooled features;
+    // undecodable rows dropped; distinct frequencies separate
+    val s = spark; import s.implicits._
+    val media = Seq(
+      MediaRow(1L, a440, MediaMeta("audio", 0, 0, 8000, 250)),
+      MediaRow(2L, wav(1600), MediaMeta("audio", 0, 0, 8000, 250)),
+      MediaRow(3L, "junk".getBytes, MediaMeta("audio", 0, 0, 0, 0))).toDS()
+    val feats = Multimodal.extractAudioFeatures(media, windowSize = 512,
+      stride = 1, featureDim = 8).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L)) // junk dropped
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(_.n_frames == (2000 - 512) / 512 + 1))
+    assert(!feats(0).features.sameElements(feats(1).features))
+    // deterministic across runs
+    val again = Multimodal.extractAudioFeatures(media, windowSize = 512,
+      stride = 1, featureDim = 8).collect().sortBy(_.media_id)
+    assert(feats.zip(again).forall { case (a, b) =>
+      a.features.sameElements(b.features) })
+  }
+
   test("rollingHash: equal texts equal, different texts differ") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "a b c x"))
