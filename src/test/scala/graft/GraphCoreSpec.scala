@@ -124,6 +124,59 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(viaRel.df.collect()(0).getAs[String]("atom_id") == "e:Person/joe")
   }
 
+  test("zascii: drawn fixture parses to the same graph as explicit wishes") {
+    // the Person/Pet fixture, AUTHORED AS A FIGURE (reference
+    // zascii_to_flatgraph, implementation_typing_functions.py:7978)
+    val fig =
+      """             RT.FirstName                    RT.HasPet                RT.Name
+        |  "Joe" ◄──────────────── ET.Person[joe] ─────────────► ET.Pet[spot] ──────► "Spot"
+        |
+        |                  RT.NickName
+        |  ET.Person[joe] ──────────► "Guy"
+        |
+        |                  RT.NickName
+        |  ET.Person[joe] ──────────► "Joey"
+        |
+        |                  RT.Age
+        |  ET.Person[joe] ──────────► 42
+        |""".stripMargin
+    val wishes = Zascii.parse(fig)
+    // one entity decl per unique key, despite three joe occurrences
+    assert(wishes.count { case PutEntity(_, "joe") => true; case _ => false } == 1)
+    val (g, _) = Transactor.transact(Graph.empty(spark), wishes)
+    assert(g.now.all("Person").count() == 1)
+    assert(g.now.all("Pet").count() == 1)
+    // drawn relation traverses; drawn left-arrow lands the field on joe
+    val pets = g.now.all("Person").outs("HasPet")
+    assert(pets.count() == 1)
+    assert(pets.df.collect()(0).getAs[String]("atype") == "Pet")
+    assert(g.now.all("Person").fieldValue("FirstName", "v_str", "v")
+      .collect()(0).getAs[String]("v") == "Joe")
+    assert(g.now.all("Pet").fieldValue("Name", "v_str", "v")
+      .collect()(0).getAs[String]("v") == "Spot")
+    // repeated (joe, NickName) arrows became a multi-valued field
+    assert(g.now.all("Person").outs("NickName").count() == 2)
+    // numeric literal landed typed
+    assert(g.now.all("Person").fieldValue("Age", "v_long", "v")
+      .collect()(0).getAs[Long]("v") == 42L)
+    // ASCII variant draws the same edge as box-drawing
+    val ascii = Zascii.parse(
+      """       RT.Likes
+        |ET.A[a] --------> ET.B[b]
+        |""".stripMargin)
+    assert(ascii.contains(PutRelation("Likes", "a", "b", "a>b:Likes")))
+    // malformed figures fail loudly, not silently
+    assertThrows[IllegalArgumentException] {
+      Zascii.parse("ET.A[a] ────► ET.B[b]") // no label
+    }
+    assertThrows[IllegalArgumentException] {
+      Zascii.parse(
+        """  RT.X
+          |────► ET.B[b]
+          |""".stripMargin) // no tail element
+    }
+  }
+
   test("events between slices") {
     val g = fixture
     val ev = g.events(2, 3).groupBy(col("event")).count().collect()
