@@ -16,6 +16,60 @@ object Wrangling {
 
   val entries: Seq[QueryDef] = Seq(
 
+    // Multimodal AUDIO pipeline through the driver's hash gate: WAV
+    // payloads deterministically synthesized from documents.doc_id (sines
+    // at doc-derived frequencies — the "deterministic fake" pattern, but
+    // the WAV container + decode + window math are all REAL), decoded and
+    // windowed distributed. Window count and sine RMS are analytically
+    // known, so DuckDB can oracle the whole pipeline: 1000 samples /
+    // 256-window stride-1 → 3 windows; RMS of a 0.5-amplitude sine →
+    // 0.5/√2 ≈ 0.35.
+    QueryDef(
+      "wr_audio_pipeline",
+      (s, d) => {
+        import s.implicits._
+        import graft.wrangling.Multimodal
+        import Multimodal._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+          .map { id =>
+            val sr = 8000f
+            val n = 1000
+            val freq = 200.0 + (id % 20) * 100.0 // well under Nyquist
+            val data = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val v = (math.sin(2 * math.Pi * freq * i / sr) * 0.5 * 32767).toShort
+              data(2 * i) = (v & 0xff).toByte
+              data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              sr, 16, 1, 2, sr, false)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            MediaRow(id, bos.toByteArray, MediaMeta("audio", 0, 0, 8000, 125))
+          }
+        val feats = Multimodal.extractAudioFeatures(media,
+          windowSize = 256, stride = 1)
+        val rms = media.map { r =>
+          val pcm = MediaCodec.decodeAudio(r.payload).get._3
+          (r.media_id,
+            math.round(MediaCodec.audioDescriptors(pcm)(0) * 100) / 100.0)
+        }.toDF("media_id", "rms2")
+        feats.toDF().select(col("media_id"), col("n_frames"))
+          .join(rms, "media_id")
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(3 AS INT) AS n_frames,
+             |  CAST(0.35 AS DOUBLE) AS rms2
+             |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin),
+      Seq("multimodal", "audio_decode", "frame_sample", "feature_extract")),
+
     // Token counting + aggregate text stats per language bucket.
     QueryDef(
       "wr_token_stats",
