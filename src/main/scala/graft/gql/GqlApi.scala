@@ -285,12 +285,29 @@ object GqlApi {
             require(s.sels.nonEmpty,
               s"relation field '${s.name}' needs a sub-selection")
             val childTpe = schema.tpe(fd.tpe)
+            // nested list-params (handle_list_params per parent,
+            // generate_api2.py:880-906): order/first/offset inside the block
+            val nSort = s.args.get("order")
+              .map(o => compileSort(asObj(o))).getOrElse(Nil)
+            val nFirst = s.args.get("first").map { case VInt(i) => i.toInt
+              case other => throw new IllegalArgumentException(s"bad first $other") }
+            val nOffset = s.args.get("offset").map { case VInt(i) => i.toInt
+              case other => throw new IllegalArgumentException(s"bad offset $other") }
+            require(fd.list || (nSort.isEmpty && nFirst.isEmpty && nOffset.isEmpty),
+              s"'${s.name}' is a single-entity field; order/first/offset need a list")
             val (childDf0, childOuts) = planSelections(slice, schema,
-              childTpe, s.sels, s.args.get("filter"), authClaims, Nil)
-            val childDf = childDf0.select(col("atom_id") +:
-              childOuts.map { case (src, al) => col(src).as(al) }: _*)
+              childTpe, s.sels, s.args.get("filter"), authClaims,
+              nSort.map(_.field))
+            // payload aliases + HIDDEN sort keys (aliased apart so a sort
+            // field needn't be part of the emitted selection)
+            val hidden = nSort.map(_.field).distinct
+              .map(f => col(f).as(s"__sort_$f"))
+            val childDf = childDf0.select((col("atom_id") +:
+              childOuts.map { case (src, al) => col(src).as(al) }) ++ hidden: _*)
             nested :+= GqlLite.NestedJoin(fd.rt, fd.incoming, s.alias,
-              childDf, childOuts.map(_._2), single = !fd.list)
+              childDf, childOuts.map(_._2), single = !fd.list,
+              sort = nSort.map(k => GqlLite.SortKey(s"__sort_${k.field}", k.asc)),
+              first = nFirst, offset = nOffset)
             outs :+= ((s.alias, s.alias))
           }
         } else {

@@ -71,9 +71,17 @@ object GqlLite {
     * generate_api2.py:911-970) as ONE aggregated join: the child selection
     * compiles to its own frame (atom_id + projected columns), joined
     * through the relation table and packed per parent as a sorted
-    * array<struct> column — no per-entity resolver calls. */
+    * array<struct> column — no per-entity resolver calls.
+    *
+    * Nested list-params (handle_list_params applied per parent): `sort`
+    * orders INSIDE the packed array via an `array_sort` comparator —
+    * per-parent ordering costs no extra shuffle; `first`/`offset` slice
+    * the array. Sort keys may be hidden columns of `child` (not part of
+    * the emitted payload); ties break on child atom_id. */
   final case class NestedJoin(rt: String, incoming: Boolean, as: String,
-      child: DataFrame, childCols: Seq[String], single: Boolean = false)
+      child: DataFrame, childCols: Seq[String], single: Boolean = false,
+      sort: Seq[SortKey] = Nil, first: Option[Int] = None,
+      offset: Option[Int] = None)
 
   /** One query-root: entity type + field projections (+ optional filter,
     * sort, pagination, hops, aggregates) — `queryType { field, ... }`. */
@@ -129,11 +137,49 @@ object GqlLite {
       val childEnd = if (n.incoming) "src_id" else "dst_id"
       val rel = slice.allRelations(n.rt).df
         .select(col(parentEnd).as("__parent"), col(childEnd).as("atom_id"))
-      val packed = rel.join(n.child, Seq("atom_id"))
-        .select(col("__parent"),
-          struct(n.childCols.map(col): _*).as("__c"))
-        .groupBy(col("__parent").as("atom_id"))
-        .agg(sort_array(collect_list(col("__c"))).as(n.as)) // deterministic order
+      val joined = rel.join(n.child, Seq("atom_id"))
+      val packed =
+        if (n.sort.isEmpty && n.first.isEmpty && n.offset.isEmpty)
+          joined.select(col("__parent"),
+              struct(n.childCols.map(col): _*).as("__c"))
+            .groupBy(col("__parent").as("atom_id"))
+            .agg(sort_array(collect_list(col("__c"))).as(n.as)) // deterministic
+        else {
+          // pack (sort keys…, tiebreak, payload), order inside the array
+          // (array_sort comparator — per-parent sort, no extra shuffle),
+          // slice for offset/first, strip to the payload
+          val keyed = struct(
+            n.sort.zipWithIndex.map { case (k, i) =>
+              col(k.field).as(s"__s$i") } ++
+              Seq(col("atom_id").as("__tie"),
+                struct(n.childCols.map(col): _*).as("__p")): _*)
+          def compare(l: Column, r: Column): Column = {
+            val tie = when(l.getField("__tie") < r.getField("__tie"), -1)
+              .when(l.getField("__tie") > r.getField("__tie"), 1)
+              .otherwise(0)
+            n.sort.zipWithIndex.foldRight(tie: Column) { case ((k, i), acc) =>
+              val (lv, rv) = (l.getField(s"__s$i"), r.getField(s"__s$i"))
+              val lt = if (k.asc) -1 else 1
+              // nulls compare equal here and fall through to the next key
+              when(lv < rv, lit(lt)).when(lv > rv, lit(-lt)).otherwise(acc)
+            }
+          }
+          val agged = joined.select(col("__parent"), keyed.as("__c"))
+            .groupBy(col("__parent").as("atom_id"))
+            .agg(collect_list(col("__c")).as("__arr"))
+            .withColumn("__arr", array_sort(col("__arr"), compare))
+          val arraySlice: (Column, Column, Column) => Column =
+            org.apache.spark.sql.functions.slice
+          val off = n.offset.getOrElse(0)
+          val sliced = n.first match {
+            case Some(k) => arraySlice(col("__arr"), lit(off + 1), lit(k))
+            case None if off > 0 => arraySlice(col("__arr"), lit(off + 1),
+              greatest(size(col("__arr")) - off, lit(0)))
+            case None => col("__arr")
+          }
+          agged.select(col("atom_id"),
+            transform(sliced, x => x.getField("__p")).as(n.as))
+        }
       df = df.join(packed, Seq("atom_id"), "left")
       // single (non-list) relation field → one struct, null when absent;
       // list field → empty array when absent

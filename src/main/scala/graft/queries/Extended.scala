@@ -189,6 +189,42 @@ object Extended {
              |ORDER BY name, totalprice""".stripMargin),
       Seq("gql_query", "graphql_parse", "nested_selection", "Outs")),
 
+    // Nested list-params (handle_list_params per parent): top-k orders per
+    // customer ORDERED AND SLICED INSIDE the packed array (array_sort
+    // comparator + slice — per-parent top-k with no extra shuffle);
+    // posexplode emits the position so DuckDB's ROW_NUMBER can check the
+    // order exactly, ties broken by child atom id on both sides.
+    QueryDef(
+      "gql_nested_topk",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+        val df = graft.gql.GqlApi.query(g.now, schema,
+          """query {
+            |  queryCustomer(filter: {acctbal: {gt: 9000.0}}) {
+            |    name
+            |    orders(order: {desc: totalprice}, first: 2) {
+            |      totalprice
+            |    }
+            |  }
+            |}""".stripMargin)
+        df.select(col("name"), posexplode(col("orders")))
+          .select(col("name"), (col("pos") + 1).cast("int").as("idx"),
+            col("col.totalprice").as("totalprice"))
+          .orderBy(col("name"), col("idx"))
+      },
+      Some("""SELECT name, idx, totalprice FROM (
+             |  SELECT c.c_name AS name,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+             |      ORDER BY o.o_totalprice DESC,
+             |        'e:Order/' || CAST(o.o_orderkey AS VARCHAR)) AS INT) AS idx,
+             |    o.o_totalprice AS totalprice
+             |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+             |  WHERE c.c_acctbal > 9000.0) t
+             |WHERE idx <= 2
+             |ORDER BY name, idx""".stripMargin),
+      Seq("gql_query", "nested_selection", "nested_order", "nested_first", "top_k")),
+
     // List-quantifier filters (build_filter_zefop, generate_api2.py:839-862):
     // any → semi-join count > 0, size → plain count compare; both as
     // count-join columns materialized before the filter, still one plan.

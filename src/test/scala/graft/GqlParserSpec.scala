@@ -306,6 +306,34 @@ class GqlParserSpec extends AnyFunSuite {
     assert(counts == Seq(2L, 1L))
   }
 
+  test("nested list-params: order/first/offset inside the sub-selection") {
+    val (g, schema) = linked
+    import org.apache.spark.sql.Row
+    def annTx(listArgs: String): Seq[Double] = GqlApi.query(g.now, schema,
+      s"""{ queryUser(filter: {givenName: {eq: "Ann"}}) {
+         |    transactions($listArgs) { amount }
+         |} }""".stripMargin).collect()(0)
+      .getAs[scala.collection.Seq[Row]]("transactions")
+      .map(_.getAs[Double]("amount")).toSeq
+    // Ann's amounts: 10.0, 30.0
+    assert(annTx("order: {desc: amount}") == Seq(30.0, 10.0))
+    assert(annTx("order: {asc: amount}") == Seq(10.0, 30.0))
+    assert(annTx("order: {desc: amount}, first: 1") == Seq(30.0))
+    assert(annTx("order: {asc: amount}, offset: 1") == Seq(30.0))
+    assert(annTx("order: {asc: amount}, offset: 5") == Seq())
+    // sort key needn't be selected: order by type (enum/string), emit amount
+    assert(annTx("order: {asc: type}") == Seq(10.0, 30.0)) // EXPENSE < INCOME
+    // nested filter composes with nested ordering
+    assert(annTx("filter: {amount: {ge: 6.0}}, order: {desc: amount}, first: 1")
+      == Seq(30.0))
+    // list-params on a single-entity field are rejected
+    intercept[IllegalArgumentException] {
+      GqlApi.query(g.now, schema,
+        """{ queryTransaction { amount user(first: 1) { email } } }""")
+        .collect()
+    }
+  }
+
   test("list-quantifier filters any/all/size compile to count joins") {
     val (g, schema) = linked
     def users(f: String): Seq[String] = GqlApi.query(g.now, schema,
