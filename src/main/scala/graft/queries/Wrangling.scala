@@ -309,6 +309,26 @@ object Wrangling {
           .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
       },
       None,
-      Seq("similarity_search", "lsh", "ann_topk"))
+      Seq("similarity_search", "lsh", "ann_topk")),
+
+    // IVF-Flat ANN (the coarse-quantizer scale path): k-means posting
+    // lists, query probes the nprobe nearest lists only. nprobe=4 of 8 —
+    // real pruning, so rows-only check here; WranglingSpec proves
+    // nprobe=k degrades to the exact brute-force answer and measures
+    // pruned recall.
+    QueryDef(
+      "wr_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 1)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0).toArray
+        val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 8, iters = 2)
+        val index = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+        Similarity.ivfTopK(index, "vec_id", "embedding", cents, q, 10, nprobe = 4)
+          .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      },
+      None,
+      Seq("similarity_search", "ivf", "ann_topk", "kmeans"))
   )
 }

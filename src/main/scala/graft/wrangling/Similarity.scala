@@ -78,6 +78,87 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF-Flat: the coarse-quantizer ANN scale path
+  // ------------------------------------------------------------------
+  /** Nearest-centroid id for a vector against a (small) centroid set —
+    * a broadcast argmax over per-centroid cosine, codegen'd
+    * (array_position of the max score; ties take the lowest centroid id,
+    * deterministically). */
+  def ivfAssign(vecCol: Column, centroids: Seq[Array[Double]]): Column = {
+    val scores = array(centroids.map(c =>
+      cosine(vecCol, array(c.map(lit): _*))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Lloyd's k-means for the IVF coarse quantizer. Assignment is the
+    * broadcast argmax above (one distributed pass per iteration); the
+    * update re-averages element-wise via posexplode + groupBy(centroid,
+    * position). Only k × dim aggregated doubles ever reach the driver —
+    * VECTORS NEVER LEAVE THE CLUSTER. Init is deterministic without a
+    * global sort: the min-id row of each of k hash buckets. Empty
+    * clusters keep their previous centroid. */
+  def ivfTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): Seq[Array[Double]] = {
+    val picks = embeddings
+      .groupBy(pmod(xxhash64(col(idCol)), lit(k)).as("__b"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(embeddings, idCol)
+      .orderBy(col("__b"))
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    var cents = picks
+    var it = 0
+    while (it < iters) {
+      val stats = embeddings
+        .select(ivfAssign(col(vecCol), cents).as("__ci"),
+          posexplode(col(vecCol)))
+        .groupBy(col("__ci"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byC = stats.groupBy(_.getAs[Int]("__ci"))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byC.get(ci).fold(old) { rows =>
+          rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => r.getAs[Double]("s") / r.getAs[Long]("n")).toArray
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Build the inverted file: every vector tagged with its posting-list id.
+    * At scale, write this partitioned by `__ci` so a probe reads only the
+    * matching posting-list directories (same layout trick as FieldIndex). */
+  def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame =
+    embeddings.withColumn("__ci", ivfAssign(col(vecCol), centroids))
+
+  /** IVF search: rank centroids against the query ON THE DRIVER (k dot
+    * products — tiny), then scan only the `nprobe` nearest posting lists
+    * exactly. `nprobe == k` degrades gracefully to the exact brute-force
+    * answer (the recall/latency dial of every IVF system). */
+  def ivfTopK(index: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], query: Array[Float], topK: Int,
+      nprobe: Int): DataFrame = {
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(c, query), i) }
+      .take(nprobe).map(_._2)
+    val q = array(query.map(v => lit(v)): _*)
+    index.filter(col("__ci").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked
     * (bucket join on signature chunks instead of a cross-join).
     *

@@ -112,6 +112,34 @@ class WranglingSpec extends AnyFunSuite {
     assert(approx.intersect(exact).nonEmpty, "LSH found none of the true topk")
   }
 
+  test("ivf ANN: nprobe=k is exact; pruned probes keep high recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val k = 8
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", k, iters = 2)
+    assert(cents.size == k && cents.forall(_.length == 64))
+    // training is deterministic — same init, same iterations, same result
+    val again = Similarity.ivfTrain(emb, "vec_id", "embedding", k, iters = 2)
+    assert(cents.zip(again).forall { case (a, b) => a.sameElements(b) })
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      .persist()
+    // every posting list is nonempty-ish and covers all vectors
+    assert(index.count() == emb.count())
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // nprobe == k scans every posting list => exactly brute force
+    val full = Similarity.ivfTopK(index, "vec_id", "embedding", cents, q,
+      10, nprobe = k).collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+    // pruned probe: top-10 recall ≥ 0.5 scanning half the lists
+    val pruned = Similarity.ivfTopK(index, "vec_id", "embedding", cents, q,
+      10, nprobe = k / 2).collect().map(_.getLong(0)).toSet
+    assert(pruned.intersect(exact.toSet).size >= 5,
+      s"recall too low: ${pruned.intersect(exact.toSet).size}/10")
+    index.unpersist()
+  }
+
   test("cosine is in [-1,1] and self-similarity is 1") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
