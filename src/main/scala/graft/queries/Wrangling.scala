@@ -70,6 +70,76 @@ object Wrangling {
              |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin),
       Seq("multimodal", "audio_decode", "frame_sample", "feature_extract")),
 
+    // Repetition quality rules (Gopher/C4 shapes): duplicate-line fraction
+    // + top-2-gram fraction per document. Pure array expressions, map-only;
+    // DuckDB mirrors with list lambdas.
+    QueryDef(
+      "wr_repetition",
+      (s, d) => {
+        Tables.documents(s, d)
+          .filter(col("doc_id") <= 100)
+          .select(col("doc_id"),
+            round(TextOps.dupLineFraction(col("text")), 6).as("dup_line_frac"),
+            round(TextOps.topNgramFraction(col("text"), 2), 6).as("top2gram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  round(CASE WHEN len(list_filter(string_split(text, chr(10)),
+             |        l -> length(l) > 0)) = 0 THEN 0.0
+             |    ELSE (len(list_filter(string_split(text, chr(10)), l -> length(l) > 0))
+             |      - len(list_distinct(list_filter(string_split(text, chr(10)),
+             |          l -> length(l) > 0))))
+             |      / CAST(len(list_filter(string_split(text, chr(10)),
+             |          l -> length(l) > 0)) AS DOUBLE) END, 6) AS dup_line_frac,
+             |  round((
+             |    WITH g AS (SELECT list_transform(
+             |        range(0, len(string_split(text, ' ')) - 1),
+             |        i -> string_split(text, ' ')[i + 1] || ' ' ||
+             |             string_split(text, ' ')[i + 2]) AS grams)
+             |    SELECT CASE WHEN len(grams) <= 0 THEN 0.0
+             |      ELSE list_max(list_transform(list_distinct(grams),
+             |          u -> len(list_filter(grams, x -> x = u))))
+             |        / CAST(len(grams) AS DOUBLE) END FROM g
+             |  ), 6) AS top2gram_frac
+             |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin),
+      Seq("repetition_filter", "dup_line_fraction", "top_ngram_fraction",
+        "quality_rules")),
+
+    // PII scrubbing over synthesized PII-laden rows (names/phones from the
+    // customer table carry the payload; emails/IPs derived from them).
+    // Patterns are RE2-compatible so DuckDB's regexp_replace produces
+    // byte-identical redactions — the oracle checks the scrub exactly.
+    QueryDef(
+      "wr_pii_redact",
+      (s, d) => {
+        val phone = concat(lit("55-"),
+          lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("c_custkey") % 777).cast("string"), 3, "0"), lit("-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+        val t = concat(col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "[ #]", ".")),
+          lit("@example.com> tel "), phone,
+          lit(" ip 10.0.0."), (col("c_custkey") % 200).cast("string"))
+        Tables.customer(s, d)
+          .filter(col("c_custkey") <= 150)
+          .select(col("c_custkey"), TextOps.redactPii(t).as("scrubbed"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    c_name || ' <' || lower(regexp_replace(c_name, '[ #]', '.', 'g'))
+             |      || '@example.com> tel 55-'
+             |      || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+             |      || lpad(CAST(c_custkey % 777 AS VARCHAR), 3, '0') || '-'
+             |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             |      || ' ip 10.0.0.' || CAST(c_custkey % 200 AS VARCHAR),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g'),
+             |    '\+?\d{2,3}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g')
+             |    AS scrubbed
+             |FROM customer WHERE c_custkey <= 150 ORDER BY c_custkey""".stripMargin),
+      Seq("pii_redaction", "scrubbing", "regexp")),
+
     // Token counting + aggregate text stats per language bucket.
     QueryDef(
       "wr_token_stats",

@@ -120,4 +120,59 @@ object TextOps {
     array_distinct(transform(
       sequence(lit(1), length(text) - lit(n - 1)),
       i => text.substr(i, lit(n))))
+
+  // ------------------------------------------------------------------
+  // Repetition filters (the Gopher/C4 quality-rule shapes)
+  // ------------------------------------------------------------------
+  /** Word n-gram shingles KEEPING duplicates — the unit of repetition
+    * metrics (contrast [[wordShingles]], which distincts for Jaccard). */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    if (n == 1) tokens(text)
+    else {
+      val ws = tokens(text)
+      transform(
+        sequence(lit(0), size(ws) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*))
+    }
+
+  /** Fraction of non-empty LINES that repeat an earlier line of the same
+    * document (Gopher's duplicate-line-fraction rule). Per-document array
+    * math — map-only, no shuffle. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > lit(0))
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") /
+        size(lines).cast("double"))
+  }
+
+  /** Fraction of the document's n-gram occurrences claimed by its single
+    * most frequent n-gram (the C4/Gopher top-n-gram-fraction rule; high
+    * values mean templated/repeated text). Quadratic in DISTINCT grams per
+    * document — fine for documents, still map-only. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val grams = wordShinglesAll(text, n)
+    val top = aggregate(array_distinct(grams), lit(0),
+      (acc, g) => greatest(acc, size(filter(grams, x => x === g))))
+    when(size(grams) <= 0, lit(0.0))
+      .otherwise(top.cast("double") / size(grams).cast("double"))
+  }
+
+  // ------------------------------------------------------------------
+  // PII scrubbing
+  // ------------------------------------------------------------------
+  /** Redact emails, IPv4 addresses and phone-shaped number runs with typed
+    * tags — the standard pre-training scrub pass. Patterns are kept
+    * RE2-compatible (no backreferences/lookaround) so an engine using RE2
+    * (e.g. the DuckDB oracle) produces byte-identical output. Order
+    * matters: emails first (their digits must not half-match as phones). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPattern = "(\\d{1,3}\\.){3}\\d{1,3}"
+  val phonePattern = "\\+?\\d{2,3}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipPattern, "<IP>"),
+      phonePattern, "<PHONE>")
 }

@@ -277,6 +277,28 @@ class WranglingSpec extends AnyFunSuite {
       a.features.sameElements(b.features) })
   }
 
+  test("repetition rules and PII redaction on crafted texts") {
+    import spark.implicits._
+    val df = Seq(
+      "a\nb\na\nb\na",                     // 5 lines, 2 distinct -> 3/5 dup
+      "x\ny\nz",                           // all distinct -> 0
+      "buy now buy now buy now",           // "now buy" x2? top 2-gram
+      "mail me joe.doe+x@sub.example.org or 10.1.2.3 tel 55-123-456-7890 ok",
+      "clean text with no pii at all").toDF("text")
+    val r = df.select(col("text"),
+      TextOps.dupLineFraction(col("text")).as("dl"),
+      TextOps.topNgramFraction(col("text"), 2).as("tg"),
+      TextOps.redactPii(col("text")).as("red")).collect()
+    assert(math.abs(r(0).getAs[Double]("dl") - 0.6) < 1e-9)
+    assert(r(1).getAs[Double]("dl") == 0.0)
+    // "buy now buy now buy now": grams = [buy now, now buy, buy now, now buy,
+    // buy now] -> top = 3/5
+    assert(math.abs(r(2).getAs[Double]("tg") - 0.6) < 1e-9)
+    assert(r(3).getAs[String]("red") ==
+      "mail me <EMAIL> or <IP> tel <PHONE> ok")
+    assert(r(4).getAs[String]("red") == "clean text with no pii at all")
+  }
+
   test("rollingHash: equal texts equal, different texts differ") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "a b c x"))
