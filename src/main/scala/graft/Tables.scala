@@ -29,9 +29,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType.typeName match {
+      // nanos → micros by INTEGER division: `/` on longs is double division
+      // in Spark SQL, and a double cannot hold 2024-epoch nanoseconds
+      // exactly (53-bit mantissa) — the ±hundreds-of-ns error shows up as
+      // off-by-one-microsecond timestamps under µs-exact comparisons
       case "long" => raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case _ => raw
     }
   }

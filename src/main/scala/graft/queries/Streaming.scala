@@ -38,6 +38,30 @@ object Streaming {
              |ORDER BY window_start, event_type""".stripMargin),
       Seq("sliding", "window_sliding", "subscribe")),
 
+    // Sessionization: 30-min-gap session windows per user. The oracle
+    // rebuilds sessions with gaps-and-islands (lag + running break sum) —
+    // if Spark's session merge/close semantics diverged anywhere, the
+    // hash would.
+    QueryDef(
+      "stream_session_windows",
+      (s, d) => Streams.sessionAgg(Tables.events(s, d), "30 minutes")
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), sess AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      Seq("session_window", "sessionization", "window_session", "subscribe")),
+
     // zef `on[...]` subscription filter + per-key aggregation.
     QueryDef(
       "stream_on_filter",

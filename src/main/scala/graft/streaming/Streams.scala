@@ -43,6 +43,21 @@ object Streams {
       lateness: String): DataFrame =
     tumblingAgg(events.withWatermark("ts", lateness), width)
 
+  /** Sessionization: per-key session windows with an inactivity `gap` —
+    * consecutive events merge while each arrives before the previous
+    * session's close (last ts + gap, half-open). The streaming-native
+    * session operator (Spark merges session state incrementally with a
+    * watermark); identical semantics in batch, where it's one groupBy —
+    * no gaps-and-islands window pass needed. */
+  def sessionAgg(events: DataFrame, gap: String,
+      keyCol: String = "user_id"): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   final case class KeyedEvent(user_id: Long, event_type: String, value: Double)
   final case class CountWindow(user_id: Long, window_idx: Long, n: Int,
       sum_value: Double)
