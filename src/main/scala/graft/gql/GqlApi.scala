@@ -421,23 +421,7 @@ object GqlApi {
             case Some(o: VObj) => Seq(o)
             case other => throw new IllegalArgumentException(s"add needs input:, got $other")
           }
-          inputs.map { in =>
-            val key = in.get("id") match {
-              case Some(VStr(s)) => s
-              case _ => // deterministic content-derived key, like the
-                // reference's generated uids but replay-stable
-                java.util.UUID.nameUUIDFromBytes(
-                  (tpe.name + in.fields.sortBy(_._1).mkString(";"))
-                    .getBytes("UTF-8")).toString
-            }
-            val fields = in.fields.filterNot(_._1 == "id").map { case (fname, v) =>
-              val fd = tpe.field(fname)
-              require(!schema.isEntity(fd.tpe),
-                s"add: relation field '$fname' is not supported in input")
-              fd.rt -> convert(schema, fd, v)
-            }.toMap
-            GqlLite.AddEntity(tpe.name, key, fields)
-          }
+          inputs.flatMap(in => compileAddInput(schema, tpe, in)._2)
         case n if n.startsWith("upfetch") =>
           // resolve_upfetch (generate_api2.py:580-628): upsert keyed on the
           // type's @upfetch field — existing holder updated in place, value
@@ -509,6 +493,54 @@ object GqlApi {
       }
     }
     GqlLite.mutate(g, muts, auth, schema.constraints)
+  }
+
+  /** Compile one add-input object for `tpe` into its AddEntity plus any
+    * NESTED relation-field inputs — the `{T}Ref` shape of the reference's
+    * add_new_entity (generate_api2.py): a nested object carrying ONLY
+    * `id` links an existing atom (pass the full atom id); anything else
+    * creates the child entity recursively and links it. `@incoming`
+    * fields link child→parent. Returns (this entity's tx key, all
+    * mutations in dependency-free order — the write path resolves
+    * tx-local keys batch-wide). Keys are deterministic content-derived
+    * UUIDs when no id is given, so replays are stable. */
+  private def compileAddInput(schema: SchemaDef, tpe: TypeDef, in: VObj)
+      : (String, Seq[GqlLite.Mutation]) = {
+    val key = in.get("id") match {
+      case Some(VStr(s)) => s
+      case _ => java.util.UUID.nameUUIDFromBytes(
+        (tpe.name + in.fields.sortBy(_._1).mkString(";"))
+          .getBytes("UTF-8")).toString
+    }
+    val fields = Map.newBuilder[String, Any]
+    val extra = Seq.newBuilder[GqlLite.Mutation]
+    in.fields.filterNot(_._1 == "id").foreach { case (fname, v) =>
+      val fd = tpe.field(fname)
+      if (schema.isEntity(fd.tpe)) {
+        val childTpe = schema.tpe(fd.tpe)
+        val items = v match {
+          case VList(vs) => vs.map(asObj)
+          case o: VObj => Seq(o)
+          case other => throw new IllegalArgumentException(
+            s"add: relation field '$fname' takes an object or list, got $other")
+        }
+        require(fd.list || items.size <= 1,
+          s"add: '$fname' is single-valued, got ${items.size} inputs")
+        items.foreach { child =>
+          val childKey = child.fields match {
+            case Seq(("id", VStr(s))) => s // pure ref: link, don't create
+            case _ =>
+              val (k, childMuts) = compileAddInput(schema, childTpe, child)
+              extra ++= childMuts
+              k
+          }
+          extra += (if (fd.incoming)
+            GqlLite.LinkEntities(fd.rt, childKey, key)
+          else GqlLite.LinkEntities(fd.rt, key, childKey))
+        }
+      } else fields += fd.rt -> convert(schema, fd, v)
+    }
+    (key, GqlLite.AddEntity(tpe.name, key, fields.result()) +: extra.result())
   }
 
   /** Filter → target atom ids (update/delete resolution,

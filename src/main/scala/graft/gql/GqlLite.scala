@@ -208,6 +208,11 @@ object GqlLite {
   final case class UpdateEntity(atomId: String,
       fields: Map[String, Any]) extends Mutation
   final case class DeleteEntity(atomId: String) extends Mutation
+  /** Relation between two entities of the batch (tx-local keys) or
+    * existing atoms (full atom ids) — the `{T}Ref` nested-input link
+    * (add_new_entity's ref branch, generate_api2.py). */
+  final case class LinkEntities(rt: String, srcKey: String,
+      dstKey: String) extends Mutation
 
   def compileMutation(m: Mutation): Seq[graft.core.Wish] = m match {
     case AddEntity(et, key, fields) =>
@@ -218,6 +223,8 @@ object GqlLite {
       fields.toSeq.sortBy(_._1).map { case (rt, v) =>
         graft.core.AssignField(id, rt, v) }
     case DeleteEntity(id) => Seq(graft.core.TerminateAtom(id))
+    case LinkEntities(rt, src, dst) =>
+      Seq(graft.core.PutRelation(rt, src, dst, s"$src>$dst:$rt"))
   }
 
   /** Declared-schema constraints enforced in the write path

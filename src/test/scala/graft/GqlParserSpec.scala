@@ -185,6 +185,59 @@ class GqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("nested add inputs: create-or-link through the Ref shape") {
+    import org.apache.spark.sql.Row
+    val schema = GqlParser.parseSchema(sdl)
+    val g0 = seeded // u1 Ann, u2 Bob; no transactions
+    // nested single-entity input CREATES the child and links it
+    val (g1, _) = GqlApi.mutate(g0, schema,
+      """mutation { addTransaction(input: [
+        |  {id: "t9", amount: 9.5, type: EXPENSE,
+        |   user: {id: "u9", email: "zed@x.com", givenName: "Zed", serial: 900}}
+        |]) }""".stripMargin)
+    assert(g1.now.all("User").count() == 3)
+    assert(g1.now.all("Transaction").count() == 1)
+    val u = GqlApi.query(g1.now, schema,
+      """{ queryTransaction { amount user { givenName } } }""").collect()
+    assert(u.length == 1 &&
+      u(0).getAs[Row]("user").getAs[String]("givenName") == "Zed")
+    // a nested object carrying ONLY id LINKS the existing atom
+    val (g2, _) = GqlApi.mutate(g1, schema,
+      """mutation { addTransaction(input: [
+        |  {id: "t10", amount: 1.0, type: INCOME, user: {id: "e:User/u1"}}
+        |]) }""".stripMargin)
+    assert(g2.now.all("User").count() == 3) // linked, not created
+    val annTx = GqlApi.query(g2.now, schema,
+      """{ queryUser(filter: {givenName: {eq: "Ann"}}) { transactions { count } } }""")
+      .collect()(0).getLong(0)
+    assert(annTx == 1)
+    // nested creates still pass through declared constraints
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g2, schema,
+        """mutation { addTransaction(input: [
+          |  {id: "t11", amount: 2.0, type: INCOME,
+          |   user: {email: "ann@x.com"}}]) }""".stripMargin)
+    }
+    // list-shaped nested inputs on the @incoming side
+    val (g3, _) = GqlApi.mutate(g2, schema,
+      """mutation { addUser(input: [
+        |  {id: "u10", email: "kay@x.com",
+        |   transactions: [{id: "t12", amount: 3.0, type: EXPENSE},
+        |                  {id: "t13", amount: 4.0, type: INCOME}]}]) }""".stripMargin)
+    val kay = GqlApi.query(g3.now, schema,
+      """{ queryUser(filter: {email: {eq: "kay@x.com"}}) { transactions { count } } }""")
+      .collect()(0).getLong(0)
+    assert(kay == 2)
+    // replaying the same add trips the @unique store check (add is NOT the
+    // idempotent path — upfetch is)
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g3, schema,
+        """mutation { addUser(input: [
+          |  {id: "u10", email: "kay@x.com",
+          |   transactions: [{id: "t12", amount: 3.0, type: EXPENSE}]}]) }""".stripMargin)
+    }
+  }
+
   test("parsed update/delete resolve their filter; auth hook enforced") {
     val schema = GqlParser.parseSchema(sdl)
     val g = seeded
