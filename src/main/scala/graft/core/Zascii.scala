@@ -182,4 +182,10 @@ object Zascii {
     }
     entityWishes ++ edgeWishes
   }
+
+  /** `zascii_to_flatgraph` (implementation_typing_functions.py:7978): parse
+    * a figure straight into a local FlatGraph — the concise test-fixture
+    * path that never touches the cluster. */
+  def toFlatGraph(s: String): FlatGraph =
+    FlatGraph(Vector(), Vector()).insert(parse(s))
 }

@@ -476,13 +476,28 @@ object GqlApi {
             throw new IllegalArgumentException("update needs input:")))
           val ids = resolveIds(g, schema, tpe, input.get("filter"),
             authFilter(schema, tpe, "update", authClaims))
-          val set = asObj(input.get("set").getOrElse(
-            throw new IllegalArgumentException("update needs set:")))
-          val fields = set.fields.map { case (fname, v) =>
-            val fd = tpe.field(fname)
-            fd.rt -> convert(schema, fd, v)
-          }.toMap
-          ids.map(GqlLite.UpdateEntity(_, fields))
+          val setFields = input.get("set").map(asObj).map(_.fields.map {
+            case (fname, v) =>
+              val fd = tpe.field(fname)
+              fd.rt -> convert(schema, fd, v)
+          }.toMap).getOrElse(Map.empty[String, Any])
+          // remove: {field: <anything>} drops the field (update_entity's
+          // remove path); required fields can't be removed
+          val removeRts = input.get("remove").map(asObj).map(_.fields.map {
+            case (fname, _) =>
+              val fd = tpe.field(fname)
+              require(!schema.isEntity(fd.tpe),
+                s"remove: relation field '$fname' is not supported")
+              require(!fd.required,
+                s"remove: '$fname' is required and cannot be removed")
+              fd.rt
+          }).getOrElse(Seq())
+          require(setFields.nonEmpty || removeRts.nonEmpty,
+            "update needs set: and/or remove:")
+          ids.flatMap { id =>
+            (if (setFields.nonEmpty) Seq(GqlLite.UpdateEntity(id, setFields))
+             else Nil) ++ removeRts.map(rt => GqlLite.RemoveField(id, rt))
+          }
         case n if n.startsWith("delete") =>
           val tpe = schema.tpe(n.stripPrefix("delete"))
           resolveIds(g, schema, tpe, root.args.get("filter"),

@@ -208,6 +208,12 @@ object GqlLite {
   final case class UpdateEntity(atomId: String,
       fields: Map[String, Any]) extends Mutation
   final case class DeleteEntity(atomId: String) extends Mutation
+  /** Drop a field from an entity — the update mutation's `remove` clause
+    * (update_entity's remove path, generate_api2.py): terminates the
+    * field's AE, closing its validity interval; history stays readable at
+    * earlier frames. */
+  final case class RemoveField(atomId: String, rt: String,
+      instanceKey: String = "") extends Mutation
   /** Relation between two entities of the batch (tx-local keys) or
     * existing atoms (full atom ids) — the `{T}Ref` nested-input link
     * (add_new_entity's ref branch, generate_api2.py). */
@@ -223,6 +229,8 @@ object GqlLite {
       fields.toSeq.sortBy(_._1).map { case (rt, v) =>
         graft.core.AssignField(id, rt, v) }
     case DeleteEntity(id) => Seq(graft.core.TerminateAtom(id))
+    case RemoveField(id, rt, inst) =>
+      Seq(graft.core.TerminateAtom(graft.core.Transactor.aeId(id, rt, inst)))
     case LinkEntities(rt, src, dst) =>
       Seq(graft.core.PutRelation(rt, src, dst, s"$src>$dst:$rt"))
   }
@@ -305,6 +313,7 @@ object GqlLite {
       val targets = ms.collect {
         case UpdateEntity(id, _) => id
         case DeleteEntity(id) => id
+        case RemoveField(id, _, _) => id
       }
       targets.foreach { id =>
         if (!check(g.now, id))

@@ -185,6 +185,34 @@ class GqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("update remove: drops fields, keeps history, guards required") {
+    val schema = GqlParser.parseSchema(sdl)
+    val g = seeded
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation { updateUser(input: {filter: {id: "e:User/u1"},
+        |  set: {score: 1.5}, remove: {givenName: null}}) }""".stripMargin)
+    val row = GqlApi.query(g2.now, schema,
+      """{ getUser(id: "e:User/u1") { givenName score } }""").collect()(0)
+    assert(row.isNullAt(row.fieldIndex("givenName"))) // removed
+    assert(row.getAs[Double]("score") == 1.5) // set applied in the same tx
+    // history: the pre-remove frame still reads the old value
+    val old = GqlApi.query(g2.at(g.maxSlice), schema,
+      """{ getUser(id: "e:User/u1") { givenName } }""").collect()(0)
+    assert(old.getAs[String]("givenName") == "Ann")
+    // remove-only updates work (no set:)
+    val (g3, _) = GqlApi.mutate(g2, schema,
+      """mutation { updateUser(input: {filter: {id: "e:User/u2"},
+        |  remove: {givenName: null}}) }""".stripMargin)
+    assert(GqlApi.query(g3.now, schema,
+      """{ getUser(id: "e:User/u2") { givenName } }""").collect()(0).isNullAt(0))
+    // required fields cannot be removed
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g3, schema,
+        """mutation { updateUser(input: {filter: {id: "e:User/u1"},
+          |  remove: {email: null}}) }""".stripMargin)
+    }
+  }
+
   test("nested add inputs: create-or-link through the Ref shape") {
     import org.apache.spark.sql.Row
     val schema = GqlParser.parseSchema(sdl)

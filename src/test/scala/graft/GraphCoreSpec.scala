@@ -175,6 +175,14 @@ class GraphCoreSpec extends AnyFunSuite {
           |────► ET.B[b]
           |""".stripMargin) // no tail element
     }
+    // zascii_to_flatgraph: figure -> local FlatGraph, no cluster
+    val fgr = Zascii.toFlatGraph(
+      """       RT.Likes          RT.Name
+        |ET.A[a] --------> ET.B[b] ------> "Bee"
+        |""".stripMargin)
+    assert(fgr.atoms.count(_.kind == Kind.Entity) == 2)
+    assert(fgr.atoms.count(_.kind == Kind.Relation) == 2) // Likes + Name field rel
+    assert(fgr.values.exists(_.v_str.contains("Bee")))
   }
 
   test("events between slices") {
