@@ -135,8 +135,14 @@ object GqlLite {
     q.nested.foreach { n =>
       val parentEnd = if (n.incoming) "dst_id" else "src_id"
       val childEnd = if (n.incoming) "src_id" else "dst_id"
+      // prune to SURVIVING parents before touching the child frame: with a
+      // selective parent filter, only their children's rows are computed,
+      // packed and shuffled — nested cost ∝ parent selectivity, not child
+      // table size (the selectByField semi-join lesson applied here)
       val rel = slice.allRelations(n.rt).df
         .select(col(parentEnd).as("__parent"), col(childEnd).as("atom_id"))
+        .join(df.select(col("atom_id").as("__parent")), Seq("__parent"),
+          "left_semi")
       val joined = rel.join(n.child, Seq("atom_id"))
       val packed =
         if (n.sort.isEmpty && n.first.isEmpty && n.offset.isEmpty)
