@@ -59,8 +59,10 @@ object ZOps {
       if (n >= 0) df.orderBy(order: _*).limit(n)
       else df.orderBy(order.map(c => c.desc): _*).limit(-n)
 
+    /** Negative skip mirrors negative take: drop `-n` from the END. */
     def zSkip(n: Int, order: Seq[Column]): DataFrame =
-      df.orderBy(order: _*).offset(n)
+      if (n >= 0) df.orderBy(order: _*).offset(n)
+      else df.orderBy(order.map(_.desc): _*).offset(-n)
 
     /** zef `distinct_by[f]` order-preserving dedupe (impl.py:4420): keep
       * the first row per key under `order`. */

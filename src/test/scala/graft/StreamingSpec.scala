@@ -7,6 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{GraphSubscriptions, Streams}
 import graft.core._
 
+final case class TsEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
@@ -120,6 +122,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(0).getAs[String]("atom_id") == "e:Person/p2")
     assert(got(0).getAs[Int]("tx_slice") == 2)
     assert(got(0).getAs[String]("event") == "terminated")
+  }
+
+  test("session windows run streaming-native with a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    def ev(min: Int, u: Long) = TsEvent(
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), u, 1.0)
+    val q = Streams.sessionAgg(
+        input.toDF().withWatermark("ts", "2 hours"), "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("t_sessions").start()
+    // u1: events at 10:00, 10:10 (merge), 11:00 (new session); u2: one
+    input.addData(ev(0, 1), ev(10, 1), ev(0, 2))
+    q.processAllAvailable()
+    input.addData(TsEvent(java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1, 2.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_sessions")
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length == 3) // u1 x2 sessions, u2 x1
+    val s1 = got(0)
+    assert(s1.getAs[Long]("user_id") == 1 && s1.getAs[Long]("n_events") == 2)
+    assert(s1.getAs[java.sql.Timestamp]("session_end") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:40:00")) // last ts + gap
+    assert(got(1).getAs[Long]("user_id") == 1 &&
+      got(1).getAs[Long]("n_events") == 1)
+    assert(got(2).getAs[Long]("user_id") == 2)
   }
 
   test("watermarked tumbling agg drops nothing when data is in order") {
