@@ -490,10 +490,23 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     val rels = frame.graph.atoms.filter(
       col("kind") === Kind.Relation && col("atype").isInCollection(rts) &&
         Graph.aliveAt(frame.slice))
+    // BFS frontiers are usually tiny relative to the relation table, and
+    // their size is KNOWN (seed count here, next.count() per step) — so
+    // broadcast them and the per-step joins become map-side over the
+    // in-place rels scan, zero shuffles per hop. Frontiers past the bound
+    // fall back to shuffle joins, the right plan when a hop genuinely
+    // explodes (same adaptive dispatch as NestedInfer's rule scan).
+    val bcLimit = 5000000L
+    // seeds are broadcastable by contract (gather = bounded neighborhood
+    // exploration from a caller-bounded set); later frontiers re-decide
+    // from the per-step count that the early-stop check pays for anyway
+    var frontierSmall = true
+    def fhint(f: DataFrame): DataFrame =
+      if (frontierSmall) broadcast(f) else f
     while (step < maxSteps && !done) {
-      val out = rels.join(frontier.withColumnRenamed("atom_id", "src_id"), "src_id")
+      val out = rels.join(fhint(frontier.withColumnRenamed("atom_id", "src_id")), "src_id")
         .select(col("atom_id").as("rel_id"), col("dst_id").as("next_id"))
-      val in = rels.join(frontier.withColumnRenamed("atom_id", "dst_id"), "dst_id")
+      val in = rels.join(fhint(frontier.withColumnRenamed("atom_id", "dst_id")), "dst_id")
         .select(col("atom_id").as("rel_id"), col("src_id").as("next_id"))
       val hops = out.unionByName(in)
       // dedup only the next frontier (keeps joins small); the running
@@ -505,10 +518,13 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
         .join(visited, Seq("atom_id"), "left_anti")
       step += 1
       // early-stop action only when another iteration would follow — the
-      // last step's emptiness check would be a wasted job
+      // last step's emptiness check would be a wasted job; the same count
+      // also drives the next step's broadcast-vs-shuffle dispatch
       if (step < maxSteps) {
         next.persist(); persisted += next
-        done = next.isEmpty
+        val n = next.count()
+        done = n == 0
+        frontierSmall = n <= bcLimit
       }
       visited = visited.unionByName(next)
       frontier = next
