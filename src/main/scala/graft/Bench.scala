@@ -43,10 +43,13 @@ object Bench {
         } catch { case _: Throwable => q.name -> -1.0 }
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: ms resolution is the noise floor anyway, and the
+    // shorter line keeps every query visible under tail-truncating captures
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":$loadSecs,"runs_per_query":$runs,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":${fmt(loadSecs)},"runs_per_query":$runs,"cpus":$cpus}""")
     spark.stop()
   }
 }
