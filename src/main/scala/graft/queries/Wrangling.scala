@@ -156,6 +156,45 @@ object Wrangling {
              |FROM customer WHERE c_custkey <= 150 ORDER BY c_custkey""".stripMargin),
       Seq("pii_redaction", "scrubbing", "regexp")),
 
+    // Contamination detection (the decontamination pass every training
+    // pipeline runs): fraction of each document's distinct word 3-grams
+    // that appear in a benchmark set — here the shingles of docs 1-5 stand
+    // in for the benchmark. Shingle explode + broadcastable semi-join;
+    // flagged docs would be dropped before training.
+    QueryDef(
+      "wr_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val shingles = docs.filter(col("doc_id") <= 100)
+          .select(col("doc_id"),
+            explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+        val bench = docs.filter(col("doc_id") <= 5)
+          .select(explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+          .distinct()
+        val hits = shingles.join(broadcast(bench), Seq("sh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_shingles"), 6).as("overlap"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(0, len(string_split(text, ' ')) - 2),
+             |    i -> string_split(text, ' ')[i + 1] || ' ' ||
+             |         string_split(text, ' ')[i + 2] || ' ' ||
+             |         string_split(text, ' ')[i + 3])) AS grams
+             |  FROM documents WHERE doc_id <= 100),
+             |flat AS (SELECT doc_id, unnest(grams) AS sh FROM sh),
+             |bench AS (SELECT DISTINCT sh FROM flat WHERE doc_id <= 5)
+             |SELECT f.doc_id, count(*) AS n_shingles,
+             |  round(CAST(count(b.sh) AS DOUBLE) / count(*), 6) AS overlap
+             |FROM flat f LEFT JOIN bench b ON f.sh = b.sh
+             |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
+      Seq("contamination", "decontamination", "ngram_overlap", "semi_join")),
+
     // Token counting + aggregate text stats per language bucket.
     QueryDef(
       "wr_token_stats",
