@@ -23,6 +23,7 @@ object Registry {
     Relational.entries,
     GraphQueries.entries,
     Wrangling.entries,
+    TrainingPrep.entries,
     Streaming.entries,
     DslQueries.entries,
     Extended.entries,

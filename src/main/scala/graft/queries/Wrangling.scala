@@ -453,6 +453,46 @@ object Wrangling {
           .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
       },
       None,
-      Seq("similarity_search", "ivf", "ann_topk", "kmeans"))
+      Seq("similarity_search", "ivf", "ann_topk", "kmeans")),
+
+    // Multimodal VIDEO pipeline through the hash gate, mirroring
+    // wr_audio_pipeline: y4m payloads deterministically synthesized from
+    // doc_id (8×8 mono, 5 frames, frame i uniformly base+4i where
+    // base = 16 + (doc_id%16)*8 — the container encode + decode + frame
+    // sampling + descriptor math are all REAL), so DuckDB can oracle the
+    // whole pipeline analytically: mean luma over frames = base+8, mean
+    // |frame diff| = 4, sampled frames = 5.
+    QueryDef(
+      "wr_video_pipeline",
+      (s, d) => {
+        import s.implicits._
+        import graft.wrangling.Multimodal
+        import Multimodal._
+        val media = Tables.documents(s, d)
+          .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = 8; val h = 8
+            val base = 16 + (id % 16).toInt * 8
+            val frames = (0 until 5).map { i =>
+              Array.fill[Byte](w * h)((base + 4 * i).toByte)
+            }
+            MediaRow(id, MediaCodec.encodeVideoY4M(w, h, 25, 1, frames),
+              MediaMeta("video", w, h, 0, 200))
+          }
+        val feats = Multimodal.extractVideoFeatures(media, frameStride = 1)
+        val desc = media.map { r =>
+          val frames = MediaCodec.decodeVideoY4M(r.payload).get._4
+          val dd = MediaCodec.videoDescriptors(frames)
+          (r.media_id, dd(0), dd(2))
+        }.toDF("media_id", "mean_luma", "motion")
+        feats.toDF().select(col("media_id"), col("n_frames"))
+          .join(desc, "media_id")
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(5 AS INT) AS n_frames,
+             |  CAST(16 + (doc_id % 16) * 8 + 8 AS DOUBLE) AS mean_luma,
+             |  CAST(4 AS DOUBLE) AS motion
+             |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin),
+      Seq("multimodal", "video_decode", "frame_sample", "feature_extract"))
   )
 }

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * [[extractImageFeatures]] pipeline end-to-end. AUDIO has a REAL codec
   * too: `javax.sound.sampled` (WAV/AIFF/AU as shipped with the JDK) drives
   * [[MediaCodec.decodeAudio]] → mono PCM → [[extractAudioFeatures]].
-  * Only VIDEO stays STUBBED ([[MediaCodec.decodeStub]] treats the byte
-  * payload as the decoded frame buffer — no video codec exists in this
-  * container); swapping in a real one changes only that function.
+  * VIDEO has a REAL codec for the uncompressed YUV4MPEG2 (.y4m) container
+  * ([[MediaCodec.decodeVideoY4M]]: header parse, C420/C422/C444/mono
+  * chroma, per-frame luma planes) driving
+  * [[extractVideoFeatures]]; COMPRESSED video (H.264 etc.) keeps the
+  * documented stub ([[MediaCodec.decodeStub]] — no compressed-video codec
+  * exists in this container); swapping in one changes only that function.
   *
   * Scale notes: media rows are large (MBs); keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -33,11 +36,111 @@ object Multimodal {
       features: Array[Double], n_frames: Int)
 
   object MediaCodec {
-    /** STUB — stands in for the real VIDEO decoder (no video codec in
-      * this container): interprets the payload bytes as the decoded buffer.
-      * Deterministic by construction so tests are stable. Images use the
-      * real [[decodeImage]] and audio the real [[decodeAudio]] below. */
+    /** STUB — stands in for a COMPRESSED-video decoder (no H.264/VP9 codec
+      * in this container): interprets the payload bytes as the decoded
+      * buffer. Deterministic by construction so tests are stable. Images
+      * use the real [[decodeImage]], audio the real [[decodeAudio]], and
+      * uncompressed video the real [[decodeVideoY4M]] below. */
     def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+    /** REAL video decode for the YUV4MPEG2 (.y4m) container — the standard
+      * uncompressed interchange format (ffmpeg/mjpegtools), fully parseable
+      * in pure JVM: `YUV4MPEG2 W<w> H<h> F<num>:<den> [C<chroma> ...]\n`
+      * then per frame `FRAME[params]\n` + planar YUV. Returns (width,
+      * height, fps, luma planes) — one `w*h` Y plane per frame; chroma
+      * planes are skipped per the subsampling declared in the header
+      * (C420* = w*h/2 extra bytes, C422 = w*h, C444 = 2*w*h, Cmono = 0).
+      * None = not a y4m payload (dropped by the pipeline, like
+      * undecodable images/audio). */
+    def decodeVideoY4M(payload: Array[Byte])
+        : Option[(Int, Int, Double, Vector[Array[Byte]])] = {
+      val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+      if (payload.length < magic.length ||
+          !java.util.Arrays.equals(payload.take(magic.length), magic))
+        return None
+      val hdrEnd = payload.indexOf('\n'.toByte)
+      if (hdrEnd < 0) return None
+      try {
+        val params = new String(payload, magic.length, hdrEnd - magic.length,
+          "US-ASCII").split(' ').filter(_.nonEmpty)
+        var w = -1; var h = -1; var fps = 0.0; var chroma = "420"
+        params.foreach { p =>
+          p.head match {
+            case 'W' => w = p.tail.toInt
+            case 'H' => h = p.tail.toInt
+            case 'F' =>
+              val Array(n, d) = p.tail.split(':')
+              fps = n.toDouble / d.toDouble
+            case 'C' => chroma = p.tail
+            case _ => () // I (interlacing), A (aspect), X (extensions)
+          }
+        }
+        if (w <= 0 || h <= 0) return None
+        val lumaSize = w * h
+        val chromaSize =
+          if (chroma.startsWith("mono")) 0
+          else if (chroma.startsWith("420")) lumaSize / 2
+          else if (chroma.startsWith("422")) lumaSize
+          else if (chroma.startsWith("444")) 2 * lumaSize
+          else return None
+        val frames = Vector.newBuilder[Array[Byte]]
+        var pos = hdrEnd + 1
+        while (pos < payload.length) {
+          // frame header: "FRAME" + optional params, '\n'-terminated
+          if (pos + 5 > payload.length ||
+              new String(payload, pos, 5, "US-ASCII") != "FRAME") return None
+          val fEnd = payload.indexOf('\n'.toByte, pos)
+          if (fEnd < 0 || fEnd + lumaSize + chromaSize > payload.length)
+            return None
+          frames += java.util.Arrays.copyOfRange(payload, fEnd + 1,
+            fEnd + 1 + lumaSize)
+          pos = fEnd + 1 + lumaSize + chromaSize
+        }
+        Some((w, h, fps, frames.result()))
+      } catch { case _: Exception => None }
+    }
+
+    /** Y4M encoder (round-trip partner of [[decodeVideoY4M]], also the
+      * deterministic test-payload generator): luma-only planes become a
+      * `Cmono` stream. */
+    def encodeVideoY4M(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.forall(_.length == w * h),
+        s"every luma plane must be w*h = ${w * h} bytes")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 Cmono\n"
+        .getBytes("US-ASCII"))
+      frames.foreach { f => bos.write("FRAME\n".getBytes("US-ASCII")); bos.write(f) }
+      bos.toByteArray
+    }
+
+    /** Per-video motion/brightness descriptors over sampled luma frames:
+      * (mean luma, luma stddev, mean |frame diff| — the motion-energy
+      * proxy used for static-clip filtering). */
+    def videoDescriptors(frames: Seq[Array[Byte]]): Array[Double] = {
+      if (frames.isEmpty) return Array(0.0, 0.0, 0.0)
+      var sum = 0.0; var sumSq = 0.0; var n = 0L
+      frames.foreach { f =>
+        var i = 0
+        while (i < f.length) {
+          val v = (f(i) & 0xff).toDouble
+          sum += v; sumSq += v * v; n += 1; i += 1
+        }
+      }
+      val mean = sum / n
+      val std = math.sqrt(math.max(0.0, sumSq / n - mean * mean))
+      var diff = 0.0; var dn = 0L
+      var k = 1
+      while (k < frames.size) {
+        val a = frames(k - 1); val b = frames(k)
+        var i = 0
+        while (i < a.length) {
+          diff += math.abs((b(i) & 0xff) - (a(i) & 0xff)); dn += 1; i += 1
+        }
+        k += 1
+      }
+      Array(mean, std, if (dn == 0) 0.0 else diff / dn)
+    }
 
     /** REAL image decode via javax.imageio: encoded bytes → (width, height,
       * row-major packed RGB buffer). None = payload is not a decodable
@@ -244,6 +347,37 @@ object Multimodal {
           val hist = MediaCodec.byteHistogram(quant)
           MediaFeatures(r.media_id, "audio",
             MediaCodec.pool(desc ++ hist, featureDim), wins.size)
+        }
+      }
+    }
+  }
+
+  /** VIDEO feature extraction — the real-codec pipeline for uncompressed
+    * y4m: decode ([[MediaCodec.decodeVideoY4M]]) → sample every
+    * `frameStride`-th luma frame → motion/brightness descriptors
+    * ([[MediaCodec.videoDescriptors]]) concatenated with the mean luma
+    * histogram → mean-pool to `featureDim`. Undecodable payloads are
+    * dropped; n_frames = SAMPLED frame count. mapPartitions keeps the
+    * batch shape (a compressed codec would init its context once here). */
+  def extractVideoFeatures(media: Dataset[MediaRow], frameStride: Int = 1,
+      featureDim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeVideoY4M(r.payload).map { case (_, _, _, all) =>
+          val frames = all.zipWithIndex
+            .collect { case (f, i) if i % math.max(1, frameStride) == 0 => f }
+          val desc = MediaCodec.videoDescriptors(frames)
+          val hist = new Array[Double](32)
+          frames.foreach { f =>
+            val h = MediaCodec.byteHistogram(f)
+            var i = 0; while (i < 32) { hist(i) += h(i); i += 1 }
+          }
+          if (frames.nonEmpty) {
+            var i = 0; while (i < 32) { hist(i) /= frames.size; i += 1 }
+          }
+          MediaFeatures(r.media_id, "video",
+            MediaCodec.pool(desc ++ hist, featureDim), frames.size)
         }
       }
     }

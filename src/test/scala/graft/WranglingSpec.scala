@@ -277,6 +277,114 @@ class WranglingSpec extends AnyFunSuite {
       a.features.sameElements(b.features) })
   }
 
+  test("video codec: y4m decode -> frame sample -> descriptors end-to-end") {
+    import Multimodal._
+    // round trip through the Cmono encoder
+    val frames = (0 until 6).map(i => Array.fill[Byte](4 * 3)((40 + 10 * i).toByte))
+    val y4m = MediaCodec.encodeVideoY4M(4, 3, 30, 1, frames)
+    val Some((w, h, fps, dec)) = MediaCodec.decodeVideoY4M(y4m)
+    assert(w == 4 && h == 3 && fps == 30.0 && dec.size == 6)
+    assert(dec.zip(frames).forall { case (a, b) => a.sameElements(b) })
+
+    // C420 with real chroma planes: luma extracted, chroma skipped
+    val hdr420 = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val f420 = "FRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(100) ++ Array.fill[Byte](4)(7) // Y then U+V (w/2*h/2 each)
+    val Some((_, _, fps420, dec420)) =
+      MediaCodec.decodeVideoY4M(hdr420 ++ f420 ++ f420)
+    assert(fps420 == 25.0 && dec420.size == 2)
+    assert(dec420.forall(f => f.length == 8 && f.forall(_ == 100.toByte)))
+
+    // C444: two full chroma planes skipped per frame
+    val hdr444 = "YUV4MPEG2 W2 H2 F1:1 C444\n".getBytes("US-ASCII")
+    val f444 = "FRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(50)
+    val Some((_, _, _, dec444)) = MediaCodec.decodeVideoY4M(hdr444 ++ f444)
+    assert(dec444.size == 1 && dec444.head.length == 4)
+
+    // junk and truncated payloads rejected, not mangled
+    assert(MediaCodec.decodeVideoY4M("not video".getBytes).isEmpty)
+    assert(MediaCodec.decodeVideoY4M(y4m.dropRight(5)).isEmpty)
+
+    // descriptors: uniform frames stepping +10 -> mean/std/motion analytic
+    val d = MediaCodec.videoDescriptors(dec)
+    assert(math.abs(d(0) - 65.0) < 1e-9) // mean of 40..90
+    assert(math.abs(d(2) - 10.0) < 1e-9) // |frame diff|
+    assert(d(1) > 0)
+
+    // distributed pipeline: stride-2 sampling halves n_frames; junk dropped
+    val s = spark; import s.implicits._
+    val media = Seq(
+      MediaRow(1L, y4m, MediaMeta("video", 4, 3, 0, 200)),
+      MediaRow(2L, "junk".getBytes, MediaMeta("video", 0, 0, 0, 0))).toDS()
+    val vf = Multimodal.extractVideoFeatures(media, frameStride = 2,
+      featureDim = 8).collect()
+    assert(vf.map(_.media_id).toSeq == Seq(1L))
+    assert(vf.head.n_frames == 3 && vf.head.features.length == 8)
+    val again2 = Multimodal.extractVideoFeatures(media, frameStride = 2,
+      featureDim = 8).collect()
+    assert(vf.head.features.sameElements(again2.head.features))
+  }
+
+  test("sampling: deterministic rates, domain mix, packing, shards, shuffle") {
+    import spark.implicits._
+    val n = 4000
+    val df = (1 to n).map(i => (i.toLong, if (i % 2 == 0) "en" else "de",
+      50L + i % 100)).toDF("id", "lang", "toks")
+
+    // sampleKeep: observed rate within 3 points of requested; deterministic
+    val kept = df.filter(Sampling.sampleKeep(col("id"), 0.3, "s1")).count()
+    assert(math.abs(kept.toDouble / n - 0.3) < 0.03, s"rate ${kept.toDouble / n}")
+    assert(df.filter(Sampling.sampleKeep(col("id"), 0.3, "s1")).count() == kept)
+    // different seed = different (but similar-sized) selection
+    val ids1 = df.filter(Sampling.sampleKeep(col("id"), 0.3, "s1"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = df.filter(Sampling.sampleKeep(col("id"), 0.3, "s2"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 != ids2 && ids1.nonEmpty)
+    // rate bounds: 0 keeps none, 1 keeps all
+    assert(df.filter(Sampling.sampleKeep(col("id"), 0.0)).count() == 0)
+    assert(df.filter(Sampling.sampleKeep(col("id"), 1.0)).count() == n)
+
+    // domainMixKeep: en halved, de kept in full (the 'g' sentinel — a
+    // naive "10000" threshold would drop ~15/16 of de)
+    val mixed = df.filter(Sampling.domainMixKeep(col("id"), col("lang"),
+      Map("en" -> 0.5), default = 1.0, seed = "m"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("de") == n / 2, s"de kept ${mixed("de")}")
+    assert(math.abs(mixed("en").toDouble / (n / 2) - 0.5) < 0.05)
+
+    // packBins: concat-and-chunk — each doc lands in the bin where it
+    // STARTS in the concatenated token stream
+    val packed = Seq((1L, "a", 800L), (2L, "a", 800L), (3L, "a", 800L),
+      (4L, "a", 2500L), (5L, "a", 100L), (1L, "b", 10L))
+      .toDF("id", "shard", "toks")
+      .withColumn("bin", Sampling.packBins(col("toks"), col("shard"),
+        col("id"), budget = 2000L))
+    val bins = packed.collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(3)).toMap
+    assert(bins(("a", 1L)) == 0 && bins(("a", 2L)) == 0) // start 0, 800
+    assert(bins(("a", 3L)) == 0) // starts at 1600, straddles the boundary
+    assert(bins(("a", 4L)) == 1) // starts at 2400; oversized spans onward
+    assert(bins(("a", 5L)) == 2) // starts at 4900
+    assert(bins(("b", 1L)) == 0) // shards independent
+
+    // shardOf: all in range, roughly balanced, deterministic
+    val shards = df.withColumn("s", Sampling.shardOf(col("id"), 8))
+      .groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(shards.map(_._1).sorted.toSeq == (0 until 8))
+    assert(shards.forall { case (_, c) => c > n / 8 * 0.7 && c < n / 8 * 1.3 })
+
+    // shuffleOrder: a permutation, stable across runs, seed-sensitive
+    val p1 = df.orderBy(Sampling.shuffleOrder(col("id"), "e0"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val p2 = df.orderBy(Sampling.shuffleOrder(col("id"), "e0"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val p3 = df.orderBy(Sampling.shuffleOrder(col("id"), "e1"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(p1 == p2 && p1 != p3 && p1.sorted == (1L to n).toSeq)
+  }
+
   test("repetition rules and PII redaction on crafted texts") {
     import spark.implicits._
     val df = Seq(
