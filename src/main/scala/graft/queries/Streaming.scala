@@ -74,6 +74,26 @@ object Streaming {
              |FROM events WHERE event_type IN ('click', 'purchase')
              |GROUP BY user_id, event_type
              |ORDER BY user_id, event_type""".stripMargin),
-      Seq("on", "instantiated", "subscribe", "filter", "group_by"))
+      Seq("on", "instantiated", "subscribe", "filter", "group_by")),
+
+    // Exactly-once restoration: the feed re-delivers a third of the
+    // events (at-least-once delivery); id-keyed dedup restores the
+    // original stream, so the post-dedup aggregate equals a plain
+    // aggregate over the CLEAN table — which is exactly what the oracle
+    // computes. StreamingSpec replays the same doubled feed as a real
+    // micro-batch stream through the same builder.
+    QueryDef(
+      "stream_dedup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val atLeastOnce = ev.unionAll(ev.filter(col("event_id") % 3 === 0))
+        Streams.dedupById(atLeastOnce)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      Seq("dedup_stream", "exactly_once", "drop_duplicates", "subscribe"))
   )
 }

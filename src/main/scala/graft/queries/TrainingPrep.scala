@@ -99,6 +99,28 @@ object TrainingPrep {
              |         AS INT) % 8 AS INT) AS shard,
              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_tokens
              |FROM documents GROUP BY shard ORDER BY shard""".stripMargin),
-      Seq("shard_assignment", "hash_bucketing", "shard_manifest"))
+      Seq("shard_assignment", "hash_bucketing", "shard_manifest")),
+
+    // Per-group deterministic sample via the sample_k bottom-k-by-hash
+    // aggregate: O(k) state per group through partial aggregation, where
+    // the window formulation the oracle uses would shuffle every row.
+    // Same selection on both engines because the sketch orders by md5.
+    QueryDef(
+      "wr_sample_per_group",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(graft.functions.BottomKAgg.sampleK(
+            col("event_id"), 5, "s0").as("sample"))
+          .select(col("event_type"), explode(col("sample")).as("event_id"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id FROM (
+             |  SELECT event_type, event_id, row_number() OVER (
+             |    PARTITION BY event_type
+             |    ORDER BY md5('s0' || CAST(event_id AS VARCHAR)), event_id) AS rn
+             |  FROM events) WHERE rn <= 5
+             |ORDER BY event_type, event_id""".stripMargin),
+      Seq("sample_k", "bottom_k_sketch", "per_group_sampling"))
   )
 }

@@ -58,6 +58,15 @@ object Streams {
       .select(col(keyCol), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Exactly-once restoration over an at-least-once feed: drop
+    * re-delivered events by id. Streamable as-is (state keyed by id;
+    * production bounds it with `withWatermark` +
+    * `dropDuplicatesWithinWatermark`); batch and stream agree regardless
+    * of which physical row survives because re-deliveries are identical
+    * rows. */
+  def dedupById(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events.dropDuplicates(idCol)
+
   final case class KeyedEvent(user_id: Long, event_type: String, value: Double)
   final case class CountWindow(user_id: Long, window_idx: Long, n: Int,
       sum_value: Double)

@@ -25,6 +25,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sigs1 == sigs)
   }
 
+  test("BottomKAgg: deterministic bottom-k sample, merge-invariant, seeded") {
+    import spark.implicits._
+    import graft.functions.BottomKAgg.sampleK
+    val n = 10000
+    val df = (1 to n).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+
+    def draw(data: org.apache.spark.sql.DataFrame, seed: String) =
+      data.groupBy("g").agg(sampleK(col("id"), 25, seed).as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+    // invariant to physical partitioning (partial-merge correctness)
+    val a = draw(df.repartition(1), "s0")
+    val b = draw(df.repartition(13), "s0")
+    assert(a == b)
+    assert(a.values.forall(_.size == 25))
+    assert(a("g0") != a("g1")) // groups sample independently
+    // different seed draws a different (same-size) sample
+    val c = draw(df, "s1")
+    assert(c != a && c.values.forall(_.size == 25))
+    // roughly uniform: sampled mean of 1..n near the population mean
+    val all = a.values.flatten
+    val mean = all.sum.toDouble / all.size
+    assert(math.abs(mean - n / 2.0) < n * 0.1, s"sample mean $mean")
+
+    // k >= group size returns the whole group (sorted by hash)
+    val tiny = Seq((1L, "g"), (2L, "g"), (3L, "g")).toDF("id", "g")
+    val whole = tiny.groupBy("g").agg(sampleK(col("id"), 10).as("s"))
+      .collect()(0).getSeq[Long](1)
+    assert(whole.toSet == Set(1L, 2L, 3L))
+
+    // string values sample too; nulls are skipped
+    val strs = Seq(Some("x"), Some("y"), Some("z"), None).map(v => (v, "g"))
+      .toDF("v", "g")
+    val sampled = strs.groupBy("g").agg(sampleK(col("v"), 2).as("s"))
+      .collect()(0).getSeq[String](1)
+    assert(sampled.size == 2 && sampled.forall(Set("x", "y", "z")))
+  }
+
   test("MinHashAgg: similarity estimate tracks exact jaccard") {
     import spark.implicits._
     val base = (1 to 50).map(i => s"w$i").mkString(" ")

@@ -34,6 +34,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.sameElements(streamed))
   }
 
+  test("at-least-once feed dedups to exactly-once: stream equals batch equals clean") {
+    // the transform doubles a third of the feed (simulated re-delivery),
+    // then restores exactly-once by id before aggregating
+    val t = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.dedupById(df.unionAll(df.filter(col("event_id") % 3 === 0)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val clean = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type")).collect()
+    val batch = t(Tables.events(spark, sf)).orderBy(col("event_type")).collect()
+    val streamed = Streams.runAsStream(spark, sf, t, "t_dedup")
+      .orderBy(col("event_type")).collect()
+    assert(batch.sameElements(clean)) // dedup fully undoes the re-delivery
+    assert(streamed.sameElements(clean))
+  }
+
   test("count windows (chunk-n per key) over a pushable stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
