@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Durable graph storage — the physical layout claimed in SURVEY §1.2:
   * `atoms` written partitioned by (kind, atype) so `all[ET.X]` scans prune
   * to one directory subtree (the columnar analogue of zef's per-type
-  * instance lists), `values`/`txs`/`tags` as plain parquet. On a real
-  * cluster the writes would additionally be bucketed by atom_id/ae_id
-  * (bucketing needs a table catalog, which local parquet dirs don't have —
-  * noted, not silently skipped).
+  * instance lists), `values`/`txs`/`tags` as plain parquet.
+  *
+  * Two layouts:
+  *  - [[save]]/[[load]] — plain parquet directories, catalog-free.
+  *  - [[saveBucketed]]/[[loadBucketed]] — catalog-backed tables bucketed on
+  *    the join keys (`atoms` by atom_id, `values` by ae_id), the co-location
+  *    layout for cluster scale: every atom-id equi-join and the hot
+  *    `latestValues` aggregate read pre-hashed data — no shuffle stage.
   */
 object GraphStore {
 
@@ -37,6 +41,66 @@ object GraphStore {
       if (tagsPath.exists()) spark.read.parquet(s"$path/tags")
       else Graph.empty(spark).tags
     Graph(atoms, values, txs, tags)
+  }
+
+  /** Bucketed catalog tables — the 100-TB layout. `atoms` stays partitioned
+    * by (kind, atype) for type pruning AND is bucketed+sorted by `atom_id`;
+    * `values` is bucketed+sorted by `ae_id` (its only join/agg key). Both
+    * sides of every traversal resolve (`atoms ⋈ atoms` on atom_id) and the
+    * whole `latestValues` aggregate (`values.groupBy(ae_id)`) then scan
+    * pre-hashed buckets: Catalyst's `EnsureRequirements` sees the scan's
+    * HashPartitioning already satisfies the required distribution and plans
+    * NO Exchange — at cluster scale that removes the dominant all-to-all of
+    * the as-of read path (verified by plan assertion in GraphStoreSpec).
+    *
+    * Bucket metadata lives in the session catalog (`saveAsTable`): the
+    * in-memory catalog in tests, a metastore on a real cluster. The
+    * pre-write `repartition` on the bucket key keeps file counts at
+    * (buckets × partition dirs), not (× write tasks).
+    *
+    * Sizing: pick `numBuckets` so one bucket of `values` fits an executor's
+    * memory at the target scale (~100 TB / 1 GiB ⇒ O(100k); the 64 default
+    * is a local-mode figure, not cluster guidance).
+    */
+  def saveBucketed(g: Graph, prefix: String, numBuckets: Int = 64,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite)
+      Seq("atoms", "values", "txs", "tags")
+        .foreach(t => clearOrphanLocation(g.spark, s"${prefix}_$t"))
+    g.atoms.repartition(numBuckets, col("atom_id"))
+      .write.mode(mode).format("parquet")
+      .partitionBy("kind", "atype")
+      .bucketBy(numBuckets, "atom_id").sortBy("atom_id")
+      .saveAsTable(s"${prefix}_atoms")
+    g.values.repartition(numBuckets, col("ae_id"))
+      .write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, "ae_id").sortBy("ae_id", "tx_slice")
+      .saveAsTable(s"${prefix}_values")
+    g.txs.write.mode(mode).format("parquet").saveAsTable(s"${prefix}_txs")
+    g.tags.write.mode(mode).format("parquet").saveAsTable(s"${prefix}_tags")
+  }
+
+  /** An in-memory session catalog forgets table metadata across JVMs while
+    * the managed warehouse directory persists — a fresh session's Overwrite
+    * `saveAsTable` then fails on the orphaned location. A metastore-backed
+    * cluster never hits this; locally the managed location is ours to
+    * reclaim when the catalog has no table claiming it. */
+  private def clearOrphanLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+  def loadBucketed(spark: SparkSession, prefix: String): Graph = {
+    val atomCols = Seq("atom_id", "kind", "atype", "src_id", "dst_id",
+      "inst_slice", "term_slice", "origin_uid")
+    Graph(
+      spark.table(s"${prefix}_atoms").select(atomCols.map(col): _*),
+      spark.table(s"${prefix}_values"),
+      spark.table(s"${prefix}_txs"),
+      spark.table(s"${prefix}_tags"))
   }
 
   /** Durable incremental append: one transaction's delta lands as appended

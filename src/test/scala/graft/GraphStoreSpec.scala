@@ -94,6 +94,56 @@ class GraphStoreSpec extends AnyFunSuite {
       == Seq("e:Person/c"))
   }
 
+  test("bucketed store: semantics parity + co-located plans with no Exchange") {
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "joe"), PutField("joe", "Name", "Joe"),
+      PutEntity("Person", "amy"), PutField("amy", "Name", "Amy"),
+      PutEntity("Pet", "spot"), PutRelation("HasPet", "joe", "spot")))
+    val (g2, _) = Transactor.transact(g1, Seq(
+      AssignField("e:Person/joe", "Name", "Joseph")))
+    GraphStore.saveBucketed(g2, "bspec", numBuckets = 4)
+    val loaded = GraphStore.loadBucketed(spark, "bspec")
+
+    // full read-path parity over catalog tables (as-of history included)
+    assert(loaded.maxSlice == 2)
+    assert(loaded.now.all("Person").fieldValue("Name", "v_str", "n")
+      .collect().map(_.getAs[String]("n")).toSet == Set("Joseph", "Amy"))
+    assert(loaded.at(1).all("Person").fieldValue("Name", "v_str", "n")
+      .collect().map(_.getAs[String]("n")).toSet == Set("Joe", "Amy"))
+    assert(loaded.now.all("Person").outs("HasPet").count() == 1)
+
+    // THE hot aggregate of the as-of path: values.groupBy(ae_id) — the
+    // bucketed scan's HashPartitioning(ae_id) already satisfies the agg's
+    // required distribution, so the executed plan carries NO Exchange
+    val agg = loaded.values.filter(col("tx_slice") <= 2)
+      .groupBy("ae_id")
+      .agg(max_by(struct(col("tx_slice"), col("v_str")), col("tx_slice")))
+    agg.collect()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), s"bucketed agg shuffled:\n$aggPlan")
+
+    // atom_id equi-join between two reads of the bucketed table: forced to
+    // a sort-merge join (broadcast would hide the co-location) — still no
+    // Exchange on either side
+    val l2 = GraphStore.loadBucketed(spark, "bspec")
+    val j = loaded.atoms.hint("merge")
+      .join(l2.atoms.select("atom_id").hint("merge"), "atom_id")
+    j.collect()
+    val jPlan = j.queryExecution.executedPlan.toString
+    assert(!jPlan.contains("Exchange"), s"bucketed join shuffled:\n$jPlan")
+
+    // contrast: the SAME aggregate over the plain (unbucketed) layout does
+    // shuffle — proves the assertion above is load-bearing
+    val dir = java.nio.file.Files.createTempDirectory("graft_plain").toString
+    GraphStore.save(g2, dir)
+    val plain = GraphStore.load(spark, dir)
+    val pAgg = plain.values.filter(col("tx_slice") <= 2)
+      .groupBy("ae_id")
+      .agg(max_by(struct(col("tx_slice"), col("v_str")), col("tx_slice")))
+    pAgg.collect()
+    assert(pAgg.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("save/load round-trip preserves graph semantics and prunes by type") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutField("joe", "Name", "Joe"),
