@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the single nearest right row at-or-before
+  * (backward) / at-or-after (forward) its time, per equi-key: pandas
+  * `merge_asof`, DuckDB/QuestDB `ASOF JOIN`. Spark has no native operator;
+  * the naive lowering (per-left-row max-over-right subquery, or a range
+  * join + argmax) is quadratic in key history.
+  *
+  * Lowering here is the scalable union trick: tag both inputs, union them,
+  * and carry the last right payload over a (key, time, side) window — ONE
+  * shuffle on the key, one in-partition sort, linear scan. At 100 TB this
+  * is the same cost shape as any keyed aggregation; there is no per-row
+  * probe and no quadratic candidate set.
+  *
+  * Left-join semantics: unmatched (or out-of-tolerance) left rows keep
+  * nulls in the right-value columns. Matching is INCLUSIVE at equal
+  * timestamps (DuckDB `l.ts >= r.ts` convention).
+  */
+object AsOfJoin {
+
+  /** Most recent right row with `right.rightTime <= left.leftTime`.
+    * `toleranceSec` (seconds, compared on the time axis cast to double —
+    * epoch seconds for timestamps, identity for numerics) drops matches
+    * further back than the bound, like merge_asof's `tolerance`. */
+  def backward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceSec: Option[Double] = None): DataFrame =
+    joinImpl(left, right, on, leftTime, rightTime, toleranceSec, fwd = false)
+
+  /** Earliest right row with `right.rightTime >= left.leftTime`. */
+  def forward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceSec: Option[Double] = None): DataFrame =
+    joinImpl(left, right, on, leftTime, rightTime, toleranceSec, fwd = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, toleranceSec: Option[Double],
+      fwd: Boolean): DataFrame = {
+    val rightVals = right.columns.filterNot(c => on.contains(c) || c == rightTime)
+    val clash = rightVals.intersect(left.columns)
+    require(clash.isEmpty,
+      s"right value columns clash with left: ${clash.mkString(", ")} — alias them first")
+    require(rightVals.nonEmpty, "right side carries no value columns")
+
+    // right rows pack their payload into one struct; left rows carry null.
+    // side 0 = right sorts BEFORE side 1 = left at equal time in both
+    // directions, which is what makes the match inclusive.
+    val rPre = right.select(
+      on.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        struct(col(rightTime).as("__rt") +: rightVals.map(col): _*).as("__r"),
+        lit(0).as("__side")): _*)
+    val rType = rPre.schema("__r").dataType
+    val lPre = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__r", lit(null).cast(rType))
+      .withColumn("__side", lit(1))
+
+    val ord = if (fwd) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(ord, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lPre.unionByName(rPre, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val dist =
+      if (fwd) col("__m.__rt").cast("double") - col("__t").cast("double")
+      else col("__t").cast("double") - col("__m.__rt").cast("double")
+    val ok = toleranceSec.foldLeft(col("__m").isNotNull)(
+      (acc, tol) => acc && dist <= lit(tol))
+    matched.select(
+      left.columns.map(col) ++
+        rightVals.map(v => when(ok, col(s"__m.`$v`")).as(v)): _*)
+  }
+}

@@ -137,6 +137,64 @@ object Misc {
              |GROUP BY n_name ORDER BY n_name""".stripMargin),
       Seq("Outs", "group_by", "distinct", "sum", "broadcast_join")),
 
+    // As-of join (pandas merge_asof / DuckDB ASOF JOIN; the operator class
+    // SURVEY §4.2 flags as "Spark lacks"): per click, the most recent prior
+    // purchase of the same user — union+window lowering, one shuffle.
+    QueryDef(
+      "asof_join_events",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("p_value"))
+        graft.ops.AsOfJoin.backward(clicks, purchases,
+            Seq("user_id"), "ts", "ts")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("p_value")).as("n_matched"),
+            round(sum(coalesce(col("value") - col("p_value"), lit(0.0))), 3)
+              .as("diff_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT l.user_id AS user_id, count(*) AS n_clicks,
+             |  count(r.value) AS n_matched,
+             |  round(sum(coalesce(l.value - r.value, 0)), 3) AS diff_sum
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
+      Seq("asof_join", "time_travel", "group_by")),
+
+    // Range (point-in-interval) join with NO equi-key — binned lowering
+    // (RangeJoin): events landing in the first 6 hours of each day. The
+    // naive plan is a nested-loop cross product; the binned plan is a plain
+    // equi-join on the bin id.
+    QueryDef(
+      "range_join_windows",
+      (s, d) => {
+        val wins = s.sql(
+          """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+            |  timestamp'2024-01-30 00:00:00', interval 1 day)) AS lo""".stripMargin)
+          .withColumn("hi", col("lo") + expr("INTERVAL 6 HOURS"))
+        val pts = Tables.events(s, d).select(col("ts"), col("value"))
+        graft.ops.RangeJoin.pointInInterval(
+            pts, "ts", wins, "lo", "hi", binWidth = 6 * 3600.0)
+          .groupBy(to_date(col("lo")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 3).as("value_sum"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH wins AS (
+             |  SELECT d AS lo, d + INTERVAL 6 HOUR AS hi
+             |  FROM generate_series(TIMESTAMP '2024-01-01',
+             |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY) t(d))
+             |SELECT CAST(w.lo AS DATE) AS day, count(*) AS n_events,
+             |  round(sum(e.value), 3) AS value_sum
+             |FROM wins w JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      Seq("range_join", "is_between", "group_by")),
+
     // The spark.sql text surface over registered views — SQL parity path.
     QueryDef(
       "sql_text_surface",

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AsOfJoin, RangeJoin}
+
+class AsOfRangeJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  // left: (key, t, lv) — includes a key with no right rows, a left row
+  // before any right row, and an exact timestamp tie
+  private def leftRows = Seq(
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 35L, "l3"),
+    ("b", 5L, "l4"), ("b", 50L, "l5"),
+    ("c", 7L, "l6"))
+  // right: (key, t, rv) — tie at a/20, dense history on b
+  private def rightRows = Seq(
+    ("a", 12L, "r1"), ("a", 20L, "r2"), ("a", 31L, "r3"),
+    ("b", 6L, "r4"), ("b", 7L, "r5"), ("b", 49L, "r6"))
+
+  /** Naive per-row argmax oracle via join+filter+max_by. */
+  private def naive(fwd: Boolean, tol: Option[Double]): Map[(String, Long), String] = {
+    val pairs = for {
+      (lk, lt, lv) <- leftRows
+      (rk, rt, rv) <- rightRows
+      if lk == rk
+      if (if (fwd) rt >= lt else rt <= lt)
+      if tol.forall(t => math.abs(rt - lt) <= t)
+    } yield ((lk, lt), (rt, rv))
+    pairs.groupBy(_._1).map { case (k, vs) =>
+      k -> (if (fwd) vs.minBy(_._2._1) else vs.maxBy(_._2._1))._2._2
+    }
+  }
+
+  private def run(fwd: Boolean, tol: Option[Double]): Map[(String, Long), String] = {
+    import spark.implicits._
+    val l = leftRows.toDF("k", "t", "lv")
+    val r = rightRows.toDF("k", "t", "rv")
+    val out = if (fwd) AsOfJoin.forward(l, r, Seq("k"), "t", "t", tol)
+      else AsOfJoin.backward(l, r, Seq("k"), "t", "t", tol)
+    out.collect().flatMap { row =>
+      Option(row.getAs[String]("rv")).map(v =>
+        (row.getAs[String]("k"), row.getAs[Long]("t")) -> v)
+    }.toMap
+  }
+
+  test("asof backward matches the naive argmax oracle (ties inclusive)") {
+    assert(run(fwd = false, None) == naive(fwd = false, None))
+    // spot-check semantics: tie at a/20 matches r2 (inclusive), b/5 unmatched
+    val m = run(fwd = false, None)
+    assert(m(("a", 20L)) == "r2")
+    assert(!m.contains(("b", 5L)))
+    assert(!m.contains(("c", 7L)))
+  }
+
+  test("asof forward matches the naive oracle") {
+    assert(run(fwd = true, None) == naive(fwd = true, None))
+    assert(run(fwd = true, None)(("b", 5L)) == "r4")
+  }
+
+  test("asof tolerance drops far matches") {
+    assert(run(fwd = false, Some(3.0)) == naive(fwd = false, Some(3.0)))
+    // l3 at 35 has r3 at 31 — distance 4 exceeds tolerance 3
+    assert(!run(fwd = false, Some(3.0)).contains(("a", 35L)))
+    assert(run(fwd = false, Some(4.0)).contains(("a", 35L)))
+  }
+
+  test("asof keeps every left row (left-join semantics)") {
+    import spark.implicits._
+    val out = AsOfJoin.backward(leftRows.toDF("k", "t", "lv"),
+      rightRows.toDF("k", "t", "rv"), Seq("k"), "t", "t")
+    assert(out.count() == leftRows.size)
+    assert(out.columns.toSeq == Seq("k", "t", "lv", "rv"))
+  }
+
+  test("range join matches the naive cross-filter, including bin-spanning intervals") {
+    import spark.implicits._
+    val pts = Seq(("p1", 0.0), ("p2", 9.9), ("p3", 10.0), ("p4", 25.0),
+      ("p5", 99.0), ("p6", 100.0)).toDF("pid", "x")
+    // [10,10] point interval, [0,35] spans 4 bins at width 10, [90,99]
+    val ivs = Seq(("i1", 10.0, 10.0), ("i2", 0.0, 35.0), ("i3", 90.0, 99.0))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi", binWidth = 10.0)
+      .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = (for {
+      (pid, x) <- Seq(("p1", 0.0), ("p2", 9.9), ("p3", 10.0), ("p4", 25.0),
+        ("p5", 99.0), ("p6", 100.0))
+      (iid, lo, hi) <- Seq(("i1", 10.0, 10.0), ("i2", 0.0, 35.0), ("i3", 90.0, 99.0))
+      if x >= lo && x <= hi
+    } yield (pid, iid)).toSet
+    assert(got == want)
+    assert(got.contains(("p3", "i1")) && got.contains(("p3", "i2")))
+    assert(!got.contains(("p6", "i3")))
+  }
+
+  test("range join plans an equi-join, not a nested loop") {
+    import spark.implicits._
+    val pts = (0 until 1000).map(i => (i.toLong, i.toDouble)).toDF("pid", "x")
+    val ivs = (0 until 50).map(i => (i.toLong, i * 20.0, i * 20.0 + 5.0))
+      .toDF("iid", "lo", "hi")
+    val joined = RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi", binWidth = 20.0)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a cross product:\n$plan")
+  }
+}
