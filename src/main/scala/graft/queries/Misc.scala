@@ -137,6 +137,28 @@ object Misc {
              |GROUP BY n_name ORDER BY n_name""".stripMargin),
       Seq("Outs", "group_by", "distinct", "sum", "broadcast_join")),
 
+    // Misra–Gries heavy hitters (custom TypedImperativeAggregate): most
+    // active users per event type. Capacity (256) exceeds the distinct
+    // users, so the sketch is EXACT and the oracle hash-checks the full
+    // partial/merge/shuffle machinery; the undercapacity bounds are spec'd
+    // in FunctionsSpec.
+    QueryDef(
+      "agg_heavy_hitters",
+      (s, d) => {
+        import graft.functions.HeavyHittersAgg.heavyHitters
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(heavyHitters(col("user_id"), 256).as("hh"))
+          .select(col("event_type"), explode(col("hh")).as("e"))
+          .select(col("event_type"), col("e.item").as("user_id"),
+            col("e.est_count").as("n"))
+          .orderBy(col("event_type"), col("user_id"))
+      },
+      Some("""SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1, 2
+             |ORDER BY event_type, user_id""".stripMargin),
+      Seq("frequencies", "heavy_hitters", "group_by", "sketch")),
+
     // As-of join (pandas merge_asof / DuckDB ASOF JOIN; the operator class
     // SURVEY §4.2 flags as "Spark lacks"): per click, the most recent prior
     // purchase of the same user — union+window lowering, one shuffle.

@@ -63,6 +63,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sampled.size == 2 && sampled.forall(Set("x", "y", "z")))
   }
 
+  test("HeavyHittersAgg: MG guarantees under capacity, exact over capacity") {
+    import spark.implicits._
+    import graft.functions.HeavyHittersAgg.heavyHitters
+    // skewed stream: "hot" = 5000 of 10000 rows, "warm" = 2000, tail of
+    // 300 distinct items ~10 each
+    val rows = Seq.fill(5000)("hot") ++ Seq.fill(2000)("warm") ++
+      (0 until 3000).map(i => s"t${i % 300}")
+    val n = rows.size
+    val df = rows.map(v => (v, "g")).toDF("v", "g")
+
+    def hh(data: org.apache.spark.sql.DataFrame, cap: Int): Map[String, Long] =
+      data.groupBy("g").agg(heavyHitters(col("v"), cap).as("h"))
+        .select(explode(col("h")).as("e"))
+        .select(col("e.item"), col("e.est_count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    for (parts <- Seq(1, 13)) {
+      val got = hh(df.repartition(parts), 8)
+      // capacity 8 over n rows: anything with true count > n/9 must appear
+      assert(got.contains("hot") && got.contains("warm"), s"missing: $got")
+      assert(got.size <= 8)
+      // MG bound: true - n/(cap+1) <= est <= true
+      assert(got("hot") <= 5000 && got("hot") >= 5000 - n / 9)
+      assert(got("warm") <= 2000 && got("warm") >= 2000 - n / 9)
+    }
+
+    // capacity >= distinct count: exact counts for every item
+    val exact = hh(df, 400)
+    assert(exact("hot") == 5000 && exact("warm") == 2000)
+    assert(exact.size == 302 && exact("t0") == 10)
+    // exactness is partitioning-invariant
+    assert(hh(df.repartition(7), 400) == exact)
+
+    // long items work; nulls are skipped
+    val longs = (Seq.fill(9)(Some(1L)) ++ Seq(Some(2L), None))
+      .map(v => (v, "g")).toDF("v", "g")
+    val lh = longs.groupBy("g").agg(heavyHitters(col("v"), 4).as("h"))
+      .select(explode(col("h")).as("e")).select(col("e.item"), col("e.est_count"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lh == Map(1L -> 9L, 2L -> 1L))
+  }
+
   test("MinHashAgg: similarity estimate tracks exact jaccard") {
     import spark.implicits._
     val base = (1 to 50).map(i => s"w$i").mkString(" ")
