@@ -351,4 +351,27 @@ class GraphCoreSpec extends AnyFunSuite {
     val rel = g2.now.allRelations("HasPet")
     assert(rel.fieldValue("Date", "v_ts", "d").count() == 1)
   }
+
+  test("Dot: bounded subgraph DOT + blueprint DOT (graphviz op surface)") {
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "joe"), PutEntity("Pet", "spot"),
+      PutRelation("HasPet", "joe", "spot"),
+      PutField("joe", "Name", "Jo\"e"))) // quote must escape
+    val dot = Dot.toDot(g.now.all("Person").gather(Seq("HasPet"), 1))
+    assert(dot.startsWith("digraph g {") && dot.endsWith("}"))
+    assert(dot.contains(""""e:Person/joe" [label="Person\ne:Person/joe"];"""))
+    assert(dot.contains(""""e:Person/joe" -> "e:Pet/spot" [label="HasPet"];"""))
+    // deterministic: two renders are byte-identical
+    assert(dot == Dot.toDot(g.now.all("Person").gather(Seq("HasPet"), 1)))
+    // the bound fails loudly, never truncates silently
+    assertThrows[IllegalArgumentException] {
+      Dot.toDot(g.now.all("Person"), maxAtoms = 0)
+    }
+    val bp = Dot.blueprintDot(g)
+    assert(bp.contains(""""Person" [label="Person (1)"];"""))
+    assert(bp.contains(""""Person" -> "Pet" [label="HasPet (1)"];"""))
+    // the escaped quote in the field VALUE never leaks into type-level dot;
+    // the field relation type does appear as an edge to the AE type node
+    assert(bp.contains("""label="Name (1)""""))
+  }
 }
