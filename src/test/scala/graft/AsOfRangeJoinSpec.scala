@@ -94,6 +94,39 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(!got.contains(("p6", "i3")))
   }
 
+  test("salted join: identical rows to the plain join, spread salt keys") {
+    import spark.implicits._
+    import graft.ops.SkewJoin.saltedJoin
+    // skew: key "hot" holds 90% of the left side
+    val skewed = ((0 until 900).map(i => ("hot", i)) ++
+      (0 until 100).map(i => (s"k${i % 10}", i))).toDF("k", "lv")
+    val dim = Seq(("hot", "H"), ("k0", "A"), ("k1", "B"), ("zz", "Z"))
+      .toDF("k", "rv")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+    val plain = skewed.join(dim, Seq("k"))
+    val salted = saltedJoin(skewed, dim, Seq("k"), salt = 8)
+    assert(canon(salted) == canon(plain))
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+
+    // left-outer keeps unmatched skewed rows exactly once
+    val lo = saltedJoin(skewed, dim, Seq("k"), salt = 8, joinType = "left")
+    assert(canon(lo) == canon(skewed.join(dim, Seq("k"), "left")))
+
+    // the hot key's rows really spread across sub-keys (the point of it)
+    val spread = skewed.filter($"k" === "hot")
+      .withColumn("__salt", pmod(hash(skewed.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 4, s"hot key only used $spread of 8 salts")
+
+    // right/full outer is refused, not silently wrong
+    assertThrows[IllegalArgumentException] {
+      saltedJoin(skewed, dim, Seq("k"), 8, joinType = "full_outer")
+    }
+  }
+
   test("range join plans an equi-join, not a nested loop") {
     import spark.implicits._
     val pts = (0 until 1000).map(i => (i.toLong, i.toDouble)).toDF("pid", "x")
