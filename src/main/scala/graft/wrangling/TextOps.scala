@@ -79,14 +79,19 @@ object TextOps {
       size(filter(tokens(lower(text)),
         w => w.isInCollection(langMarkers(lang)))).cast("double")
 
-  /** Predicted language; ties resolve in fixed order en,de,es,fr,zh. */
+  /** Predicted language; ties resolve in fixed order en,de,es,fr,zh.
+    *
+    * Argmax via ONE array_max over struct(score, -index, lang): struct
+    * ordering compares score first, then the negated index — so ties go to
+    * the earliest language, and each langScore subexpression appears
+    * exactly once. (The previous when-chain fold nested each accumulated
+    * comparison inside the next, duplicating every score expression per
+    * fold level — an O(langs²) expression tree that bloated codegen.) */
   def langId(text: Column): Column = {
     val order = Seq("en", "de", "es", "fr", "zh")
-    val scored = order.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
-    // argmax with first-wins tiebreak: fold keeping the strictly greater
-    val best = scored.reduceLeft((a, b) =>
-      when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    best.getField("l")
+    val scored = order.zipWithIndex.map { case (l, i) =>
+      struct(langScore(text, l).as("s"), lit(-i).as("p"), lit(l).as("l")) }
+    array_max(array(scored: _*)).getField("l")
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
