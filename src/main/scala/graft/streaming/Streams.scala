@@ -93,6 +93,62 @@ object Streams {
       }
   }
 
+  final case class AsofEvent(key: String, ts: Double, side: Int, payload: String)
+  final case class AsofEnriched(key: String, ts: Double, payload: String,
+      matched_ts: Option[Double], matched_payload: Option[String])
+
+  /** Streaming as-of enrichment — the streaming face of [[graft.ops.AsOfJoin]]
+    * (the CDC-enrichment shape: attach the latest known reference state to
+    * each fact event, per key). Keyed state via flatMapGroupsWithState holds
+    * a bounded, ts-sorted history of right-side rows (`historySize`); each
+    * left event matches the latest right with `right.ts <= left.ts`
+    * (inclusive, like the batch op).
+    *
+    * Semantics note, honestly: WITHIN a micro-batch events process in event-
+    * time order (per-group sort), so batch mode — one "batch" = everything —
+    * reproduces the exact batch as-of join (spec-asserted parity). Across
+    * micro-batches, a right row arriving AFTER a left row was already
+    * emitted does not retro-update it — standard streaming enrichment
+    * semantics; bound staleness with source ordering or a larger trigger.
+    *
+    * Payloads ride as JSON (`to_json` of the non-key/non-ts columns); the
+    * time axis rides as double (epoch seconds for timestamps — cast before
+    * calling for sub-microsecond axes). State is O(historySize) per key.
+    */
+  def asofEnrich(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, historySize: Int = 64): Dataset[AsofEnriched] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def pack(df: DataFrame, side: Int): Dataset[AsofEvent] = {
+      val payloadCols = df.columns.filterNot(c => c == keyCol || c == tsCol)
+      df.select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("double").as("ts"),
+        lit(side).as("side"),
+        to_json(struct(payloadCols.map(col): _*)).as("payload"))
+        .as[AsofEvent]
+    }
+    pack(left, 1).unionByName(pack(right, 0))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Vector[(Double, String)], AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, evs, state: GroupState[Vector[(Double, String)]]) =>
+          var hist = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AsofEnriched]
+          // per-batch event-time order, rights before lefts on ties
+          evs.toVector.sortBy(e => (e.ts, e.side)).foreach { e =>
+            if (e.side == 0)
+              hist = (hist :+ (e.ts, e.payload)).sortBy(_._1)
+                .takeRight(historySize)
+            else {
+              val m = hist.reverseIterator.find(_._1 <= e.ts)
+              out += AsofEnriched(k, e.ts, e.payload, m.map(_._1), m.map(_._2))
+            }
+          }
+          state.update(hist)
+          out.result().iterator
+      }
+  }
+
   /** Run any events→DataFrame transform as a real micro-batch stream over
     * the events parquet and collect the final result from a memory sink.
     * `maxFilesPerTrigger=1` keeps it honestly incremental. */

@@ -76,6 +76,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2(2).getAs[Double]("sum_value") == 7.0 + 8.0 + 9.0)
   }
 
+  test("asof enrichment: batch mode reproduces the batch as-of join") {
+    import spark.implicits._
+    val left = Seq(("a", 10.0, "l1"), ("a", 20.0, "l2"), ("a", 35.0, "l3"),
+      ("b", 5.0, "l4"), ("c", 7.0, "l5")).toDF("k", "t", "lv")
+    val right = Seq(("a", 12.0, "r1"), ("a", 20.0, "r2"), ("a", 31.0, "r3"),
+      ("b", 6.0, "r4")).toDF("k", "t", "rv")
+    val enriched = Streams.asofEnrich(left, right, "k", "t")
+      .collect().map(e => (e.key, e.ts) -> e.matched_payload).toMap
+    val batch = graft.ops.AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Double]("t")) ->
+        Option(r.getAs[String]("rv"))).toMap
+    assert(enriched.keySet == batch.keySet)
+    batch.foreach { case (key, rv) =>
+      val got = enriched(key).map(j => j.contains("\"" + rv.getOrElse("") + "\""))
+      assert(rv.isEmpty == enriched(key).isEmpty, s"$key: $rv vs ${enriched(key)}")
+      rv.foreach(_ => assert(got.contains(true), s"$key: $rv vs ${enriched(key)}"))
+    }
+  }
+
+  test("asof enrichment: right state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(String, Double, String)]
+    val rIn = MemoryStream[(String, Double, String)]
+    val q = Streams.asofEnrich(
+        lIn.toDF().toDF("k", "t", "lv"), rIn.toDF().toDF("k", "t", "rv"),
+        "k", "t").writeStream
+      .outputMode("append").format("memory").queryName("t_asof").start()
+    // batch 1: reference state arrives first
+    rIn.addData(("u", 10.0, "price10"), ("u", 20.0, "price20"))
+    q.processAllAvailable()
+    // batch 2: facts arrive later, match state from batch 1
+    lIn.addData(("u", 15.0, "buy"), ("u", 25.0, "sell"), ("u", 5.0, "early"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_asof").as[Streams.AsofEnriched].collect()
+      .map(e => e.payload.contains("early") match {
+        case true => "early" -> e.matched_ts
+        case false if e.ts == 15.0 => "buy" -> e.matched_ts
+        case _ => "sell" -> e.matched_ts
+      }).toMap
+    assert(out("buy").contains(10.0))   // latest right <= 15 from prior batch
+    assert(out("sell").contains(20.0))
+    assert(out("early").isEmpty)        // nothing at-or-before 5
+  }
+
   test("graph subscriptions: on[instantiated]/on[assigned] over the feed") {
     val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "p1"), PutEntity("Person", "p2"),
