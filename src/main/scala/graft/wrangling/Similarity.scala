@@ -135,6 +135,36 @@ object Similarity {
       centroids: Seq[Array[Double]]): DataFrame =
     embeddings.withColumn("__ci", ivfAssign(col(vecCol), centroids))
 
+  /** Durable IVF layout — the at-rest form of the "write the index
+    * partitioned by `__ci`" scale path: posting lists land as parquet
+    * PARTITIONED BY the coarse-quantizer cell, centroids as a small side
+    * table. A probe against the loaded index then reads ONLY the `nprobe`
+    * matching directories (PartitionFilters prune the rest unread — the
+    * FieldIndex trick applied to the vector index); at 100 TB that is the
+    * difference between touching nprobe/k of the corpus and all of it. */
+  def ivfSave(index: DataFrame, centroids: Seq[Array[Double]],
+      path: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__ci").parquet(s"$path/postings")
+    centroids.zipWithIndex
+      .flatMap { case (c, ci) => c.zipWithIndex.map { case (v, pos) => (ci, pos, v) } }
+      .toDF("ci", "pos", "v").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Seq[Array[Double]]) = {
+    val postings = spark.read.parquet(s"$path/postings")
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .groupBy(_.getAs[Int]("ci")).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("v")) }
+    (postings, cents)
+  }
+
   /** IVF search: rank centroids against the query ON THE DRIVER (k dot
     * products — tiny), then scan only the `nprobe` nearest posting lists
     * exactly. `nprobe == k` degrades gracefully to the exact brute-force

@@ -140,6 +140,35 @@ class WranglingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("ivf persistence: partitioned postings probe-pruned, results identical") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val k = 8
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", k, iters = 2)
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfSave(index, cents, dir)
+    // one directory per posting list on disk
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("__ci=")) == k)
+
+    val (loaded, loadedCents) = Similarity.ivfLoad(spark, dir)
+    assert(loadedCents.size == k)
+    assert(cents.zip(loadedCents).forall { case (a, b) => a.sameElements(b) })
+    // probe over the loaded index == probe over the in-memory index
+    val mem = Similarity.ivfTopK(index, "vec_id", "embedding", cents, q,
+      10, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    val disk = Similarity.ivfTopK(loaded, "vec_id", "embedding", loadedCents,
+      q, 10, nprobe = 4)
+    assert(disk.collect().map(_.getLong(0)).toSeq == mem)
+    // and the scan is partition-PRUNED: the __ci filter reaches
+    // PartitionFilters, so non-probed posting directories are never read
+    val plan = disk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__ci"),
+      s"probe not partition-pruned:\n$plan")
+  }
+
   test("cosine is in [-1,1] and self-similarity is 1") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
