@@ -41,6 +41,50 @@ object GraphAlgos {
     ranks.join(verts, "vid").select(col("atom_id"), col("rank"))
   }
 
+  /** Hop distances to the given landmark atoms over the given relation
+    * types — GraphX ShortestPaths (BFS pregel; distances follow out-edges,
+    * `directed = false` symmetrizes first). Returns (atom_id, landmark,
+    * dist); unreachable atoms are absent. */
+  def shortestHops(slice: GraphSlice, rts: Seq[String],
+      landmarks: Seq[String], directed: Boolean = false): DataFrame = {
+    val spark = slice.graph.spark
+    import spark.implicits._
+    val (g0, verts) = toGraphX(slice, rts)
+    val g = if (directed) g0
+      else XGraph(g0.vertices,
+        g0.edges.union(g0.edges.map(e => Edge(e.dstId, e.srcId, e.attr))))
+    val lmMap = verts.filter(col("atom_id").isInCollection(landmarks))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    require(lmMap.size == landmarks.distinct.size,
+      s"unknown landmark(s): ${landmarks.diff(lmMap.values.toSeq).mkString(", ")}")
+    val res = org.apache.spark.graphx.lib.ShortestPaths
+      .run(g, lmMap.keys.toSeq)
+    val bc = spark.sparkContext.broadcast(lmMap)
+    res.vertices
+      .flatMap { case (vid, m) =>
+        m.map { case (l, d) => (vid, bc.value(l), d) } }
+      .toDF("vid", "landmark", "dist")
+      .join(verts, "vid")
+      .select(col("atom_id"), col("landmark"), col("dist"))
+  }
+
+  /** Community detection via label propagation over the given relation
+    * types (messages flow both directions — undirected semantics). Returns
+    * (atom_id, community) where community is the converged label's
+    * atom_id — stable across runs on a fixed graph (LPA min-label ties). */
+  def communities(slice: GraphSlice, rts: Seq[String],
+      steps: Int = 5): DataFrame = {
+    val spark = slice.graph.spark
+    import spark.implicits._
+    val (g, verts) = toGraphX(slice, rts)
+    org.apache.spark.graphx.lib.LabelPropagation.run(g, steps)
+      .vertices.toDF("vid", "label")
+      .join(verts, "vid")
+      .join(verts.select(col("vid").as("label"),
+        col("atom_id").as("community")), "label")
+      .select(col("atom_id"), col("community"))
+  }
+
   /** Connected components over candidate-duplicate PAIRS — the clustering
     * stage of scale-out dedup (SURVEY §2.12: "blocking + pairwise predicate
     * join + connected components"). Input (id_a, id_b) long pairs; output

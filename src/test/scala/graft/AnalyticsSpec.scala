@@ -20,6 +20,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ranks("e:P/u2") > ranks("e:P/u3")) // u1 links only to u2
   }
 
+  test("shortestHops: chain distances, directedness, unknown landmark fails") {
+    // a -> b -> c -> d
+    val wishes = Seq("a", "b", "c", "d").map(i => PutEntity("P", i)) ++
+      Seq(("a", "b"), ("b", "c"), ("c", "d"))
+        .map { case (s, t) => PutRelation("Next", s, t) }
+    val (g, _) = Transactor.transact(Graph.empty(spark), wishes)
+    def dists(directed: Boolean) =
+      GraphAlgos.shortestHops(g.now, Seq("Next"), Seq("e:P/d"), directed)
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    // undirected: everything reaches d
+    assert(dists(false) == Map("e:P/a" -> 3, "e:P/b" -> 2,
+      "e:P/c" -> 1, "e:P/d" -> 0))
+    // directed along out-edges: same here (chain points at d)...
+    assert(dists(true)("e:P/a") == 3)
+    // ...but nothing reaches a landmark with no in-path
+    val toA = GraphAlgos.shortestHops(g.now, Seq("Next"), Seq("e:P/a"),
+      directed = true).collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(toA == Map("e:P/a" -> 0))
+    assertThrows[IllegalArgumentException] {
+      GraphAlgos.shortestHops(g.now, Seq("Next"), Seq("e:P/nope"))
+    }
+  }
+
+  test("communities: two cliques resolve to two labels") {
+    val names = Seq("a1", "a2", "a3", "b1", "b2", "b3")
+    val wishes = names.map(i => PutEntity("P", i)) ++
+      Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"))
+        .map { case (s, t) => PutRelation("Knows", s, t) }
+    val (g, _) = Transactor.transact(Graph.empty(spark), wishes)
+    val comm = GraphAlgos.communities(g.now, Seq("Knows"), steps = 8)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comm.size == 6)
+    // disconnected triangles can never share a community label
+    val aLabels = Seq("a1", "a2", "a3").map(n => comm(s"e:P/$n")).toSet
+    val bLabels = Seq("b1", "b2", "b3").map(n => comm(s"e:P/$n")).toSet
+    assert(aLabels.intersect(bLabels).isEmpty)
+  }
+
   test("dedupClusters: connected components form dedup groups") {
     import spark.implicits._
     // pairs: {1-2, 2-3} one cluster; {10-11} another; 99 isolated (absent)
