@@ -158,6 +158,35 @@ object GraphStore {
     appendTx(spark, path, r)
   }
 
+  /** Compaction — the "background MERGE" [[appendTx]]'s doc promises: fold
+    * the accumulated closure rows into the denormalized `term_slice`
+    * column and rewrite the atoms tree, so reads stop paying the
+    * reconciliation joins and the closures side-table disappears.
+    * Operationally the atomic-swap discipline matters: the new tree lands
+    * COMPLETELY beside the old one, then swaps in via two renames — a
+    * reader never sees a half-written store, and a crash before the final
+    * rename leaves the original untouched (same discipline a table format
+    * runs this merge with). Post-condition: `load` (no closure joins) ==
+    * the pre-compaction `loadWithClosures`. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val closures = new java.io.File(s"$path/closures")
+    if (!closures.exists()) return
+    val g = loadWithClosures(spark, path)
+    g.atoms.write.mode(SaveMode.Overwrite)
+      .partitionBy("kind", "atype")
+      .parquet(s"$path/atoms__compacting")
+    val dir = new java.io.File(s"$path/atoms")
+    val old = new java.io.File(s"$path/atoms__old")
+    require(dir.renameTo(old), s"cannot stage $dir aside")
+    require(new java.io.File(s"$path/atoms__compacting").renameTo(dir),
+      s"cannot swap compacted atoms into place")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(old); rm(closures)
+  }
+
   /** Load with closure reconciliation (see [[appendTx]]). */
   def loadWithClosures(spark: SparkSession, path: String): Graph = {
     val g = load(spark, path)
@@ -188,6 +217,9 @@ object GraphStore {
         .withColumn("term_slice",
           when(col("term_slice").isNull, col("__t")).otherwise(col("term_slice")))
         .drop("__t")
+        // the join moved its keys to the front; restore canonical order so
+        // both load paths produce schema-identical frames
+        .select(g.atoms.columns.map(col): _*)
       g.copy(atoms = atoms)
     }
   }

@@ -39,6 +39,47 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(loaded.at(1).byTag("first").count() == 1)
   }
 
+  test("compact folds closures into atoms; plain load == reconciled load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val g0 = Graph.empty(spark)
+    val (g1, r1) = Transactor.transact(g0, Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
+      PutEntity("Person", "b"), PutRelation("Knows", "a", "b")))
+    GraphStore.appendTx(spark, dir, r1)
+    val (g2, r2) = Transactor.transact(g1, Seq(TerminateAtom("e:Person/a")))
+    GraphStore.appendTx(spark, dir, r2)
+    val (_, r3) = Transactor.transact(g2, Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann2")))
+    GraphStore.appendTx(spark, dir, r3)
+
+    val before = GraphStore.loadWithClosures(spark, dir)
+    val wantAtoms = before.atoms.collect().map(_.toSeq).toSet
+    GraphStore.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/closures").exists())
+    assert(!new java.io.File(s"$dir/atoms__old").exists())
+    // the PLAIN load now carries the folded intervals...
+    val after = GraphStore.load(spark, dir)
+    assert(after.atoms.collect().map(_.toSeq).toSet == wantAtoms)
+    // ...and both load paths agree (loadWithClosures is a no-op now)
+    assert(GraphStore.loadWithClosures(spark, dir).atoms
+      .collect().map(_.toSeq).toSet == wantAtoms)
+    // semantics spot-checks across frames survive the rewrite
+    assert(after.at(1).all("Person").count() == 2)
+    assert(after.at(2).all("Person").count() == 1)
+    assert(after.now.all("Person").count() == 2)
+    assert(after.now.all("Person").hasOut("Knows").count() == 0)
+    // compaction is idempotent (no closures -> no-op)
+    GraphStore.compact(spark, dir)
+    assert(GraphStore.load(spark, dir).atoms
+      .collect().map(_.toSeq).toSet == wantAtoms)
+    // and the store keeps accepting appends afterwards
+    val (_, r4) = Transactor.transact(
+      GraphStore.load(spark, dir), Seq(PutEntity("Person", "c")))
+    GraphStore.appendTx(spark, dir, r4)
+    assert(GraphStore.loadWithClosures(spark, dir)
+      .now.all("Person").count() == 3)
+  }
+
   test("FieldIndex: @search-declared index, indexed lookup parity, append maintenance") {
     val schema = graft.gql.GqlParser.parseSchema(
       """type Person {
