@@ -68,6 +68,19 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
       }
     }
 
+  private[core] def cachedLatestValues(slice: Int): Option[DataFrame] =
+    latestValuesCache.synchronized(Option(latestValuesCache.get(slice)))
+
+  /** Pre-populate the cache (incremental view maintenance — see
+    * Transactor.transact): no-op if an entry already exists. */
+  private[core] def seedLatestValues(slice: Int, df: DataFrame): Unit =
+    latestValuesCache.synchronized {
+      if (latestValuesCache.get(slice) == null) latestValuesCache.put(slice, df)
+    }
+
+  private[graft] def hasCachedLatestValues(slice: Int): Boolean =
+    latestValuesCache.synchronized(latestValuesCache.containsKey(slice))
+
   /** Absolute frame — zef `to_frame`/`at`. */
   def at(slice: Int): GraphSlice = GraphSlice(this, slice)
 

@@ -217,7 +217,24 @@ object Transactor {
       if (newTags.isEmpty) g.tags
       else g.tags.unionByName(spark.createDataset(newTags.toSeq).toDF())
 
-    (Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal),
+    val g2 = Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal)
+    // Incremental view maintenance: if the PRIOR frame's current-values
+    // table is materialized, the new frame's table is that COMPACTED table
+    // (one row per AE) merged with this tx's tiny delta — never a
+    // re-aggregation of full value history. Same max_by semantics: delta
+    // rows carry the highest tx_slice, so they win exactly where present.
+    g.cachedLatestValues(g.maxSlice).foreach { pv =>
+      val vcols = Seq("tx_slice", "v_str", "v_long", "v_double", "v_bool", "v_ts")
+      val delta = spark.createDataset(newValues.toSeq).toDF()
+        .select(col("ae_id") +: vcols.map(col): _*)
+      val merged = pv.unionByName(delta)
+        .groupBy("ae_id")
+        .agg(max_by(struct(vcols.map(col): _*), col("tx_slice")).as("__v"))
+        .select(col("ae_id") +: vcols.map(c => col(s"__v.$c").as(c)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g2.seedLatestValues(slice, merged)
+    }
+    (g2,
       Receipt(receipt.toMap, slice, newAtoms.toSeq, newValues.toSeq,
         terminated.toSeq, newTags.toSeq, ts))
   }

@@ -352,6 +352,30 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(rel.fieldValue("Date", "v_ts", "d").count() == 1)
   }
 
+  test("transact seeds the next frame's latestValues from the prior cache") {
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutField("a", "X", 1.0),
+      PutEntity("P", "b"), PutField("b", "X", 2.0)))
+    // no prior materialization -> transact does NOT seed
+    val (gCold, _) = Transactor.transact(g1, Seq(
+      AssignField("e:P/a", "X", 3.0)))
+    assert(!gCold.hasCachedLatestValues(gCold.maxSlice))
+    // materialize the prior frame's current-values table...
+    g1.latestValues(g1.maxSlice).count()
+    // ...now transact seeds the NEW frame incrementally (before any read)
+    val (g2, _) = Transactor.transact(g1, Seq(
+      AssignField("e:P/a", "X", 5.0)))
+    assert(g2.hasCachedLatestValues(g2.maxSlice))
+    // and the seeded table answers correctly: delta wins, untouched stays
+    val vals = g2.now.all("P").fieldValue("X", "v_double", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vals == Map("e:P/a" -> 5.0, "e:P/b" -> 2.0))
+    // parity with the cold (full-aggregation) path
+    val cold = gCold.now.all("P").fieldValue("X", "v_double", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cold == Map("e:P/a" -> 3.0, "e:P/b" -> 2.0))
+  }
+
   test("Dot: bounded subgraph DOT + blueprint DOT (graphviz op surface)") {
     val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutEntity("Pet", "spot"),
