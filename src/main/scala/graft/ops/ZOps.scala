@@ -173,6 +173,62 @@ object ZOps {
       idx.filter(col("__i") >= cut).drop("__i")
     }
 
+    /** zef `take_until[pred]` (impl.py:3807): take_while with the predicate
+      * negated AND the bounding element included. */
+    def takeUntil(pred: Column, order: Seq[Column]): DataFrame = {
+      val idx = enumerate(order, "__i")
+      val firstHit = idx.filter(pred).agg(min(col("__i"))).collect()(0)
+      val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
+      idx.filter(col("__i") <= cut).drop("__i")
+    }
+
+    /** zef `skip_until[pred]`: drop elements before the first satisfying
+      * one; the bounding element is kept. */
+    def skipUntil(pred: Column, order: Seq[Column]): DataFrame = {
+      val idx = enumerate(order, "__i")
+      val firstHit = idx.filter(pred).agg(min(col("__i"))).collect()(0)
+      val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
+      idx.filter(col("__i") >= cut).drop("__i")
+    }
+
+    /** zef `take_while_pair[pred]` (impl.py:3885): termination depends on
+      * two SUCCESSIVE elements — keep rows until the first adjacent pair
+      * fails, emitting both elements of the last passing pair. The
+      * predicate sees the previous row's columns prefixed `prev_`
+      * (e.g. `col("prev_v") =!= col("v")`). Adjacency via a self-join on
+      * the enumerate index — distributed, no single-partition window. */
+    def takeWhilePair(pred: Column, order: Seq[Column]): DataFrame = {
+      val idx = enumerate(order, "__i")
+      val prev = idx.toDF(idx.columns
+        .map(c => if (c == "__i") "__pi" else s"prev_$c"): _*)
+      val pairs = idx.join(prev, col("__i") === col("__pi") + 1)
+      val firstBad = pairs.filter(!pred).agg(min(col("__i"))).collect()(0)
+      val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
+      idx.filter(col("__i") < cut).drop("__i")
+    }
+
+    /** zef `split_at[n]` (impl.py:10227): ([first n], [rest]) under the
+      * total order. One enumerate feeds both branches (the index table is
+      * checkpoint-frozen, see [[enumerate]]). */
+    def splitAt(n: Long, order: Seq[Column]): (DataFrame, DataFrame) = {
+      val idx = enumerate(order, "__i")
+      (idx.filter(col("__i") < n).drop("__i"),
+        idx.filter(col("__i") >= n).drop("__i"))
+    }
+
+    /** zef `single_or[default]` (impl.py:3966): the single row if exactly
+      * one, `default` if empty, error on 2+ — a bounded driver scalar like
+      * the reference (limit(2), never a full collect). */
+    def singleOr(default: => org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
+      val rows = df.limit(2).collect()
+      rows.length match {
+        case 0 => default
+        case 1 => rows(0)
+        case _ => throw new IllegalArgumentException(
+          "single_or: more than one row present")
+      }
+    }
+
     /** zef `group[f]` — consecutive runs over a GLOBAL total order
       * (impl.py:5890), two-phase and scale-safe (no single-partition
       * window over the full set):
@@ -341,8 +397,21 @@ object ZOps {
     }
 
     /** zef `interleave` (impl.py:1183): round-robin merge of this and
-      * other under per-side orders. */
+      * other under per-side orders, TRUNCATED to the shortest side
+      * (reference: output length = sides × N_shortest). */
     def interleave(other: DataFrame, order: Seq[Column]): DataFrame = {
+      val n = math.min(df.count(), other.count())
+      val a = df.enumerate(order, "__i").withColumn("__src", lit(0))
+      val b = other.enumerate(order, "__i").withColumn("__src", lit(1))
+      a.unionByName(b).filter(col("__i") < n)
+        .orderBy(col("__i"), col("__src"))
+        .drop("__i", "__src")
+    }
+
+    /** zef `interleave_longest` (impl.py:1226): as [[interleave]] but runs
+      * to the LONGEST side — leftover elements keep their round-robin
+      * slots. */
+    def interleaveLongest(other: DataFrame, order: Seq[Column]): DataFrame = {
       val a = df.enumerate(order, "__i").withColumn("__src", lit(0))
       val b = other.enumerate(order, "__i").withColumn("__src", lit(1))
       a.unionByName(b).orderBy(col("__i"), col("__src"))
@@ -359,19 +428,11 @@ object ZOps {
     def minBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
       distinctBy(partition, order)
 
-    /** Skew-salted join (the manual tool for when AQE's skew-join split is
-      * not enough — e.g. one key holding >50% of rows): the skewed LEFT
-      * side gets a random salt in [0, salt); the RIGHT side is replicated
-      * `salt` times; the join key becomes (key, salt). Result equals the
-      * plain inner join on `key`, with the hot key's rows spread across
-      * `salt` tasks. Deterministic row content, nondeterministic
-      * partition placement — exactly the point. */
-    def saltedJoin(right: DataFrame, key: String, salt: Int): DataFrame = {
-      val saltedLeft = df.withColumn("__salt",
-        (rand(seed = 42) * salt).cast("int"))
-      val explodedRight = right.withColumn("__salt",
-        explode(sequence(lit(0), lit(salt - 1))))
-      saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
-    }
+    /** Skew-salted join — DSL face of [[graft.ops.SkewJoin.saltedJoin]]
+      * (deterministic row-hash salt, replicated right side; identical
+      * output to the plain join with the hot key spread across `salt`
+      * tasks). */
+    def saltedJoin(right: DataFrame, key: String, salt: Int): DataFrame =
+      SkewJoin.saltedJoin(df, right, Seq(key), salt)
   }
 }

@@ -128,6 +128,56 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("a1", "b1", "a2", "b2"))
   }
 
+  test("interleave truncates to shortest; interleave_longest runs out") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4")).toDF("id", "v")
+    val b = Seq((1L, "b1"), (2L, "b2")).toDF("id", "v")
+    // reference interleave (impl.py:1183): M * N_shortest elements
+    assert(a.interleave(b, Seq(col("id"))).collect().map(_.getString(1)).toSeq
+      == Seq("a1", "b1", "a2", "b2"))
+    // interleave_longest (impl.py:1226): leftovers keep their slots
+    assert(a.interleaveLongest(b, Seq(col("id"))).collect()
+      .map(_.getString(1)).toSeq == Seq("a1", "b1", "a2", "b2", "a3", "a4"))
+  }
+
+  test("take_until / skip_until include the bounding element correctly") {
+    val s = spark; import s.implicits._
+    val df = (0L to 9L).map(i => (i, i)).toDF("id", "x")
+    // reference example (impl.py:3807): range(10) | take_until[x>4] -> 0..5
+    assert(df.takeUntil(col("x") > 4, Seq(col("id")))
+      .collect().map(_.getLong(1)).toSeq == (0L to 5L))
+    assert(df.skipUntil(col("x") > 4, Seq(col("id")))
+      .collect().map(_.getLong(1)).sorted.toSeq == (5L to 9L))
+    // predicate never true: take_until keeps all, skip_until keeps none
+    assert(df.takeUntil(col("x") > 100, Seq(col("id"))).count() == 10)
+    assert(df.skipUntil(col("x") > 100, Seq(col("id"))).count() == 0)
+  }
+
+  test("take_while_pair stops at the first failing adjacent pair") {
+    val s = spark; import s.implicits._
+    // reference example (impl.py:3885): 2,3,...,10,10,10 | pair m!=n -> 2..10
+    val vals = (2L to 10L) ++ Seq(10L, 10L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = df.takeWhilePair(col("prev_v") =!= col("v"), Seq(col("id")))
+      .collect().map(_.getLong(1)).toSeq
+    assert(out == (2L to 10L))
+    // all pairs pass -> everything survives
+    val asc = (1L to 5L).map(i => (i, i)).toDF("id", "v")
+    assert(asc.takeWhilePair(col("prev_v") < col("v"), Seq(col("id"))).count() == 5)
+  }
+
+  test("split_at partitions by index; single_or bounded semantics") {
+    val s = spark; import s.implicits._
+    val df = (0L to 4L).map(i => (i, s"v$i")).toDF("id", "v")
+    val (l, r) = df.splitAt(2, Seq(col("id")))
+    assert(l.collect().map(_.getString(1)).toSeq == Seq("v0", "v1"))
+    assert(r.collect().map(_.getString(1)).sorted.toSeq == Seq("v2", "v3", "v4"))
+    val one = Seq((1L, "only")).toDF("id", "v")
+    assert(one.singleOr(null).getString(1) == "only")
+    assert(one.filter(col("id") > 5).singleOr(null) == null)
+    assertThrows[IllegalArgumentException] { df.singleOr(null) }
+  }
+
   test("ZCol: case conversions") {
     val s = spark; import s.implicits._
     val df = Seq("hello worldFoo", "AlreadyPascalCase").toDF("t")
