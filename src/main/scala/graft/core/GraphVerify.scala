@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph invariant verification — the columnar restatement of the
+  * reference's low-level `verify_graph` (core/include/verification.h:43-60:
+  * double-linking consistency, chronological instantiation order, edge-list
+  * ranges). Blob double-linking has no analogue here (joins replace edge
+  * lists), so the checks verify what CAN break in the columnar store:
+  * referential integrity and interval discipline. Returns a violations
+  * report `(check, atom_id, detail)` — empty means healthy. Every check is
+  * a distributed join/aggregate; nothing collects.
+  */
+object GraphVerify {
+
+  def verify(g: Graph): DataFrame = {
+    val atoms = g.atoms
+    val ids = atoms.select(col("atom_id")).distinct()
+    val maxSlice = g.maxSlice
+
+    def report(check: String, df: DataFrame): DataFrame =
+      df.select(lit(check).as("check"), col("atom_id"),
+        col("detail").cast("string"))
+
+    // 1. dangling relation endpoints (verification.h:37 — "index present in
+    //    source/target's edge list" becomes "endpoint id resolves")
+    val rels = atoms.filter(col("kind") === Kind.Relation)
+    val danglingSrc = rels
+      .join(ids.withColumnRenamed("atom_id", "src_id"), Seq("src_id"), "left_anti")
+      .select(col("atom_id"), concat(lit("missing src "), col("src_id")).as("detail"))
+    val danglingDst = rels
+      .join(ids.withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"), "left_anti")
+      .select(col("atom_id"), concat(lit("missing dst "), col("dst_id")).as("detail"))
+
+    // 2. value rows must reference an existing attribute entity
+    val orphanValues = g.values
+      .join(atoms.filter(col("kind") === Kind.AttributeEntity)
+        .select(col("atom_id").as("ae_id")), Seq("ae_id"), "left_anti")
+      .select(col("ae_id").as("atom_id"), lit("value row without AE").as("detail"))
+
+    // 3. chronological interval discipline (verification.h:44): termination
+    //    never precedes instantiation; slices within [1, maxSlice]
+    val badInterval = atoms.filter(
+        col("term_slice").isNotNull && col("term_slice") < col("inst_slice"))
+      .select(col("atom_id"),
+        concat(lit("term "), col("term_slice"), lit(" < inst "),
+          col("inst_slice")).as("detail"))
+    val badRange = atoms.filter(
+        col("inst_slice") < 1 || col("inst_slice") > maxSlice ||
+          (col("term_slice").isNotNull && col("term_slice") > maxSlice))
+      .select(col("atom_id"), concat(lit("slice outside [1, "),
+        lit(maxSlice), lit("]")).as("detail"))
+
+    // 4. at most one OPEN interval row per atom (the replay-duplication
+    //    failure class; re-instantiation legitimately yields several CLOSED
+    //    rows plus at most one open)
+    val doubleOpen = atoms.filter(col("term_slice").isNull)
+      .groupBy(col("atom_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("atom_id"), concat(col("n"), lit(" open intervals")).as("detail"))
+
+    // 5. value assignments within the graph's tx range
+    val badValueSlice = g.values.filter(
+        col("tx_slice") < 1 || col("tx_slice") > maxSlice)
+      .select(col("ae_id").as("atom_id"),
+        concat(lit("value tx_slice "), col("tx_slice")).as("detail"))
+
+    // 6. a relation must open while both endpoints are alive (the cascade
+    //    invariant observed from the other side)
+    val endpoints = atoms.select(col("atom_id"), col("inst_slice").as("__ei"),
+      coalesce(col("term_slice"), lit(Int.MaxValue)).as("__et"))
+    def coveredAtOpen(endCol: String): DataFrame = rels.alias("r")
+      .join(endpoints.withColumnRenamed("atom_id", endCol).alias("e"), endCol)
+      .filter(col(s"e.__ei") <= col("r.inst_slice") &&
+        col("r.inst_slice") < col("e.__et"))
+      .select(col("r.atom_id"), col("r.inst_slice")).distinct()
+    val uncovered = rels.select(col("atom_id"), col("inst_slice"))
+      .except(coveredAtOpen("src_id").intersect(coveredAtOpen("dst_id")))
+      .select(col("atom_id"),
+        concat(lit("endpoint dead at open slice "), col("inst_slice")).as("detail"))
+
+    report("dangling_src", danglingSrc)
+      .unionByName(report("dangling_dst", danglingDst))
+      .unionByName(report("orphan_value", orphanValues))
+      .unionByName(report("inverted_interval", badInterval))
+      .unionByName(report("slice_out_of_range", badRange))
+      .unionByName(report("duplicate_open_interval", doubleOpen))
+      .unionByName(report("value_slice_out_of_range", badValueSlice))
+      .unionByName(report("relation_endpoint_dead", uncovered))
+  }
+
+  /** Boolean form, `verify_graph(g)` (verification.h:60). */
+  def isHealthy(g: Graph): Boolean = verify(g).isEmpty
+}

@@ -352,6 +352,51 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(rel.fieldValue("Date", "v_ts", "d").count() == 1)
   }
 
+  test("GraphVerify: healthy graphs pass, each corruption class is flagged") {
+    import spark.implicits._
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
+      PutEntity("Person", "b"), PutRelation("Knows", "a", "b")))
+    val (g2, _) = Transactor.transact(g, Seq(TerminateAtom("e:Person/b")))
+    assert(GraphVerify.isHealthy(g2))
+
+    // dangling endpoint: relation to a nonexistent atom
+    val dangling = g2.copy(atoms = g2.atoms.unionByName(Seq(
+      ("r:Bad/x", "relation", "Bad", "e:Person/a", "e:Person/GONE", 1,
+        None: Option[Int], "r:Bad/x"))
+      .toDF(g2.atoms.columns: _*)))
+    val checks1 = GraphVerify.verify(dangling)
+      .select("check").distinct().collect().map(_.getString(0)).toSet
+    assert(checks1.contains("dangling_dst"))
+
+    // inverted interval + duplicate open rows
+    val corrupt = g2.copy(atoms = g2.atoms.unionByName(Seq(
+      ("e:Person/a", "entity", "Person", None: Option[String],
+        None: Option[String], 2, Some(1), "e:Person/a"),
+      ("e:Person/a", "entity", "Person", None: Option[String],
+        None: Option[String], 2, None: Option[Int], "e:Person/a"))
+      .toDF(g2.atoms.columns: _*)))
+    val checks2 = GraphVerify.verify(corrupt)
+      .select("check").distinct().collect().map(_.getString(0)).toSet
+    assert(checks2.contains("inverted_interval"))
+    assert(checks2.contains("duplicate_open_interval"))
+
+    // orphan value row
+    val orphan = g2.copy(values = g2.values.unionByName(
+      spark.createDataset(Seq(ValueRow("ae:GONE", 1, "str",
+        Some("x"), None, None, None, None))).toDF()))
+    assert(GraphVerify.verify(orphan).select("check").distinct()
+      .collect().map(_.getString(0)).toSet.contains("orphan_value"))
+
+    // relation opening while an endpoint is dead
+    val deadEnd = g2.copy(atoms = g2.atoms.unionByName(Seq(
+      ("r:Knows/late", "relation", "Knows", "e:Person/a", "e:Person/b", 2,
+        None: Option[Int], "r:Knows/late"))
+      .toDF(g2.atoms.columns: _*)))
+    assert(GraphVerify.verify(deadEnd).select("check").distinct()
+      .collect().map(_.getString(0)).toSet.contains("relation_endpoint_dead"))
+  }
+
   test("transact seeds the next frame's latestValues from the prior cache") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("P", "a"), PutField("a", "X", 1.0),
