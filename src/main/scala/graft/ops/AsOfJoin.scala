@@ -37,6 +37,37 @@ object AsOfJoin {
       toleranceSec: Option[Double] = None): DataFrame =
     joinImpl(left, right, on, leftTime, rightTime, toleranceSec, fwd = true)
 
+  /** Backward as-of join for a SMALL right side (reference data / slowly
+    * changing dimensions): pack each key's right history into one sorted
+    * array, BROADCAST it, and resolve per left row with codegen'd array
+    * functions. The big fact side never shuffles — at 100 TB this is the
+    * difference between a map-only pass and an all-to-all of the facts
+    * (the union+window [[backward]] stays the right plan when both sides
+    * are large). Histories ride in executor memory: right must fit a
+    * broadcast (same contract as any broadcast join). */
+  def backwardSmallRight(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceSec: Option[Double] = None): DataFrame = {
+    val rightVals = right.columns.filterNot(c => on.contains(c) || c == rightTime)
+    val clash = rightVals.intersect(left.columns)
+    require(clash.isEmpty,
+      s"right value columns clash with left: ${clash.mkString(", ")} — alias them first")
+    require(rightVals.nonEmpty, "right side carries no value columns")
+    val hist = right.groupBy(on.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(rightTime).as("__rt") +: rightVals.map(col): _*)))
+        .as("__hist"))
+    val joined = left.join(broadcast(hist), on, "left")
+    val eligible = filter(col("__hist"),
+      h => h.getField("__rt") <= col(leftTime))
+    val m = when(size(eligible) > 0, element_at(eligible, -1))
+    val ok = toleranceSec.foldLeft(m.isNotNull)((acc, tol) => acc &&
+      col(leftTime).cast("double") - m.getField("__rt").cast("double") <= lit(tol))
+    joined.select(
+      left.columns.map(col) ++
+        rightVals.map(v => when(ok, m.getField(v)).as(v)): _*)
+  }
+
   private def joinImpl(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, toleranceSec: Option[Double],
       fwd: Boolean): DataFrame = {

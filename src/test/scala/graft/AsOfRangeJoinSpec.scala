@@ -66,6 +66,24 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(run(fwd = false, Some(4.0)).contains(("a", 35L)))
   }
 
+  test("asof backwardSmallRight: parity with the shuffle plan, broadcast join used") {
+    import spark.implicits._
+    val l = leftRows.toDF("k", "t", "lv")
+    val r = rightRows.toDF("k", "t", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getAs[String]("k"), row.getAs[Long]("t"),
+        row.getAs[String]("lv"), Option(row.getAs[String]("rv")))).toSet
+    // exact parity with the union+window lowering, tolerance included
+    assert(canon(AsOfJoin.backwardSmallRight(l, r, Seq("k"), "t", "t"))
+      == canon(AsOfJoin.backward(l, r, Seq("k"), "t", "t")))
+    assert(canon(AsOfJoin.backwardSmallRight(l, r, Seq("k"), "t", "t", Some(3.0)))
+      == canon(AsOfJoin.backward(l, r, Seq("k"), "t", "t", Some(3.0))))
+    // the fact side resolves through a broadcast join — no fact shuffle
+    val j = AsOfJoin.backwardSmallRight(l, r, Seq("k"), "t", "t")
+    j.collect()
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("asof keeps every left row (left-join semantics)") {
     import spark.implicits._
     val out = AsOfJoin.backward(leftRows.toDF("k", "t", "lv"),
