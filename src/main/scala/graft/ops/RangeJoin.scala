@@ -37,4 +37,29 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join — `[aLo,aHi] ∩ [bLo,bHi] ≠ ∅` (inclusive
+    * bounds), the interval×interval generalization of [[pointInInterval]].
+    * Same binning, one extra subtlety: an overlapping pair shares EVERY
+    * bin their overlap spans, so a naive bin join emits duplicates. Rather
+    * than paying a distinct shuffle, each pair is emitted only at its
+    * canonical bin — the bin of `max(aLo, bLo)` (the overlap start), which
+    * both sides necessarily cover. Output is duplicate-free by
+    * construction. */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      binWidth: Double, on: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val clash = a.columns.diff(on).intersect(b.columns.diff(on))
+    require(clash.isEmpty,
+      s"left/right columns clash: ${clash.mkString(", ")} — alias them first")
+    def bin(c: String) = floor(col(c).cast("double") / binWidth).cast("long")
+    val ax = a.withColumn("__bin", explode(sequence(bin(aLo), bin(aHi))))
+    val bx = b.withColumn("__bin", explode(sequence(bin(bLo), bin(bHi))))
+    ax.join(bx, on :+ "__bin")
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__bin") === floor(
+          greatest(col(aLo), col(bLo)).cast("double") / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

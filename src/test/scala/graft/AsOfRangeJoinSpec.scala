@@ -145,6 +145,28 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("interval overlap join: naive parity, duplicate-free across shared bins") {
+    import spark.implicits._
+    val as = Seq(("a1", 0.0, 35.0), ("a2", 10.0, 10.0), ("a3", 90.0, 95.0),
+      ("a4", 50.0, 55.0)).toDF("aid", "alo", "ahi")
+    val bs = Seq(("b1", 5.0, 60.0), ("b2", 9.0, 12.0), ("b3", 94.0, 99.0),
+      ("b4", 70.0, 75.0)).toDF("bid", "blo", "bhi")
+    val got = RangeJoin.intervalOverlap(as, "alo", "ahi", bs, "blo", "bhi",
+      binWidth = 10.0).select("aid", "bid").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = for {
+      (aid, alo, ahi) <- Seq(("a1", 0.0, 35.0), ("a2", 10.0, 10.0),
+        ("a3", 90.0, 95.0), ("a4", 50.0, 55.0))
+      (bid, blo, bhi) <- Seq(("b1", 5.0, 60.0), ("b2", 9.0, 12.0),
+        ("b3", 94.0, 99.0), ("b4", 70.0, 75.0))
+      if alo <= bhi && blo <= ahi
+    } yield (aid, bid)
+    // exact multiset equality: parity AND no duplicates from shared bins
+    // (a1 and b1 share bins 0..3 — canonical-bin emission must fire once)
+    assert(got.sorted.toSeq == want.sorted)
+    assert(got.length == got.toSet.size)
+  }
+
   test("range join plans an equi-join, not a nested loop") {
     import spark.implicits._
     val pts = (0 until 1000).map(i => (i.toLong, i.toDouble)).toDF("pid", "x")
