@@ -493,6 +493,27 @@ object Wrangling {
              |  CAST(16 + (doc_id % 16) * 8 + 8 AS DOUBLE) AS mean_luma,
              |  CAST(4 AS DOUBLE) AS motion
              |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin),
-      Seq("multimodal", "video_decode", "frame_sample", "feature_extract"))
+      Seq("multimodal", "video_decode", "frame_sample", "feature_extract")),
+
+    // Unicode NFC normalization (the C4/CCNet text-hygiene pass): the
+    // corpus is already NFC, so the probe appends a combining-acute
+    // sequence ("e" + U+0301) that NFC must fold to "é" — both engines
+    // normalize the same constructed string (DuckDB: nfc_normalize).
+    QueryDef(
+      "wr_unicode_nfc",
+      (s, d) => {
+        import graft.wrangling.TextOps
+        Tables.documents(s, d)
+          .filter(col("doc_id") <= 50)
+          .select(col("doc_id"),
+            TextOps.normalizeNfc(
+              concat(substring(col("text"), 1, 40), lit("e\u0301")))
+              .as("norm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  nfc_normalize(text[:40] || 'e' || chr(769)) AS norm
+             |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin),
+      Seq("unicode_normalize", "text_analysis"))
   )
 }

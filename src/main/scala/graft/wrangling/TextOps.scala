@@ -163,6 +163,43 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Unicode hygiene (the C4/CCNet text-normalization pass)
+  // ------------------------------------------------------------------
+  /** Unicode NFC normalization — UDF at the edge (java.text.Normalizer;
+    * Spark has no native expression for it). Same canonical form DuckDB's
+    * nfc_normalize produces, which is what lets the oracle hash-check it. */
+  val normalizeNfc: Column => Column = {
+    val f = udf((s: String) => if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    c => f(c)
+  }
+
+  /** NFKC — compatibility form (folds ligatures, full-width forms…);
+    * the aggressive variant used before tokenization. */
+  val normalizeNfkc: Column => Column = {
+    val f = udf((s: String) => if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+    c => f(c)
+  }
+
+  /** Mojibake repair for the classic UTF-8-decoded-as-Latin-1 corruption
+    * ("cafÃ©" → "café"): re-encode as Latin-1 and re-decode as strict
+    * UTF-8; applied only when that decode SUCCEEDS — correctly-decoded
+    * text contains byte sequences that are not valid UTF-8 after the
+    * Latin-1 round-trip and stays untouched. Heuristic by nature (like
+    * ftfy): a string that legitimately spells valid-UTF-8 byte pairs
+    * converts; vanishingly rare in natural text. */
+  val fixMojibake: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => s }
+    })
+    c => f(c)
+  }
+
+  // ------------------------------------------------------------------
   // PII scrubbing
   // ------------------------------------------------------------------
   /** Redact emails, IPv4 addresses and phone-shaped number runs with typed

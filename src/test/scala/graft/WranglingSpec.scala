@@ -436,6 +436,33 @@ class WranglingSpec extends AnyFunSuite {
     assert(r(4).getAs[String]("red") == "clean text with no pii at all")
   }
 
+  test("unicode hygiene: NFC/NFKC folding, mojibake repair is conservative") {
+    import spark.implicits._
+    val df = Seq(
+      ("combining", "cafe\u0301"),     // e + combining acute
+      ("ligature", "\ufb01le"),        // fi-ligature + "le"
+      ("mojibake", "caf\u00c3\u00a9"), // UTF-8 e-acute read as Latin-1
+      ("clean", "caf\u00e9"),          // already correct
+      ("ascii", "plain text")
+    ).toDF("k", "t")
+    val out = df.select(col("k"),
+      graft.wrangling.TextOps.normalizeNfc(col("t")).as("nfc"),
+      graft.wrangling.TextOps.normalizeNfkc(col("t")).as("nfkc"),
+      graft.wrangling.TextOps.fixMojibake(col("t")).as("fixed"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(out("combining")._1 == "caf\u00e9") // NFC precomposes
+    assert(out("ligature")._1 == "\ufb01le")   // NFC keeps the ligature
+    assert(out("ligature")._2 == "file")        // NFKC folds it
+    assert(out("mojibake")._3 == "caf\u00e9")  // repaired
+    assert(out("clean")._3 == "caf\u00e9")     // lone e-acute invalid UTF-8 -> kept
+    assert(out("ascii")._3 == "plain text")     // ASCII round-trips untouched
+    // null safety
+    val n = Seq((1, null: String)).toDF("k", "t")
+      .select(graft.wrangling.TextOps.normalizeNfc(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("rollingHash: equal texts equal, different texts differ") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "a b c x"))
