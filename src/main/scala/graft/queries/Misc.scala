@@ -217,6 +217,43 @@ object Misc {
              |GROUP BY 1 ORDER BY day""".stripMargin),
       Seq("range_join", "is_between", "group_by")),
 
+    // Interval×interval overlap join (RangeJoin.intervalOverlap): 6-hour
+    // morning windows vs 48-hour spans starting at noon — each span
+    // overlaps the NEXT two days' mornings, so the pairing is non-trivial
+    // and the canonical-bin dedup is load-bearing (spans cover many bins).
+    QueryDef(
+      "range_join_overlap",
+      (s, d) => {
+        val days = s.sql(
+          """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+            |  timestamp'2024-01-28 00:00:00', interval 1 day)) AS day""".stripMargin)
+        val a = days.select(to_date(col("day")).as("a_day"),
+          col("day").as("alo"),
+          (col("day") + expr("INTERVAL 6 HOURS")).as("ahi"))
+        val b = days.select(to_date(col("day")).as("b_day"),
+          (col("day") + expr("INTERVAL 12 HOURS")).as("blo"),
+          (col("day") + expr("INTERVAL 60 HOURS")).as("bhi"))
+        graft.ops.RangeJoin.intervalOverlap(
+            a, "alo", "ahi", b, "blo", "bhi", binWidth = 24 * 3600.0)
+          .groupBy(col("b_day"))
+          .agg(count(lit(1)).as("n_mornings"),
+            min(col("a_day")).as("first_morning"))
+          .orderBy(col("b_day"))
+      },
+      Some("""WITH days AS (
+             |  SELECT d AS day FROM generate_series(TIMESTAMP '2024-01-01',
+             |    TIMESTAMP '2024-01-28', INTERVAL 1 DAY) t(d)),
+             |a AS (SELECT CAST(day AS DATE) AS a_day, day AS alo,
+             |        day + INTERVAL 6 HOUR AS ahi FROM days),
+             |b AS (SELECT CAST(day AS DATE) AS b_day,
+             |        day + INTERVAL 12 HOUR AS blo,
+             |        day + INTERVAL 60 HOUR AS bhi FROM days)
+             |SELECT b_day, count(*) AS n_mornings,
+             |  min(a_day) AS first_morning
+             |FROM a JOIN b ON a.alo <= b.bhi AND b.blo <= a.ahi
+             |GROUP BY b_day ORDER BY b_day""".stripMargin),
+      Seq("range_join", "interval_overlap", "group_by")),
+
     // The spark.sql text surface over registered views — SQL parity path.
     QueryDef(
       "sql_text_surface",
