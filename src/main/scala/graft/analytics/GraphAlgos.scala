@@ -85,6 +85,21 @@ object GraphAlgos {
       .select(col("atom_id"), col("community"))
   }
 
+  /** Per-atom triangle membership counts over the given relation types
+    * (undirected; GraphX canonicalizes orientation and dedups edges
+    * internally). The local clustering signal for community/quality
+    * analysis. */
+  def triangleCounts(slice: GraphSlice, rts: Seq[String]): DataFrame = {
+    val spark = slice.graph.spark
+    import spark.implicits._
+    val (g, verts) = toGraphX(slice, rts)
+    g.partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount()
+      .vertices.toDF("vid", "triangles")
+      .join(verts, "vid")
+      .select(col("atom_id"), col("triangles"))
+  }
+
   /** Connected components over candidate-duplicate PAIRS — the clustering
     * stage of scale-out dedup (SURVEY §2.12: "blocking + pairwise predicate
     * join + connected components"). Input (id_a, id_b) long pairs; output

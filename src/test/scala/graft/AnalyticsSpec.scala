@@ -59,6 +59,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(aLabels.intersect(bLabels).isEmpty)
   }
 
+  test("triangleCounts: triangle members count 1, pendant counts 0") {
+    val wishes = Seq("a", "b", "c", "d").map(i => PutEntity("P", i)) ++
+      Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+        .map { case (s, t) => PutRelation("Knows", s, t) }
+    val (g, _) = Transactor.transact(Graph.empty(spark), wishes)
+    val tri = GraphAlgos.triangleCounts(g.now, Seq("Knows"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(tri == Map("e:P/a" -> 1, "e:P/b" -> 1, "e:P/c" -> 1, "e:P/d" -> 0))
+  }
+
   test("dedupClusters: connected components form dedup groups") {
     import spark.implicits._
     // pairs: {1-2, 2-3} one cluster; {10-11} another; 99 isolated (absent)
