@@ -167,6 +167,44 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(got.length == got.toSet.size)
   }
 
+  test("range join property: parity with naive on random data incl. negatives") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    (0 until 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // axis spans negatives; interval lengths from 0 (point) to ~3 bins
+      val pts = (0 until 40).map(i => (i.toLong, rnd.nextDouble() * 60 - 30))
+      val ivs = (0 until 15).map { i =>
+        val lo = rnd.nextDouble() * 60 - 30
+        (i.toLong, lo, lo + rnd.nextDouble() * 25)
+      }
+      val gotP = RangeJoin.pointInInterval(pts.toDF("pid", "x"),
+        "x", ivs.toDF("iid", "lo", "hi"), "lo", "hi", binWidth = 8.0)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val wantP = for {
+        (pid, x) <- pts; (iid, lo, hi) <- ivs
+        if x >= lo && x <= hi
+      } yield (pid, iid)
+      assert(gotP.sorted.toSeq == wantP.sorted, s"pointInInterval seed=$seed")
+
+      val ivs2 = (0 until 15).map { i =>
+        val lo = rnd.nextDouble() * 60 - 30
+        (i.toLong, lo, lo + rnd.nextDouble() * 25)
+      }
+      val gotO = RangeJoin.intervalOverlap(
+          ivs.toDF("aid", "alo", "ahi"), "alo", "ahi",
+          ivs2.toDF("bid", "blo", "bhi"), "blo", "bhi", binWidth = 8.0)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val wantO = for {
+        (aid, alo, ahi) <- ivs; (bid, blo, bhi) <- ivs2
+        if alo <= bhi && blo <= ahi
+      } yield (aid, bid)
+      assert(gotO.sorted.toSeq == wantO.sorted, s"intervalOverlap seed=$seed")
+    }
+  }
+
   test("range join plans an equi-join, not a nested loop") {
     import spark.implicits._
     val pts = (0 until 1000).map(i => (i.toLong, i.toDouble)).toDF("pid", "x")
