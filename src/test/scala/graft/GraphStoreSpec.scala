@@ -185,6 +185,31 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(pAgg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("GraphQL one-plan queries run unchanged over the bucketed catalog store") {
+    val schema = graft.gql.GqlParser.parseSchema(
+      """type Person {
+        |  name: String! @relation(rt: "Name")
+        |  age: Int @relation(rt: "Age")
+        |}""".stripMargin)
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
+      PutField("a", "Age", 30),
+      PutEntity("Person", "b"), PutField("b", "Name", "Bob"),
+      PutField("b", "Age", 41)))
+    GraphStore.saveBucketed(g, "bgql", numBuckets = 4)
+    val loaded = GraphStore.loadBucketed(spark, "bgql")
+    val q = """query {
+              |  queryPerson(filter: {age: {ge: 35}}, order: {asc: name}) {
+              |    name
+              |    age
+              |  }
+              |}""".stripMargin
+    val mem = graft.gql.GqlApi.query(g.now, schema, q).collect().map(_.toSeq)
+    val disk = graft.gql.GqlApi.query(loaded.now, schema, q).collect().map(_.toSeq)
+    assert(mem.toSeq == disk.toSeq)
+    assert(disk.length == 1 && disk(0).contains("Bob"))
+  }
+
   test("save/load round-trip preserves graph semantics and prunes by type") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutField("joe", "Name", "Joe"),
