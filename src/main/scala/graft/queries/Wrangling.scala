@@ -495,6 +495,44 @@ object Wrangling {
              |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin),
       Seq("multimodal", "video_decode", "frame_sample", "feature_extract")),
 
+    // URL canonicalization (the web-corpus URL-dedup key): synthetic
+    // tracking-laden URLs built from customer rows, normalized to the
+    // canonical form. Spark's chain uses $1 backrefs, DuckDB's mirror \\1 —
+    // same RE2-compatible patterns, byte-identical output.
+    QueryDef(
+      "wr_url_canonical",
+      (s, d) => {
+        import graft.wrangling.TextOps
+        val name = regexp_replace(col("c_name"), "[ #]", ".")
+        val u = concat(lit("HTTP://WWW.Shop"),
+          (col("c_custkey") % 7).cast("string"),
+          lit(".COM:80/item/"), name, lit("/?utm_source=mail&id="),
+          col("c_custkey").cast("string"), lit("&utm_campaign=x#sec"))
+        Tables.customer(s, d)
+          .filter(col("c_custkey") <= 120)
+          .select(col("c_custkey"), TextOps.normalizeUrl(u).as("canon_url"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH t AS (
+             |  SELECT c_custkey,
+             |    'HTTP://WWW.Shop' || CAST(c_custkey % 7 AS VARCHAR) ||
+             |    '.COM:80/item/' || regexp_replace(c_name, '[ #]', '.', 'g') ||
+             |    '/?utm_source=mail&id=' || CAST(c_custkey AS VARCHAR) ||
+             |    '&utm_campaign=x#sec' AS u
+             |  FROM customer WHERE c_custkey <= 120)
+             |SELECT c_custkey,
+             |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) ||
+             |  '://' ||
+             |  regexp_replace(regexp_replace(lower(regexp_extract(u,
+             |    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)),
+             |    '^www\.', ''), ':80$', '') ||
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |    regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^#]*)', 2),
+             |    '[?&](utm_[A-Za-z]*|fbclid)=[^&#]*', '', 'g'),
+             |    '^([^?]*)&', '\1?'), '/\?', '?'), '[?&]$', ''), '/$', '') AS canon_url
+             |FROM t ORDER BY c_custkey""".stripMargin),
+      Seq("url_canonicalize", "dedup", "text_analysis")),
+
     // Unicode NFC normalization (the C4/CCNet text-hygiene pass): the
     // corpus is already NFC, so the probe appends a combining-acute
     // sequence ("e" + U+0301) that NFC must fold to "é" — both engines

@@ -200,6 +200,40 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // URL canonicalization (the web-corpus URL-dedup key)
+  // ------------------------------------------------------------------
+  /** Canonical URL form: scheme+host lowercased, leading `www.` dropped,
+    * default port dropped (`:80` http / `:443` https), fragment dropped,
+    * tracking params (`utm_*`, `fbclid`) stripped with `?`/`&` repair,
+    * trailing slash and dangling `?`/`&` removed. Pure codegen'd
+    * regexp/Column chain — no UDF — and every pattern is RE2-compatible so
+    * a DuckDB oracle reproduces it byte-exactly. Non-URL strings (no
+    * `scheme://`) pass through unchanged. */
+  def normalizeUrl(u: Column): Column = {
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(u, schemeRe, 1))
+    val hostPort = lower(regexp_extract(u, schemeRe + "([^/?#]*)", 2))
+    // rest of the URL up to the fragment (fragment dropped here)
+    val rest0 = regexp_extract(u, schemeRe + "[^/?#]*([^#]*)", 2)
+    val host = {
+      val noWww = regexp_replace(hostPort, "^www\\.", "")
+      when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+        .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+        .otherwise(noWww)
+    }
+    val rest = {
+      val noTrack = regexp_replace(rest0, "[?&](utm_[A-Za-z]*|fbclid)=[^&#]*", "")
+      // a removed leading "?param" leaves "&next" — promote it back to "?"
+      val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+      // trailing slash folds: before the query ("/p/?x" -> "/p?x") and at
+      // the very end; dangling ?/& from stripped params drop
+      val noSlashQ = regexp_replace(fixedQ, "/\\?", "?")
+      regexp_replace(regexp_replace(noSlashQ, "[?&]$", ""), "/$", "")
+    }
+    when(scheme === "", u).otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
+  // ------------------------------------------------------------------
   // PII scrubbing
   // ------------------------------------------------------------------
   /** Redact emails, IPv4 addresses and phone-shaped number runs with typed

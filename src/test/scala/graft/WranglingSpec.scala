@@ -463,6 +463,38 @@ class WranglingSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("normalizeUrl: canonical dedup key across the classic variants") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + www + default port + trailing slash all fold
+      ("HTTP://WWW.Example.COM:80/", "http://example.com"),
+      ("https://Example.com:443/a/b/", "https://example.com/a/b"),
+      // tracking params: leading, middle, trailing; ?/& repair
+      ("http://x.com/p?utm_source=a&id=1", "http://x.com/p?id=1"),
+      ("http://x.com/p?id=1&utm_campaign=b", "http://x.com/p?id=1"),
+      ("http://x.com/p?utm_source=a", "http://x.com/p"),
+      ("http://x.com/p?id=1&fbclid=zz&k=2", "http://x.com/p?id=1&k=2"),
+      // trailing slash before the query collapses
+      ("http://x.com/p/?id=1", "http://x.com/p?id=1"),
+      ("http://x.com/p/?utm_source=m&id=1", "http://x.com/p?id=1"),
+      // fragment dropped; non-default port kept; path case preserved
+      ("http://x.com/Path#frag", "http://x.com/Path"),
+      ("http://x.com:8080/p", "http://x.com:8080/p"),
+      // not a URL -> untouched
+      ("just words", "just words"))
+    val out = cases.map(_._1).toDF("u")
+      .select(graft.wrangling.TextOps.normalizeUrl(col("u"))).collect()
+      .map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+    // idempotent: normalizing a normal form is a no-op
+    val again = cases.map(_._2).toDF("u")
+      .select(graft.wrangling.TextOps.normalizeUrl(col("u"))).collect()
+      .map(_.getString(0))
+    assert(again.toSeq == cases.map(_._2))
+  }
+
   test("rollingHash: equal texts equal, different texts differ") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "a b c x"))
