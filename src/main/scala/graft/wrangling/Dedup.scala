@@ -167,4 +167,32 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** The packaged corpus-dedup pipeline — what a training-data run actually
+    * executes, composed from the verified stages: (1) optional URL
+    * canonicalization dedup (same canonical URL ⇒ same page), (2) exact
+    * content dedup on the normalized fingerprint, (3) MinHash-LSH near-dup
+    * pairs clustered by connected components, min-id survivor per cluster.
+    * Returns the surviving rows of `df`. Each stage only shrinks the
+    * input, so stage order is also the cost order at 100 TB: the cheap
+    * exact passes cut the corpus before the LSH machinery runs. */
+  def corpusDedup(df: DataFrame, idCol: String, textCol: String,
+      urlCol: Option[String] = None, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val byUrl = urlCol.fold(df) { u =>
+      val survivors = df
+        .withColumn("__cu", TextOps.normalizeUrl(col(u)))
+        .groupBy(col("__cu")).agg(min(col(idCol)).as(idCol))
+        .drop("__cu")
+      df.join(survivors, idCol)
+    }
+    val exact = exactDedup(byUrl, idCol, textCol)
+    val pairs = minhashDedupPairs(exact, idCol, textCol, threshold,
+      numHashes, bands, shingleN)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val clusters = graft.analytics.GraphAlgos.dedupClusters(pairs)
+    val drop = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").cast("long").as(idCol))
+    exact.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -64,6 +64,32 @@ class WranglingSpec extends AnyFunSuite {
         s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("corpusDedup: url -> exact -> near-dup stages each claim their dups") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val docs = Seq(
+      // 1 and 2: same canonical URL (tracking params differ) -> url stage
+      (1L, base, "http://a.com/p?id=1"),
+      (2L, "completely different words here", "HTTP://WWW.A.com:80/p/?id=1&utm_source=m"),
+      // 3: exact content dup of 1 (whitespace differs) -> exact stage
+      (3L, base.replace(" ", "  "), "http://b.com/1"),
+      // 4: near-dup of 1 (J≈0.9) -> LSH stage
+      (4L, near, "http://c.com/1"),
+      // 5: unique survivor
+      (5L, (100 to 140).map(i => s"u$i").mkString(" "), "http://d.com/1"))
+      .toDF("doc_id", "text", "url")
+    val out = Dedup.corpusDedup(docs, "doc_id", "text",
+      urlCol = Some("url"), threshold = 0.7, shingleN = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 5L), s"survivors $out")
+    // without the url stage, doc 2 (unique text) survives
+    val noUrl = Dedup.corpusDedup(docs, "doc_id", "text",
+      urlCol = None, threshold = 0.7, shingleN = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noUrl == Set(1L, 2L, 5L), s"survivors $noUrl")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
