@@ -495,6 +495,35 @@ object Wrangling {
              |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin),
       Seq("multimodal", "video_decode", "frame_sample", "feature_extract")),
 
+    // MinHash signatures under the HASH GATE: the production path keys on
+    // xxhash64 (no DuckDB counterpart -> rows-only), but the machinery —
+    // distinct shingles -> k seeded hashes -> min-aggregation — is
+    // engine-portable over md5 (the BottomKAgg trick). Four signature
+    // components per document, byte-compared against DuckDB.
+    QueryDef(
+      "wr_minhash_md5_sig",
+      (s, d) => {
+        val shingled = Tables.documents(s, d)
+          .filter(col("doc_id") <= 100)
+          .select(col("doc_id"),
+            explode(TextOps.wordShingles(col("text"), 1)).as("sh"))
+        shingled.groupBy(col("doc_id"))
+          .agg(
+            min(md5(concat(lit("s0:"), col("sh")).cast("binary"))).as("sig0"),
+            min(md5(concat(lit("s1:"), col("sh")).cast("binary"))).as("sig1"),
+            min(md5(concat(lit("s2:"), col("sh")).cast("binary"))).as("sig2"),
+            min(md5(concat(lit("s3:"), col("sh")).cast("binary"))).as("sig3"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  min(md5('s0:' || sh)) AS sig0, min(md5('s1:' || sh)) AS sig1,
+             |  min(md5('s2:' || sh)) AS sig2, min(md5('s3:' || sh)) AS sig3
+             |FROM (SELECT doc_id,
+             |        unnest(list_distinct(string_split(text, ' '))) AS sh
+             |      FROM documents WHERE doc_id <= 100)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      Seq("deduplicate", "minhash", "value_hash", "sketch")),
+
     // URL canonicalization (the web-corpus URL-dedup key): synthetic
     // tracking-laden URLs built from customer rows, normalized to the
     // canonical form. Spark's chain uses $1 backrefs, DuckDB's mirror \\1 —
