@@ -61,4 +61,34 @@ object FnRegistry {
         s"function '$name' (hash ${fn.hash}) has no bound implementation"))
     impl(arg)
   }
+
+  // ---- Non-DataFrame-shaped functions (mutation hooks, dynamic-field
+  // resolvers — graft.gql.GqlHooks defines the shapes): the on-graph
+  // contract is identical (source + hash persisted, tag-addressed), only
+  // the process-local binding table differs. ----
+  private val rawImpls =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  /** Persist + bind an implementation of a caller-defined shape. */
+  def registerRaw(g: Graph, name: String, source: String,
+      impl: AnyRef): (Graph, String) = {
+    val h = sourceHash(source)
+    rawImpls.put(h, impl)
+    val (g2, _) = Transactor.transact(g, Seq(
+      PutEntity("ZefFunction", name),
+      PutField(name, "Source", source),
+      PutField(name, "SourceHash", h),
+      TagAtom(name, s"fn:$name")))
+    (g2, h)
+  }
+
+  /** Resolve name → persisted hash → bound raw implementation; the caller
+    * owns the downcast to its declared shape. */
+  def rawImpl(slice: GraphSlice, name: String): AnyRef = {
+    val fn = lookup(slice, name).getOrElse(
+      throw new NoSuchElementException(s"no ZefFunction '$name' in slice"))
+    rawImpls.getOrElse(fn.hash,
+      throw new IllegalStateException(
+        s"function '$name' (hash ${fn.hash}) has no bound implementation"))
+  }
 }

@@ -147,6 +147,9 @@ object GqlApi {
           touched += fname; GqlLite.Eq(fname, b)
         case (fname, v) =>
           val fd = tpe.field(fname)
+          if (fd.dynamic.isDefined) throw new UnsupportedOperationException(
+            s"filtering on @dynamic field '$fname' is not supported: the " +
+              "computed column exists only inside the query plan")
           if (schema.isEntity(fd.tpe)) relPred(fd, asObj(v))
           else {
             touched += fname
@@ -273,11 +276,15 @@ object GqlApi {
     var nested = Vector.empty[GqlLite.NestedJoin]
     var outs = Vector.empty[(String, String)] // (source col, alias)
     var scalarFields = Vector.empty[String]
+    var dynSelected = Vector.empty[String] // @dynamic fields to compute
     sels.foreach { s =>
       if (s.name == "id") outs :+= (("atom_id", s.alias))
       else {
         val fd = tpe.field(s.name)
-        if (schema.isEntity(fd.tpe)) {
+        if (fd.dynamic.isDefined) {
+          dynSelected :+= s.name
+          outs :+= ((s.name, s.alias))
+        } else if (schema.isEntity(fd.tpe)) {
           if (s.sels.map(_.name) == Seq("count")) {
             hops :+= GqlLite.Hop(fd.rt, fd.incoming, s.alias)
             outs :+= ((s.alias, s.alias))
@@ -322,10 +329,21 @@ object GqlApi {
       case None => None
     }
     val cf = andCf(userFilter, authFilter(schema, tpe, "query", authClaims))
+    // @dynamic columns to compute: selected ones plus any referenced as a
+    // sort key; their resolvers' `needs` join the stored projection so the
+    // Column expression stays inside the ONE plan
+    val dynNames = tpe.fields.filter(_.dynamic.isDefined).map(_.name).toSet
+    val dynToCompute = (dynSelected ++ extraNeeded.filter(dynNames)).distinct
+    val dynImpls = dynToCompute.map { n =>
+      n -> GqlHooks.resolveDynamic(slice, tpe.field(n).dynamic.get)
+    }
     // project every field the plan touches: selected ∪ filtered ∪ sorted
+    // ∪ dynamic-resolver inputs (computed fields themselves aren't stored)
     val needed = (scalarFields ++ cf.map(_.touched.toSeq.sorted).getOrElse(Nil) ++
-      extraNeeded).distinct.filterNot(_ == "atom_id")
+      extraNeeded ++ dynImpls.flatMap(_._2.needs)).distinct
+      .filterNot(_ == "atom_id")
       .filterNot(f => hops.exists(_.as == f))
+      .filterNot(dynNames)
     val fieldSpecs = needed.map { f =>
       val fd = tpe.field(f)
       require(!schema.isEntity(fd.tpe),
@@ -336,7 +354,11 @@ object GqlApi {
       hops = hops ++ cf.map(_.hops).getOrElse(Vector()),
       condHops = cf.map(_.condHops).getOrElse(Vector()).toSeq,
       nested = nested)
-    (GqlLite.run(slice, q), outs)
+    var df = GqlLite.run(slice, q)
+    dynImpls.foreach { case (n, impl) =>
+      df = df.withColumn(n, impl.build(df))
+    }
+    (df, outs)
   }
 
   private def runQuery(slice: GraphSlice, schema: SchemaDef, tpe: TypeDef,
@@ -376,6 +398,8 @@ object GqlApi {
     }
     val fields = parsed.flatMap(_._3).distinct.map { f =>
       val fd = tpe.field(f)
+      require(fd.dynamic.isEmpty,
+        s"aggregating over @dynamic field '$f' is not supported")
       (fd.rt, vcolOf(schema, fd), f)
     }
     val userFilter = root.args.get("filter") match {
@@ -507,7 +531,59 @@ object GqlApi {
           s"unknown mutation root '$other'")
       }
     }
-    GqlLite.mutate(g, muts, auth, schema.constraints)
+    commitWithHooks(g, schema, muts, auth)
+  }
+
+  /** Entity atom ids encode their type ("e:ET/key", Transactor id scheme) —
+    * the affected-object type for update/delete hook dispatch. */
+  private def etOfAtomId(id: String): Option[String] =
+    if (id.startsWith("e:") && id.indexOf('/') > 2)
+      Some(id.substring(2, id.indexOf('/')))
+    else None
+
+  /** Commit compiled mutations, firing the schema's `@hook` functions —
+    * the reference's commit_with_post_checks (generate_api2.py:1310-1380)
+    * over immutable frames. Hooks see the TENTATIVE post-write frame; the
+    * follow-up mutations they return are folded into one re-transact from
+    * the original graph, so history gets exactly one tx and any hook
+    * exception is an atomic abort (the input graph is never touched).
+    * Constraints are enforced on the full final mutation set (user +
+    * hook writes); the auth predicate vets user mutations in pass 1 and is
+    * not re-applied to hook writes (schema-author code, not user input). */
+  private def commitWithHooks(g: Graph, schema: SchemaDef,
+      muts: Seq[GqlLite.Mutation],
+      auth: Option[(GraphSlice, String) => Boolean]): (Graph, Receipt) = {
+    // affected objects in mutation order, once per (event, object)
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    val affected = muts.flatMap {
+      case GqlLite.AddEntity(et, key, _) => Some(("onCreate", et, key, true))
+      case GqlLite.UpdateEntity(id, _) =>
+        etOfAtomId(id).map(et => ("onUpdate", et, id, false))
+      case GqlLite.RemoveField(id, _, _) =>
+        etOfAtomId(id).map(et => ("onUpdate", et, id, false))
+      case GqlLite.DeleteEntity(id) =>
+        etOfAtomId(id).map(et => ("onRemove", et, id, false))
+      case _: GqlLite.LinkEntities => None
+    }.filter { case (kind, et, key, _) =>
+      schema.types.get(et).exists(_.hooks.contains(kind)) &&
+        seen.add((kind, key))
+    }
+    val tentative = GqlLite.mutate(g, muts, auth, schema.constraints)
+    if (affected.isEmpty) return tentative
+    val (tg, trec) = tentative
+    val before = g.now
+    val after = tg.now
+    // one registry lookup per (event, type), not per affected object
+    val resolved = affected.map { case (kind, et, _, _) => (kind, et) }
+      .distinct.map { case (kind, et) =>
+        (kind, et) -> GqlHooks.resolveHook(before, schema.tpe(et).hooks(kind))
+      }.toMap
+    val extras = affected.flatMap { case (kind, et, key, isTxKey) =>
+      val atomId = if (isTxKey) trec.ids.getOrElse(key, key) else key
+      resolved((kind, et)).run(GqlHooks.HookCtx(before, after, atomId, et, kind))
+    }
+    if (extras.isEmpty) tentative
+    else GqlLite.mutate(g, muts ++ extras, None, schema.constraints)
   }
 
   /** Compile one add-input object for `tpe` into its AddEntity plus any

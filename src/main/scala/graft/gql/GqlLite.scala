@@ -232,8 +232,12 @@ object GqlLite {
         fields.toSeq.sortBy(_._1).map { case (rt, v) =>
           graft.core.PutField(key, rt, v) }
     case UpdateEntity(id, fields) =>
+      // PutField = the reference's set_field (create-or-assign): an update
+      // may set a field the entity never carried — including @hook writes
+      // stamping new fields on just-created atoms — where assign-only
+      // semantics would orphan the value row (no AE atom to anchor it)
       fields.toSeq.sortBy(_._1).map { case (rt, v) =>
-        graft.core.AssignField(id, rt, v) }
+        graft.core.PutField(id, rt, v) }
     case DeleteEntity(id) => Seq(graft.core.TerminateAtom(id))
     case RemoveField(id, rt, inst) =>
       Seq(graft.core.TerminateAtom(graft.core.Transactor.aeId(id, rt, inst)))

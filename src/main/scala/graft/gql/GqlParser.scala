@@ -260,13 +260,20 @@ object GqlParser {
   // ------------------------------------------------------------------
   /** One schema field. `rt` is the graph relation type it reads/writes
     * (simple_capitalize(name) unless @relation(rt:) overrides);
-    * `tpe` the named GraphQL type with list/required unwrapped. */
+    * `tpe` the named GraphQL type with list/required unwrapped.
+    * `dynamic` names the registered function resolving a computed field
+    * (`@dynamic(hook: "fn")`, schema_file_parser.py:169-172) — such a
+    * field is never stored. */
   final case class FieldDef(name: String, tpe: String, list: Boolean,
       required: Boolean, unique: Boolean, search: Boolean,
-      incoming: Boolean, rt: String, upfetch: Boolean = false)
+      incoming: Boolean, rt: String, upfetch: Boolean = false,
+      dynamic: Option[String] = None)
 
+  /** `hooks`: mutation hooks by event (`@hook(onCreate: "fn", onUpdate:
+    * "fn", onRemove: "fn")`, schema_file_parser.py:126-133) — function
+    * names resolved through FnRegistry at mutation time. */
   final case class TypeDef(name: String, fields: Seq[FieldDef],
-      auth: Map[String, String]) {
+      auth: Map[String, String], hooks: Map[String, String] = Map()) {
     def field(name: String): FieldDef = fields.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"type ${this.name} has no field '$name'"))
@@ -279,12 +286,15 @@ object GqlParser {
     def isEntity(name: String): Boolean = types.contains(name)
 
     /** Declared constraints → the write-path enforcement input
-      * (keyed by relation type, matching AddEntity field maps). */
+      * (keyed by relation type, matching AddEntity field maps). Dynamic
+      * fields are computed, never stored — no value constraints apply. */
     def constraints: GqlLite.Constraints = GqlLite.Constraints(
       unique = types.map { case (n, t) =>
-        n -> t.fields.filter(_.unique).map(_.rt) }.filter(_._2.nonEmpty),
+        n -> t.fields.filter(f => f.unique && f.dynamic.isEmpty).map(_.rt)
+      }.filter(_._2.nonEmpty),
       required = types.map { case (n, t) =>
-        n -> t.fields.filter(f => f.required && !isEntity(f.tpe)).map(_.rt)
+        n -> t.fields.filter(f =>
+          f.required && !isEntity(f.tpe) && f.dynamic.isEmpty).map(_.rt)
       }.filter(_._2.nonEmpty))
 
     /** Relation types the schema declares `@search` — the store indexes
@@ -308,17 +318,28 @@ object GqlParser {
         case "type" =>
           val name = p.expectName()
           val auth = Map.newBuilder[String, String]
+          val hooks = Map.newBuilder[String, String]
           while (p.peekIsPunct("@")) {
             p.expectPunct("@")
             val dname = p.expectName()
             val args = p.parseArgs()
-            if (dname == "auth") args.fields.foreach {
-              case (k, VStr(s)) => auth += k -> s
-              case (k, v) => throw new IllegalArgumentException(
-                s"@auth($k:) must be a string, got $v")
+            dname match {
+              case "auth" => args.fields.foreach {
+                case (k, VStr(s)) => auth += k -> s
+                case (k, v) => throw new IllegalArgumentException(
+                  s"@auth($k:) must be a string, got $v")
+              }
+              case "hook" => args.fields.foreach {
+                // schema_file_parser.py:126-133: only on{Create,Update,Remove}
+                case (k @ ("onCreate" | "onUpdate" | "onRemove"), VStr(s)) =>
+                  hooks += k -> s
+                case (k, _) => throw new IllegalArgumentException(
+                  s"unknown hook name '$k' (want onCreate/onUpdate/onRemove" +
+                    " with a string function name)")
+              }
+              case _ => () // other type-level directives (upfetch/RAE) are
+              // accepted and ignored: server-runtime concerns out of scope
             }
-            // other type-level directives (hook/upfetch/RAE) are accepted
-            // and ignored: server-runtime concerns out of this scope
           }
           p.expectPunct("{")
           val fields = Seq.newBuilder[FieldDef]
@@ -339,6 +360,8 @@ object GqlParser {
             if (p.peekIsPunct("!")) { p.expectPunct("!"); required = true }
             var unique = false; var search = false; var incoming = false
             var upfetch = false
+            var dynamic: Option[String] = None
+            var relationGiven = false
             var rt = capitalize(fname)
             while (p.peekIsPunct("@")) {
               p.expectPunct("@")
@@ -350,13 +373,21 @@ object GqlParser {
                 case "incoming" => incoming = true
                 case "upfetch" => upfetch = true
                 case "relation" =>
+                  relationGiven = true
                   args.get("rt") match {
                     case Some(VStr(s)) => rt = s
                     case Some(VEnum(s)) => rt = s
                     case _ => throw new IllegalArgumentException(
                       "@relation requires an rt: argument")
                   }
-                case "dynamic" => () // server-runtime hook — ignored
+                case "dynamic" =>
+                  // @dynamic(hook: "fn") — a computed field backed by a
+                  // registered function (schema_file_parser.py:169-172)
+                  dynamic = args.get("hook") match {
+                    case Some(VStr(s)) => Some(s)
+                    case _ => throw new IllegalArgumentException(
+                      "@dynamic must take a single argument, 'hook'")
+                  }
                 case other => throw new IllegalArgumentException(
                   s"unknown field directive @$other")
               }
@@ -365,11 +396,15 @@ object GqlParser {
               throw new IllegalArgumentException(
                 s"@upfetch field '$fname' must also be @unique and required " +
                   "(the reference's resolve_upfetch relies on both)")
+            if (dynamic.isDefined && relationGiven)
+              throw new IllegalArgumentException( // schema_file_parser.py:345
+                s"can't give a relation with a dynamically resolved field: $fname")
             fields += FieldDef(fname, tname, list, required, unique,
-              search, incoming, rt, upfetch)
+              search, incoming, rt, upfetch, dynamic)
           }
           p.expectPunct("}")
-          types += name -> TypeDef(name, fields.result(), auth.result())
+          types += name -> TypeDef(name, fields.result(), auth.result(),
+            hooks.result())
         case "enum" =>
           val name = p.expectName()
           p.expectPunct("{")
@@ -381,6 +416,16 @@ object GqlParser {
           s"unsupported top-level schema element '$other'")
       }
     }
-    SchemaDef(types.result(), enums.result())
+    val schema = SchemaDef(types.result(), enums.result())
+    // post-parse validation: dynamic fields must resolve to scalars — an
+    // entity-typed dynamic field would need per-object graph traversal at
+    // resolve time (the reference's driver-eval model; out of scope here)
+    schema.types.values.foreach { t =>
+      t.fields.filter(_.dynamic.isDefined).foreach { f =>
+        if (schema.isEntity(f.tpe)) throw new IllegalArgumentException(
+          s"@dynamic field '${t.name}.${f.name}' must be scalar-typed")
+      }
+    }
+    schema
   }
 }

@@ -412,6 +412,91 @@ object Extended {
              |  UNION ALL SELECT 'relation', 'MemberOf', nc.n FROM nc
              |  UNION ALL SELECT 'relation', 'Placed', no.n FROM no
              |) ORDER BY kind, atype""".stripMargin),
-      Seq("gather", "Outs", "Ins", "blueprint"))
+      Seq("gather", "Outs", "Ins", "blueprint")),
+
+    // @hook mutation hooks (commit_with_post_checks,
+    // generate_api2.py:1310-1380): an onCreate hook registered through
+    // FnRegistry stamps a derived field on every created entity INSIDE the
+    // mutation's transaction — the committed history holds one tx, and the
+    // oracle recomputes the hook's derivation straight from the source
+    // table, so a hook that didn't fire, fired twice, or landed in a
+    // second tx would all diverge.
+    QueryDef(
+      "gql_hook_mutation",
+      (s, d) => {
+        import graft.gql.{GqlApi, GqlHooks, GqlLite}
+        val schema = graft.gql.GqlParser.parseSchema(
+          """type Account @hook(onCreate: "stampTier") {
+            |  name: String!
+            |  acctbal: Float
+            |  tier: String
+            |}""".stripMargin)
+        var g = graft.core.Graph.empty(s)
+        g = GqlHooks.registerHook(g, "stampTier",
+          "z | set_field[RT.Tier][acctbal >= 5000 ? GOLD : STD] (in-tx)",
+          ctx => {
+            val bal = ctx.after.all("Account")
+              .fields(("Acctbal", "v_double", "b"))
+              .filter(col("atom_id") === ctx.atomId)
+              .collect().headOption.flatMap(r => Option(r.getAs[Any]("b")))
+              .map(_.asInstanceOf[Double]).getOrElse(0.0)
+            Seq(GqlLite.UpdateEntity(ctx.atomId,
+              Map("Tier" -> (if (bal >= 5000.0) "GOLD" else "STD"))))
+          })._1
+        val inputs = graft.Tables.customer(s, d)
+          .filter(col("c_custkey") <= 25)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .collect().map { r =>
+            s"""{id: "${r.getLong(0)}", name: "${r.getString(1)}", """ +
+              s"acctbal: ${r.getDouble(2)}}"
+          }.mkString(", ")
+        val (g2, _) = GqlApi.mutate(g, schema,
+          s"mutation { addAccount(input: [$inputs]) }")
+        GqlApi.query(g2.now, schema,
+          "{ queryAccount(order: {asc: name}) { id name acctbal tier } }")
+      },
+      Some("""SELECT 'e:Account/' || CAST(c_custkey AS VARCHAR) AS id,
+             |  c_name AS name, c_acctbal AS acctbal,
+             |  CASE WHEN c_acctbal >= 5000.0 THEN 'GOLD' ELSE 'STD' END AS tier
+             |FROM customer WHERE c_custkey <= 25
+             |ORDER BY name""".stripMargin),
+      Seq("mutation_hooks", "onCreate", "zef_function", "transact")),
+
+    // @dynamic computed fields (GQL_FunctionResolver,
+    // generate_api2.py:938-947): a registered function resolves the field
+    // as a Column compiled INTO the one query plan — no per-object server
+    // round trips. The resolver's `needs` (acctbal) joins the projection
+    // even though only the computed field is selected from it.
+    QueryDef(
+      "gql_dynamic_field",
+      (s, d) => {
+        import graft.gql.{GqlApi, GqlHooks}
+        val g0 = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(
+          """type Customer {
+            |  name: String! @unique @relation(rt: "c_name")
+            |  acctbal: Float @search @relation(rt: "c_acctbal")
+            |  segment: String @search @relation(rt: "c_mktsegment")
+            |  tier: String @dynamic(hook: "custTier")
+            |}""".stripMargin)
+        val (g, _) = GqlHooks.registerDynamic(g0, "custTier",
+          "CASE acctbal >= 5000 GOLD; >= 0 STD; else RISK",
+          Seq("acctbal"),
+          _ => when(col("acctbal") >= 5000.0, "GOLD")
+            .when(col("acctbal") >= 0.0, "STD").otherwise("RISK"))
+        GqlApi.query(g.now, schema,
+          """{ queryCustomer(filter: {segment: {eq: "BUILDING"}},
+            |                order: {asc: name}) {
+            |    name
+            |    tier
+            |} }""".stripMargin)
+      },
+      Some("""SELECT c_name AS name,
+             |  CASE WHEN c_acctbal >= 5000.0 THEN 'GOLD'
+             |       WHEN c_acctbal >= 0.0 THEN 'STD'
+             |       ELSE 'RISK' END AS tier
+             |FROM customer WHERE c_mktsegment = 'BUILDING'
+             |ORDER BY name""".stripMargin),
+      Seq("dynamic_fields", "zef_function", "gql_query"))
   )
 }

@@ -479,6 +479,260 @@ class GqlParserSpec extends AnyFunSuite {
     }
   }
 
+  // ---- @hook mutation hooks (commit_with_post_checks,
+  // generate_api2.py:1310-1380) ----
+
+  val hookSdl: String =
+    """type Account @hook(onCreate: "stampCreated",
+      |                   onUpdate: "vetUpdate",
+      |                   onRemove: "logRemove") {
+      |  email: String! @unique
+      |  balance: Float
+      |  stamped: Boolean
+      |  audited: Boolean
+      |}""".stripMargin
+
+  test("schema SDL: @hook and @dynamic directives parse with validation") {
+    val s = GqlParser.parseSchema(hookSdl)
+    assert(s.tpe("Account").hooks == Map("onCreate" -> "stampCreated",
+      "onUpdate" -> "vetUpdate", "onRemove" -> "logRemove"))
+    // unknown hook key rejected (schema_file_parser.py:133)
+    intercept[IllegalArgumentException] {
+      GqlParser.parseSchema("""type T @hook(onTouch: "f") { x: String }""")
+    }
+    // @dynamic(hook:) lands on the field; requires the hook arg
+    val d = GqlParser.parseSchema(
+      """type T { x: String, shout: String @dynamic(hook: "shouter") }""")
+    assert(d.tpe("T").field("shout").dynamic.contains("shouter"))
+    intercept[IllegalArgumentException] {
+      GqlParser.parseSchema("""type T { x: String @dynamic }""")
+    }
+    // @dynamic + @relation is contradictory (schema_file_parser.py:345)
+    intercept[IllegalArgumentException] {
+      GqlParser.parseSchema(
+        """type T { x: String @dynamic(hook: "f") @relation(rt: "X") }""")
+    }
+    // entity-typed dynamic fields can't compile to a Column
+    intercept[IllegalArgumentException] {
+      GqlParser.parseSchema(
+        """type U { name: String }
+          |type T { u: U @dynamic(hook: "f") }""".stripMargin)
+    }
+    // dynamic fields carry no storage constraints even when marked required
+    val c = GqlParser.parseSchema(
+      """type T { x: String!, d: String! @unique @dynamic(hook: "f") }""")
+      .constraints
+    assert(c.required("T") == Seq("X") && !c.unique.contains("T"))
+  }
+
+  test("@hook onCreate: fires inside the SAME tx, writes land atomically") {
+    import graft.gql.GqlHooks
+    val schema = GqlParser.parseSchema(hookSdl)
+    var g = Graph.empty(spark)
+    g = GqlHooks.registerHook(g, "stampCreated",
+      "ctx => Seq(UpdateEntity(ctx.atomId, Map(\"Stamped\" -> true)))",
+      ctx => Seq(GqlLite.UpdateEntity(ctx.atomId,
+        Map("Stamped" -> true))))._1
+    g = GqlHooks.registerHook(g, "vetUpdate", "reject balance < 0",
+      ctx => Nil)._1
+    g = GqlHooks.registerHook(g, "logRemove", "noop", ctx => Nil)._1
+    val before = g.maxSlice
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation { addAccount(input: [
+        |  {id: "a1", email: "a@x.com", balance: 10.0},
+        |  {id: "a2", email: "b@x.com", balance: 20.0}]) }""".stripMargin)
+    // hook writes visible; ONE committed transaction, not two
+    assert(g2.maxSlice == before + 1)
+    val rows = GqlApi.query(g2.now, schema,
+      """{ queryAccount(order: {asc: email}) { email stamped } }""").collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Boolean]("stamped")))
+    // the hook write is part of the tx's history like any field
+    assert(g2.at(before).all("Account").count() == 0)
+  }
+
+  test("@hook reject: exception is an atomic abort; ordering vs constraints") {
+    import graft.gql.GqlHooks
+    val schema = GqlParser.parseSchema(hookSdl)
+    var fired = 0
+    var g = Graph.empty(spark)
+    g = GqlHooks.registerHook(g, "stampCreated", "count + reject negatives",
+      ctx => {
+        fired += 1
+        val bal = ctx.after.all("Account")
+          .fields(("Balance", "v_double", "balance"))
+          .filter(col("atom_id") === ctx.atomId)
+          .collect().headOption.flatMap(r => Option(r.getAs[Any]("balance")))
+        if (bal.exists(_.asInstanceOf[Double] < 0))
+          throw new IllegalStateException("negative opening balance")
+        Nil
+      })._1
+    g = GqlHooks.registerHook(g, "vetUpdate", "reject balance >= 100",
+      ctx => {
+        fired += 1
+        val bal = ctx.after.all("Account")
+          .fields(("Balance", "v_double", "balance"))
+          .filter(col("atom_id") === ctx.atomId)
+          .collect().headOption.flatMap(r => Option(r.getAs[Any]("balance")))
+        if (bal.exists(_.asInstanceOf[Double] >= 100))
+          throw new IllegalStateException("balance cap exceeded")
+        Nil
+      })._1
+    g = GqlHooks.registerHook(g, "logRemove", "observe tombstone",
+      ctx => {
+        fired += 1
+        // onRemove: gone in `after`, final state readable in `before`
+        assert(ctx.after.all("Account").df
+          .filter(col("atom_id") === ctx.atomId).count() == 0)
+        assert(ctx.before.all("Account").df
+          .filter(col("atom_id") === ctx.atomId).count() == 1)
+        Nil
+      })._1
+    val (g1, _) = GqlApi.mutate(g, schema,
+      """mutation { addAccount(input: [{id: "a1", email: "a@x.com", balance: 5.0}]) }""")
+    assert(fired == 1)
+    // onCreate rejects → atomic abort (no partial writes, no new tx)
+    intercept[IllegalStateException] {
+      GqlApi.mutate(g1, schema,
+        """mutation { addAccount(input: [
+          |  {id: "a2", email: "b@x.com", balance: 1.0},
+          |  {id: "a3", email: "c@x.com", balance: -1.0}]) }""".stripMargin)
+    }
+    assert(g1.now.all("Account").count() == 1)
+    // constraint violations abort BEFORE hooks fire (pre-write check)
+    val firedBefore = fired
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g1, schema,
+        """mutation { addAccount(input: [{id: "a4", email: "a@x.com"}]) }""")
+    }
+    assert(fired == firedBefore)
+    // onUpdate fires on update mutations; reject rolls back
+    val (g2, _) = GqlApi.mutate(g1, schema,
+      """mutation { updateAccount(input: {filter: {id: "e:Account/a1"},
+        |  set: {balance: 50.0}}) }""".stripMargin)
+    intercept[IllegalStateException] {
+      GqlApi.mutate(g2, schema,
+        """mutation { updateAccount(input: {filter: {id: "e:Account/a1"},
+          |  set: {balance: 500.0}}) }""".stripMargin)
+    }
+    assert(GqlApi.query(g2.now, schema,
+      """{ getAccount(id: "e:Account/a1") { balance } }""")
+      .collect()(0).getDouble(0) == 50.0)
+    // onRemove fires with the tombstone view
+    val removeFiredBefore = fired
+    val (g3, _) = GqlApi.mutate(g2, schema,
+      """mutation { deleteAccount(filter: {id: "e:Account/a1"}) }""")
+    assert(fired == removeFiredBefore + 1)
+    assert(g3.now.all("Account").count() == 0)
+  }
+
+  test("@hook writes compose with hook-free mutations in one document") {
+    import graft.gql.GqlHooks
+    // a hook writing a DERIVED field from the tentative frame — the
+    // reference's set_field-inside-tx pattern (test_simplegql.py:83)
+    val sdl2 =
+      """type Doc @hook(onCreate: "grade") {
+        |  title: String!
+        |  words: Int
+        |  sizeClass: String
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(sdl2)
+    var g = Graph.empty(spark)
+    g = GqlHooks.registerHook(g, "grade", "sizeClass from words",
+      ctx => {
+        val w = ctx.after.all("Doc")
+          .fields(("Words", "v_long", "w"))
+          .filter(col("atom_id") === ctx.atomId)
+          .collect().headOption.flatMap(r => Option(r.getAs[Any]("w")))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        Seq(GqlLite.UpdateEntity(ctx.atomId,
+          Map("SizeClass" -> (if (w >= 100) "LONG" else "SHORT"))))
+      })._1
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation { addDoc(input: [
+        |  {id: "d1", title: "A", words: 500},
+        |  {id: "d2", title: "B", words: 30}]) }""".stripMargin)
+    val rows = GqlApi.query(g2.now, schema,
+      """{ queryDoc(order: {asc: title}) { title sizeClass } }""").collect()
+    assert(rows.map(_.getAs[String]("sizeClass")).toSeq == Seq("LONG", "SHORT"))
+  }
+
+  // ---- @dynamic computed fields (GQL_FunctionResolver,
+  // generate_api2.py:938-947) ----
+
+  test("@dynamic field: computed Column in the one plan; select + sort") {
+    import graft.gql.GqlHooks
+    val sdl2 =
+      """type P {
+        |  name: String!
+        |  score: Float
+        |  shout: String @dynamic(hook: "shouter")
+        |  band: String @dynamic(hook: "bander")
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(sdl2)
+    var g = Graph.empty(spark)
+    g = GqlHooks.registerDynamic(g, "shouter", "upper(name) || '!'",
+      Seq("name"), df => concat(upper(col("name")), lit("!")))._1
+    g = GqlHooks.registerDynamic(g, "bander", "score band",
+      Seq("score"), df => when(col("score") >= 5.0, "HIGH").otherwise("LOW"))._1
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation { addP(input: [
+        |  {id: "p1", name: "ann", score: 9.0},
+        |  {id: "p2", name: "bob", score: 2.0}]) }""".stripMargin)
+    // select: computed from `needs` even when those fields aren't selected
+    val rows = GqlApi.query(g2.now, schema,
+      """{ queryP(order: {asc: name}) { shout band } }""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("ANN!", "HIGH"), ("BOB!", "LOW")))
+    // sort on a dynamic field that is not selected
+    val sorted = GqlApi.query(g2.now, schema,
+      """{ queryP(order: {asc: band}) { name } }""").collect()
+    assert(sorted.map(_.getString(0)).toSeq == Seq("ann", "bob")) // HIGH < LOW
+    // alias works; scalar + dynamic mix
+    val mixed = GqlApi.query(g2.now, schema,
+      """{ queryP(filter: {score: {ge: 5.0}}) { name s: shout } }""").collect()
+    assert(mixed.length == 1 && mixed(0).getAs[String]("s") == "ANN!")
+    // filtering on a dynamic field is declared unsupported
+    intercept[UnsupportedOperationException] {
+      GqlApi.query(g2.now, schema,
+        """{ queryP(filter: {shout: {eq: "ANN!"}}) { name } }""")
+    }
+    // aggregating over a dynamic field is declared unsupported
+    intercept[IllegalArgumentException] {
+      GqlApi.query(g2.now, schema, """{ aggregateP { shoutMin } }""")
+    }
+    // unregistered resolver fails loudly at plan time
+    val schemaBad = GqlParser.parseSchema(
+      """type P { name: String!, x: String @dynamic(hook: "nope") }""")
+    intercept[NoSuchElementException] {
+      GqlApi.query(g2.now, schemaBad, """{ queryP { x } }""")
+    }
+  }
+
+  test("@dynamic inside nested sub-selections") {
+    import graft.gql.GqlHooks
+    val sdl2 =
+      """type Team {
+        |  tname: String!
+        |  members: [M] @incoming @relation(rt: "MemberOf")
+        |}
+        |type M {
+        |  name: String!
+        |  loud: String @dynamic(hook: "loudName")
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(sdl2)
+    var g = Graph.empty(spark)
+    g = GqlHooks.registerDynamic(g, "loudName", "upper(name)",
+      Seq("name"), df => upper(col("name")))._1
+    val (g1, _) = GqlApi.mutate(g, schema,
+      """mutation { addTeam(input: [{id: "t1", tname: "alpha",
+        |  members: [{id: "m1", name: "ann"}, {id: "m2", name: "bob"}]}]) }""".stripMargin)
+    import org.apache.spark.sql.Row
+    val row = GqlApi.query(g1.now, schema,
+      """{ queryTeam { tname members { loud } } }""").collect()(0)
+    assert(row.getAs[scala.collection.Seq[Row]]("members")
+      .map(_.getString(0)).sorted == Seq("ANN", "BOB"))
+  }
+
   test("parsed aggregate root with enum filter over mutations") {
     val schema = GqlParser.parseSchema(sdl)
     val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
