@@ -71,12 +71,38 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
   private[core] def cachedLatestValues(slice: Int): Option[DataFrame] =
     latestValuesCache.synchronized(Option(latestValuesCache.get(slice)))
 
+  /** Lineage depth of a SEEDED latest-values table: how many incremental
+    * merge layers sit between it and a fresh aggregation. Transactor caps
+    * this so an unboundedly long transact chain falls back to one fresh
+    * aggregation instead of an ever-deeper filter/union plan. */
+  @transient private lazy val seededDepth =
+    scala.collection.mutable.Map.empty[Int, Int]
+
+  private[graft] def latestValuesDepth(slice: Int): Int =
+    latestValuesCache.synchronized(seededDepth.getOrElse(slice, 0))
+
   /** Pre-populate the cache (incremental view maintenance — see
     * Transactor.transact): no-op if an entry already exists. */
-  private[core] def seedLatestValues(slice: Int, df: DataFrame): Unit =
+  private[core] def seedLatestValues(slice: Int, df: DataFrame,
+      depth: Int = 1): Unit =
     latestValuesCache.synchronized {
-      if (latestValuesCache.get(slice) == null) latestValuesCache.put(slice, df)
+      if (latestValuesCache.get(slice) == null) {
+        latestValuesCache.put(slice, df)
+        seededDepth(slice) = depth
+      }
     }
+
+  /** Unpersist every derived table this instance pinned — for graphs that
+    * turn out to be throwaway (the tentative frame of a hooked mutation:
+    * GqlApi.commitWithHooks discards it after hooks run, and without this
+    * its seeded latest-values block lingers until the ContextCleaner GCs
+    * the abandoned instance). */
+  def releaseDerived(): Unit = latestValuesCache.synchronized {
+    val it = latestValuesCache.values().iterator()
+    while (it.hasNext) it.next().unpersist(false)
+    latestValuesCache.clear()
+    seededDepth.clear()
+  }
 
   private[graft] def hasCachedLatestValues(slice: Int): Boolean =
     latestValuesCache.synchronized(latestValuesCache.containsKey(slice))
@@ -162,6 +188,12 @@ object Graph {
     * historical frame under comparison (time_travel diffs) — without letting
     * a frame-hopping session pin unbounded derived tables. */
   val MaxCachedSlices: Int = 2
+
+  /** How many incremental latest-values merge layers may stack before a
+    * transact stops seeding and lets the next read re-aggregate fresh
+    * (bounds plan lineage in long transact chains — see
+    * [[Transactor.transact]]). */
+  val MaxSeedDepth: Int = 12
 
   /** Back-compat constructor: graph without tag bindings. */
   def apply(atoms: DataFrame, values: DataFrame, txs: DataFrame): Graph =

@@ -2,7 +2,6 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Distributed relational→graph encoding — the bulk-ingest analogue of zef's
@@ -159,13 +158,13 @@ object GraphEncoder {
   def encodeEventHistoryUncached(spark: SparkSession, sfDir: String,
       baseSlice: Int = 1): Graph = {
     val ev = Tables.events(spark, sfDir)
-    // Global deterministic slice numbering. A global window is acceptable
-    // here ONLY because tx ordering is inherently a total order (zef's
-    // monotone time_slice counter); at scale this becomes
-    // range-partitioned sort + per-partition offsets (see ZOps.enumerate).
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    val ranked = ev.withColumn("tx_slice",
-      (row_number().over(w) + baseSlice).cast("int"))
+    // Global deterministic slice numbering (zef's monotone time_slice
+    // counter is a total order) via the two-phase range-partitioned
+    // enumerate — no single-partition global window even at scale.
+    import graft.ops.ZOps.DataFrameZOps
+    val ranked = ev.enumerate(Seq(col("ts"), col("event_id")), "__rank")
+      .withColumn("tx_slice", (col("__rank") + 1 + baseSlice).cast("int"))
+      .drop("__rank")
 
     val userId = entityId("User", col("user_id"))
     // User entities appear at the slice of their first event.

@@ -218,21 +218,38 @@ object Transactor {
       else g.tags.unionByName(spark.createDataset(newTags.toSeq).toDF())
 
     val g2 = Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal)
-    // Incremental view maintenance: if the PRIOR frame's current-values
-    // table is materialized, the new frame's table is that COMPACTED table
-    // (one row per AE) merged with this tx's tiny delta — never a
-    // re-aggregation of full value history. Same max_by semantics: delta
-    // rows carry the highest tx_slice, so they win exactly where present.
-    g.cachedLatestValues(g.maxSlice).foreach { pv =>
-      val vcols = Seq("tx_slice", "v_str", "v_long", "v_double", "v_bool", "v_ts")
-      val delta = spark.createDataset(newValues.toSeq).toDF()
-        .select(col("ae_id") +: vcols.map(col): _*)
-      val merged = pv.unionByName(delta)
-        .groupBy("ae_id")
-        .agg(max_by(struct(vcols.map(col): _*), col("tx_slice")).as("__v"))
-        .select(col("ae_id") +: vcols.map(c => col(s"__v.$c").as(c)): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      g2.seedLatestValues(slice, merged)
+    // Incremental view maintenance: the new frame's current-values table is
+    // the PRIOR frame's (planned lazily on the prior graph instance, where
+    // it stays cached — and therefore materialized once — across repeated
+    // transacts off the same base) minus the AEs this tx re-assigned,
+    // unioned with this tx's driver-built winning rows. That is a MAP-ONLY
+    // plan — no re-shuffle of the whole table per transact, unlike a
+    // union+groupBy merge. Delta rows carry the highest tx_slice, so
+    // dropping their old rows preserves exact max_by semantics. Depth-capped
+    // so an unboundedly long transact chain falls back to one fresh
+    // aggregation instead of an ever-deeper filter/union lineage.
+    val priorDepth = g.latestValuesDepth(g.maxSlice)
+    if (priorDepth < Graph.MaxSeedDepth) {
+      val base = g.latestValues(g.maxSlice) // lazy: a plan until first read
+      if (newValues.isEmpty) g2.seedLatestValues(slice, base, priorDepth)
+      else {
+        val vcols = Seq("tx_slice", "v_str", "v_long", "v_double", "v_bool", "v_ts")
+        // one winner per AE within this tx: all rows share tx_slice, so the
+        // LAST wish for an AE wins (assign-after-assign in one tx)
+        val winners = {
+          val m = scala.collection.mutable.LinkedHashMap[String, ValueRow]()
+          newValues.foreach(v => m(v.ae_id) = v)
+          m.values.toSeq
+        }
+        val deltaIds = winners.map(_.ae_id).toSet
+        val delta = spark.createDataset(winners).toDF()
+          .select(col("ae_id") +: vcols.map(col): _*)
+        val merged = base
+          .filter(!col("ae_id").isInCollection(deltaIds))
+          .unionByName(delta)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        g2.seedLatestValues(slice, merged, priorDepth + 1)
+      }
     }
     (g2,
       Receipt(receipt.toMap, slice, newAtoms.toSeq, newValues.toSeq,

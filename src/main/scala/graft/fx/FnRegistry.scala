@@ -27,27 +27,55 @@ object FnRegistry {
       .digest(source.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Persist a function onto the graph (source + hash as fields), tagged by
-    * name for as-of lookup. */
+    * name for as-of lookup. Content-addressed and IDEMPOTENT: re-registering
+    * the same name with the same source is a pure binding refresh — no new
+    * transaction, the input graph is returned unchanged (so a hot loop that
+    * re-registers on a cached graph keeps that graph's warm derived
+    * tables). */
   def register(g: Graph, name: String, source: String,
       impl: DataFrame => DataFrame): (Graph, String) = {
     val h = sourceHash(source)
     impls.put(h, impl)
-    val (g2, _) = Transactor.transact(g, Seq(
-      PutEntity("ZefFunction", name),
-      PutField(name, "Source", source),
-      PutField(name, "SourceHash", h),
-      TagAtom(name, s"fn:$name")))
-    (g2, h)
+    persist(g, name, source, h)
   }
 
+  private def persist(g: Graph, name: String, source: String,
+      h: String): (Graph, String) =
+    lookup(g.now, name) match {
+      case Some(fn) if fn.hash == h => (g, h) // already on the graph, as-is
+      case _ =>
+        val (g2, _) = Transactor.transact(g, Seq(
+          PutEntity("ZefFunction", name),
+          PutField(name, "Source", source),
+          PutField(name, "SourceHash", h),
+          TagAtom(name, s"fn:$name")))
+        (g2, h)
+    }
+
   /** Resolve a function by name in a frame (as-of semantics apply: the
-    * binding visible in THAT slice). */
+    * binding visible in THAT slice). Two cheap reads, not a graph join:
+    * the tag table (small) resolves name → atom id, and the field AE ids
+    * are deterministic (Transactor id scheme), so source + hash come
+    * straight off the cached current-values table as a map-only filter —
+    * no full atoms scan per resolution. */
   def lookup(slice: GraphSlice, name: String): Option[ZefFunction] = {
-    val rows = slice.byTag(s"fn:$name")
-      .fields(("Source", "v_str", "source"), ("SourceHash", "v_str", "hash"))
-      .collect()
-    rows.headOption.map(r => ZefFunction(name,
-      r.getAs[String]("source"), r.getAs[String]("hash")))
+    import org.apache.spark.sql.functions.{col, lit, max_by}
+    val g = slice.graph
+    val bound = g.tags
+      .filter(col("tag") === lit(s"fn:$name") && col("tx_slice") <= slice.slice)
+      .agg(max_by(col("atom_id"), col("tx_slice")).as("atom_id"))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+    bound.flatMap { atomId =>
+      val srcAe = Transactor.aeId(atomId, "Source", "")
+      val hashAe = Transactor.aeId(atomId, "SourceHash", "")
+      val m = g.latestValues(slice.slice)
+        .filter(col("ae_id").isin(srcAe, hashAe) &&
+          col("tx_slice") <= slice.slice)
+        .select("ae_id", "v_str").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      for { s <- m.get(srcAe); h <- m.get(hashAe) }
+        yield ZefFunction(name, s, h)
+    }
   }
 
   /** Invoke by name: hash-addressed dispatch, erroring if this process has
@@ -69,17 +97,13 @@ object FnRegistry {
   private val rawImpls =
     scala.collection.concurrent.TrieMap.empty[String, AnyRef]
 
-  /** Persist + bind an implementation of a caller-defined shape. */
+  /** Persist + bind an implementation of a caller-defined shape. Same
+    * idempotent contract as [[register]]. */
   def registerRaw(g: Graph, name: String, source: String,
       impl: AnyRef): (Graph, String) = {
     val h = sourceHash(source)
     rawImpls.put(h, impl)
-    val (g2, _) = Transactor.transact(g, Seq(
-      PutEntity("ZefFunction", name),
-      PutField(name, "Source", source),
-      PutField(name, "SourceHash", h),
-      TagAtom(name, s"fn:$name")))
-    (g2, h)
+    persist(g, name, source, h)
   }
 
   /** Resolve name → persisted hash → bound raw implementation; the caller

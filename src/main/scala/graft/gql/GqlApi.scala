@@ -144,6 +144,10 @@ object GqlApi {
             throw new IllegalArgumentException(s"id filter takes strings, got $other") })
         case ("id", VStr(s)) => GqlLite.Eq("atom_id", s)
         case (fname, VBool(b)) => // boolean short form: {flag: true}
+          if (tpe.field(fname).dynamic.isDefined)
+            throw new UnsupportedOperationException(
+              s"filtering on @dynamic field '$fname' is not supported: the " +
+                "computed column exists only inside the query plan")
           touched += fname; GqlLite.Eq(fname, b)
         case (fname, v) =>
           val fd = tpe.field(fname)
@@ -503,6 +507,11 @@ object GqlApi {
           val setFields = input.get("set").map(asObj).map(_.fields.map {
             case (fname, v) =>
               val fd = tpe.field(fname)
+              // a @dynamic field has no storage — writing it would be
+              // silently swallowed (the reference errors: a dynamic field
+              // has no GQL_Resolve_With, generate_api2.py:1051)
+              require(fd.dynamic.isEmpty,
+                s"set: '$fname' is @dynamic (computed) and cannot be written")
               fd.rt -> convert(schema, fd, v)
           }.toMap).getOrElse(Map.empty[String, Any])
           // remove: {field: <anything>} drops the field (update_entity's
@@ -512,6 +521,8 @@ object GqlApi {
               val fd = tpe.field(fname)
               require(!schema.isEntity(fd.tpe),
                 s"remove: relation field '$fname' is not supported")
+              require(fd.dynamic.isEmpty,
+                s"remove: '$fname' is @dynamic (computed) and cannot be removed")
               require(!fd.required,
                 s"remove: '$fname' is required and cannot be removed")
               fd.rt
@@ -553,8 +564,10 @@ object GqlApi {
   private def commitWithHooks(g: Graph, schema: SchemaDef,
       muts: Seq[GqlLite.Mutation],
       auth: Option[(GraphSlice, String) => Boolean]): (Graph, Receipt) = {
-    // affected objects in mutation order, once per (event, object)
-    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    // affected objects in mutation order, once per (event, TYPE, object) —
+    // the type is part of the key so addA(id:"x") + addB(id:"x") in one
+    // document (tx-LOCAL input keys) fires BOTH types' onCreate hooks
+    val seen = scala.collection.mutable.Set.empty[(String, String, String)]
     val affected = muts.flatMap {
       case GqlLite.AddEntity(et, key, _) => Some(("onCreate", et, key, true))
       case GqlLite.UpdateEntity(id, _) =>
@@ -566,24 +579,43 @@ object GqlApi {
       case _: GqlLite.LinkEntities => None
     }.filter { case (kind, et, key, _) =>
       schema.types.get(et).exists(_.hooks.contains(kind)) &&
-        seen.add((kind, key))
+        seen.add((kind, et, key))
     }
     val tentative = GqlLite.mutate(g, muts, auth, schema.constraints)
     if (affected.isEmpty) return tentative
     val (tg, trec) = tentative
     val before = g.now
     val after = tg.now
-    // one registry lookup per (event, type), not per affected object
-    val resolved = affected.map { case (kind, et, _, _) => (kind, et) }
-      .distinct.map { case (kind, et) =>
-        (kind, et) -> GqlHooks.resolveHook(before, schema.tpe(et).hooks(kind))
-      }.toMap
-    val extras = affected.flatMap { case (kind, et, key, isTxKey) =>
-      val atomId = if (isTxKey) trec.ids.getOrElse(key, key) else key
-      resolved((kind, et)).run(GqlHooks.HookCtx(before, after, atomId, et, kind))
+    // dispatch grouped per (event, type) in first-occurrence order: a
+    // BatchMutationHook gets ONE call with the whole affected set (O(1)
+    // Spark jobs regardless of batch size); a per-object MutationHook
+    // keeps its driver loop as the compatibility contract
+    val groups = affected.map { case (kind, et, _, _) => (kind, et) }.distinct
+    val extras = groups.flatMap { case (kind, et) =>
+      val ids = affected.collect { case (`kind`, `et`, key, isTxKey) =>
+        // resolve an AddEntity's tx-local key via the deterministic id
+        // scheme, NOT the receipt: the receipt map is keyed by bare
+        // tx-local key, so two adds of different types sharing one input
+        // id would both resolve to whichever type transacted last
+        if (isTxKey)
+          graft.core.Transactor.atomId(graft.core.Kind.Entity, et, key)
+        else key
+      }
+      GqlHooks.resolveHook(before, schema.tpe(et).hooks(kind)) match {
+        case GqlHooks.BatchMutationHook(run) =>
+          run(GqlHooks.BatchHookCtx(before, after, ids, et, kind))
+        case GqlHooks.MutationHook(run) =>
+          ids.flatMap(id =>
+            run(GqlHooks.HookCtx(before, after, id, et, kind)))
+      }
     }
     if (extras.isEmpty) tentative
-    else GqlLite.mutate(g, muts ++ extras, None, schema.constraints)
+    else {
+      // the tentative graph is discarded — release the derived tables its
+      // transact seeded, or the persisted block lingers until GC
+      tg.releaseDerived()
+      GqlLite.mutate(g, muts ++ extras, None, schema.constraints)
+    }
   }
 
   /** Compile one add-input object for `tpe` into its AddEntity plus any
@@ -629,7 +661,13 @@ object GqlApi {
             GqlLite.LinkEntities(fd.rt, childKey, key)
           else GqlLite.LinkEntities(fd.rt, key, childKey))
         }
-      } else fields += fd.rt -> convert(schema, fd, v)
+      } else {
+        // reject writes to computed fields (reference: add_new_entity
+        // throws on a field without GQL_Resolve_With, generate_api2.py:1134)
+        require(fd.dynamic.isEmpty,
+          s"add: '$fname' is @dynamic (computed) and cannot be written")
+        fields += fd.rt -> convert(schema, fd, v)
+      }
     }
     (key, GqlLite.AddEntity(tpe.name, key, fields.result()) +: extra.result())
   }

@@ -30,12 +30,57 @@ object GqlHooks {
   final case class HookCtx(before: GraphSlice, after: GraphSlice,
       atomId: String, et: String, kind: String)
 
-  /** A mutation hook: returns follow-up mutations committed atomically in
-    * the same transaction (the reference's hooks write via `set_field`
-    * inside the open tx, test_simplegql.py:83); throws to reject. Hooks
-    * fire once per affected object — follow-up mutations do NOT re-trigger
-    * hooks, matching the reference's single post-check sweep. */
+  /** What a BATCH hook sees: the frames plus ALL affected objects of one
+    * (event, type) in this mutation — the set-level contract that keeps a
+    * 10k-row bulk add at O(1) Spark jobs instead of one job per object
+    * (the reference's per-object `resolve_field` loop is the anti-pattern
+    * this replaces). `affected(...)` reads the objects' fields as ONE
+    * plan; `idsDf` exposes the bare id set for custom joins. */
+  final case class BatchHookCtx(before: GraphSlice, after: GraphSlice,
+      atomIds: Seq[String], et: String, kind: String) {
+
+    /** Frame the affected objects are readable in: the tentative
+      * post-write frame, except `onRemove` where they are already
+      * terminated there (tombstone view → pre-write frame). */
+    def frame: GraphSlice = if (kind == "onRemove") before else after
+
+    /** The affected id set as a one-column (`atom_id`) DataFrame. */
+    def idsDf: DataFrame = {
+      val spark = frame.graph.spark
+      import spark.implicits._
+      atomIds.toDF("atom_id")
+    }
+
+    /** Affected objects with the requested `(rt, value column, alias)`
+      * fields resolved from [[frame]] — one plan for the whole set. */
+    def affected(fields: (String, String, String)*): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val set = frame.all(et)
+      graft.core.AtomSet(frame,
+        set.df.filter(col("atom_id").isInCollection(atomIds.toSet)))
+        .fields(fields: _*)
+    }
+  }
+
+  /** A registered mutation hook implementation (either granularity). */
+  sealed trait HookImpl
+
+  /** A per-object mutation hook: returns follow-up mutations committed
+    * atomically in the same transaction (the reference's hooks write via
+    * `set_field` inside the open tx, test_simplegql.py:83); throws to
+    * reject. Hooks fire once per affected object — follow-up mutations do
+    * NOT re-trigger hooks, matching the reference's single post-check
+    * sweep. Dispatch is a driver loop: fine for interactive mutations,
+    * O(objects) for bulk — write a [[BatchMutationHook]] for those. */
   final case class MutationHook(run: HookCtx => Seq[GqlLite.Mutation])
+    extends HookImpl
+
+  /** A set-level mutation hook: called ONCE per (event, type) with every
+    * affected object, returns the follow-up mutations for the whole set.
+    * Same transactional semantics as [[MutationHook]] (single committed
+    * tx, atomic abort on throw, no re-triggering). */
+  final case class BatchMutationHook(run: BatchHookCtx => Seq[GqlLite.Mutation])
+    extends HookImpl
 
   /** A dynamic-field resolver compiled INTO the one query plan: `needs`
     * lists the stored scalar fields the expression reads (they join the
@@ -51,16 +96,20 @@ object GqlHooks {
       run: HookCtx => Seq[GqlLite.Mutation]): (Graph, String) =
     FnRegistry.registerRaw(g, name, source, MutationHook(run))
 
+  def registerBatchHook(g: Graph, name: String, source: String,
+      run: BatchHookCtx => Seq[GqlLite.Mutation]): (Graph, String) =
+    FnRegistry.registerRaw(g, name, source, BatchMutationHook(run))
+
   def registerDynamic(g: Graph, name: String, source: String,
       needs: Seq[String], build: DataFrame => Column): (Graph, String) =
     FnRegistry.registerRaw(g, name, source, DynamicField(needs, build))
 
-  def resolveHook(slice: GraphSlice, name: String): MutationHook =
+  def resolveHook(slice: GraphSlice, name: String): HookImpl =
     FnRegistry.rawImpl(slice, name) match {
-      case h: MutationHook => h
+      case h: HookImpl => h
       case other => throw new IllegalStateException(
         s"function '$name' is bound as ${other.getClass.getSimpleName}, " +
-          "not a MutationHook")
+          "not a mutation hook")
     }
 
   def resolveDynamic(slice: GraphSlice, name: String): DynamicField =

@@ -298,9 +298,12 @@ object GqlParser {
       }.filter(_._2.nonEmpty))
 
     /** Relation types the schema declares `@search` — the store indexes
-      * exactly these (FieldIndex; reference test_simplegql.py:50-60). */
+      * exactly these (FieldIndex; reference test_simplegql.py:50-60).
+      * @dynamic fields are never stored, so they contribute nothing to
+      * index even when (mistakenly) marked @search. */
     def searchRts: Seq[String] =
-      types.values.flatMap(_.fields.filter(_.search).map(_.rt)).toSeq.distinct
+      types.values.flatMap(_.fields.filter(f =>
+        f.search && f.dynamic.isEmpty).map(_.rt)).toSeq.distinct
   }
 
   /** simple_capitalize — firebaseID → FirebaseID, not FirebaseId

@@ -656,6 +656,120 @@ class GqlParserSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("sizeClass")).toSeq == Seq("LONG", "SHORT"))
   }
 
+  test("@hook batch dispatch: 5k-object bulk add = one tx, O(1) Spark jobs") {
+    import graft.gql.GqlHooks
+    val sdl3 =
+      """type Item @hook(onCreate: "tierAll") {
+        |  sku: String!
+        |  price: Float
+        |  tier: String
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(sdl3)
+    var g = Graph.empty(spark)
+    var calls = 0
+    g = GqlHooks.registerBatchHook(g, "tierAll",
+      "affected | fields[Price] | set_field[Tier] (one plan for the set)",
+      ctx => {
+        calls += 1
+        ctx.affected(("Price", "v_double", "p")).collect().toSeq.map { r =>
+          val p = Option(r.getAs[Any]("p"))
+            .map(_.asInstanceOf[Double]).getOrElse(0.0)
+          GqlLite.UpdateEntity(r.getAs[String]("atom_id"),
+            Map("Tier" -> (if (p >= 50.0) "HI" else "LO")))
+        }
+      })._1
+    val n = 5000
+    val inputs = (1 to n).map(i =>
+      s"""{id: "i$i", sku: "s$i", price: ${i % 100}.0}""").mkString(", ")
+    val before = g.maxSlice
+    val sc = spark.sparkContext
+    sc.setJobGroup("hook-batch-5k", "bulk add with onCreate batch hook")
+    val (g2, _) = try {
+      GqlApi.mutate(g, schema, s"mutation { addItem(input: [$inputs]) }")
+    } finally sc.clearJobGroup()
+    // status store is fed asynchronously — poll until the count settles
+    def groupJobs(): Int =
+      sc.statusTracker.getJobIdsForGroup("hook-batch-5k").length
+    var jobs = groupJobs(); var stable = 0
+    while (stable < 5) {
+      Thread.sleep(100)
+      val j = groupJobs()
+      if (j == jobs) stable += 1 else { jobs = j; stable = 0 }
+    }
+    assert(calls == 1, "batch hook must be invoked exactly once for the set")
+    assert(jobs <= 30,
+      s"bulk add with a batch hook must stay O(1) Spark jobs, ran $jobs")
+    // one committed tx; hook writes landed for every object
+    assert(g2.maxSlice == before + 1)
+    val tiers = GqlApi.query(g2.now, schema,
+      "{ queryItem { sku price tier } }").collect()
+    assert(tiers.length == n)
+    assert(tiers.forall { r =>
+      val want = if (r.getAs[Double]("price") >= 50.0) "HI" else "LO"
+      r.getAs[String]("tier") == want
+    })
+  }
+
+  test("@hook dedup key includes the type: shared tx-local id fires both hooks") {
+    import graft.gql.GqlHooks
+    // addA(id:"x") + addB(id:"x") in ONE document: the tx-local input ids
+    // collide, but the hooks are per-type — both must fire (a dedup key
+    // without the type silently skipped B's, bypassing its validation)
+    val sdl4 =
+      """type Alpha @hook(onCreate: "hookAlpha") { a: String }
+        |type Beta @hook(onCreate: "hookBeta") { b: String }""".stripMargin
+    val schema = GqlParser.parseSchema(sdl4)
+    var fired = Set.empty[String]
+    var g = Graph.empty(spark)
+    g = GqlHooks.registerHook(g, "hookAlpha", "record Alpha firing", ctx => {
+      fired += s"Alpha:${ctx.atomId}"; Nil })._1
+    g = GqlHooks.registerHook(g, "hookBeta", "record Beta firing", ctx => {
+      fired += s"Beta:${ctx.atomId}"; Nil })._1
+    GqlApi.mutate(g, schema,
+      """mutation {
+        |  addAlpha(input: {id: "x", a: "1"})
+        |  addBeta(input: {id: "x", b: "2"})
+        |}""".stripMargin)
+    assert(fired == Set("Alpha:e:Alpha/x", "Beta:e:Beta/x"))
+  }
+
+  test("@dynamic fields reject writes, short-form filters, @search indexing") {
+    val sdl5 =
+      """type P {
+        |  name: String!
+        |  score: Float
+        |  flagged: Boolean @dynamic(hook: "flagOf")
+        |  tier: String @search @dynamic(hook: "tierOf")
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(sdl5)
+    // @search on a @dynamic field is never stored → contributes no index rt
+    assert(!schema.searchRts.contains("Tier"))
+    val g = Graph.empty(spark)
+    // add with a value for a computed field: rejected, not silently stored
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g, schema,
+        """mutation { addP(input: {id: "p1", name: "n", tier: "GOLD"}) }""")
+    }
+    // update set / remove on a computed field: rejected
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g, schema,
+        """mutation { updateP(input: {filter: {id: "e:P/p1"},
+          |  set: {tier: "GOLD"}}) }""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g, schema,
+        """mutation { updateP(input: {filter: {id: "e:P/p1"},
+          |  set: {name: "m"}, remove: {tier: true}}) }""".stripMargin)
+    }
+    // boolean SHORT-FORM filter on a @dynamic field: the same intended
+    // UnsupportedOperationException as the long form, not a late
+    // unresolved-column failure
+    intercept[UnsupportedOperationException] {
+      GqlApi.query(g.now, schema,
+        """{ queryP(filter: {flagged: true}) { name } }""")
+    }
+  }
+
   // ---- @dynamic computed fields (GQL_FunctionResolver,
   // generate_api2.py:938-947) ----
 

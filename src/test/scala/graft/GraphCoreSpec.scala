@@ -401,24 +401,39 @@ class GraphCoreSpec extends AnyFunSuite {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("P", "a"), PutField("a", "X", 1.0),
       PutEntity("P", "b"), PutField("b", "X", 2.0)))
-    // no prior materialization -> transact does NOT seed
-    val (gCold, _) = Transactor.transact(g1, Seq(
-      AssignField("e:P/a", "X", 3.0)))
-    assert(!gCold.hasCachedLatestValues(gCold.maxSlice))
-    // materialize the prior frame's current-values table...
-    g1.latestValues(g1.maxSlice).count()
-    // ...now transact seeds the NEW frame incrementally (before any read)
+    // seeding is unconditional (the merged table is a LAZY map-only plan on
+    // the prior frame's table — nothing materializes until first read)
     val (g2, _) = Transactor.transact(g1, Seq(
       AssignField("e:P/a", "X", 5.0)))
     assert(g2.hasCachedLatestValues(g2.maxSlice))
+    val d1 = g1.latestValuesDepth(g1.maxSlice)
+    assert(g2.latestValuesDepth(g2.maxSlice) == d1 + 1)
     // and the seeded table answers correctly: delta wins, untouched stays
     val vals = g2.now.all("P").fieldValue("X", "v_double", "x")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(vals == Map("e:P/a" -> 5.0, "e:P/b" -> 2.0))
-    // parity with the cold (full-aggregation) path
-    val cold = gCold.now.all("P").fieldValue("X", "v_double", "x")
+    // assign-after-assign in one tx: the LAST wish per AE wins in the seed
+    val (g3, _) = Transactor.transact(g2, Seq(
+      AssignField("e:P/b", "X", 7.0), AssignField("e:P/b", "X", 9.0)))
+    assert(g3.latestValuesDepth(g3.maxSlice) == d1 + 2)
+    val v3 = g3.now.all("P").fieldValue("X", "v_double", "x")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(cold == Map("e:P/a" -> 3.0, "e:P/b" -> 2.0))
+    assert(v3 == Map("e:P/a" -> 5.0, "e:P/b" -> 9.0))
+    // depth cap: a long transact chain must at some point STOP seeding
+    // (bounding lineage; the following frame re-seeds off the fresh base)
+    var g = g3
+    var sawFallback = false
+    var i = 0
+    while (i <= Graph.MaxSeedDepth) {
+      g = Transactor.transact(g, Seq(AssignField("e:P/a", "X", i.toDouble)))._1
+      if (!g.hasCachedLatestValues(g.maxSlice)) sawFallback = true
+      i += 1
+    }
+    assert(sawFallback,
+      "a chain longer than MaxSeedDepth must hit the fresh-aggregation fallback")
+    val deep = g.now.all("P").fieldValue("X", "v_double", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(deep == Map("e:P/a" -> Graph.MaxSeedDepth.toDouble, "e:P/b" -> 9.0))
   }
 
   test("Dot: bounded subgraph DOT + blueprint DOT (graphviz op surface)") {
