@@ -83,7 +83,11 @@ object Misc {
              |FROM events GROUP BY 1 ORDER BY inferred_type""".stripMargin),
       Seq("infer_types", "pattern", "match")),
 
-    // Embedding near-dup pairs, LSH-blocked (rows-only: hash-bucketed).
+    // Embedding near-dup pairs, LSH-blocked. The md5-derived planes make
+    // the blocking deterministic across engines, so the DuckDB oracle
+    // regenerates the SAME candidate set and verifies the SAME pairs —
+    // the approximate pipeline is hash-checked end-to-end, blocking
+    // recall included.
     QueryDef(
       "wr_embedding_near_dups",
       (s, d) => {
@@ -93,7 +97,25 @@ object Misc {
           .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      None,
+      Some(
+        s"""WITH ${Wrangling.annSigCtes},
+           |cand AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.ci = b.ci AND a.cv = b.cv AND a.vec_id < b.vec_id
+           |  GROUP BY 1, 2),
+           |sims AS (
+           |  SELECT c.id_a, c.id_b,
+           |    sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) /
+           |      (sqrt(sum(CAST(ea.embedding[i] AS DOUBLE) ^ 2)) *
+           |       sqrt(sum(CAST(eb.embedding[i] AS DOUBLE) ^ 2))) AS cs
+           |  FROM cand c
+           |  JOIN embeddings ea ON ea.vec_id = c.id_a
+           |  JOIN embeddings eb ON eb.vec_id = c.id_b,
+           |  generate_series(1, 64) AS g(i)
+           |  GROUP BY c.id_a, c.id_b)
+           |SELECT id_a, id_b, round(cs, 4) AS cos_sim
+           |FROM sims WHERE cs >= 0.35 ORDER BY id_a, id_b""".stripMargin),
       Seq("similarity_search", "near_dup", "lsh", "cosine")),
 
     // part/supplier coverage: brand-level stats with a size filter.

@@ -8,11 +8,33 @@ import graft.wrangling.{Dedup, Similarity, TextOps}
   * superset: dedup, similarity search, text analysis) as verifiable
   * queries over `documents` / `embeddings`.
   *
-  * Hash-sensitive ops (MinHash, SimHash, LSH) have no cross-engine oracle —
-  * their SQL-free entries get the driver's rows-only check, and their
-  * semantics are proven in WranglingSpec against exact baselines.
+  * Hash-sensitive ops (MinHash, SimHash, LSH) run their PORTABLE variants
+  * here — md5-derived hashes/planes that DuckDB recomputes — so even the
+  * approximate pipelines are oracle-checked end-to-end (identical blocking,
+  * identical candidates, identical results). The xxhash64 fast paths are
+  * the throughput variants of the same algorithms, spec-verified against
+  * these and against exact baselines.
   */
 object Wrangling {
+
+  /** Shared CTE text for the DuckDB mirrors of the LSH-signature pipeline:
+    * the ±1 plane matrix (driver-derived md5 parity — Similarity.lshPlanes)
+    * inlined as VALUES, per-(vector,bit) projections, 4-bit chunk values.
+    * Both oracles below compose on top of `chunks(vec_id, ci, cv)`. */
+  private[queries] def annSigCtes: String = {
+    val planes = Similarity.lshPlanes(64, 16)
+    val rows = (for { i <- 0 until 16; j <- 0 until 64 }
+      yield s"($i,$j,${planes(i)(j)}.0)").mkString(",")
+    s"""planes(i, j, r) AS (VALUES $rows),
+       |proj AS (
+       |  SELECT e.vec_id, p.i,
+       |    sum(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.r) AS pr
+       |  FROM embeddings e, planes p GROUP BY e.vec_id, p.i),
+       |chunks AS (
+       |  SELECT vec_id, i // 4 AS ci,
+       |    sum(CASE WHEN pr > 0 THEN 1 << (i % 4) ELSE 0 END) AS cv
+       |  FROM proj GROUP BY vec_id, i // 4)""".stripMargin
+  }
 
   /** Memoized IVF coarse quantizer + posting lists per (session, sfDir) —
     * index CONSTRUCTION is a build step amortized across queries (same
@@ -393,36 +415,102 @@ object Wrangling {
              |GROUP BY label ORDER BY label""".stripMargin),
       Seq("similarity_search", "norm", "group_by", "mean")),
 
-    // MinHash-LSH near-dedup — hash-based, rows-only check here; semantics
-    // verified against the exact-Jaccard baseline in WranglingSpec.
+    // MinHash-LSH near-dedup, portable md5 signatures: DuckDB re-runs the
+    // IDENTICAL pipeline (min-md5 sigs → band buckets → exact Jaccard) —
+    // the approximate blocking itself is oracle-checked, not just the
+    // exact verification stage. 16 hashes / 8 bands of 2 rows.
     QueryDef(
       "wr_minhash_lsh",
       (s, d) => {
-        Dedup.minhashDedupPairs(
+        Dedup.minhashDedupPairsPortable(
           Tables.documents(s, d).filter(col("doc_id") < 200),
-          "doc_id", "text", threshold = 0.5, numHashes = 32, bands = 8,
+          "doc_id", "text", threshold = 0.5, numHashes = 16, bands = 8,
           shingleN = 1)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      None,
+      Some {
+        val sigCols = (0 until 16)
+          .map(i => s"min(md5('s$i:' || s)) AS m$i").mkString(", ")
+        val bandVals = (0 until 8)
+          .map(b => s"WHEN $b THEN m${2 * b} || '|' || m${2 * b + 1}")
+          .mkString(" ")
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+           |  FROM documents WHERE doc_id < 200),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b, CASE b $bandVals END AS bv
+           |  FROM sig, generate_series(0, 7) AS g(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.id_a
+           |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+           |  GROUP BY c.id_a, c.id_b),
+           |j AS (
+           |  SELECT id_a, id_b,
+           |    CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jac
+           |  FROM inter
+           |  JOIN sizes na ON na.doc_id = id_a
+           |  JOIN sizes nb ON nb.doc_id = id_b)
+           |SELECT id_a, id_b, round(jac, 6) AS jaccard
+           |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+      },
       Seq("minhash", "lsh", "deduplicate", "near_dup")),
 
-    // SimHash near-dup pairs — rows-only; semantics in WranglingSpec.
+    // SimHash near-dup pairs, portable md5 bit votes: DuckDB recomputes
+    // the IDENTICAL fingerprints (md5 hex-digit bits, tf-weighted votes),
+    // chunk blocking, and hamming — the full approximate pipeline is
+    // oracle-checked. maxDist 7 = the 8-chunk blocking's recall guarantee
+    // (proven in WranglingSpec vs an exact-Hamming cross-join baseline).
     QueryDef(
       "wr_simhash",
       (s, d) => {
-        val fps = Dedup.simhash(
+        val fps = Dedup.simhashPortable(
           Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text")
-        // maxDist 7 = the 8-chunk blocking's recall guarantee (100% recall
-        // proven in WranglingSpec vs an exact-Hamming cross-join baseline).
-        Dedup.simhashPairs(fps, "doc_id", maxDist = 7)
+        Dedup.simhashPairsPortable(fps, "doc_id", maxDist = 7)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None,
+      Some {
+        // vote for bit i: bit (i%4) of hex digit (i/4) of md5(token)
+        val voteCols = (0 until 64).map { i =>
+          s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i"
+        }.mkString(", ")
+        val fpConcat = (0 until 64)
+          .map(i => s"CASE WHEN b_$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+        val hammingSum = (1 to 64)
+          .map(i => s"CASE WHEN substr(ba, $i, 1) <> substr(bb, $i, 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |  FROM documents WHERE doc_id < 300),
+           |d AS (SELECT doc_id, md5(w) AS h FROM tok),
+           |votes AS (SELECT doc_id, $voteCols FROM d GROUP BY doc_id),
+           |fp AS (SELECT doc_id, $fpConcat AS bits FROM votes),
+           |chunks AS (
+           |  SELECT doc_id, bits, ci, substr(bits, ci * 8 + 1, 8) AS cv
+           |  FROM fp, generate_series(0, 7) AS g(ci)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, a.bits AS ba,
+           |                  b.doc_id AS id_b, b.bits AS bb
+           |  FROM chunks a JOIN chunks b
+           |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM (
+           |  SELECT id_a, id_b, $hammingSum AS hamming FROM cand)
+           |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+      },
       Seq("simhash", "deduplicate", "near_dup")),
 
-    // LSH-bucketed ANN — rows-only; recall vs exact verified in spec.
+    // LSH-bucketed ANN: the planes are md5-derived (Similarity.lshPlanes),
+    // so DuckDB recomputes the IDENTICAL signatures, probes the same
+    // buckets, and ranks the same candidates — the approximate search is
+    // oracle-checked as-is, pruning included.
     QueryDef(
       "wr_ann_lsh",
       (s, d) => {
@@ -432,15 +520,34 @@ object Wrangling {
           .getSeq[Float](0).toArray
         Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, dim = 64)
           .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
       },
-      None,
+      Some(
+        s"""WITH $annSigCtes,
+           |qc AS (SELECT ci, cv FROM chunks WHERE vec_id = 1),
+           |cand AS (
+           |  SELECT DISTINCT c.vec_id
+           |  FROM chunks c JOIN qc ON c.ci = qc.ci AND c.cv = qc.cv),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+           |sims AS (
+           |  SELECT e.vec_id,
+           |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+           |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ^ 2)) *
+           |       sqrt(sum(CAST(q.qe[i] AS DOUBLE) ^ 2))) AS cs
+           |  FROM embeddings e JOIN cand USING (vec_id), q,
+           |    generate_series(1, 64) AS g(i)
+           |  GROUP BY e.vec_id)
+           |SELECT vec_id, round(cs, 4) AS cos_sim
+           |FROM (SELECT * FROM sims ORDER BY cs DESC, vec_id LIMIT 10)
+           |ORDER BY cos_sim DESC, vec_id""".stripMargin),
       Seq("similarity_search", "lsh", "ann_topk")),
 
     // IVF-Flat ANN (the coarse-quantizer scale path): k-means posting
-    // lists, query probes the nprobe nearest lists only. nprobe=4 of 8 —
-    // real pruning, so rows-only check here; WranglingSpec proves
-    // nprobe=k degrades to the exact brute-force answer and measures
-    // pruned recall.
+    // lists, query probes the nprobe nearest lists. nprobe = #cells is the
+    // exact endpoint of the recall/latency dial (every posting list
+    // scanned ⇒ brute-force answer regardless of the centroids), which is
+    // what the DuckDB oracle checks; PRUNED probes (nprobe<k) are
+    // spec-verified (recall) and measured in AnnBench.
     QueryDef(
       "wr_ann_ivf",
       (s, d) => {
@@ -449,10 +556,22 @@ object Wrangling {
           .select(col("embedding")).collect()(0)
           .getSeq[Float](0).toArray
         val (cents, index) = ivfFor(s, d)
-        Similarity.ivfTopK(index, "vec_id", "embedding", cents, q, 10, nprobe = 4)
+        Similarity.ivfTopK(index, "vec_id", "embedding", cents, q, 10, nprobe = 8)
           .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
       },
-      None,
+      Some(
+        """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+          |sims AS (
+          |  SELECT e.vec_id,
+          |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+          |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ^ 2)) *
+          |       sqrt(sum(CAST(q.qe[i] AS DOUBLE) ^ 2))) AS cs
+          |  FROM embeddings e, q, generate_series(1, 64) AS g(i)
+          |  GROUP BY e.vec_id)
+          |SELECT vec_id, round(cs, 4) AS cos_sim
+          |FROM (SELECT * FROM sims ORDER BY cs DESC, vec_id LIMIT 10)
+          |ORDER BY cos_sim DESC, vec_id""".stripMargin),
       Seq("similarity_search", "ivf", "ann_topk", "kmeans")),
 
     // Multimodal VIDEO pipeline through the hash gate, mirroring

@@ -105,6 +105,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Portable MinHash-LSH near-dedup: signatures are min-md5 hex STRINGS
+    * (k salted hashes — the wr_minhash_md5_sig machinery), band buckets
+    * compare the RAW concatenated band values (no engine-specific hash in
+    * the path), verification is exact Jaccard. Every stage is reproducible
+    * in any engine with md5, which is what lets the DuckDB oracle run the
+    * identical pipeline end-to-end and hash-match the result. Same plan
+    * shape as [[minhashDedupPairs]] (explode→min-agg, band equi-join,
+    * verify inside blocks); that xxhash64/MinHashAgg path stays the
+    * throughput variant of this algorithm. */
+  def minhashDedupPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 8,
+      shingleN: Int = 1): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val shingled = df.select(col(idCol),
+      explode(TextOps.wordShingles(col(textCol), shingleN)).as("__s"))
+    val mins: Seq[Column] = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"s$i:"), col("__s")).cast("binary"))).as(s"mh_$i"))
+    val sigs = shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+          .as("sig"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
+    val a = banded.select(col(idCol).as("id_a"), col("__b"))
+    val b = banded.select(col(idCol).as("id_b"), col("__b"))
+    val cands = a.join(b, a("__b") === b("__b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardForPairs(df, cands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact all-pairs n-gram Jaccard via shingle inverted index (shingle
     * equi-join, not cross-join): correct baseline the LSH path approximates.
     * Pairs sharing zero shingles never materialize. */
@@ -164,6 +197,51 @@ object Dedup {
     a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Portable SimHash-64: the vote for bit i of a token comes from bit
+    * (i%4) of hex digit (i/4) of md5(token) — engine-portable bit math, so
+    * the DuckDB oracle recomputes identical fingerprints. The fingerprint
+    * is a 64-char '0'/'1' string (bit 0 first): chunkable by substring,
+    * hamming by per-char compare — no 64-bit unsigned arithmetic needed in
+    * either engine. Votes are term-frequency weighted (duplicate tokens
+    * vote repeatedly), matching [[simhash]]. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("__w"))
+      .withColumn("__d", md5(col("__w").cast("binary")))
+    val bitVotes: Seq[Column] = (0 until 64).map { i =>
+      val digit = conv(substring(col("__d"), i / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(digit, i % 4).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"b_$i")
+    }
+    val votes = words.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = concat((0 until 64).map(i =>
+      when(col(s"b_$i") > 0, lit("1")).otherwise(lit("0"))): _*)
+    votes.select(col(idCol), fp.as("simhash_bits"))
+  }
+
+  /** Candidate pairs over portable bitstring fingerprints — same 8-chunk
+    * pigeonhole blocking and recall guarantee as [[simhashPairs]], with
+    * chunks as substrings and hamming as a per-char compare. */
+  def simhashPairsPortable(fps: DataFrame, idCol: String,
+      maxDist: Int = 7): DataFrame = {
+    require(maxDist <= 7,
+      s"simhashPairsPortable: 8-chunk blocking guarantees recall only for maxDist <= 7, got $maxDist")
+    val chunks = fps.select(col(idCol), col("simhash_bits"),
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).as("ci"),
+          substring(col("simhash_bits"), i * 8 + 1, 8).as("cv"))): _*))
+        .as("__c"))
+    val a = chunks.select(col(idCol).as("id_a"), col("simhash_bits").as("ba"), col("__c"))
+    val b = chunks.select(col(idCol).as("id_b"), col("simhash_bits").as("bb"), col("__c"))
+    val hamming = (1 to 64).map(i =>
+      when(substring(col("ba"), i, 1) =!= substring(col("bb"), i, 1), 1)
+        .otherwise(0)).reduce((x, y) => x + y)
+    a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -37,16 +37,32 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign(v · r_i) where r_i is a
-    * deterministic pseudo-random ±1 vector derived from xxhash64(i, dim) —
-    * no RNG state, so executors generate identical planes independently. */
+  /** Deterministic ±1 hyperplane matrix: r_i[j] = parity of the first byte
+    * of md5("p:i:j"). Data-independent, so it is computed ONCE on the
+    * driver and embedded as literals (the previous xxhash64 derivation
+    * re-hashed bits×dim times per ROW at runtime) — and because md5 is
+    * engine-portable, an independent engine (the DuckDB oracle) reproduces
+    * the identical planes, making the whole LSH pipeline exactly
+    * mirrorable (wr_ann_lsh / wr_embedding_near_dups). */
+  def lshPlanes(dim: Int, bits: Int): IndexedSeq[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { i =>
+      Array.tabulate(dim) { j =>
+        md.reset()
+        val d = md.digest(s"p:$i:$j".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · r_i) over the
+    * [[lshPlanes]] matrix; one codegen'd aggregate pass per bit. */
   def lshSignature(vecCol: Column, dim: Int, bits: Int): Column = {
+    val planes = lshPlanes(dim, bits)
     val bitCols = (0 until bits).map { i =>
-      // r_i[j] = ±1 from parity of a hash; dot in one aggregate pass
       val proj = aggregate(
-        zip_with(vecCol, sequence(lit(0), lit(dim - 1)),
-          (x, j) => when(xxhash64(lit(i), j).bitwiseAND(lit(1L)) === 1L,
-            x.cast("double")).otherwise(-x.cast("double"))),
+        zip_with(vecCol, array(planes(i).map(r => lit(r.toDouble)): _*),
+          (x, r) => x.cast("double") * r),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
