@@ -94,6 +94,96 @@ object Streaming {
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-      Seq("dedup_stream", "exactly_once", "drop_duplicates", "subscribe"))
+      Seq("dedup_stream", "exactly_once", "drop_duplicates", "subscribe")),
+
+    // Rx `merge`: two live feeds (clicks, purchases) into one tagged
+    // arrival-order stream, then a windowed per-source rollup — the merged
+    // union is narrow (streams as-is), the aggregate is the same plan in
+    // batch and stream.
+    QueryDef(
+      "stream_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        Streams.merge(Seq(clicks, purchases))
+          .groupBy(col("source"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("source"), col("day"))
+      },
+      Some("""SELECT source, date_trunc('day', ts) AS day, count(*) AS n,
+             |  round(sum(value), 2) AS total
+             |FROM (
+             |  SELECT 0 AS source, ts, value FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT 1 AS source, ts, value FROM events WHERE event_type = 'purchase')
+             |GROUP BY source, day ORDER BY source, day""".stripMargin),
+      Seq("merge", "subscribe", "window_tumbling", "group_by")),
+
+    // Rx `combine_latest` per user: every click/purchase event emits the
+    // latest payload pair once both sides have fired — keyed two-slot
+    // state in one flatMapGroupsWithState pass; the oracle mirrors the
+    // arrival-order semantics with IGNORE NULLS running windows. The time
+    // axis is unix MICROS (exact integers in both engines; the parquet
+    // ns truncate to µs identically).
+    QueryDef(
+      "stream_combine_latest",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id") <= 40)
+          .withColumn("tsus", unix_micros(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tsus"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsus"), col("event_id"))
+        Streams.combineLatest(clicks, purchases, "user_id", "tsus")
+          .toDF().orderBy(col("key"), col("ts"), col("side"))
+      },
+      Some("""WITH u AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS key,
+             |    CAST(epoch_us(ts) AS DOUBLE) AS ts,
+             |    CASE event_type WHEN 'click' THEN 0 ELSE 1 END AS side,
+             |    '{"event_id":' || event_id || '}' AS payload
+             |  FROM events
+             |  WHERE event_type IN ('click', 'purchase') AND user_id <= 40),
+             |o AS (
+             |  SELECT key, ts, side,
+             |    last_value(CASE WHEN side = 0 THEN payload END IGNORE NULLS)
+             |      OVER w AS latest_left,
+             |    last_value(CASE WHEN side = 1 THEN payload END IGNORE NULLS)
+             |      OVER w AS latest_right
+             |  FROM u
+             |  WINDOW w AS (PARTITION BY key ORDER BY ts, side, payload
+             |               ROWS UNBOUNDED PRECEDING))
+             |SELECT key, ts, side, latest_left, latest_right
+             |FROM o
+             |WHERE latest_left IS NOT NULL AND latest_right IS NOT NULL
+             |ORDER BY key, ts, side""".stripMargin),
+      Seq("combine_latest", "subscribe", "stateful", "merge")),
+
+    // Rx `debounce` (event-time, completed source): a view event emits
+    // only when the same user goes quiet for > 1 hour afterwards (the
+    // final event per user always emits). One keyed lead() window; the
+    // streaming-native timer variant (debounceStream) is spec-verified
+    // against this plan.
+    QueryDef(
+      "stream_debounce",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("event_type") === "view")
+          .withColumn("tsus", unix_micros(col("ts")))
+        Streams.debounce(ev, "user_id", "tsus", quiet = 3600000000.0,
+            tieBreak = Seq("event_id"))
+          .select(col("user_id"), col("event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id FROM (
+             |  SELECT user_id, event_id, epoch_us(ts) AS t,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS nxt
+             |  FROM events WHERE event_type = 'view')
+             |WHERE nxt IS NULL OR nxt - t > 3600000000
+             |ORDER BY user_id, event_id""".stripMargin),
+      Seq("debounce", "subscribe", "window", "filter"))
   )
 }

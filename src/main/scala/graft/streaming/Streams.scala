@@ -149,6 +149,137 @@ object Streams {
       }
   }
 
+  // ------------------------------------------------------------------
+  // Rx combinator family (reference op_structs.py:780-824): merge /
+  // combine_latest / debounce. Same design rule as the rest of this
+  // file: ONE DataFrame/Dataset plan serves batch (the DuckDB oracle)
+  // and micro-batch streaming (StreamingSpec).
+  // ------------------------------------------------------------------
+
+  /** Rx `merge`: N streams into one, arrival-order, each row tagged with
+    * its source index (`tagCol`). Schemas union by name, missing columns
+    * null-filled. Narrow — no shuffle, no state — so it streams as-is. */
+  def merge(streams: Seq[DataFrame], tagCol: String = "source"): DataFrame = {
+    require(streams.nonEmpty, "merge of zero streams")
+    streams.zipWithIndex
+      .map { case (df, i) => df.withColumn(tagCol, lit(i)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  final case class Combined(key: String, ts: Double, side: Int,
+      latest_left: String, latest_right: String)
+
+  /** Rx `combine_latest`, keyed: each arriving event updates its side's
+    * latest payload and emits the (left, right) pair — once both sides
+    * have produced at least one value (the Rx gate). Keyed state is two
+    * payload slots, O(1) per key. Same batch==stream contract as
+    * [[asofEnrich]]: within a micro-batch events process in
+    * (ts, side, payload) order, so batch mode (one batch = everything)
+    * reproduces full arrival-order semantics deterministically — which is
+    * what the DuckDB oracle mirrors with an IGNORE NULLS running window. */
+  def combineLatest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String): Dataset[Combined] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def pack(df: DataFrame, side: Int): Dataset[AsofEvent] = {
+      val payloadCols = df.columns.filterNot(c => c == keyCol || c == tsCol)
+      df.select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("double").as("ts"),
+        lit(side).as("side"),
+        to_json(struct(payloadCols.map(col): _*)).as("payload"))
+        .as[AsofEvent]
+    }
+    pack(left, 0).unionByName(pack(right, 1))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Option[String], Option[String]), Combined](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, evs, state: GroupState[(Option[String], Option[String])]) =>
+          var (l, r) = state.getOption.getOrElse(
+            (Option.empty[String], Option.empty[String]))
+          val out = Vector.newBuilder[Combined]
+          evs.toVector.sortBy(e => (e.ts, e.side, e.payload)).foreach { e =>
+            if (e.side == 0) l = Some(e.payload) else r = Some(e.payload)
+            if (l.isDefined && r.isDefined)
+              out += Combined(k, e.ts, e.side, l.get, r.get)
+          }
+          state.update((l, r))
+          out.result().iterator
+      }
+  }
+
+  /** Rx `debounce`, completed-source semantics (event-time): an event
+    * emits iff no later event arrives on the same key within `quiet` (in
+    * the units of `tsCol`, which must be numeric — pass e.g. unix micros);
+    * each key's final event always emits (the source is complete). One
+    * keyed lead() window — the batch face; [[debounceStream]] is the
+    * streaming-native timer variant of the same semantics. `tieBreak`
+    * columns make the per-key order total when `tsCol` alone is not. */
+  def debounce(events: DataFrame, keyCol: String, tsCol: String,
+      quiet: Double, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy((tsCol +: tieBreak).map(c => col(c).asc): _*)
+    events
+      .withColumn("__next", lead(col(tsCol), 1).over(w))
+      .filter(col("__next").isNull ||
+        col("__next").cast("double") - col(tsCol).cast("double") > quiet)
+      .drop("__next")
+  }
+
+  final case class DebEvent(key: String, ts: java.sql.Timestamp, payload: String)
+  final case class Debounced(key: String, ts: java.sql.Timestamp, payload: String)
+
+  /** Streaming-native debounce: keyed state holds the newest pending
+    * event; an arriving event either supersedes it (gap ≤ quiet) or
+    * flushes it (gap > quiet), and an EVENT-TIME TIMER at
+    * pending.ts + quiet flushes it when the watermark passes with nothing
+    * newer — so a quiet key's last event emits without waiting for the
+    * next one. Caller sets the watermark (`withWatermark(tsCol, ...)`);
+    * ms precision (timer API granularity). In batch mode timers never
+    * fire, so each key's trailing pending stays unflushed — batch output
+    * is exactly [[debounce]] minus the per-key final event
+    * (spec-asserted); use [[debounce]] for completed sources. */
+  def debounceStream(events: DataFrame, keyCol: String, tsCol: String,
+      quietMs: Long): Dataset[Debounced] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(events.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"debounceStream: '$tsCol' must be a timestamp (a cast here would " +
+        "strip the caller's watermark metadata)")
+    val payloadCols = events.columns.filterNot(c => c == keyCol || c == tsCol)
+    val packed = events.select(col(keyCol).cast("string").as("key"),
+      col(tsCol).as("ts"),
+      to_json(struct(payloadCols.map(col): _*)).as("payload"))
+      .as[DebEvent]
+    packed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, String), Debounced](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (k, evs, state: GroupState[(Long, String)]) =>
+          if (state.hasTimedOut) {
+            val (pts, pp) = state.get
+            state.remove()
+            Iterator.single(Debounced(k, new java.sql.Timestamp(pts), pp))
+          } else {
+            var pending = state.getOption
+            val out = Vector.newBuilder[Debounced]
+            evs.toVector.sortBy(e => (e.ts.getTime, e.payload)).foreach { e =>
+              pending.foreach { case (pts, pp) =>
+                if (e.ts.getTime - pts > quietMs)
+                  out += Debounced(k, new java.sql.Timestamp(pts), pp)
+              }
+              pending = Some((e.ts.getTime, e.payload))
+            }
+            pending.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(p._1 + quietMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Run any events→DataFrame transform as a real micro-batch stream over
     * the events parquet and collect the final result from a memory sink.
     * `maxFilesPerTrigger=1` keeps it honestly incremental. */

@@ -221,4 +221,98 @@ class StreamingSpec extends AnyFunSuite {
     val plain = Tables.events(spark, sf).count()
     assert(wm == plain)
   }
+
+  // ---- Rx combinator family (merge / combine_latest / debounce) ----
+
+  test("merge: tagged union, arrival order preserved, stream equals batch") {
+    val t = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.merge(Seq(
+        df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase")))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val batch = t(Tables.events(spark, sf))
+      .orderBy("source").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val streamed = Streams.runAsStream(spark, sf, t, "t_merge")
+      .orderBy("source").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(batch.sameElements(streamed) && batch.length == 2)
+    // heterogeneous schemas union by name with null-fill
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "a_only")
+    val b = Seq((2L, 9.9)).toDF("id", "b_only")
+    val m = Streams.merge(Seq(a, b)).orderBy("id").collect()
+    assert(m.length == 2 && m(0).getAs[Any]("b_only") == null &&
+      m(1).getAs[Any]("a_only") == null)
+  }
+
+  test("combine_latest: two-slot keyed state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(String, Double, String)]
+    val rIn = MemoryStream[(String, Double, String)]
+    val q = Streams.combineLatest(
+        lIn.toDF().toDF("k", "t", "lv"), rIn.toDF().toDF("k", "t", "rv"),
+        "k", "t").writeStream
+      .outputMode("append").format("memory").queryName("t_cl").start()
+    // batch 1: only the left side fires — the Rx gate holds, nothing emits
+    lIn.addData(("u", 1.0, "l1"), ("u", 2.0, "l2"))
+    q.processAllAvailable()
+    assert(spark.table("t_cl").isEmpty)
+    // batch 2: right side fires — emits with the LATEST left from batch 1
+    rIn.addData(("u", 3.0, "r1"))
+    q.processAllAvailable()
+    val out1 = spark.table("t_cl").as[Streams.Combined].collect()
+    assert(out1.length == 1)
+    assert(out1(0).latest_left.contains("l2") &&
+      out1(0).latest_right.contains("r1"))
+    // batch 3: every further event emits a pair, either side
+    lIn.addData(("u", 4.0, "l3")); q.processAllAvailable()
+    rIn.addData(("u", 5.0, "r2")); q.processAllAvailable(); q.stop()
+    val out = spark.table("t_cl").as[Streams.Combined].collect()
+      .sortBy(_.ts)
+    assert(out.length == 3)
+    assert(out(1).latest_left.contains("l3") && out(1).latest_right.contains("r1"))
+    assert(out(2).latest_left.contains("l3") && out(2).latest_right.contains("r2"))
+  }
+
+  test("debounceStream: event-time timer flushes the quiet key's pending") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    def ev(sec: Int, u: Long) = TsEvent(
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), u, sec.toDouble)
+    val q = Streams.debounceStream(
+        input.toDF().withWatermark("ts", "0 seconds"),
+        "user_id", "ts", quietMs = 5000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_deb").start()
+    // burst at 0s,2s,4s (each within 5s of the next: all superseded),
+    // then 30s — the 4s event emits because the 30s arrival proves the gap
+    input.addData(ev(0, 1), ev(2, 1), ev(4, 1), ev(30, 1))
+    q.processAllAvailable()
+    val got1 = spark.table("t_deb").as[Streams.Debounced].collect()
+    assert(got1.map(_.ts.getTime % 100000 / 1000).toSet == Set(4L))
+    // the 30s event is pending; a later event on ANOTHER key advances the
+    // watermark past 30s + 5s and the TIMER flushes it (no same-key event)
+    input.addData(ev(59, 2))
+    q.processAllAvailable(); q.stop()
+    val got2 = spark.table("t_deb").as[Streams.Debounced].collect()
+    assert(got2.exists(d => d.key == "1" && d.ts.getTime % 100000 / 1000 == 30L),
+      s"timer did not flush the pending event: ${got2.mkString(",")}")
+  }
+
+  test("debounceStream batch mode = debounce minus each key's trailing event") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0.0, "e1"), ("a", 2.0, "e2"), ("a", 10.0, "e3"), ("a", 30.0, "e4"),
+      ("b", 5.0, "e5")).toDF("k", "t", "v")
+    val completed = Streams.debounce(df, "k", "t", quiet = 5.0)
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(completed == Set("e2", "e3", "e4", "e5"))
+    // batch FMGWS: timers never fire -> trailing pendings (e4, e5) held
+    val streaming = Streams.debounceStream(
+        df.withColumn("t", timestamp_seconds(col("t"))), "k", "t", 5000L)
+      .collect().map(_.payload).toSet
+    assert(streaming.map(p => Seq("e1","e2","e3","e4","e5").find(p.contains).get)
+      == Set("e2", "e3"))
+  }
 }
