@@ -23,6 +23,37 @@ object Bench {
       val s = xs.sorted; s(s.length / 2)
     }
 
+    // Throttle probe: load-confounded runs become SELF-IDENTIFYING.
+    // Per-worker throughput of `cpus` parallel busy loops vs one solo
+    // loop — ~1.0 on an idle machine with >= cpus cores; substantially
+    // >1 under a CPU quota or external load (e.g. ~8 when 32 workers
+    // share 4 effective cores). ~2.5 s total cost.
+    def busyScore(ms: Long): Double = {
+      val end = System.nanoTime() + ms * 1000000L
+      var x = 1L; var n = 0L
+      while (System.nanoTime() < end) {
+        var i = 0
+        while (i < 10000) {
+          x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+        }
+        n += 1
+      }
+      if (x == 42L) print("") // keep the loop observable
+      n.toDouble / ms
+    }
+    val cpuProbeRatio = {
+      busyScore(100) // JIT warm-up
+      val solo = busyScore(400)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(cpus)
+      val futs = (1 to cpus).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Double] {
+          def call(): Double = busyScore(1500)
+        }))
+      val perWorker = futs.map(_.get()).sum / cpus
+      pool.shutdown()
+      solo / perWorker
+    }
+
     // Class 1: bulk load — relational tables → graph encoding, end to end.
     val loadSecs = time {
       val g = graft.core.GraphEncoder.encodeTpchUncached(spark, sfDir)
@@ -49,7 +80,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":${fmt(loadSecs)},"runs_per_query":$runs,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":${fmt(loadSecs)},"runs_per_query":$runs,"cpus":$cpus,"cpu_probe_ratio":${fmt(cpuProbeRatio)}}""")
     spark.stop()
   }
 }

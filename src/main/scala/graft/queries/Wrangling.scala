@@ -595,12 +595,19 @@ object Wrangling {
             val frames = (0 until 5).map { i =>
               Array.fill[Byte](w * h)((base + 4 * i).toByte)
             }
-            MediaRow(id, MediaCodec.encodeVideoY4M(w, h, 25, 1, frames),
-              MediaMeta("video", w, h, 0, 200))
+            // HALF the corpus rides the COMPRESSED container (MJPEG-in-AVI,
+            // real JPEG DCT per frame), half uncompressed y4m — the same
+            // analytic oracle holds for both because JPEG reconstructs
+            // uniform frames exactly (DC-only blocks), so the container
+            // mix is itself under the hash gate.
+            val payload =
+              if (id % 2 == 0) MediaCodec.encodeVideoAviMjpeg(w, h, 25, 1, frames)
+              else MediaCodec.encodeVideoY4M(w, h, 25, 1, frames)
+            MediaRow(id, payload, MediaMeta("video", w, h, 0, 200))
           }
         val feats = Multimodal.extractVideoFeatures(media, frameStride = 1)
         val desc = media.map { r =>
-          val frames = MediaCodec.decodeVideoY4M(r.payload).get._4
+          val frames = MediaCodec.decodeVideo(r.payload).get._4
           val dd = MediaCodec.videoDescriptors(frames)
           (r.media_id, dd(0), dd(2))
         }.toDF("media_id", "mean_luma", "motion")

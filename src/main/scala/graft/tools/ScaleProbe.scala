@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: does each heavy query's wall-time grow ~linearly with
+  * input size? sf0.1 alone cannot catch a candidate-set blowup (LSH
+  * buckets, gather frontiers) that only ignites at larger cardinalities.
+  *
+  * Synthesizes a k× variant of a base sf dir by unioning k DISJOINT
+  * deterministic copies: ids offset per copy, payloads DECORRELATED so
+  * true result sizes grow ~linearly — document copies get per-copy token
+  * suffixes (cross-copy Jaccard 0), embedding copies get a per-copy ±1
+  * sign mask (cross-copy cosine ~0 in expectation) — no artificial
+  * cross-copy near-dup explosion, which would flag every dedup plan as
+  * super-linear by construction. Dims (region/nation) stay fixed.
+  *
+  * Reports per query: median seconds at 1× and k×, and the growth
+  * exponent log(t_k/t_1)/log(k). Exponent ≈ 1 = linear; > ~1.3 flags a
+  * plan whose intermediate sets grow faster than its input.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseDir] [factor] [q1 q2 ...]
+  */
+object ScaleProbe {
+
+  private val DefaultProbes = Seq(
+    "wr_embedding_near_dups", "gql_hook_mutation", "er_infer_nested",
+    "gql_dynamic_field", "graph_gather_2step", "wr_minhash_lsh", "wr_simhash")
+
+  /** Deterministic ±1 sign mask for copy `c` (dimension `dim`) — same
+    * md5-parity derivation family as Similarity.lshPlanes. */
+  private def signMask(c: Int, dim: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { j =>
+      md.reset()
+      val d = md.digest(s"scale:$c:$j".getBytes("UTF-8"))
+      if ((d(0) & 1) == 1) 1 else -1
+    }
+  }
+
+  /** Build the k× dir (idempotent: skipped when the marker exists). */
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_GRAFT_SCALE_OK")
+    if (done.exists()) return
+    val off = 10000000L // all base ids at sf<=1 are far below this
+
+    def replicate(name: String, transform: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$name.parquet")
+      val scaled = (0 until k).map(c => transform(base, c))
+        .reduce(_.unionByName(_))
+      scaled.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    def shiftCols(df: DataFrame, c: Int, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, cn) => d.withColumn(cn, col(cn) + lit(off * c)))
+
+    // dims stay fixed (the realistic shape: fact growth, not dim growth)
+    replicate("region", (df, _) => df)
+    replicate("nation", (df, _) => df)
+    replicate("customer", (df, c) => shiftCols(df, c, Seq("c_custkey")))
+    replicate("supplier", (df, c) => shiftCols(df, c, Seq("s_suppkey")))
+    replicate("part", (df, c) => shiftCols(df, c, Seq("p_partkey")))
+    replicate("orders", (df, c) =>
+      shiftCols(df, c, Seq("o_orderkey", "o_custkey")))
+    replicate("lineitem", (df, c) =>
+      shiftCols(df, c, Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    replicate("events", (df, c) =>
+      shiftCols(df, c, Seq("event_id", "user_id")))
+    replicate("documents", (df, c) => {
+      val shifted = shiftCols(df, c, Seq("doc_id"))
+      if (c == 0) shifted
+      else shifted.withColumn("text", // decorrelate shingles across copies
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$c")))))
+    })
+    replicate("embeddings", (df, c) => {
+      val shifted = shiftCols(df, c, Seq("vec_id"))
+      if (c == 0) shifted
+      else {
+        val mask = array(signMask(c, 64).map(s => lit(s.toFloat)): _*)
+        shifted.withColumn("embedding", // decorrelate cosine across copies
+          zip_with(col("embedding"), mask, (x, s) => x * s))
+      }
+    })
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(3)
+    val probes = if (args.length > 2) args.drop(2).toSeq else DefaultProbes
+    val scaledDir = s"/tmp/graft_scale/x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val spark = graft.GraftSession.local(cpus)
+
+    synthesize(spark, baseDir, scaledDir, factor)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+
+    val defs = graft.queries.Registry.entries.map(q => q.name -> q).toMap
+    val rows = probes.flatMap { name =>
+      defs.get(name) match {
+        case None => println(s"[scale-probe] unknown query: $name"); None
+        case Some(q) =>
+          def run(dir: String): Double = {
+            q.fn(spark, dir).count() // warm-up (primes graph caches)
+            median((1 to runs).map(_ => time(q.fn(spark, dir).count())))
+          }
+          val t1 = run(baseDir)
+          val tk = run(scaledDir)
+          val exp = math.log(tk / t1) / math.log(factor.toDouble)
+          println(f"[scale-probe] $name%-28s t1=$t1%7.3fs t$factor=$tk%7.3fs exponent=$exp%5.2f")
+          Some((name, t1, tk, exp))
+      }
+    }
+    val qs = rows.map { case (n, t1, tk, e) =>
+      f""""$n":{"t1":$t1%.3f,"tk":$tk%.3f,"exponent":$e%.2f}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","queries":$qs,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
