@@ -209,11 +209,15 @@ object Dedup {
     * either engine. Votes are term-frequency weighted (duplicate tokens
     * vote repeatedly), matching [[simhash]]. */
   def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the 16 hex digits are extracted ONCE per token into an array; the 64
+    // vote aggregates then read element_at — not 64 repeated md5/conv chains
     val words = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("__w"))
       .withColumn("__d", md5(col("__w").cast("binary")))
+      .withColumn("__digits", transform(sequence(lit(1), lit(16)),
+        p => conv(substring(col("__d"), p, lit(1)), 16, 10).cast("int")))
     val bitVotes: Seq[Column] = (0 until 64).map { i =>
-      val digit = conv(substring(col("__d"), i / 4 + 1, 1), 16, 10).cast("int")
+      val digit = element_at(col("__digits"), i / 4 + 1)
       sum(when(shiftright(digit, i % 4).bitwiseAND(lit(1)) === 1, 1)
         .otherwise(-1)).as(s"b_$i")
     }

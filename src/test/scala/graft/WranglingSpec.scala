@@ -380,6 +380,45 @@ class WranglingSpec extends AnyFunSuite {
     assert(vf.head.features.sameElements(again2.head.features))
   }
 
+  test("video codec: MJPEG-in-AVI round trip (real JPEG DCT per frame)") {
+    import Multimodal._
+    // uniform frames reconstruct EXACTLY through JPEG (DC-only blocks) —
+    // the property the wr_video_pipeline analytic oracle leans on
+    val frames = (0 until 5).map(i => Array.fill[Byte](8 * 8)((40 + 8 * i).toByte))
+    val avi = MediaCodec.encodeVideoAviMjpeg(8, 8, 25, 1, frames)
+    // it is a real RIFF/AVI file
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val Some((w, h, fps, dec)) = MediaCodec.decodeVideoAviMjpeg(avi)
+    assert(w == 8 && h == 8 && math.abs(fps - 25.0) < 0.01 && dec.size == 5)
+    assert(dec.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // non-uniform content survives within JPEG tolerance (lossy, bounded)
+    val tex = Array.tabulate[Byte](8 * 8)(i => (60 + (i % 8) * 4).toByte)
+    val Some((_, _, _, texDec)) =
+      MediaCodec.decodeVideoAviMjpeg(MediaCodec.encodeVideoAviMjpeg(8, 8, 25, 1, Seq(tex)))
+    val maxErr = texDec.head.zip(tex).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 8, s"JPEG error bound blown: $maxErr")
+    // junk and truncation rejected; dispatching decode picks the container
+    assert(MediaCodec.decodeVideoAviMjpeg("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(MediaCodec.decodeVideo(avi).map(_._4.size).contains(5))
+    assert(MediaCodec.decodeVideo(
+      MediaCodec.encodeVideoY4M(4, 3, 30, 1, Seq(Array.fill[Byte](12)(9))))
+      .map(_._4.size).contains(1))
+    // distributed pipeline over a MIXED-container corpus
+    val s = spark; import s.implicits._
+    val media = Seq(
+      MediaRow(1L, avi, MediaMeta("video", 8, 8, 0, 200)),
+      MediaRow(2L, MediaCodec.encodeVideoY4M(8, 8, 25, 1, frames),
+        MediaMeta("video", 8, 8, 0, 200))).toDS()
+    val vf = Multimodal.extractVideoFeatures(media, frameStride = 1,
+      featureDim = 8).collect().sortBy(_.media_id)
+    assert(vf.length == 2 && vf(0).n_frames == 5 && vf(1).n_frames == 5)
+    // identical content ⇒ identical features regardless of container
+    assert(vf(0).features.zip(vf(1).features).forall {
+      case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
   test("sampling: deterministic rates, domain mix, packing, shards, shuffle") {
     import spark.implicits._
     val n = 4000
