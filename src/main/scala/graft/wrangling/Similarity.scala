@@ -32,9 +32,23 @@ object Similarity {
     val q = array(query.map(v => lit(v)): _*)
     val base = excludeId.fold(embeddings)(id => embeddings.filter(col(idCol) =!= id))
     base
-      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .select(col(idCol),
+        (dot(col(vecCol), q) / (norm(col(vecCol)) * lit(queryNorm(query))))
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** ‖q‖ for a literal query vector, computed ONCE on the driver with the
+    * same left-to-right double accumulation as [[norm]] — bitwise equal to
+    * the in-plan value, so swapping it in changes nothing but the per-row
+    * cost (Catalyst does not constant-fold aggregate() over literals). */
+  private def queryNorm(query: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < query.length) {
+      s += query(i).toDouble * query(i).toDouble; i += 1
+    }
+    math.sqrt(s)
   }
 
   /** Deterministic ±1 hyperplane matrix: r_i[j] = parity of the first byte
@@ -200,7 +214,9 @@ object Similarity {
       .take(nprobe).map(_._2)
     val q = array(query.map(v => lit(v)): _*)
     index.filter(col("__ci").isin(probes: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .select(col(idCol),
+        (dot(col(vecCol), q) / (norm(col(vecCol)) * lit(queryNorm(query))))
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(topK)
   }
@@ -228,12 +244,19 @@ object Similarity {
     val b = exploded.select(col(idCol).as("id_b"), col("__c"))
     val pairIds = a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val vecs = embeddings.select(col(idCol), col(vecCol))
+    // norms precomputed ONCE per vector (same accumulation order as
+    // cosine(), so values are bitwise identical): each candidate pair then
+    // costs one dot-product pass instead of three array aggregates
+    val vecs = embeddings.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__n"))
     pairIds
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        cosine(col("__va"), col("__vb")).as("cos_sim"))
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
