@@ -244,6 +244,9 @@ object Dedup {
     val hamming = (1 to 64).map(i =>
       when(substring(col("ba"), i, 1) =!= substring(col("bb"), i, 1), 1)
         .otherwise(0)).reduce((x, y) => x + y)
+    // hamming BEFORE the distinct: evaluating the 64-term expression per
+    // joined row costs less than shuffling two 64-char fingerprints
+    // through the distinct (measured both ways at sf0.1)
     a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .distinct()
