@@ -274,6 +274,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2).latest_left.contains("l3") && out(2).latest_right.contains("r2"))
   }
 
+  test("combine_latest: batch parity vs window reference on random feeds") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(4242)
+    def feed(tag: String) = (1 to 120).map { i =>
+      (s"k${rnd.nextInt(7)}", rnd.nextInt(50).toDouble, s"$tag$i")
+    }
+    val l = feed("l").toDF("k", "t", "lv")
+    val r = feed("r").toDF("k", "t", "rv")
+    val got = Streams.combineLatest(l, r, "k", "t").collect()
+      .map(c => (c.key, c.ts, c.side, c.latest_left, c.latest_right)).toSet
+    // reference: IGNORE NULLS running last over the tagged union — the
+    // same construction the DuckDB oracle uses, built independently here
+    val u = l.select(col("k").cast("string").as("key"),
+        col("t").cast("double").as("ts"), lit(0).as("side"),
+        to_json(struct(col("lv"))).as("payload"))
+      .unionByName(r.select(col("k").cast("string").as("key"),
+        col("t").cast("double").as("ts"), lit(1).as("side"),
+        to_json(struct(col("rv"))).as("payload")))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("side"), col("payload"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = u
+      .withColumn("ll", last(when(col("side") === 0, col("payload")), true).over(w))
+      .withColumn("lr", last(when(col("side") === 1, col("payload")), true).over(w))
+      .filter(col("ll").isNotNull && col("lr").isNotNull)
+      .select("key", "ts", "side", "ll", "lr").collect()
+      .map(r0 => (r0.getString(0), r0.getDouble(1), r0.getInt(2),
+        r0.getString(3), r0.getString(4))).toSet
+    assert(got == ref, s"sizes: got=${got.size} ref=${ref.size}")
+    assert(got.nonEmpty)
+  }
+
   test("debounceStream: event-time timer flushes the quiet key's pending") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
