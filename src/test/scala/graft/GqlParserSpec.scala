@@ -710,6 +710,43 @@ class GqlParserSpec extends AnyFunSuite {
     })
   }
 
+  test("@hook batch onRemove reads the tombstone set from the before-frame") {
+    import graft.gql.GqlHooks
+    val sdl =
+      """type Acct @hook(onRemove: "auditAll") {
+        |  name: String!
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(sdl)
+    var g = Graph.empty(spark)
+    var calls = 0
+    var seenNames = Set.empty[String]
+    g = GqlHooks.registerBatchHook(g, "auditAll", "audit removed set",
+      ctx => {
+        calls += 1
+        assert(ctx.kind == "onRemove")
+        // the whole removed set is gone in `after`...
+        assert(ctx.after.all("Acct").df
+          .join(ctx.idsDf, "atom_id").count() == 0)
+        // ...and readable as ONE plan in `frame` (= before for onRemove)
+        seenNames = ctx.affected(("Name", "v_str", "nm")).collect()
+          .map(_.getAs[String]("nm")).toSet
+        Nil
+      })._1
+    val (g1, _) = GqlApi.mutate(g, schema,
+      """mutation { addAcct(input: [
+        |  {id: "x", name: "nx"}, {id: "y", name: "ny"},
+        |  {id: "z", name: "nz"}]) }""".stripMargin)
+    assert(calls == 0) // no onCreate hook declared
+    val (g2, _) = GqlApi.mutate(g1, schema,
+      """mutation {
+        |  deleteAcct(filter: {id: "e:Acct/x"})
+        |  deleteAcct(filter: {id: "e:Acct/y"})
+        |}""".stripMargin)
+    assert(calls == 1, "one batch call for the whole removed set")
+    assert(seenNames == Set("nx", "ny"))
+    assert(g2.now.all("Acct").count() == 1)
+  }
+
   test("@hook dedup key includes the type: shared tx-local id fires both hooks") {
     import graft.gql.GqlHooks
     // addA(id:"x") + addB(id:"x") in ONE document: the tx-local input ids
