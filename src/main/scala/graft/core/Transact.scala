@@ -1,7 +1,7 @@
 package graft.core
 
 import java.sql.Timestamp
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-path wishes — the user-facing templates of a transaction
@@ -254,5 +254,105 @@ object Transactor {
     (g2,
       Receipt(receipt.toMap, slice, newAtoms.toSeq, newValues.toSeq,
         terminated.toSeq, newTags.toSeq, ts))
+  }
+
+  /** Distributed BULK field assignment — set-level `set_field` whose delta
+    * is a DATAFRAME. This is the write path for updates that must never
+    * fit a driver wish list (re-scoring every document of a corpus,
+    * stamping a computed field on millions of entities): ONE transaction,
+    * one new slice, and every per-row step stays on the cluster —
+    * missing field-AE/field-relation atoms are found with an anti-join
+    * (no collect), one value row lands per assignment row.
+    *
+    * Completes the write-path triad: [[GraphEncoder]] = bulk ENCODE,
+    * [[transact]] = OLTP wishes, this = bulk UPDATE. The latestValues
+    * cache seeds with the same lazy map-only merge as [[transact]] (the
+    * anti-join replaces the driver isin filter), so as-of reads on the
+    * new frame stay incremental.
+    *
+    * `assignments` needs columns (`owner_id` — atom_id of an existing
+    * entity/relation — and `value`, cast per `vtype` ∈
+    * str/long/double/bool/ts). ONE row per owner: duplicate owners would
+    * land same-slice value rows with an arbitrary max_by winner, so they
+    * are rejected (cheap count-distinct check, not a silent coin flip).
+    * Owners that lack the field get AE + field-relation atoms opened at
+    * this slice; prior values stay readable in earlier frames (as-of).
+    */
+  def assignFieldBulk(g: Graph, assignments: DataFrame, rt: String,
+      vtype: String = "str",
+      ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): Graph = {
+    val spark = g.spark
+    val slice = g.maxSlice + 1
+    val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+    val targetCol = s"v_$vtype"
+    require(vcols.contains(targetCol),
+      s"vtype must be one of str/long/double/bool/ts, got '$vtype'")
+    val castType = vtype match {
+      case "str" => "string"
+      case "long" => "long"
+      case "double" => "double"
+      case "bool" => "boolean"
+      case "ts" => "timestamp"
+    }
+    val a = assignments.select(col("owner_id"), col("value"))
+    val counts = a.agg(count(lit(1)).as("n"),
+      count_distinct(col("owner_id")).as("d")).collect()(0)
+    require(counts.getLong(0) == counts.getLong(1),
+      s"assignFieldBulk: duplicate owner_id rows (${counts.getLong(0)} rows, " +
+        s"${counts.getLong(1)} distinct owners) — one value per owner per tx")
+
+    def aeIdCol = concat(lit(s"ae:$rt/"), col("owner_id"))
+    def relIdCol = concat(lit(s"rel:$rt/"), col("owner_id"))
+
+    // value rows: one per assignment, this slice
+    val deltaCols: Seq[org.apache.spark.sql.Column] =
+      Seq(aeIdCol.as("ae_id"), lit(slice).as("tx_slice"),
+        lit(vtype).as("vtype")) ++
+      vcols.map(c =>
+        if (c == targetCol) col("value").cast(castType).as(c)
+        else lit(null).cast(c match {
+          case "v_str" => "string"; case "v_long" => "long"
+          case "v_double" => "double"; case "v_bool" => "boolean"
+          case "v_ts" => "timestamp"
+        }).as(c))
+    val valuesDelta = a.select(deltaCols: _*)
+
+    // owners whose field AE is not currently alive get AE + field-relation
+    // atoms opened at this slice — ANTI-JOIN against the atoms table, the
+    // distributed analogue of transact's isin-scoped existence check
+    val aliveIds = g.atoms.filter(col("term_slice").isNull)
+      .select(col("atom_id").as("__alive_id"))
+    val missing = a.select(col("owner_id"))
+      .join(aliveIds, aeIdCol === col("__alive_id"), "left_anti")
+    val aeAtoms = missing.select(
+      aeIdCol.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
+      lit(rt).as("atype"), lit(null).cast("string").as("src_id"),
+      lit(null).cast("string").as("dst_id"), lit(slice).as("inst_slice"),
+      lit(null).cast("int").as("term_slice"), aeIdCol.as("origin_uid"))
+    val relAtoms = missing.select(
+      relIdCol.as("atom_id"), lit(Kind.Relation).as("kind"),
+      lit(rt).as("atype"), col("owner_id").as("src_id"),
+      aeIdCol.as("dst_id"), lit(slice).as("inst_slice"),
+      lit(null).cast("int").as("term_slice"), relIdCol.as("origin_uid"))
+
+    import spark.implicits._
+    val g2 = Graph(
+      g.atoms.unionByName(aeAtoms.unionByName(relAtoms)),
+      g.values.unionByName(valuesDelta),
+      g.txs.unionByName(Seq(TxRow(slice, ts)).toDF()),
+      g.tags)
+    // same depth-capped lazy map-only seeding as transact, with the
+    // distributed delta: drop re-assigned AEs by anti-join, union the delta
+    val priorDepth = g.latestValuesDepth(g.maxSlice)
+    if (priorDepth < Graph.MaxSeedDepth) {
+      val base = g.latestValues(g.maxSlice)
+      val merged = base
+        .join(valuesDelta.select(col("ae_id").as("__d_id")),
+          col("ae_id") === col("__d_id"), "left_anti")
+        .unionByName(valuesDelta.drop("vtype"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g2.seedLatestValues(slice, merged, priorDepth + 1)
+    }
+    g2
   }
 }
