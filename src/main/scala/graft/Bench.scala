@@ -72,6 +72,11 @@ object Bench {
           val t = median((1 to runs).map(_ => time(q.fn(spark, sfDir).count())))
           q.name -> t
         } catch { case _: Throwable => q.name -> -1.0 }
+        finally
+          // cache hygiene: drop THIS query's transient derived caches
+          // (shared encoder graphs stay warm) so late-registry queries
+          // measure their plans, not 90 predecessors' eviction churn
+          graft.core.TransientCaches.releaseAll()
       }
 
     // 3-decimal seconds: ms resolution is the noise floor anyway, and the

@@ -47,6 +47,7 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
           (Seq("tx_slice") ++ vcols).map(c => col(s"__v.$c").as(c)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       latestValuesCache.put(slice, df)
+      TransientCaches.trackGraph(this)
       df
     }
   }
@@ -63,10 +64,19 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
       override def removeEldestEntry(
           e: java.util.Map.Entry[Int, DataFrame]): Boolean = {
         val evict = size() > Graph.MaxCachedSlices
-        if (evict) e.getValue.unpersist(false)
+        // only unpersist tables THIS graph pinned: a borrowed seed (the
+        // prior frame's table, passed by reference for a no-new-values tx)
+        // is still the parent graph's live cache
+        if (evict && !borrowedSeeds.contains(e.getKey))
+          e.getValue.unpersist(false)
         evict
       }
     }
+
+  /** Slices whose cached table is a BORROWED reference to another graph's
+    * cache entry (seeded with owned=false) — never unpersisted here. */
+  @transient private lazy val borrowedSeeds =
+    scala.collection.mutable.Set.empty[Int]
 
   private[core] def cachedLatestValues(slice: Int): Option[DataFrame] =
     latestValuesCache.synchronized(Option(latestValuesCache.get(slice)))
@@ -82,13 +92,18 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
     latestValuesCache.synchronized(seededDepth.getOrElse(slice, 0))
 
   /** Pre-populate the cache (incremental view maintenance — see
-    * Transactor.transact): no-op if an entry already exists. */
+    * Transactor.transact): no-op if an entry already exists. `owned=false`
+    * marks a table passed by REFERENCE from another graph's cache (the
+    * no-new-values tx case): it is served from here but never unpersisted
+    * by this instance's eviction or [[releaseDerived]]. */
   private[core] def seedLatestValues(slice: Int, df: DataFrame,
-      depth: Int = 1): Unit =
+      depth: Int = 1, owned: Boolean = true): Unit =
     latestValuesCache.synchronized {
       if (latestValuesCache.get(slice) == null) {
         latestValuesCache.put(slice, df)
         seededDepth(slice) = depth
+        if (!owned) borrowedSeeds += slice
+        TransientCaches.trackGraph(this)
       }
     }
 
@@ -98,10 +113,14 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
     * its seeded latest-values block lingers until the ContextCleaner GCs
     * the abandoned instance). */
   def releaseDerived(): Unit = latestValuesCache.synchronized {
-    val it = latestValuesCache.values().iterator()
-    while (it.hasNext) it.next().unpersist(false)
+    val it = latestValuesCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!borrowedSeeds.contains(e.getKey)) e.getValue.unpersist(false)
+    }
     latestValuesCache.clear()
     seededDepth.clear()
+    borrowedSeeds.clear()
   }
 
   private[graft] def hasCachedLatestValues(slice: Int): Boolean =

@@ -29,10 +29,15 @@ object GraphEncoder {
   private val eventCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Graph]
 
-  private def cached(g: Graph): Graph =
-    Graph(g.atoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+  private def cached(g: Graph): Graph = {
+    val c = Graph(
+      g.atoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       g.values.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       g.txs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // memoized across queries: exempt from between-query cache release
+    TransientCaches.markShared(c)
+    c
+  }
 
   private def nullV = Seq(
     lit(null).cast("string").as("v_str"),

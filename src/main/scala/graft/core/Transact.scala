@@ -231,7 +231,11 @@ object Transactor {
     val priorDepth = g.latestValuesDepth(g.maxSlice)
     if (priorDepth < Graph.MaxSeedDepth) {
       val base = g.latestValues(g.maxSlice) // lazy: a plan until first read
-      if (newValues.isEmpty) g2.seedLatestValues(slice, base, priorDepth)
+      // no new values → the prior frame's table IS this frame's, by
+      // reference; owned=false so g2's release/eviction can't unpersist
+      // the parent graph's live cache out from under it
+      if (newValues.isEmpty)
+        g2.seedLatestValues(slice, base, priorDepth, owned = false)
       else {
         val vcols = Seq("tx_slice", "v_str", "v_long", "v_double", "v_bool", "v_ts")
         // one winner per AE within this tx: all rows share tx_slice, so the
@@ -317,19 +321,26 @@ object Transactor {
         }).as(c))
     val valuesDelta = a.select(deltaCols: _*)
 
-    // owners whose field AE is not currently alive get AE + field-relation
-    // atoms opened at this slice — ANTI-JOIN against the atoms table, the
-    // distributed analogue of transact's isin-scoped existence check
+    // owners whose field AE / field RELATION is not currently alive get the
+    // missing atom(s) opened at this slice — ANTI-JOINs against the atoms
+    // table, the distributed analogue of transact's isin-scoped existence
+    // check. AE and relation are checked INDEPENDENTLY (mirroring PutField):
+    // a cascade-terminate of the owner closes the field relation but leaves
+    // the AE atom alive, so a re-instantiated owner needs only the relation
+    // re-opened — re-opening neither (old behavior) left the assigned value
+    // unreachable via field() reads.
     val aliveIds = g.atoms.filter(col("term_slice").isNull)
       .select(col("atom_id").as("__alive_id"))
-    val missing = a.select(col("owner_id"))
+    val missingAe = a.select(col("owner_id"))
       .join(aliveIds, aeIdCol === col("__alive_id"), "left_anti")
-    val aeAtoms = missing.select(
+    val missingRel = a.select(col("owner_id"))
+      .join(aliveIds, relIdCol === col("__alive_id"), "left_anti")
+    val aeAtoms = missingAe.select(
       aeIdCol.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
       lit(rt).as("atype"), lit(null).cast("string").as("src_id"),
       lit(null).cast("string").as("dst_id"), lit(slice).as("inst_slice"),
       lit(null).cast("int").as("term_slice"), aeIdCol.as("origin_uid"))
-    val relAtoms = missing.select(
+    val relAtoms = missingRel.select(
       relIdCol.as("atom_id"), lit(Kind.Relation).as("kind"),
       lit(rt).as("atype"), col("owner_id").as("src_id"),
       aeIdCol.as("dst_id"), lit(slice).as("inst_slice"),

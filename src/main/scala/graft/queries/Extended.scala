@@ -490,11 +490,14 @@ object Extended {
         // registry entity each call
         val g = dynGraphCache.getOrElseUpdate((s, d), {
           val g0 = GraphEncoder.encodeTpch(s, d)
-          GqlHooks.registerDynamic(g0, "custTier",
+          val reg = GqlHooks.registerDynamic(g0, "custTier",
             "CASE acctbal >= 5000 GOLD; >= 0 STD; else RISK",
             Seq("acctbal"),
             _ => when(col("acctbal") >= 5000.0, "GOLD")
               .when(col("acctbal") >= 0.0, "STD").otherwise("RISK"))._1
+          // memoized across queries → exempt from between-query release
+          graft.core.TransientCaches.markShared(reg)
+          reg
         })
         GqlApi.query(g.now, schema,
           """{ queryCustomer(filter: {segment: {eq: "BUILDING"}},

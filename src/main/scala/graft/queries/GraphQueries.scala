@@ -250,6 +250,40 @@ object GraphQueries {
              |SELECT 'e:User/' || CAST(b.user_id AS VARCHAR) AS user_id
              |FROM b JOIN a USING (user_id) WHERE b.v <> a.v
              |ORDER BY user_id""".stripMargin),
-      Seq("time_travel", "now", "value", "filter", "not_equals"))
+      Seq("time_travel", "now", "value", "filter", "not_equals")),
+
+    // assignFieldBulk end-to-end: the distributed bulk-UPDATE write path
+    // (Transact.scala assignFieldBulk — set-level `set_field` with a
+    // DataFrame delta, anti-join atom discovery, NO collect). One tx stamps
+    // a computed score on every Customer; the result reads BOTH frames of
+    // the new graph — the new field as-of now, the pre-existing acctbal
+    // as-of the bulk-load slice — plus a proof the score is absent in the
+    // earlier frame. The oracle recomputes both frames relationally.
+    QueryDef(
+      "graph_bulk_rescore",
+      (s, d) => {
+        import graft.core.Transactor
+        val g = GraphEncoder.encodeTpch(s, d)
+        val assignments = graft.Tables.customer(s, d).select(
+          GraphEncoder.entityId("Customer", col("c_custkey")).as("owner_id"),
+          (col("c_acctbal") * 2).as("value"))
+        val g2 = Transactor.assignFieldBulk(g, assignments, "score", "double")
+        val after = g2.now.all("Customer")
+          .fieldValue("score", "v_double", "score")
+        val balBefore = g2.at(g.maxSlice).all("Customer")
+          .fieldValue("c_acctbal", "v_double", "bal_before")
+        val s1Rows = g2.at(g.maxSlice).all("Customer")
+          .fieldValue("score", "v_double", "s")
+          .agg(count(lit(1)).as("s1_score_rows"))
+        after.join(balBefore, "atom_id").crossJoin(s1Rows)
+          .select(col("atom_id"), col("bal_before"), col("score"),
+            col("s1_score_rows"))
+          .orderBy(col("atom_id"))
+      },
+      Some("""SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS atom_id,
+             |  c_acctbal AS bal_before, c_acctbal * 2 AS score,
+             |  CAST(0 AS BIGINT) AS s1_score_rows
+             |FROM customer ORDER BY atom_id""".stripMargin),
+      Seq("assign_field_bulk", "set_field", "time_travel", "value"))
   )
 }

@@ -20,6 +20,7 @@ object BenchOne {
       q.fn(spark, sf).count() // warm-up
       val ts = (1 to 3).map(_ => time(q.fn(spark, sf).count())).sorted
       println(f"[bench-one] $n median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      graft.core.TransientCaches.releaseAll() // same hygiene as Bench
     }
     spark.stop()
   }

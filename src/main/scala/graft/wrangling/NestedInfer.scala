@@ -335,9 +335,13 @@ object NestedInfer {
     // persist them like GraphEncoder's bulk-load cache so the flatten +
     // fixpoint lineage executes once, not once per scan
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val atoms = Seq(entities, relAtoms,
-        aeAtoms.dropDuplicates("atom_id"), fieldRels.dropDuplicates("atom_id"))
-      .reduce(_ unionByName _).persist(lvl)
-    Graph(atoms, values.persist(lvl), Seq(TxRow(instSlice, ts)).toDF())
+    // tracked as transient: each toGraph call builds a fresh graph, so a
+    // batch harness releases these between queries (TransientCaches)
+    val atoms = graft.core.TransientCaches.trackTable(
+      Seq(entities, relAtoms,
+          aeAtoms.dropDuplicates("atom_id"), fieldRels.dropDuplicates("atom_id"))
+        .reduce(_ unionByName _).persist(lvl))
+    Graph(atoms, graft.core.TransientCaches.trackTable(values.persist(lvl)),
+      Seq(TxRow(instSlice, ts)).toDF())
   }
 }

@@ -458,4 +458,75 @@ class GraphCoreSpec extends AnyFunSuite {
     // the field relation type does appear as an edge to the AE type node
     assert(bp.contains("""label="Name (1)""""))
   }
+
+  test("assignFieldBulk: new field, reassign, before/after frames") {
+    import spark.implicits._
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Doc", "a"), PutField("a", "Text", "aaaa"),
+      PutEntity("Doc", "b"), PutField("b", "Text", "bb")))
+    // bulk-assign a NEW field: AE + field relation discovered missing by
+    // the anti-join and opened at slice 2
+    val scores = Seq(("e:Doc/a", 4.0), ("e:Doc/b", 2.0))
+      .toDF("owner_id", "value")
+    val g2 = Transactor.assignFieldBulk(g1, scores, "Score", "double")
+    assert(g2.maxSlice == g1.maxSlice + 1)
+    val after = g2.now.all("Doc").fieldValue("Score", "v_double", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after == Map("e:Doc/a" -> 4.0, "e:Doc/b" -> 2.0))
+    // prior frame unaffected (as-of isolation of the bulk write)
+    assert(g2.at(g1.maxSlice).all("Doc").fieldValue("Score", "v_double", "s")
+      .count() == 0)
+    // seeded-cache parity: the incrementally-seeded table answers exactly
+    // like a fresh aggregation on an unseeded twin
+    assert(g2.hasCachedLatestValues(g2.maxSlice))
+    val twin = Graph(g2.atoms, g2.values, g2.txs, g2.tags)
+    val fresh = twin.now.all("Doc").fieldValue("Score", "v_double", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fresh == after)
+
+    // bulk REASSIGN of an existing field: no new atoms, values move
+    val atomsBefore = g2.atoms.count()
+    val g3 = Transactor.assignFieldBulk(g2,
+      Seq(("e:Doc/a", 40.0), ("e:Doc/b", 20.0)).toDF("owner_id", "value"),
+      "Score", "double")
+    assert(g3.atoms.count() == atomsBefore)
+    val v3 = g3.now.all("Doc").fieldValue("Score", "v_double", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(v3 == Map("e:Doc/a" -> 40.0, "e:Doc/b" -> 20.0))
+
+    // duplicate owners are rejected, not silently coin-flipped
+    assertThrows[IllegalArgumentException] {
+      Transactor.assignFieldBulk(g3,
+        Seq(("e:Doc/a", 1.0), ("e:Doc/a", 2.0)).toDF("owner_id", "value"),
+        "Score", "double")
+    }
+  }
+
+  test("assignFieldBulk: re-instantiated owner gets its field relation re-opened") {
+    import spark.implicits._
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Doc", "a"), PutField("a", "Score", 1.0)))
+    // terminate the owner: cascade closes the field RELATION but the AE
+    // atom itself stays alive (it is not a relation of the dead owner)
+    val (g2, _) = Transactor.transact(g1, Seq(TerminateAtom("e:Doc/a")))
+    // re-instantiate the owner only
+    val (g3, _) = Transactor.transact(g2, Seq(PutEntity("Doc", "a")))
+    assert(g3.now.all("Doc").count() == 1)
+    // bulk assign must re-open the field relation (AE alive, rel dead) or
+    // the value lands unreachable
+    val g4 = Transactor.assignFieldBulk(g3,
+      Seq(("e:Doc/a", 9.0)).toDF("owner_id", "value"), "Score", "double")
+    val read = g4.now.all("Doc").fieldValue("Score", "v_double", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(read == Map("e:Doc/a" -> 9.0),
+      "value must be reachable via field() after owner re-instantiation")
+    // and exactly ONE alive relation interval for the field (no duplicate)
+    val aliveRels = g4.atoms.filter(
+      col("atom_id") === "rel:Score/e:Doc/a" && col("term_slice").isNull)
+    assert(aliveRels.count() == 1)
+    // the still-alive AE was NOT duplicated
+    val aliveAes = g4.atoms.filter(
+      col("atom_id") === "ae:Score/e:Doc/a" && col("term_slice").isNull)
+    assert(aliveAes.count() == 1)
+  }
 }
