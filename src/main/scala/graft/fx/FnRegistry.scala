@@ -65,7 +65,13 @@ object FnRegistry {
       .filter(col("tag") === lit(s"fn:$name") && col("tx_slice") <= slice.slice)
       .agg(max_by(col("atom_id"), col("tx_slice")).as("atom_id"))
       .collect().headOption.flatMap(r => Option(r.getString(0)))
-    bound.flatMap { atomId =>
+    bound.filter { atomId =>
+      // the tag may outlive the function: a terminated ZefFunction entity
+      // must not resolve (the old byTag path joined aliveAtoms; keep that
+      // contract here with one scoped aliveness probe)
+      g.atoms.filter(col("atom_id") === lit(atomId) &&
+        Graph.aliveAt(slice.slice)).limit(1).count() > 0
+    }.flatMap { atomId =>
       val srcAe = Transactor.aeId(atomId, "Source", "")
       val hashAe = Transactor.aeId(atomId, "SourceHash", "")
       val m = g.latestValues(slice.slice)

@@ -17,19 +17,37 @@ import graft.wrangling.{Dedup, Similarity, TextOps}
   */
 object Wrangling {
 
+  /** Expands `TOKS(expr)` placeholders in a DuckDB mirror to the exact
+    * SQL analogue of [[TextOps.tokens]]: split on whitespace runs, drop
+    * empty tokens. One definition, spliced everywhere — the two engines'
+    * tokenizations can't drift apart per query. */
+  private[queries] def sqlWithToks(sql: String): String =
+    "TOKS\\(((?:[^()]|\\([^()]*\\))+)\\)".r.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        "list_filter(regexp_split_to_array(" + m.group(1) +
+          ", '\\s+'), t -> t <> '')"))
+
   /** Shared CTE text for the DuckDB mirrors of the LSH-signature pipeline:
     * the ±1 plane matrix (driver-derived md5 parity — Similarity.lshPlanes)
     * inlined as VALUES, per-(vector,bit) projections, 4-bit chunk values.
     * Both oracles below compose on top of `chunks(vec_id, ci, cv)`. */
   private[queries] def annSigCtes: String = {
     val planes = Similarity.lshPlanes(64, 16)
-    val rows = (for { i <- 0 until 16; j <- 0 until 64 }
-      yield s"($i,$j,${planes(i)(j)}.0)").mkString(",")
-    s"""planes(i, j, r) AS (VALUES $rows),
+    // one DOUBLE[] literal per plane; the projection is an ORDER-DETERMINISTIC
+    // left fold (list_reduce) matching Spark's aggregate() accumulation
+    // exactly — an unordered SUM over a join could flip a signature bit on
+    // a projection numerically near zero (float addition isn't associative)
+    val rows = (0 until 16).map(i =>
+      s"($i, CAST([${planes(i).map(v => s"$v.0").mkString(",")}] AS DOUBLE[]))")
+      .mkString(",")
+    s"""planes(i, arr) AS (VALUES $rows),
        |proj AS (
        |  SELECT e.vec_id, p.i,
-       |    sum(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.r) AS pr
-       |  FROM embeddings e, planes p GROUP BY e.vec_id, p.i),
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        j -> CAST(e.embedding[j] AS DOUBLE) * p.arr[j])),
+       |      (acc, x) -> acc + x) AS pr
+       |  FROM embeddings e, planes p),
        |chunks AS (
        |  SELECT vec_id, i // 4 AS ci,
        |    sum(CASE WHEN pr > 0 THEN 1 << (i % 4) ELSE 0 END) AS cv
@@ -121,7 +139,7 @@ object Wrangling {
             round(TextOps.topNgramFraction(col("text"), 2), 6).as("top2gram_frac"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
+      Some(sqlWithToks("""SELECT doc_id,
              |  round(CASE WHEN len(list_filter(string_split(text, chr(10)),
              |        l -> length(l) > 0)) = 0 THEN 0.0
              |    ELSE (len(list_filter(string_split(text, chr(10)), l -> length(l) > 0))
@@ -130,16 +148,16 @@ object Wrangling {
              |      / CAST(len(list_filter(string_split(text, chr(10)),
              |          l -> length(l) > 0)) AS DOUBLE) END, 6) AS dup_line_frac,
              |  round((
-             |    WITH g AS (SELECT list_transform(
-             |        range(0, len(string_split(text, ' ')) - 1),
-             |        i -> string_split(text, ' ')[i + 1] || ' ' ||
-             |             string_split(text, ' ')[i + 2]) AS grams)
+             |    WITH tk AS (SELECT TOKS(text) AS toks),
+             |    g AS (SELECT list_transform(
+             |        range(0, len(toks) - 1),
+             |        i -> toks[i + 1] || ' ' || toks[i + 2]) AS grams FROM tk)
              |    SELECT CASE WHEN len(grams) <= 0 THEN 0.0
              |      ELSE list_max(list_transform(list_distinct(grams),
              |          u -> len(list_filter(grams, x -> x = u))))
              |        / CAST(len(grams) AS DOUBLE) END FROM g
              |  ), 6) AS top2gram_frac
-             |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin),
+             |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin)),
       Seq("repetition_filter", "dup_line_fraction", "top_ngram_fraction",
         "quality_rules")),
 
@@ -202,19 +220,21 @@ object Wrangling {
               col("n_shingles"), 6).as("overlap"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, list_distinct(list_transform(
-             |    range(0, len(string_split(text, ' ')) - 2),
-             |    i -> string_split(text, ' ')[i + 1] || ' ' ||
-             |         string_split(text, ' ')[i + 2] || ' ' ||
-             |         string_split(text, ' ')[i + 3])) AS grams
+      Some(sqlWithToks("""WITH tk AS (
+             |  SELECT doc_id, TOKS(text) AS toks
              |  FROM documents WHERE doc_id <= 100),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(0, len(toks) - 2),
+             |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+             |    AS grams
+             |  FROM tk),
              |flat AS (SELECT doc_id, unnest(grams) AS sh FROM sh),
              |bench AS (SELECT DISTINCT sh FROM flat WHERE doc_id <= 5)
              |SELECT f.doc_id, count(*) AS n_shingles,
              |  round(CAST(count(b.sh) AS DOUBLE) / count(*), 6) AS overlap
              |FROM flat f LEFT JOIN bench b ON f.sh = b.sh
-             |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
+             |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
       Seq("contamination", "decontamination", "ngram_overlap", "semi_join")),
 
     // Token counting + aggregate text stats per language bucket.
@@ -230,12 +250,13 @@ object Wrangling {
             round(avg(TextOps.avgWordLen(col("text"))), 4).as("avg_word_len"))
           .orderBy(col("lang"))
       },
-      Some("""SELECT lang, count(*) AS n_docs,
-             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-             |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-             |  round(avg(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-             |        / len(string_split(text, ' '))), 4) AS avg_word_len
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      Some(sqlWithToks("""WITH tk AS (SELECT lang, TOKS(text) AS toks FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+             |  round(avg(len(toks)), 4) AS avg_tokens,
+             |  round(avg(CAST(list_sum(list_transform(toks, t -> length(t)))
+             |        AS DOUBLE) / len(toks)), 4) AS avg_word_len
+             |FROM tk GROUP BY lang ORDER BY lang""".stripMargin)),
       Seq("token_count", "text_analysis", "group_by", "mean")),
 
     // Per-document quality scoring (LLM corpus filter shape).
@@ -251,20 +272,23 @@ object Wrangling {
             TextOps.qualityScore(col("text"), stop).as("quality"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
-             |  len(string_split(text, ' ')) AS n_tokens,
-             |  round(CAST(len(list_filter(string_split(text, ' '),
+      Some(sqlWithToks("""WITH tk AS (
+             |  SELECT doc_id, text, TOKS(text) AS toks
+             |  FROM documents WHERE doc_id <= 100)
+             |SELECT doc_id,
+             |  len(toks) AS n_tokens,
+             |  round(CAST(len(list_filter(toks,
              |      w -> w IN ('a', 'the'))) AS DOUBLE)
-             |    / len(string_split(text, ' ')), 6) AS stop_ratio,
+             |    / len(toks), 6) AS stop_ratio,
              |  round((
-             |    least(len(string_split(text, ' ')) / 100.0, 1.0)
+             |    least(len(toks) / 100.0, 1.0)
              |    + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
              |        / length(text) * 5.0, 1.0))
-             |    + least(CAST(len(list_filter(string_split(text, ' '),
+             |    + least(CAST(len(list_filter(toks,
              |        w -> w IN ('a', 'the'))) AS DOUBLE)
-             |      / len(string_split(text, ' ')) * 5.0, 1.0)
+             |      / len(toks) * 5.0, 1.0)
              |  ) / 3.0, 6) AS quality
-             |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin),
+             |FROM tk ORDER BY doc_id""".stripMargin)),
       Seq("quality_score", "stopword_ratio", "filter", "text_analysis")),
 
     // Language-ID heuristic applied at scale; oracle mirrors the formula.
@@ -279,15 +303,15 @@ object Wrangling {
       },
       // Same scoring: en/de/es/fr = marker-word hits, zh = CJK char count;
       // argmax, first-wins tie order en,de,es,fr,zh.
-      Some("""WITH scored AS (
+      Some(sqlWithToks("""WITH scored AS (
              |  SELECT lang,
-             |    len(list_filter(string_split(lower(text), ' '),
+             |    len(list_filter(TOKS(lower(text)),
              |      w -> w IN ('the','and','of','to','is','a'))) AS s_en,
-             |    len(list_filter(string_split(lower(text), ' '),
+             |    len(list_filter(TOKS(lower(text)),
              |      w -> w IN ('der','die','das','und','ist','nicht'))) AS s_de,
-             |    len(list_filter(string_split(lower(text), ' '),
+             |    len(list_filter(TOKS(lower(text)),
              |      w -> w IN ('el','la','los','que','es','y'))) AS s_es,
-             |    len(list_filter(string_split(lower(text), ' '),
+             |    len(list_filter(TOKS(lower(text)),
              |      w -> w IN ('le','la','les','est','et','une'))) AS s_fr,
              |    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
              |  FROM documents),
@@ -306,7 +330,7 @@ object Wrangling {
              |    WHEN s_zh > s_en THEN 'zh' ELSE 'en' END AS predicted
              |  FROM scored)
              |SELECT lang, predicted, count(*) AS n FROM pred
-             |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin),
+             |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)),
       Seq("lang_id", "match", "text_analysis")),
 
     // Content fingerprinting: md5 of normalized text (exact-dedup key).
@@ -361,8 +385,9 @@ object Wrangling {
           "doc_id", "text", shingleN = 1, threshold = 0.9)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH sh AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s
-             |            FROM documents WHERE doc_id < 60),
+      Some(sqlWithToks("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(TOKS(text)) AS s
+             |  FROM documents WHERE doc_id < 60),
              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -371,7 +396,7 @@ object Wrangling {
              |  round(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
              |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
              |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.9
-             |ORDER BY id_a, id_b""".stripMargin),
+             |ORDER BY id_a, id_b""".stripMargin)),
       Seq("ngram_jaccard", "deduplicate", "near_dup")),
 
     // Exact cosine top-k against a query vector (ANN brute-force baseline).
@@ -435,8 +460,8 @@ object Wrangling {
         val bandVals = (0 until 8)
           .map(b => s"WHEN $b THEN m${2 * b} || '|' || m${2 * b + 1}")
           .mkString(" ")
-        s"""WITH sh AS (
-           |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+        sqlWithToks(s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct(TOKS(text))) AS s
            |  FROM documents WHERE doc_id < 200),
            |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
@@ -460,7 +485,7 @@ object Wrangling {
            |  JOIN sizes na ON na.doc_id = id_a
            |  JOIN sizes nb ON nb.doc_id = id_b)
            |SELECT id_a, id_b, round(jac, 6) AS jaccard
-           |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin
+           |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)
       },
       Seq("minhash", "lsh", "deduplicate", "near_dup")),
 
@@ -487,8 +512,8 @@ object Wrangling {
         val hammingSum = (1 to 64)
           .map(i => s"CASE WHEN substr(ba, $i, 1) <> substr(bb, $i, 1) THEN 1 ELSE 0 END")
           .mkString(" + ")
-        s"""WITH tok AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        sqlWithToks(s"""WITH tok AS (
+           |  SELECT doc_id, unnest(TOKS(text)) AS w
            |  FROM documents WHERE doc_id < 300),
            |d AS (SELECT doc_id, md5(w) AS h FROM tok),
            |votes AS (SELECT doc_id, $voteCols FROM d GROUP BY doc_id),
@@ -503,7 +528,7 @@ object Wrangling {
            |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b, hamming FROM (
            |  SELECT id_a, id_b, $hammingSum AS hamming FROM cand)
-           |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+           |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin)
       },
       Seq("simhash", "deduplicate", "near_dup")),
 
@@ -641,13 +666,13 @@ object Wrangling {
             min(md5(concat(lit("s3:"), col("sh")).cast("binary"))).as("sig3"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
+      Some(sqlWithToks("""SELECT doc_id,
              |  min(md5('s0:' || sh)) AS sig0, min(md5('s1:' || sh)) AS sig1,
              |  min(md5('s2:' || sh)) AS sig2, min(md5('s3:' || sh)) AS sig3
              |FROM (SELECT doc_id,
-             |        unnest(list_distinct(string_split(text, ' '))) AS sh
+             |        unnest(list_distinct(TOKS(text))) AS sh
              |      FROM documents WHERE doc_id <= 100)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
       Seq("deduplicate", "minhash", "value_hash", "sketch")),
 
     // URL canonicalization (the web-corpus URL-dedup key): synthetic

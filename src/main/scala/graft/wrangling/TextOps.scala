@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization: split on whitespace RUNS and drop empty
+    * tokens, so leading/trailing/consecutive whitespace (tabs, newlines)
+    * never yields phantom "" tokens. The DuckDB oracle mirrors this exactly
+    * (Wrangling.sqlWithToks) — token-set parity holds for arbitrary
+    * whitespace, not just single-spaced text. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= lit(""))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -28,11 +33,12 @@ object TextOps {
       size(filter(split(regexp_replace(text, "[^0-9 ]", ""), " "),
         w => length(w) > lit(0)))
 
-  /** Mean word length, computed exactly for single-space text as
-    * (chars - spaces) / words. */
+  /** Mean word length over the token array (whitespace-shape-independent:
+    * computed from the tokens themselves, not from a chars-minus-spaces
+    * identity that only holds for single-spaced text). */
   def avgWordLen(text: Column): Column =
-    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
-      tokenCount(text).cast("double")
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / tokenCount(text).cast("double")
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =

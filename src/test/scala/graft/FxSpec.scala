@@ -41,6 +41,13 @@ class FxSpec extends AnyFunSuite {
     }
     // the function entity is a real graph atom with history
     assert(g.now.all("ZefFunction").count() == 1)
+    // a TERMINATED function must stop resolving even though its tag row
+    // still points at it (aliveness is part of the lookup contract) —
+    // while the pre-termination frame still resolves it (as-of)
+    val (g2, _) = Transactor.transact(g,
+      Seq(TerminateAtom("e:ZefFunction/only_big")))
+    assert(FnRegistry.lookup(g2.now, "only_big").isEmpty)
+    assert(FnRegistry.lookup(g2.at(g.maxSlice), "only_big").nonEmpty)
   }
 
   test("FlatGraph: collected subgraph preserves traversal + field semantics") {
