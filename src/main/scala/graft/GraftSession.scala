@@ -30,6 +30,11 @@ object GraftSession {
       // rejects; read as long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep side-effect artifacts (managed-table warehouse, Derby
+      // metastore log) out of the working tree — harness hygiene, not a
+      // semantic setting
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
 
   def local(cores: Int = 32): SparkSession = {
     val s = builder(cores).getOrCreate()

@@ -16,6 +16,10 @@ class SqlImportSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
   private lazy val dbUrl: String = {
+    // keep derby.log out of the working tree (Derby writes it to CWD by
+    // default; must be set before the embedded driver initializes)
+    System.setProperty("derby.stream.error.file",
+      System.getProperty("java.io.tmpdir") + "/graft-derby.log")
     val dir = java.nio.file.Files.createTempDirectory("graft_derby").toString
     val url = s"jdbc:derby:$dir/db;create=true"
     val conn = DriverManager.getConnection(url)
