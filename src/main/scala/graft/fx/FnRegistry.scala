@@ -52,31 +52,50 @@ object FnRegistry {
         (g2, h)
     }
 
+  // Graph is immutable (Transactor.transact returns a NEW Graph), so a
+  // (graph-instance, slice, name) resolution can never go stale — memoize
+  // it and the register-once/serve-many server shape resolves warm
+  // functions with ZERO Spark jobs per query. Weak keys let retired graph
+  // versions GC their memo with them.
+  private val lookupMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Graph,
+      scala.collection.concurrent.TrieMap[(Int, String), Option[ZefFunction]]]())
+
   /** Resolve a function by name in a frame (as-of semantics apply: the
     * binding visible in THAT slice). Two cheap reads, not a graph join:
     * the tag table (small) resolves name → atom id, and the field AE ids
     * are deterministic (Transactor id scheme), so source + hash come
     * straight off the cached current-values table as a map-only filter —
-    * no full atoms scan per resolution. */
+    * no full atoms scan per resolution. Memoized per immutable graph
+    * instance (see [[lookupMemo]]). */
   def lookup(slice: GraphSlice, name: String): Option[ZefFunction] = {
+    val memo = lookupMemo.computeIfAbsent(slice.graph,
+      _ => scala.collection.concurrent.TrieMap.empty)
+    memo.getOrElseUpdate((slice.slice, name), lookupUncached(slice, name))
+  }
+
+  private def lookupUncached(slice: GraphSlice, name: String): Option[ZefFunction] = {
     import org.apache.spark.sql.functions.{col, lit, max_by}
     val g = slice.graph
     val bound = g.tags
       .filter(col("tag") === lit(s"fn:$name") && col("tx_slice") <= slice.slice)
       .agg(max_by(col("atom_id"), col("tx_slice")).as("atom_id"))
       .collect().headOption.flatMap(r => Option(r.getString(0)))
-    bound.filter { atomId =>
-      // the tag may outlive the function: a terminated ZefFunction entity
-      // must not resolve (the old byTag path joined aliveAtoms; keep that
-      // contract here with one scoped aliveness probe)
-      g.atoms.filter(col("atom_id") === lit(atomId) &&
-        Graph.aliveAt(slice.slice)).limit(1).count() > 0
-    }.flatMap { atomId =>
+    bound.flatMap { atomId =>
       val srcAe = Transactor.aeId(atomId, "Source", "")
       val hashAe = Transactor.aeId(atomId, "SourceHash", "")
+      // the tag may outlive the function: a terminated ZefFunction entity
+      // must not resolve (the old byTag path joined aliveAtoms). The
+      // aliveness probe rides the SAME job as the value read (cross-join
+      // with a limit-1 alive row: dead atom → empty probe → no rows), so
+      // resolution still costs two Spark jobs, not three.
+      val alive = g.atoms
+        .filter(col("atom_id") === lit(atomId) && Graph.aliveAt(slice.slice))
+        .select(lit(1).as("__alive")).limit(1)
       val m = g.latestValues(slice.slice)
         .filter(col("ae_id").isin(srcAe, hashAe) &&
           col("tx_slice") <= slice.slice)
+        .crossJoin(alive)
         .select("ae_id", "v_str").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       for { s <- m.get(srcAe); h <- m.get(hashAe) }

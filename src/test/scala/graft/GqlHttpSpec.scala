@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Graph
+import graft.gql.{GqlApi, GqlHooks, GqlLite, GqlParser, GqlServer}
+
+/** The HTTP serving surface (reference `simplegql/server2.py:21`): a real
+  * socket round-trip — parsed query documents, a HOOKED mutation advancing
+  * the server's graph, variables, and the error path — each asserted
+  * against the engine-direct result on the same frame.
+  */
+class GqlHttpSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def post(port: Int, body: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:$port/graphql"))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  test("HTTP: hooked mutation + parsed query round-trip matches engine-direct") {
+    val schema = GqlParser.parseSchema(
+      """type Account @hook(onCreate: "stampTierHttp") {
+        |  name: String!
+        |  acctbal: Float
+        |  tier: String
+        |}""".stripMargin)
+    val g0 = GqlHooks.registerBatchHook(Graph.empty(spark), "stampTierHttp",
+      "affected | fields[RT.Acctbal] | set_field[RT.Tier][b >= 5000 ? GOLD : STD] (in-tx)",
+      ctx => ctx.affected(("Acctbal", "v_double", "b")).collect().toSeq
+        .map { r =>
+          val bal = Option(r.getAs[Any]("b"))
+            .map(_.asInstanceOf[Double]).getOrElse(0.0)
+          GqlLite.UpdateEntity(r.getAs[String]("atom_id"),
+            Map("Tier" -> (if (bal >= 5000.0) "GOLD" else "STD")))
+        })._1
+
+    val server = new GqlServer(schema, g0)
+    val port = server.start()
+    try {
+      // 1. hooked mutation over the wire: hook fires INSIDE the tx
+      val mutation =
+        """mutation { addAccount(input: [
+          |  {id: "a1", name: "Ann", acctbal: 9000.0},
+          |  {id: "a2", name: "Bob", acctbal: 100.0}
+          |]) }""".stripMargin
+      val (ms, mbody) = post(port,
+        s"""{"query": "${esc(mutation)}"}""")
+      assert(ms == 200, mbody)
+      assert(mbody.contains(""""addAccount""""))
+      assert(mbody.contains(""""slice":"""))
+      // the server frame advanced exactly one slice and holds the hook's
+      // derived field
+      assert(server.graph.maxSlice == g0.maxSlice + 1,
+        "hook writes must land in the SAME transaction")
+
+      // 2. parsed query over the wire == engine-direct on the same frame
+      val queryText =
+        "{ queryAccount(order: {asc: name}) { id name acctbal tier } }"
+      val (qs, qbody) = post(port, s"""{"query": "${esc(queryText)}"}""")
+      assert(qs == 200, qbody)
+      val direct = GqlApi.query(server.graph.now, schema, queryText)
+        .toJSON.collect()
+      val expected = s"""{"data":{"queryAccount":[${direct.mkString(",")}]}}"""
+      assert(qbody == expected)
+      assert(qbody.contains(""""tier":"GOLD"""") &&
+        qbody.contains(""""tier":"STD""""))
+
+      // 3. variables flow through the wire exactly like the in-process API
+      val varQuery =
+        """query Q($min: Float) {
+          |  queryAccount(filter: {acctbal: {ge: $min}}) { name }
+          |}""".stripMargin
+      val (vs, vbody) = post(port,
+        s"""{"query": "${esc(varQuery)}", "variables": {"min": 5000.0}}""")
+      assert(vs == 200, vbody)
+      assert(vbody.contains("Ann") && !vbody.contains("Bob"))
+
+      // 4. malformed document → 400 with a structured error, server alive
+      val (es, ebody) = post(port, """{"query": "query { nope }"}""")
+      assert(es == 400 && ebody.contains("\"errors\""))
+      val (es2, _) = post(port, s"""{"query": "${esc(queryText)}"}""")
+      assert(es2 == 200, "server must survive a failed request")
+    } finally server.stop()
+  }
+}
