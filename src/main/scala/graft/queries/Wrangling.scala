@@ -291,6 +291,52 @@ object Wrangling {
              |FROM tk ORDER BY doc_id""".stripMargin)),
       Seq("quality_score", "stopword_ratio", "filter", "text_analysis")),
 
+    // Learned corpus filter end-to-end (the CCNet/fasttext shape behind
+    // production quality classifiers): REAL mllib training + map-only
+    // scoring, oracle-checked by construction. Each document carries a
+    // planted class marker token (by doc_id parity), so the two classes
+    // are linearly separable with a wide margin: a correctly wired
+    // featurize→train→score pipeline recovers the planted labels exactly
+    // (and confidently), while a broken hash featurizer, label index, or
+    // coefficient broadcast diverges. Training is deterministic (LBFGS
+    // from zero init, no sampling); the oracle replays the planted rule
+    // relationally. The survivor filter exercises the threshold semantics
+    // a corpus filter runs at 100 TB — scoring is map-only (broadcast
+    // coefficients, no shuffle), so the plan scales like a scan.
+    QueryDef(
+      "wr_classifier_score",
+      (s, d) => {
+        import graft.wrangling.TextClassifier
+        val marked = Tables.documents(s, d).withColumn("mtext",
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" qzkeepsig"))
+              .otherwise(lit(" qzdropsig"))))
+        // the labeled fixture is ~200 rows: 1 partition makes each LBFGS
+        // iteration one task instead of a 32-way treeAggregate of crumbs
+        // (at real scale the training set is big and stays partitioned;
+        // scoring — the 100 TB leg — is unaffected either way)
+        val train = marked.filter(col("doc_id") < 200).withColumn("label",
+          when(col("doc_id") % 2 === 0, lit("keep")).otherwise(lit("drop")))
+          .repartition(1)
+        val model = TextClassifier.train(train, "mtext", "label",
+          numFeatures = 1 << 12, maxIter = 12)
+        // pin the narrow scored projection before filtering on it:
+        // a filter on a derived column otherwise pushes through the
+        // projection and re-evaluates the featurize+score chain per
+        // reference (2-3× the scoring cost — the dominant term)
+        val scored = graft.core.TransientCaches.trackTable(
+          model.score(marked, "mtext")
+            .select(col("doc_id"), col("predicted"), col("confidence"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        scored
+          .filter(col("predicted") === "keep" && col("confidence") >= 0.6)
+          .select(col("doc_id"), col("predicted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'keep' AS predicted FROM documents
+             |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin),
+      Seq("quality_classifier", "train", "score", "filter")),
+
     // Language-ID heuristic applied at scale; oracle mirrors the formula.
     QueryDef(
       "wr_langid",

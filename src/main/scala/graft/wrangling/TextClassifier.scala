@@ -62,13 +62,19 @@ object TextClassifier {
       when(col(labelCol).cast("string") === l, lit(idx(l).toDouble))
         .otherwise(acc)
     }
+    // materialize featurization once — every LBFGS iteration re-reads the
+    // training set, and re-running the tokenize/shingle/hash chain per
+    // iteration dwarfs the actual gradient work
     val feats = new HashingTF().setInputCol("__grams")
       .setOutputCol("features").setNumFeatures(numFeatures)
       .transform(df.withColumn("__grams", featureGrams(col(textCol))))
       .select(labelExpr.as("label"), col("features"))
-    val lr = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam).setElasticNetParam(0.0)
-      .setFamily(if (labels.size > 2) "multinomial" else "binomial")
-    TextModel(lr.fit(feats), labels, numFeatures)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lr = new LogisticRegression()
+        .setMaxIter(maxIter).setRegParam(regParam).setElasticNetParam(0.0)
+        .setFamily(if (labels.size > 2) "multinomial" else "binomial")
+      TextModel(lr.fit(feats), labels, numFeatures)
+    } finally feats.unpersist(false)
   }
 }
