@@ -184,6 +184,127 @@ object Streaming {
              |  FROM events WHERE event_type = 'view')
              |WHERE nxt IS NULL OR nxt - t > 3600000000
              |ORDER BY user_id, event_id""".stripMargin),
-      Seq("debounce", "subscribe", "window", "filter"))
+      Seq("debounce", "subscribe", "window", "filter")),
+
+    // Graph subscriptions over the durable CDC feed (zef `on[assigned[...]]`
+    // / `on[terminated[...]]`, impl.py:238-360): a weekly transact sequence
+    // replays January's purchases onto a graph — each tx assigns every
+    // active user's latest Spend and appends its delta to the tx-log feed
+    // via GraphFeed — then a final tx terminates low spenders. The
+    // subscription plans here read the feed directory in BATCH; the spec
+    // tails the same directory as a real micro-batch stream through the
+    // same GraphSubscriptions builders and asserts stream == batch. The
+    // oracle replays the whole pipeline relationally from `events`:
+    // week buckets are calendar-derived (map-only, no global window),
+    // slice numbers are the deterministic tx order (week w → slice w,
+    // termination → slice 6), and atom ids follow the deterministic id
+    // scheme — so a subscription that dropped, duplicated, or misattributed
+    // an event diverges from the DuckDB replay.
+    QueryDef(
+      "stream_graph_on",
+      (s, d) => {
+        val (_, feedDir) = graphFeedFor(s, d)
+        val values = s.read
+          .schema(org.apache.spark.sql.Encoders.product[graft.core.ValueRow].schema)
+          .parquet(s"$feedDir/values")
+        val atoms = s.read
+          .schema(org.apache.spark.sql.Encoders.product[graft.core.AtomRow].schema)
+          .parquet(s"$feedDir/atoms")
+        val closures = s.read.schema(graft.streaming.GraphFeed.closureSchema)
+          .parquet(s"$feedDir/closures")
+        val assigned = graft.streaming.GraphSubscriptions
+          .onAssigned(values, atoms, "Spend")
+          .select(col("event"), col("atom_id"),
+            col("tx_slice").cast("int").as("tx_slice"),
+            col("v_double").as("value"))
+        val terminated = graft.streaming.GraphSubscriptions
+          .onTerminatedClosures(closures, "User")
+          .select(col("event"), col("atom_id"),
+            col("tx_slice").cast("int").as("tx_slice"),
+            lit(null).cast("double").as("value"))
+        assigned.unionByName(terminated)
+          .orderBy(col("event"), col("atom_id"), col("tx_slice"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CAST(datediff('day', DATE '2024-01-01',
+             |      CAST(date_trunc('week', ts) AS DATE)) // 7 + 1 AS INT) AS q
+             |  FROM events WHERE event_type = 'purchase' AND user_id <= 30),
+             |wk AS (
+             |  SELECT user_id, q, value FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, q
+             |      ORDER BY ts DESC, event_id DESC) AS rn FROM p)
+             |  WHERE rn = 1),
+             |fin AS (
+             |  SELECT user_id, value FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY q DESC) AS rn FROM wk)
+             |  WHERE rn = 1)
+             |SELECT * FROM (
+             |  SELECT 'assigned' AS event,
+             |    'ae:Spend/e:User/' || CAST(user_id AS VARCHAR) AS atom_id,
+             |    q AS tx_slice, value
+             |  FROM wk
+             |  UNION ALL
+             |  SELECT 'terminated', 'e:User/' || CAST(user_id AS VARCHAR),
+             |    6, CAST(NULL AS DOUBLE)
+             |  FROM fin WHERE value < 100.0
+             |) ORDER BY event, atom_id, tx_slice""".stripMargin),
+      Seq("on", "assigned", "terminated", "subscribe", "cdc", "transact"))
   )
+
+  /** Memoized per (session, sfDir): the CDC feed directory built by a
+    * 6-tx replay of January's purchases (5 weekly Spend assignments +
+    * one termination tx), plus the final graph. The driver loop is
+    * bounded by construction: ≤31 users × 5 weeks of wishes. */
+  private val graphFeedCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (graft.core.Graph, String)]
+  private[graft] def graphFeedFor(s: org.apache.spark.sql.SparkSession,
+      d: String): (graft.core.Graph, String) =
+    graphFeedCache.getOrElseUpdate((s, d), {
+      import graft.core._
+      import graft.streaming.GraphFeed
+      val feedDir = s"/tmp/graft_feed/${Integer.toHexString(d.hashCode)}"
+      val root = java.nio.file.Paths.get(feedDir)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val weekly = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") <= 30)
+        .withColumn("q", (datediff(date_trunc("week", col("ts")),
+          lit("2024-01-01")) / 7 + 1).cast("int"))
+        .groupBy(col("user_id"), col("q"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      var g = Graph.empty(s)
+      for (w <- 1 to 5) {
+        val wishes = weekly.filter(_._2 == w).sortBy(_._1).flatMap {
+          case (uid, _, v) => Seq(
+            PutEntity("User", uid.toString),
+            PutField(uid.toString, "Spend", v))
+        }.toSeq
+        val (g2, r) = Transactor.transact(g, wishes)
+        GraphFeed.appendDelta(feedDir, r, s)
+        g = g2
+      }
+      val finals = weekly.groupBy(_._1).map { case (uid, rows) =>
+        uid -> rows.maxBy(_._2)._3 }
+      val doomed = finals.filter(_._2 < 100.0).keys.toSeq.sorted
+      val (g2, r) = Transactor.transact(g,
+        doomed.map(uid => TerminateAtom(s"e:User/$uid")))
+      GraphFeed.appendDelta(feedDir, r, s)
+      g = g2
+      // a sub-feed with no rows writes no files — materialize the three
+      // directories so batch and stream readers (explicit schemas) see an
+      // empty table instead of a missing path
+      Seq("atoms", "values", "closures").foreach(sub =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(feedDir, sub)))
+      TransientCaches.markShared(g)
+      (g, feedDir)
+    })
 }

@@ -188,6 +188,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(0).getAs[String]("event") == "terminated")
   }
 
+  test("stream_graph_on: live CDC tail equals the registered batch face") {
+    import graft.streaming.GraphFeed
+    // the registered query's batch answer over its own feed directory
+    val batch = graft.queries.Registry.queries("stream_graph_on")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val (_, feedDir) = graft.queries.Streaming.graphFeedFor(spark, sf)
+    // tail the SAME directory as a real micro-batch stream (one tx file
+    // per trigger) through the same subscription builders
+    val atomsStatic = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[AtomRow].schema)
+      .parquet(s"$feedDir/atoms")
+    val qa = GraphSubscriptions
+      .onAssigned(GraphFeed.valueFeed(spark, feedDir), atomsStatic, "Spend")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sgo_assigned").start()
+    qa.processAllAvailable(); qa.stop()
+    val qt = GraphSubscriptions
+      .onTerminatedClosures(GraphFeed.closureFeed(spark, feedDir), "User")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sgo_term").start()
+    qt.processAllAvailable(); qt.stop()
+    val streamed =
+      spark.table("t_sgo_assigned")
+        .select(col("event"), col("atom_id"),
+          col("tx_slice").cast("int"), col("v_double")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          Some(r.getDouble(3)))) ++
+      spark.table("t_sgo_term")
+        .select(col("event"), col("atom_id"), col("tx_slice").cast("int"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          None: Option[Double]))
+    assert(batch.nonEmpty)
+    assert(streamed.sortBy(t => (t._1, t._2, t._3)).toSeq ==
+      batch.sortBy(t => (t._1, t._2, t._3)).toSeq)
+  }
+
   test("session windows run streaming-native with a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
