@@ -427,6 +427,52 @@ object Relational {
       Some("""SELECT date_trunc('month', o_orderdate) AS month,
              |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS monthly_total
              |FROM orders GROUP BY 1 ORDER BY month""".stripMargin),
-      Seq("time", "to_graph_slice", "group_by"))
+      Seq("time", "to_graph_slice", "group_by")),
+
+    // zef: explain[VT] (implementation_typing_functions.py:10335) — WHY a
+    // value fails a composite type, as data, evaluated distributed. The
+    // DuckDB mirror reconstructs the same branch messages as CASE arms in
+    // the same flattening order (union header, union legs, complement),
+    // so a diagnostic that misattributes the failing branch diverges.
+    QueryDef(
+      "vt_explain",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.VT
+        val vt = (VT.Between(1L, 1500L) | VT.InSet(9999L)) &
+          !VT.Is(_ % 13 === 0, "MultipleOf13")
+        ord(s, d)
+          .filter($"o_orderkey" <= 2000)
+          .select($"o_orderkey", vt.explain($"o_orderkey").as("e"))
+          .select($"o_orderkey",
+            $"e.is_a".as("is_a"),
+            $"e.specified_type".as("spec_type"),
+            $"e.actual_type".as("actual_type"),
+            concat_ws("; ", $"e.explanation").as("why"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  (o_orderkey BETWEEN 1 AND 1500 OR o_orderkey = 9999)
+             |    AND NOT (o_orderkey % 13 = 0) AS is_a,
+             |  'Intersection[Union[Between[1, 1500] | SetOf[9999]] & Complement[MultipleOf13]]' AS spec_type,
+             |  'bigint' AS actual_type,
+             |  coalesce(concat_ws('; ',
+             |    CASE WHEN o_orderkey BETWEEN 1 AND 1500 OR o_orderkey = 9999
+             |         THEN NULL
+             |         ELSE '$: value ' || o_orderkey ||
+             |           ' matched no alternative of Union[Between[1, 1500] | SetOf[9999]]' END,
+             |    CASE WHEN o_orderkey BETWEEN 1 AND 1500 OR o_orderkey = 9999
+             |         THEN NULL
+             |         ELSE '$: value ' || o_orderkey || ' is not Between[1, 1500]' END,
+             |    CASE WHEN o_orderkey BETWEEN 1 AND 1500 OR o_orderkey = 9999
+             |         THEN NULL
+             |         ELSE '$: value ' || o_orderkey || ' is not SetOf[9999]' END,
+             |    CASE WHEN o_orderkey % 13 = 0
+             |         THEN '$: value ' || o_orderkey ||
+             |           ' matched complemented type MultipleOf13'
+             |         ELSE NULL END), '') AS why
+             |FROM orders WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey""".stripMargin),
+      Seq("explain", "is_a", "Union", "Intersection", "Complement"))
   )
 }

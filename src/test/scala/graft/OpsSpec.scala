@@ -28,6 +28,49 @@ class OpsSpec extends AnyFunSuite {
       Pattern("_1" -> InSet("a", "b"), "_2" -> Between(0, 10))).count() == 1)
   }
 
+  test("explain[VT]: mismatch diagnostics as data (impl.py:10335)") {
+    val s = spark; import s.implicits._
+    val vt = Between(1, 50) & !InSet(13) & Is(_ % 2 === 0, "Even")
+    val ex = Seq(4L, 13L, 60L).toDF("x")
+      .select($"x", vt.explain($"x").as("e")).orderBy("x").collect()
+      .map(r => (r.getLong(0), r.getStruct(1)))
+      .toMap
+    // matching value: is_a true, empty explanation, types rendered
+    assert(ex(4L).getBoolean(0))
+    assert(ex(4L).getSeq[String](3).isEmpty)
+    assert(ex(4L).getString(1) ==
+      "Intersection[Between[1, 50] & Complement[SetOf[13]] & Even]")
+    assert(ex(4L).getString(2) == "bigint")
+    // 13 fails TWO legs — only failing branches speak (filter_success)
+    assert(!ex(13L).getBoolean(0))
+    assert(ex(13L).getSeq[String](3) == Seq(
+      "$: value 13 matched complemented type SetOf[13]",
+      "$: value 13 is not Even"))
+    // 60 fails the range leg only
+    assert(ex(60L).getSeq[String](3) == Seq("$: value 60 is not Between[1, 50]"))
+
+    // a failed Union explains every alternative, header first
+    val u = Between(1, 5) | InSet(99)
+    val eu = Seq(7L).toDF("x").select(u.explain($"x").as("e"))
+      .collect()(0).getStruct(0)
+    assert(eu.getSeq[String](3) == Seq(
+      "$: value 7 matched no alternative of Union[Between[1, 5] | SetOf[99]]",
+      "$: value 7 is not Between[1, 5]",
+      "$: value 7 is not SetOf[99]"))
+
+    // Pattern: missing key is its own rule; nested paths extend with .field
+    val sdf = Seq((1, Some("a"), 5), (2, Option.empty[String], 50))
+      .toDF("id", "f1", "f2")
+      .select($"id", struct($"f1", $"f2").as("st"))
+    val pvt = Pattern("f1" -> InSet("a", "b"), "f2" -> Between(0, 10))
+    val ep = sdf.select($"id", pvt.explain($"st").as("e")).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getStruct(1))).toMap
+    assert(ep(1).getBoolean(0) && ep(1).getSeq[String](3).isEmpty)
+    assert(ep(2).getSeq[String](3) == Seq(
+      "$.f1: missing or null key",
+      "$.f2: value 50 is not Between[0, 10]"))
+  }
+
   test("matchOn: first matching case wins") {
     val s = spark; import s.implicits._
     val df = Seq(1, 7, 30, -2).toDF("x")
