@@ -62,6 +62,18 @@ object GraphStore {
     * memory at the target scale (~100 TB / 1 GiB ⇒ O(100k); the 64 default
     * is a local-mode figure, not cluster guidance).
     */
+  /** The sizing rule the round-7 BucketBench probe validated in both
+    * directions (BASELINE.md): one bucket ≈ `targetBucketBytes` of table
+    * data. Too few buckets and a `values` bucket outgrows executor
+    * memory; too many and the small-files tax inverts the win (probe:
+    * 1000 buckets over 376 MiB wrote 8× slower than plain and made the
+    * co-located join SLOWER than the shuffling layout). sf0.1-scale data
+    * lands at the local default; 100 TB lands at O(100k). */
+  def bucketCountFor(totalBytes: Long,
+      targetBucketBytes: Long = 1L << 30): Int =
+    math.max(1, ((totalBytes + targetBucketBytes - 1) /
+      targetBucketBytes)).toInt
+
   def saveBucketed(g: Graph, prefix: String, numBuckets: Int = 64,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     if (mode == SaveMode.Overwrite)
