@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xmx is a cap, not a reservation. 8g proved too small for the full
+  // 99-query bench: ~5 GB of unified memory thrashes once the shared
+  // graph-encode caches exceed it, and every cache-leaning query pays
+  // disk-deserialize churn (measured: whole bench 303.8 s at 8g vs
+  // 51.7 s at 24g, same 4 cores — gql_parsed_nested alone 65 s → 2.1 s).
+  // The harness machine has 128 GiB; size the single local JVM like the
+  // executor fleet it stands in for.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -3,14 +3,17 @@ package graft.tools
 import graft._
 
 /** Focused timing for the named queries: 1 warm-up + 3 timed runs, median,
-  * against SPARK_GRAFT_SF_DIR (default sf0.1) at local[32] — the same
-  * protocol as Bench but only for the queries under the knife.
+  * against SPARK_GRAFT_SF_DIR (default sf0.1) — the same protocol AND the
+  * same SPARK_GRAFT_CPUS sizing as Bench (a hardcoded local[32] here made
+  * "isolated" numbers incomparable on CPU-quota'd builder machines: 32
+  * task threads thrashing ~4 effective cores).
   * Run: sbt "runMain graft.tools.BenchOne <names...>" */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: BenchOne <query names...>")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local(32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.local(cpus)
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
