@@ -265,7 +265,11 @@ object Streaming {
     graphFeedCache.getOrElseUpdate((s, d), {
       import graft.core._
       import graft.streaming.GraphFeed
-      val feedDir = s"/tmp/graft_feed/${Integer.toHexString(d.hashCode)}"
+      // pid-salted: the builder deletes and rebuilds this directory, so
+      // two JVMs sharing a plain sfDir-keyed path (e.g. a driver Verify
+      // overlapping a bench) would clobber each other's live feed
+      val feedDir = s"/tmp/graft_feed/p${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(d.hashCode)
       val root = java.nio.file.Paths.get(feedDir)
       if (java.nio.file.Files.exists(root)) {
         java.nio.file.Files.walk(root)

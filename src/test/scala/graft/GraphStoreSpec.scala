@@ -135,6 +135,16 @@ class GraphStoreSpec extends AnyFunSuite {
       == Seq("e:Person/c"))
   }
 
+  test("bucketCountFor: one bucket per ~target bytes, never zero") {
+    val GiB = 1L << 30
+    assert(GraphStore.bucketCountFor(0) == 1)
+    assert(GraphStore.bucketCountFor(1) == 1)
+    assert(GraphStore.bucketCountFor(GiB) == 1)
+    assert(GraphStore.bucketCountFor(GiB + 1) == 2)
+    assert(GraphStore.bucketCountFor(100L * 1024 * GiB) == 100 * 1024)
+    assert(GraphStore.bucketCountFor(10L * GiB, targetBucketBytes = GiB / 4) == 40)
+  }
+
   test("bucketed store: semantics parity + co-located plans with no Exchange") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutField("joe", "Name", "Joe"),
