@@ -22,23 +22,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet; with
-    * spark.sql.legacy.parquet.nanosAsLong=true it loads as long ns —
-    * normalize to a microsecond TimestampType column (lossless here: the
-    * generator emits µs-precision values). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType.typeName match {
-      // nanos → micros by INTEGER division: `/` on longs is double division
-      // in Spark SQL, and a double cannot hold 2024-epoch nanoseconds
-      // exactly (53-bit mantissa) — the ±hundreds-of-ns error shows up as
-      // off-by-one-microsecond timestamps under µs-exact comparisons
-      case "long" => raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case _ => raw
-    }
-  }
+  /** events.ts normalized to session-zoned TimestampType whatever the
+    * parquet encoding. The driver has shipped the column as
+    * TIMESTAMP(NANOS) (loads as long ns under
+    * spark.sql.legacy.parquet.nanosAsLong) and as timestamp[us] (loads as
+    * TIMESTAMP_NTZ in Spark 4) across rounds — TimeAxis.normalize handles
+    * both: ns-long via INTEGER µs division (`/` on longs is double
+    * division in Spark SQL, and a double cannot hold 2024-epoch
+    * nanoseconds exactly — 53-bit mantissa — so the ±hundreds-of-ns error
+    * shows up as off-by-one-µs timestamps under µs-exact comparisons),
+    * NTZ via an instant-preserving cast (session TZ is UTC). */
+  def events(s: SparkSession, d: String): DataFrame =
+    graft.ops.TimeAxis.normalize(table(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

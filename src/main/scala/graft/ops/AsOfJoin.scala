@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Most recent right row with `right.rightTime <= left.leftTime`.
-    * `toleranceSec` (seconds, compared on the time axis cast to double —
-    * epoch seconds for timestamps, identity for numerics) drops matches
-    * further back than the bound, like merge_asof's `tolerance`. */
+    * `toleranceSec` (on the TimeAxis.seconds scale — epoch seconds for
+    * timestamp / timestamp_ntz axes, raw units for numeric axes) drops
+    * matches further back than the bound, like merge_asof's `tolerance`. */
   def backward(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String,
       toleranceSec: Option[Double] = None): DataFrame =
@@ -61,8 +61,11 @@ object AsOfJoin {
     val eligible = filter(col("__hist"),
       h => h.getField("__rt") <= col(leftTime))
     val m = when(size(eligible) > 0, element_at(eligible, -1))
+    val lSec = TimeAxis.seconds(left.schema(leftTime).dataType, col(leftTime))
+    def rSec(c: org.apache.spark.sql.Column) =
+      TimeAxis.seconds(right.schema(rightTime).dataType, c)
     val ok = toleranceSec.foldLeft(m.isNotNull)((acc, tol) => acc &&
-      col(leftTime).cast("double") - m.getField("__rt").cast("double") <= lit(tol))
+      lSec - rSec(m.getField("__rt")) <= lit(tol))
     joined.select(
       left.columns.map(col) ++
         rightVals.map(v => when(ok, m.getField(v)).as(v)): _*)
@@ -99,9 +102,9 @@ object AsOfJoin {
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
-    val dist =
-      if (fwd) col("__m.__rt").cast("double") - col("__t").cast("double")
-      else col("__t").cast("double") - col("__m.__rt").cast("double")
+    val lSec = TimeAxis.seconds(left.schema(leftTime).dataType, col("__t"))
+    val rSec = TimeAxis.seconds(right.schema(rightTime).dataType, col("__m.__rt"))
+    val dist = if (fwd) rSec - lSec else lSec - rSec
     val ok = toleranceSec.foldLeft(col("__m").isNotNull)(
       (acc, tol) => acc && dist <= lit(tol))
     matched.select(

@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * |true matches| + boundary slack (intervals ≪ binWidth apart share bins),
   * not the cross product.
   *
-  * `binWidth` is in axis units after cast to double (epoch SECONDS for
-  * timestamps, identity for numerics) — pick it near the typical interval
-  * length: too small explodes interval replication, too large widens the
-  * residual filter. Bounds are INCLUSIVE on both ends (SQL BETWEEN).
+  * `binWidth` is in axis units on the TimeAxis.seconds scale (epoch
+  * SECONDS for timestamp/timestamp_ntz, identity for numerics) — pick it
+  * near the typical interval length: too small explodes interval
+  * replication, too large widens the residual filter. Bounds are INCLUSIVE
+  * on both ends (SQL BETWEEN).
   */
 object RangeJoin {
 
@@ -29,10 +30,11 @@ object RangeJoin {
     val clash = intervals.columns.diff(on).intersect(points.columns.diff(on))
     require(clash.isEmpty,
       s"interval columns clash with point columns: ${clash.mkString(", ")} — alias them first")
-    def bin(c: String) = floor(col(c).cast("double") / binWidth).cast("long")
-    val p = points.withColumn("__bin", bin(ptCol))
+    def bin(df: DataFrame, c: String) =
+      floor(TimeAxis.seconds(df, c) / binWidth).cast("long")
+    val p = points.withColumn("__bin", bin(points, ptCol))
     val i = intervals.withColumn("__bin",
-      explode(sequence(bin(loCol), bin(hiCol))))
+      explode(sequence(bin(intervals, loCol), bin(intervals, hiCol))))
     p.join(i, on :+ "__bin")
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
@@ -53,13 +55,18 @@ object RangeJoin {
     val clash = a.columns.diff(on).intersect(b.columns.diff(on))
     require(clash.isEmpty,
       s"left/right columns clash: ${clash.mkString(", ")} — alias them first")
-    def bin(c: String) = floor(col(c).cast("double") / binWidth).cast("long")
-    val ax = a.withColumn("__bin", explode(sequence(bin(aLo), bin(aHi))))
-    val bx = b.withColumn("__bin", explode(sequence(bin(bLo), bin(bHi))))
+    def bin(df: DataFrame, c: String) =
+      floor(TimeAxis.seconds(df, c) / binWidth).cast("long")
+    val ax = a.withColumn("__bin", explode(sequence(bin(a, aLo), bin(a, aHi))))
+    val bx = b.withColumn("__bin", explode(sequence(bin(b, bLo), bin(b, bHi))))
+    // canonical bin of the overlap start — greatest() is computed on the
+    // joined frame, so lower each side's type individually
+    val aLoSec = TimeAxis.seconds(a.schema(aLo).dataType, col(aLo))
+    val bLoSec = TimeAxis.seconds(b.schema(bLo).dataType, col(bLo))
     ax.join(bx, on :+ "__bin")
       .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
         col("__bin") === floor(
-          greatest(col(aLo), col(bLo)).cast("double") / binWidth).cast("long"))
+          greatest(aLoSec, bLoSec) / binWidth).cast("long"))
       .drop("__bin")
   }
 }

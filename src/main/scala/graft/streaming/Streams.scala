@@ -122,7 +122,7 @@ object Streams {
     def pack(df: DataFrame, side: Int): Dataset[AsofEvent] = {
       val payloadCols = df.columns.filterNot(c => c == keyCol || c == tsCol)
       df.select(col(keyCol).cast("string").as("key"),
-        col(tsCol).cast("double").as("ts"),
+        graft.ops.TimeAxis.seconds(df, tsCol).as("ts"),
         lit(side).as("side"),
         to_json(struct(payloadCols.map(col): _*)).as("payload"))
         .as[AsofEvent]
@@ -184,7 +184,7 @@ object Streams {
     def pack(df: DataFrame, side: Int): Dataset[AsofEvent] = {
       val payloadCols = df.columns.filterNot(c => c == keyCol || c == tsCol)
       df.select(col(keyCol).cast("string").as("key"),
-        col(tsCol).cast("double").as("ts"),
+        graft.ops.TimeAxis.seconds(df, tsCol).as("ts"),
         lit(side).as("side"),
         to_json(struct(payloadCols.map(col): _*)).as("payload"))
         .as[AsofEvent]
@@ -208,21 +208,25 @@ object Streams {
   }
 
   /** Rx `debounce`, completed-source semantics (event-time): an event
-    * emits iff no later event arrives on the same key within `quiet` (in
-    * the units of `tsCol`, which must be numeric — pass e.g. unix micros);
-    * each key's final event always emits (the source is complete). One
-    * keyed lead() window — the batch face; [[debounceStream]] is the
-    * streaming-native timer variant of the same semantics. `tieBreak`
-    * columns make the per-key order total when `tsCol` alone is not. */
+    * emits iff no later event arrives on the same key within `quiet` — on
+    * the TimeAxis.seconds scale of `tsCol` (epoch seconds for timestamp /
+    * timestamp_ntz axes, raw units for numeric axes, e.g. µs when tsCol
+    * holds unix micros); each key's final event always emits (the source
+    * is complete). One keyed lead() window — the batch face;
+    * [[debounceStream]] is the streaming-native timer variant of the same
+    * semantics. `tieBreak` columns make the per-key order total when
+    * `tsCol` alone is not. */
   def debounce(events: DataFrame, keyCol: String, tsCol: String,
       quiet: Double, tieBreak: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy((tsCol +: tieBreak).map(c => col(c).asc): _*)
+    val axis = events.schema(tsCol).dataType
+    def sec(c: org.apache.spark.sql.Column) = graft.ops.TimeAxis.seconds(axis, c)
     events
       .withColumn("__next", lead(col(tsCol), 1).over(w))
       .filter(col("__next").isNull ||
-        col("__next").cast("double") - col(tsCol).cast("double") > quiet)
+        sec(col("__next")) - sec(col(tsCol)) > quiet)
       .drop("__next")
   }
 
@@ -295,10 +299,10 @@ object Streams {
       .schema(graft.Tables.table(spark, sfDir, "events").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-    val ns = raw.schema("ts").dataType.typeName == "long"
-    val events = if (ns)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else raw
+    // same canonicalization as the batch loader (Tables.events) so the
+    // batch == stream parity specs compare like-typed frames whatever the
+    // parquet time encoding (ns-long / µs NTZ / µs LTZ)
+    val events = graft.ops.TimeAxis.normalize(raw, "ts")
     val q = transform(events).writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(queryName)
