@@ -48,6 +48,15 @@ class FxSpec extends AnyFunSuite {
       Seq(TerminateAtom("e:ZefFunction/only_big")))
     assert(FnRegistry.lookup(g2.now, "only_big").isEmpty)
     assert(FnRegistry.lookup(g2.at(g.maxSlice), "only_big").nonEmpty)
+    // re-registering after termination re-opens the entity and the new
+    // binding resolves (while the dead frame still resolves nothing)
+    val src2 = "df => df.limit(1)"
+    val (g3, h3) = FnRegistry.register(g2, "only_big", src2, df => df.limit(1))
+    val fn3 = FnRegistry.lookup(g3.now, "only_big").get
+    assert(fn3.source == src2 && fn3.hash == h3)
+    assert(FnRegistry.lookup(g3.at(g2.maxSlice), "only_big").isEmpty)
+    assert(FnRegistry.invoke(g3.now, "only_big",
+      Seq(1, 2, 3).toDF("x")).count() == 1)
   }
 
   test("FlatGraph: collected subgraph preserves traversal + field semantics") {

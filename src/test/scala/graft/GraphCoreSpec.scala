@@ -436,6 +436,28 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(deep == Map("e:P/a" -> Graph.MaxSeedDepth.toDouble, "e:P/b" -> 9.0))
   }
 
+  test("delete-only tx borrows the prior cache; releasing the child keeps the parent persisted") {
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutField("a", "X", 1.0),
+      PutEntity("P", "b"), PutField("b", "X", 2.0)))
+    val base = g1.latestValues(g1.maxSlice)
+    base.count() // materialize the parent's live cache
+    assert(base.storageLevel.useMemory)
+    // delete-only tx (no new value rows): the child frame serves the
+    // parent's table BY REFERENCE instead of stacking a merge layer
+    val (g2, _) = Transactor.transact(g1, Seq(TerminateAtom("e:P/b")))
+    assert(g2.latestValues(g2.maxSlice) eq base)
+    // the hooked-mutation shape (GqlApi.commitWithHooks): the tentative
+    // frame is discarded and released — the borrowed seed must survive,
+    // or every later read on the live graph recomputes cold
+    g2.releaseDerived()
+    assert(base.storageLevel.useMemory,
+      "releasing a discarded child frame unpersisted the parent's live cache")
+    val vals = g1.now.all("P").fieldValue("X", "v_double", "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vals == Map("e:P/a" -> 1.0, "e:P/b" -> 2.0))
+  }
+
   test("Dot: bounded subgraph DOT + blueprint DOT (graphviz op surface)") {
     val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutEntity("Pet", "spot"),

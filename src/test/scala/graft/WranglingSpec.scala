@@ -569,4 +569,24 @@ class WranglingSpec extends AnyFunSuite {
       .collect().map(_.getBoolean(0))
     assert(r(0) && !r(1))
   }
+
+  test("tokens: whitespace runs / tabs / newlines yield no empty tokens") {
+    import spark.implicits._
+    // the oracle mirrors splice the same \s+-split-drop-empty tokenizer
+    // (Wrangling.sqlWithToks), so parity must not depend on the corpus
+    // being single-spaced — these are the shapes that broke the old
+    // single-space split
+    val got = Seq("  a\t\tb \n c ", "one", "", "\t\n", "x  y")
+      .toDF("text")
+      .select(TextOps.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a", "b", "c"))
+    assert(got(1) == Seq("one"))
+    assert(got(2).isEmpty && got(3).isEmpty)
+    assert(got(4) == Seq("x", "y"))
+    // tokenCount agrees with the array (not a chars-minus-spaces identity)
+    val n = Seq("  a\t\tb \n c ").toDF("text")
+      .select(TextOps.tokenCount(col("text"))).as[Int].collect()(0)
+    assert(n == 3)
+  }
 }
