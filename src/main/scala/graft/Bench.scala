@@ -60,10 +60,14 @@ object Bench {
       g.atoms.count(); g.values.count()
     }
 
-    // dev aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries (the driver
-    // never sets it, so the per-round protocol is unchanged)
+    // dev aids (the driver never sets either, so the per-round protocol is
+    // unchanged): SPARK_GRAFT_ONLY=q1,q2 times just those queries;
+    // SPARK_GRAFT_NO_RELEASE=1 skips the between-query cache release — the
+    // r6 regime, kept as the A/B lever for attributing in-run deltas to
+    // cache hygiene vs plans vs machine load
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val noRelease = sys.env.contains("SPARK_GRAFT_NO_RELEASE")
     val results: Seq[(String, Double)] =
       queries.Registry.entries
         .filter(q => only.forall(_.contains(q.name))).map { q =>
@@ -76,7 +80,7 @@ object Bench {
           // cache hygiene: drop THIS query's transient derived caches
           // (shared encoder graphs stay warm) so late-registry queries
           // measure their plans, not 90 predecessors' eviction churn
-          graft.core.TransientCaches.releaseAll()
+          if (!noRelease) graft.core.TransientCaches.releaseAll()
       }
 
     // 3-decimal seconds: ms resolution is the noise floor anyway, and the
@@ -85,7 +89,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":${fmt(loadSecs)},"runs_per_query":$runs,"cpus":$cpus,"cpu_probe_ratio":${fmt(cpuProbeRatio)}}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":${fmt(loadSecs)},"runs_per_query":$runs,"cpus":$cpus,"cpu_probe_ratio":${fmt(cpuProbeRatio)}}"""
+    println(line)
+    // Durable copy of the full per-query map: the driver's BENCH_r{N}.json
+    // keeps only a truncated stdout tail, which makes aggregate claims
+    // unverifiable from committed evidence — this file is the committed
+    // source of truth for the most recent bench run on this machine.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), line + "\n")
+    catch { case _: Throwable => () } // bench output on stdout regardless
     spark.stop()
   }
 }

@@ -276,6 +276,81 @@ object Misc {
              |GROUP BY b_day ORDER BY b_day""".stripMargin),
       Seq("range_join", "interval_overlap", "group_by")),
 
+    // As-of join WITH tolerance (merge_asof `tolerance`): clicks match
+    // their latest preceding purchase only within 6 hours — stale matches
+    // null out but the left row survives (left-join semantics). The oracle
+    // replays the bound with the same double-seconds arithmetic the Spark
+    // lowering uses (epoch_us/1e6 subtraction), so IEEE results agree
+    // bit-for-bit at the boundary.
+    QueryDef(
+      "asof_join_tolerance",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("p_value"))
+        graft.ops.AsOfJoin.backward(clicks, purchases,
+            Seq("user_id"), "ts", "ts", toleranceSec = Some(6 * 3600.0))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("p_value")).as("n_matched"),
+            round(sum(col("p_value")), 3).as("matched_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT l.user_id AS user_id, count(*) AS n_clicks,
+             |  count(m) AS n_matched, round(sum(m), 3) AS matched_sum
+             |FROM (
+             |  SELECT l.user_id, CASE WHEN
+             |      CAST(epoch_us(l.ts) AS DOUBLE) / 1000000.0
+             |        - CAST(epoch_us(r.ts) AS DOUBLE) / 1000000.0 <= 21600.0
+             |    THEN r.value END AS m
+             |  FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |    ON l.user_id = r.user_id AND l.ts >= r.ts) l
+             |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
+      Seq("asof_join", "tolerance", "time_travel", "group_by")),
+
+    // Streaming as-of enrichment (Streams.asofEnrich) in its batch face:
+    // the keyed-state CDC-enrichment operator must reproduce the exact
+    // as-of join when one batch holds everything (the spec asserts the
+    // stream face equals this plan). Purchases dedup to one row per
+    // (user, ts) first — both engines' as-of tie handling is otherwise
+    // unspecified for duplicate right timestamps.
+    QueryDef(
+      "stream_asof_enrich",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id") <= 40)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
+        graft.streaming.Streams.asofEnrich(clicks, purchases, "user_id", "ts")
+          .toDF().orderBy(col("key"), col("ts"), col("payload"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'click' AND user_id <= 40),
+             |p AS (
+             |  SELECT user_id, ts, max(event_id) AS event_id FROM events
+             |  WHERE event_type = 'purchase' AND user_id <= 40
+             |  GROUP BY user_id, ts),
+             |j AS (
+             |  SELECT c.user_id, c.ts, c.event_id AS cid,
+             |    r.ts AS pts, r.event_id AS pid
+             |  FROM c ASOF LEFT JOIN p r
+             |    ON c.user_id = r.user_id AND c.ts >= r.ts)
+             |SELECT CAST(user_id AS VARCHAR) AS key,
+             |  CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS ts,
+             |  '{"event_id":' || CAST(cid AS VARCHAR) || '}' AS payload,
+             |  CAST(epoch_us(pts) AS DOUBLE) / 1000000.0 AS matched_ts,
+             |  CASE WHEN pid IS NOT NULL
+             |    THEN '{"event_id":' || CAST(pid AS VARCHAR) || '}'
+             |  END AS matched_payload
+             |FROM j ORDER BY key, ts, payload""".stripMargin),
+      Seq("asof_enrich", "subscribe", "stateful", "asof_join")),
+
     // The spark.sql text surface over registered views — SQL parity path.
     QueryDef(
       "sql_text_surface",
