@@ -34,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The harness machine has 128 GiB; size the single local JVM like the
   // executor fleet it stands in for.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++
+  // diagnostic lever: SPARK_GRAFT_GCLOG=1 streams GC events to stderr so
+  // intermittent multi-second stalls can be attributed to (or cleared of)
+  // collector pauses without changing anything else about the run
+  (if (sys.env.contains("SPARK_GRAFT_GCLOG")) Seq("-Xlog:gc") else Seq.empty) ++
+  // ad-hoc diagnostic flags for the forked run JVM (e.g. spark.eventLog.*
+  // system properties — SparkConf reads -Dspark.* automatically); sbt's own
+  // -J options don't reach forked mains, this does
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

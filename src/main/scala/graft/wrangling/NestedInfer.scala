@@ -238,19 +238,37 @@ object NestedInfer {
           .select(zCol.as("obj_id"), lit(i).as("__prio"),
             lit(r.toType).as("__new"))
       }
-      // eagerly frozen: the convergence probe, the delta union, and the
-      // final view all read the round's assignments — and they are small.
-      // Re-wrapped as a fresh LogicalRDD (new attribute ids): each round's
-      // delta descends from the previous deltas' plan, and unioning frames
-      // that share attribute ids trips Catalyst's union constraint rewrite.
-      val ck = perRule.reduce(_ unionByName _)
+      val delta = perRule.reduce(_ unionByName _)
         .groupBy("obj_id")
         .agg(min_by(col("__new"), col("__prio")).as("__new"))
-        .localCheckpoint(eager = true)
-      converged = ck.isEmpty // reads the cached checkpoint blocks — cheap
-      if (!converged) {
-        val fresh = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-        resolved = Some(resolved.map(_.unionByName(fresh)).getOrElse(fresh))
+      if (bcTypes) {
+        // broadcast regime: the round's delta is bounded by the object set,
+        // which already fits the driver (a broadcast join materializes its
+        // build side there anyway) — so collect it ONCE and re-enter it as
+        // a LocalRelation. One job per round instead of two (the
+        // checkpoint-then-isEmpty shape), later rounds broadcast the local
+        // rows without a job, and no per-round checkpoint RDD outlives the
+        // fixpoint (a long session used to accumulate them).
+        val rows = delta.collect()
+        converged = rows.isEmpty
+        if (!converged) {
+          val fresh = delta.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), delta.schema)
+          resolved = Some(resolved.map(_.unionByName(fresh)).getOrElse(fresh))
+        }
+      } else {
+        // shuffle regime (types too big for one executor): eagerly frozen —
+        // the convergence probe, the delta union, and the final view all
+        // read the round's assignments. Re-wrapped as a fresh LogicalRDD
+        // (new attribute ids): each round's delta descends from the
+        // previous deltas' plan, and unioning frames that share attribute
+        // ids trips Catalyst's union constraint rewrite.
+        val ck = delta.localCheckpoint(eager = true)
+        converged = ck.isEmpty // reads the cached checkpoint blocks — cheap
+        if (!converged) {
+          val fresh = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+          resolved = Some(resolved.map(_.unionByName(fresh)).getOrElse(fresh))
+        }
       }
       iter += 1
     }
@@ -337,9 +355,12 @@ object NestedInfer {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // tracked as transient: each toGraph call builds a fresh graph, so a
     // batch harness releases these between queries (TransientCaches)
+    // AE/field-rel ids are (rel, pos, src_id) paths; JSON map keys are
+    // unique per object and pos is unique per array, so the ids are unique
+    // by construction — no dedup shuffle needed (it used to cost two
+    // exchanges of pure defensiveness here)
     val atoms = graft.core.TransientCaches.trackTable(
-      Seq(entities, relAtoms,
-          aeAtoms.dropDuplicates("atom_id"), fieldRels.dropDuplicates("atom_id"))
+      Seq(entities, relAtoms, aeAtoms, fieldRels)
         .reduce(_ unionByName _).persist(lvl))
     Graph(atoms, graft.core.TransientCaches.trackTable(values.persist(lvl)),
       Seq(TxRow(instSlice, ts)).toDF())
