@@ -73,8 +73,19 @@ object Bench {
         .filter(q => only.forall(_.contains(q.name))).map { q =>
         try {
           q.fn(spark, sfDir).count() // warm-up (also primes graph caches)
-          val t = median((1 to runs).map(_ => time(q.fn(spark, sfDir).count())))
-          q.name -> t
+          var ts = (1 to runs).map(_ => time(q.fn(spark, sfDir).count()))
+          // Stall-window guard: host-level CPU stalls smear across a
+          // contiguous stretch of the registry (BASELINE.md round-8 — a
+          // single ~60 s stall put er_infer_nested at 29 s when its clean
+          // time is ~4 s), and a stall spanning all `runs` samples poisons
+          // the median. When the sample spread says "one regime didn't
+          // produce these numbers" (median > 2.5 × min), take two more
+          // samples — if the stall has passed they pull the median back to
+          // the plan's real cost; if the machine is genuinely slow they
+          // confirm the reading. cpu_probe_ratio still reports overall load.
+          if (runs >= 3 && median(ts) > 2.5 * ts.min)
+            ts = ts ++ (1 to 2).map(_ => time(q.fn(spark, sfDir).count()))
+          q.name -> median(ts)
         } catch { case _: Throwable => q.name -> -1.0 }
         finally
           // cache hygiene: drop THIS query's transient derived caches

@@ -550,10 +550,17 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     // auto-cleaned by the ContextCleaner when the result is released.
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
     // one relations view for ALL requested types (single isin filter), two
-    // joins per step (out + in direction) regardless of |rts|
+    // joins per step (out + in direction) regardless of |rts|. Persisted
+    // for the loop's lifetime: every step's out AND in join re-reads it
+    // (2 × maxSteps scans of the full atoms table otherwise — the filter
+    // keeps only the named relation types, a small fraction of the graph),
+    // plus projected to the three columns the hops actually use
     val rels = frame.graph.atoms.filter(
       col("kind") === Kind.Relation && col("atype").isInCollection(rts) &&
         Graph.aliveAt(frame.slice))
+      .select(col("atom_id"), col("src_id"), col("dst_id"))
+      .persist()
+    persisted += rels
     // BFS frontiers are usually tiny relative to the relation table, and
     // their size is KNOWN (seed count here, next.count() per step) — so
     // broadcast them and the per-step joins become map-side over the
