@@ -148,11 +148,11 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
       .join(ends.withColumnRenamed("end_type", "dst_type")
         .withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"), "left")
       .groupBy(col("atype"), col("src_type"), col("dst_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .unionByName(
         a.filter(col("kind") =!= Kind.Relation)
           .groupBy(col("atype"))
-          .agg(count(lit(1)).as("n"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
           .withColumn("src_type", lit(null).cast("string"))
           .withColumn("dst_type", lit(null).cast("string")))
   }
@@ -633,6 +633,112 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     df.select("atom_id")
       .join(resolved, Seq("atom_id"), "left")
       .select(col("atom_id") +: out: _*)
+  }
+
+  /** zef `yo` on atoms (`op_implementations/yo.py:243` eternalist_view) —
+    * the per-atom summary report, AS DATA: one row per fact, for every atom
+    * in the set, fully distributed (yo of a billion atoms is just a
+    * DataFrame; the reference prints one atom to stdout). Sections mirror
+    * the reference's view:
+    *
+    *  - `identity`   — label = kind, detail = atom type (the uid IS atom_id)
+    *  - `endpoint`   — relations only: label ∈ {source,target}, detail = id
+    *  - `history`    — label ∈ {instantiated,terminated}, `at` = tx time
+    *    (terminated only when visible in this frame — absent means alive,
+    *    like the reference's '/')
+    *  - `field`      — label = field name, detail = current value as-of the
+    *    frame, n = assignment count up to the frame (the reference's
+    *    timeline density), `at` = winning assignment's tx time
+    *  - `relation_out`/`relation_in` — entity-entity relations grouped by
+    *    (type, counterpart type), n = count (the reference's relations_view
+    *    `group_by` + count)
+    *
+    * Value rendering is canonical so reports are engine-portable: doubles
+    * print at fixed decimal(28,6) scale, longs/bools via plain casts,
+    * timestamps at second precision. */
+  def yo: DataFrame = {
+    val slice = frame.slice
+    val noAt = lit(null).cast("timestamp").as("at")
+    val noDetail = lit(null).cast("string").as("detail")
+    val one = lit(1L).as("n")
+
+    val kindName = when(col("kind") === Kind.AttributeEntity,
+      "attribute_entity").otherwise(col("kind"))
+    val identity = df.select(col("atom_id"), lit("identity").as("section"),
+      kindName.as("label"), col("atype").as("detail"), one, noAt)
+
+    val endpoints = df.filter(col("kind") === Kind.Relation)
+      .select(col("atom_id"), explode(array(
+        struct(lit("source").as("l"), col("src_id").as("d")),
+        struct(lit("target").as("l"), col("dst_id").as("d")))).as("__e"))
+      .select(col("atom_id"), lit("endpoint").as("section"),
+        col("__e.l").as("label"), col("__e.d").as("detail"), one, noAt)
+
+    val txTs = frame.graph.txs.select(col("tx_id"), col("ts"))
+    val inst = df.select(col("atom_id"), col("inst_slice"))
+      .join(txTs.withColumnRenamed("tx_id", "inst_slice"), "inst_slice")
+      .select(col("atom_id"), lit("history").as("section"),
+        lit("instantiated").as("label"), noDetail, one, col("ts").as("at"))
+    val term = df.filter(col("term_slice").isNotNull && col("term_slice") <= slice)
+      .select(col("atom_id"), col("term_slice"))
+      .join(txTs.withColumnRenamed("tx_id", "term_slice"), "term_slice")
+      .select(col("atom_id"), lit("history").as("section"),
+        lit("terminated").as("label"), noDetail, one, col("ts").as("at"))
+
+    // one alive-relations pass serves fields + both relation directions;
+    // endpoint kinds resolve through one (id, kind, type) projection join
+    val rels = atoms.filter(col("kind") === Kind.Relation && Graph.aliveAt(slice))
+      .select(col("atype").as("__rt"), col("src_id"), col("dst_id"))
+    val kinds = atoms.select(col("atom_id"), col("kind").as("__k"),
+      col("atype").as("__t"))
+    val myIds = df.select(col("atom_id")).distinct()
+
+    val out = myIds.join(rels.withColumnRenamed("src_id", "atom_id"), "atom_id")
+      .join(kinds.select(col("atom_id").as("dst_id"), col("__k"), col("__t")),
+        "dst_id")
+
+    // field section: AE-target relations, as-of value + assignment count.
+    // Values are joined down to the set's own AEs BEFORE aggregating —
+    // yo of a small set never scan-aggregates the full values table.
+    val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+    val myAes = out.filter(col("__k") === Kind.AttributeEntity)
+      .select(col("atom_id"), col("__rt"), col("dst_id").as("ae_id"))
+    val assigns = myAes.join(
+        frame.graph.values.filter(col("tx_slice") <= slice), "ae_id")
+      .groupBy(col("atom_id"), col("__rt"), col("ae_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        max_by(struct((Seq("tx_slice", "vtype") ++ vcols).map(col): _*),
+          col("tx_slice")).as("__v"))
+    val v = col("__v")
+    val rendered = when(v("vtype") === "str", v("v_str"))
+      .when(v("vtype") === "long", v("v_long").cast("string"))
+      .when(v("vtype") === "double",
+        v("v_double").cast("decimal(28,6)").cast("string"))
+      .when(v("vtype") === "bool", v("v_bool").cast("string"))
+      .otherwise(date_format(v("v_ts"), "yyyy-MM-dd HH:mm:ss"))
+    val fieldRows = assigns
+      .join(txTs.withColumnRenamed("tx_id", "__ts_slice"),
+        v("tx_slice") === col("__ts_slice"))
+      .select(col("atom_id"), lit("field").as("section"),
+        col("__rt").as("label"), rendered.as("detail"), col("n"),
+        col("ts").as("at"))
+
+    val relOut = out.filter(col("__k") =!= Kind.AttributeEntity)
+      .groupBy(col("atom_id"), col("__rt"), col("__t"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .select(col("atom_id"), lit("relation_out").as("section"),
+        col("__rt").as("label"), col("__t").as("detail"), col("n"), noAt)
+    val relIn = myIds
+      .join(rels.withColumnRenamed("dst_id", "atom_id"), "atom_id")
+      .join(kinds.select(col("atom_id").as("src_id"), col("__k"), col("__t")),
+        "src_id")
+      .groupBy(col("atom_id"), col("__rt"), col("__t"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .select(col("atom_id"), lit("relation_in").as("section"),
+        col("__rt").as("label"), col("__t").as("detail"), col("n"), noAt)
+
+    Seq(identity, endpoints, inst, term, fieldRows, relOut, relIn)
+      .reduce(_ unionByName _)
   }
 
   def count(): Long = df.count()

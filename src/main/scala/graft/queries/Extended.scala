@@ -393,6 +393,82 @@ object Extended {
              |ORDER BY atom_id""".stripMargin),
       Seq("select_by_field", "field_index", "search_directive")),
 
+    // yo as data (yo.py:243 eternalist_view): the per-atom summary report —
+    // identity, instantiation, fields with as-of values + assignment
+    // counts, grouped in/out relations — over atoms from BOTH graphs: two
+    // single-slice TPC-H entities (fields + both relation directions) and
+    // three multi-slice event users (assignment counts > 1, latest-value
+    // resolution, first-event instantiation time). The oracle rebuilds
+    // every row relationally.
+    QueryDef(
+      "graph_yo_report",
+      (s, d) => {
+        val gT = GraphEncoder.encodeTpch(s, d)
+        val gE = GraphEncoder.encodeEventHistory(s, d)
+        val tpchSet = AtomSet(gT.now,
+          gT.now.aliveAtoms.filter(
+            col("atom_id").isin("e:Customer/1", "e:Nation/0")))
+        val userSet = AtomSet(gE.now,
+          gE.now.aliveAtoms.filter(
+            col("atom_id").isin("e:User/1", "e:User/2", "e:User/3")))
+        tpchSet.yo.unionByName(userSet.yo)
+          .orderBy(col("atom_id"), col("section"), col("label"), col("detail"))
+      },
+      Some("""WITH cust1 AS (SELECT * FROM customer WHERE c_custkey = 1),
+             |nat0 AS (SELECT * FROM nation WHERE n_nationkey = 0),
+             |ev AS (SELECT * FROM events WHERE user_id IN (1, 2, 3)),
+             |evagg AS (
+             |  SELECT user_id, count(*) AS n, min(ts) AS first_ts,
+             |         max(ts) AS last_ts
+             |  FROM ev GROUP BY user_id),
+             |evlat AS (
+             |  SELECT user_id, value, event_type FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+             |  WHERE rn = 1)
+             |SELECT * FROM (
+             |  SELECT 'e:Customer/1' AS atom_id, 'identity' AS section,
+             |    'entity' AS label, 'Customer' AS detail,
+             |    CAST(1 AS BIGINT) AS n, CAST(NULL AS TIMESTAMP) AS at
+             |  UNION ALL SELECT 'e:Nation/0','identity','entity','Nation',1,NULL
+             |  UNION ALL SELECT 'e:Customer/1','history','instantiated',NULL,1,
+             |    TIMESTAMP '2024-01-01 00:00:00'
+             |  UNION ALL SELECT 'e:Nation/0','history','instantiated',NULL,1,
+             |    TIMESTAMP '2024-01-01 00:00:00'
+             |  UNION ALL SELECT 'e:Customer/1','field','c_name',
+             |    (SELECT c_name FROM cust1),1,TIMESTAMP '2024-01-01 00:00:00'
+             |  UNION ALL SELECT 'e:Customer/1','field','c_acctbal',
+             |    (SELECT CAST(CAST(c_acctbal AS DECIMAL(28,6)) AS VARCHAR)
+             |     FROM cust1),1,TIMESTAMP '2024-01-01 00:00:00'
+             |  UNION ALL SELECT 'e:Customer/1','field','c_mktsegment',
+             |    (SELECT c_mktsegment FROM cust1),1,TIMESTAMP '2024-01-01 00:00:00'
+             |  UNION ALL SELECT 'e:Nation/0','field','n_name',
+             |    (SELECT n_name FROM nat0),1,TIMESTAMP '2024-01-01 00:00:00'
+             |  UNION ALL SELECT 'e:Customer/1','relation_out','MemberOf',
+             |    'Nation',1,NULL
+             |  UNION ALL SELECT * FROM (
+             |    SELECT 'e:Customer/1','relation_out','Placed','Order',
+             |      count(*), CAST(NULL AS TIMESTAMP)
+             |    FROM orders WHERE o_custkey = 1 HAVING count(*) > 0)
+             |  UNION ALL SELECT * FROM (
+             |    SELECT 'e:Nation/0','relation_in','MemberOf','Customer',
+             |      count(*), CAST(NULL AS TIMESTAMP)
+             |    FROM customer WHERE c_nationkey = 0 HAVING count(*) > 0)
+             |  UNION ALL SELECT 'e:User/' || CAST(user_id AS VARCHAR),
+             |    'identity','entity','User',1,NULL FROM evagg
+             |  UNION ALL SELECT 'e:User/' || CAST(user_id AS VARCHAR),
+             |    'history','instantiated',NULL,1,first_ts FROM evagg
+             |  UNION ALL SELECT 'e:User/' || CAST(a.user_id AS VARCHAR),
+             |    'field','Value',
+             |    CAST(CAST(l.value AS DECIMAL(28,6)) AS VARCHAR), a.n,
+             |    a.last_ts
+             |  FROM evagg a JOIN evlat l USING (user_id)
+             |  UNION ALL SELECT 'e:User/' || CAST(a.user_id AS VARCHAR),
+             |    'field','EventType', l.event_type, a.n, a.last_ts
+             |  FROM evagg a JOIN evlat l USING (user_id)
+             |) ORDER BY atom_id, section, label, detail""".stripMargin),
+      Seq("yo", "field", "relations", "timeline", "instantiation_tx")),
+
     // gather: 2-step BFS from one customer over Placed+MemberOf — reaches
     // its orders, its nation, and (via the nation, in-direction) all
     // fellow customers; relation atoms collected too.

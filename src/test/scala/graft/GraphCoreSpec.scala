@@ -551,4 +551,52 @@ class GraphCoreSpec extends AnyFunSuite {
       col("atom_id") === "ae:Score/e:Doc/a" && col("term_slice").isNull)
     assert(aliveAes.count() == 1)
   }
+
+  test("yo: per-atom report rows across every section") {
+    val g = fixture
+    val joe = "e:Person/joe"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(1), r.getString(2),
+        Option(r.getString(3)).orNull, r.getLong(4), r.isNullAt(5))).toSet
+
+    // entity at now (slice 3): nicknames are terminated, so no field rows
+    // for them; LastName shows the REASSIGNED value with n=2 assignments
+    val yoNow = rows(AtomSet(g.now,
+      g.now.aliveAtoms.filter(col("atom_id") === joe)).yo)
+    assert(yoNow.contains(("identity", "entity", "Person", 1L, true)))
+    assert(yoNow.contains(("field", "FirstName", "Joe", 1L, false)))
+    assert(yoNow.contains(("field", "LastName", "Smith", 2L, false)))
+    assert(yoNow.contains(("relation_out", "HasPet", "Pet", 1L, true)))
+    assert(!yoNow.exists(_._2 == "NickName"))
+    assert(yoNow.exists(t => t._1 == "history" && t._2 == "instantiated"))
+    assert(!yoNow.exists(t => t._1 == "relation_in"))
+
+    // same entity one frame back: all three nickname AEs report, each as
+    // its own field row (multi-valued fields stay per-instance)
+    val yoS2 = rows(AtomSet(g.at(2),
+      g.at(2).aliveAtoms.filter(col("atom_id") === joe)).yo)
+    assert(yoS2.count(_._2 == "NickName") == 3)
+    assert(yoS2.map(t => (t._2, t._3)).contains(("NickName", "J-man")))
+
+    // relation atom: endpoint rows + its own meta-field, rendered at
+    // second precision; the pet sees the relation incoming
+    val rel = g.now.aliveAtoms.filter(col("kind") === Kind.Relation &&
+      col("atype") === "HasPet")
+    val yoRel = rows(AtomSet(g.now, rel).yo)
+    assert(yoRel.contains(("identity", "relation", "HasPet", 1L, true)))
+    assert(yoRel.contains(("endpoint", "source", joe, 1L, true)))
+    assert(yoRel.contains(("endpoint", "target", "e:Pet/spot", 1L, true)))
+    assert(yoRel.contains(("field", "Date", "2020-05-01 12:34:00", 1L, false)))
+    val yoPet = rows(AtomSet(g.now,
+      g.now.aliveAtoms.filter(col("atom_id") === "e:Pet/spot")).yo)
+    assert(yoPet.contains(("relation_in", "HasPet", "Person", 1L, true)))
+
+    // terminated AE through an aware-of set: the terminated history row
+    // appears (alive atoms never carry one)
+    val nick1 = Transactor.aeId(joe, "NickName", "1")
+    val yoDead = rows(AtomSet(g.now,
+      g.atoms.filter(col("atom_id") === nick1)).yo)
+    assert(yoDead.contains(("identity", "attribute_entity", "NickName", 1L, true)))
+    assert(yoDead.exists(t => t._1 == "history" && t._2 == "terminated" && !t._5))
+  }
 }
