@@ -259,6 +259,33 @@ object Wrangling {
              |FROM tk GROUP BY lang ORDER BY lang""".stripMargin)),
       Seq("token_count", "text_analysis", "group_by", "mean")),
 
+    // Corpus TF-IDF, top-3 terms per document: tf·ln(N/df) with N as a
+    // one-row broadcast and top-k as a per-doc window. tfidf is rounded
+    // BEFORE tie-break ordering so float ulps can't flip the order between
+    // mathematically-equal scores computed along different paths
+    // (e.g. 2·ln(10) vs 1·ln(100)).
+    QueryDef(
+      "wr_tfidf_topk",
+      (s, d) => {
+        import graft.wrangling.TextOps
+        TextOps.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", 3)
+          .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+      },
+      Some(sqlWithToks("""WITH tk AS (
+             |  SELECT doc_id, unnest(TOKS(text)) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.term AS term, tf, df,
+             |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df, tfidf FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf DESC, term) AS rn FROM scored)
+             |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin)),
+      Seq("tfidf", "text_analysis", "group_by", "top_k", "window")),
+
     // Per-document quality scoring (LLM corpus filter shape).
     QueryDef(
       "wr_quality_score",

@@ -1,6 +1,6 @@
 package graft.wrangling
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -105,6 +105,41 @@ object TextOps {
     * impl.py:8808 restated with a standard hash). */
   def fingerprint(text: Column): Column =
     md5(normalize(text).cast("binary"))
+
+  /** Corpus TF-IDF with per-document top-k terms — the classic IR /
+    * feature-extraction primitive over a training corpus (tf·ln(N/df)).
+    * Scale shape: one explode, two keyed aggregations (term frequency per
+    * doc, then document frequency per term — both partial-aggregable), the
+    * corpus size N enters as a ONE-ROW broadcast (never a driver constant
+    * folded into the plan, never a second scan), and top-k is a per-doc
+    * row_number window — keyed by doc_id, so no global sort and no skew
+    * (a document's term set is bounded). tfidf is rounded BEFORE the
+    * window order so cross-engine float ulps can't flip tie order; exact
+    * ties break on the term itself. */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val cnt = org.apache.spark.sql.functions.count(lit(1))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    // persisted (tracked transient): both the document-frequency branch
+    // and the score join read tf — without the freeze the corpus is
+    // tokenized and shuffled TWICE (the join's other side re-derives the
+    // same aggregate from the scan)
+    val tf = graft.core.TransientCaches.trackTable(
+      toks.groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = tf.groupBy(col("term")).agg(cnt.as("df"))
+    val n = docs.agg(cnt.as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

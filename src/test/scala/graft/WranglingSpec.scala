@@ -589,4 +589,28 @@ class WranglingSpec extends AnyFunSuite {
       .select(TextOps.tokenCount(col("text"))).as[Int].collect()(0)
     assert(n == 3)
   }
+
+  test("tfIdfTopK: rare terms outrank common ones, k bounds per-doc rows") {
+    import spark.implicits._
+    // 'shared' is in every doc (idf = ln(1) = 0 → never top); each doc's
+    // unique term carries full idf; doc 1 repeats its unique term so tf
+    // scales the score
+    val docs = Seq(
+      (1L, "shared unique1 unique1 shared common12"),
+      (2L, "shared unique2 common12"),
+      (3L, "shared unique3")).toDF("doc_id", "text")
+    val got = TextOps.tfIdfTopK(docs, "doc_id", "text", 2)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.count(_._1 == 1L) == 2) // k bounds output
+    // per-doc winner is the unique term; tf=2 doubles doc 1's score
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.head._2 == "unique1" && d1.head._3 == 2L && d1.head._4 == 1L)
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.head._2 == "unique2")
+    assert(d1.head._5 == 2 * d2.head._5) // tf linearity at equal idf
+    // the everywhere-term scores zero and never ranks above a unique term
+    assert(got.filter(_._2 == "shared").forall(_._5 == 0.0))
+  }
 }
