@@ -57,6 +57,58 @@ object ZArr {
   /** zef `cycle[n]` / `repeat[n]` (impl.py:1857,1899). */
   def cycle(arr: Column, n: Int): Column = flatten(array_repeat(arr, n))
 
+  /** `removeAt` with a runtime (Column) index — the building block the
+    * combinatorics ops below need inside a `transform` lambda. */
+  private def removeAtCol(arr: Column, idx: Column): Column =
+    concat(slice(arr, lit(1), idx), slice(arr, idx + 2, size(arr) - idx - 1))
+
+  /** zef `combinations[n]` (implementation_typing_functions.py:2561): all
+    * length-n subsequences in position order — `[1,2,3] | combinations[2]`
+    * → `[[1,2],[1,3],[2,3]]`. Positions are distinct (itertools semantics:
+    * duplicated VALUES yield duplicated outputs). Recursive HOF expression,
+    * tree depth n — pure Column algebra, codegen'd, no UDF. Output order is
+    * lexicographic by position, matching itertools.
+    *
+    * Scale note: output size is C(m,n) PER ROW — combinatorics of long
+    * arrays belongs behind an explicit length guard at the call site. */
+  def combinations(arr: Column, n: Int): Column = {
+    require(n >= 1, "combinations: n >= 1")
+    if (n == 1) transform(arr, x => array(x))
+    else
+      flatten(transform(arr, (x, i) =>
+        transform(
+          combinations(slice(arr, i + 2, size(arr) - i - 1), n - 1),
+          rest => concat(array(x), rest))))
+  }
+
+  /** zef `permutations[n]` (implementation_typing_functions.py:2517): all
+    * ordered length-n selections of distinct positions —
+    * `[1,2,3] | permutations[2]` → `[[1,2],[1,3],[2,1],[2,3],[3,1],[3,2]]`.
+    * Same recursion as [[combinations]] but each level removes the chosen
+    * position instead of truncating the prefix. */
+  def permutations(arr: Column, n: Int): Column = {
+    require(n >= 1, "permutations: n >= 1")
+    if (n == 1) transform(arr, x => array(x))
+    else
+      flatten(transform(arr, (x, i) =>
+        transform(
+          permutations(removeAtCol(arr, i), n - 1),
+          rest => concat(array(x), rest))))
+  }
+
+  /** zef `permutations` with no length (full reorderings). The output
+    * length must be known at plan time for the static recursion, so the
+    * caller bounds it: arrays longer than maxLen yield null (the honest
+    * answer — m! of a long list is a scale hazard, not a query). */
+  def permutationsAll(arr: Column, maxLen: Int): Column = {
+    require(maxLen >= 1 && maxLen <= 8, "permutationsAll: 1 <= maxLen <= 8")
+    val cases = (1 to maxLen).foldLeft(
+      when(size(arr) === 0, array(array()))) {
+      case (acc, k) => acc.when(size(arr) === k, permutations(arr, k))
+    }
+    cases.otherwise(lit(null))
+  }
+
   /** zef `split[el]` on lists (impl.py:4684): split into runs at separator
     * elements (separator not included). */
   def splitOn(arr: Column, el: Column): Column = {

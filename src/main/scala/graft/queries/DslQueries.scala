@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.ZOps._
-import graft.ops.{VT, ZCol}
+import graft.ops.{VT, ZArr, ZCol}
 
 /** Queries exercising the ZefOps DSL layer (graft.ops.*) end-to-end with
   * DuckDB oracles — ordering-dependent list ops over explicit total orders.
@@ -113,6 +113,62 @@ object DslQueries {
              |  regexp_matches(regexp_replace(c_name, '#|-', '', 'g'), '^[A-Za-z0-9]+$') AS alnum
              |FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey""".stripMargin),
       Seq("to_snake_case", "to_kebab_case", "pad_center", "int_to_alpha",
-        "is_alpha_numeric"))
+        "is_alpha_numeric")),
+
+    // zef combinations[n] (implementation_typing_functions.py:2561): all
+    // 3-element subsequences of the 4-word (name words + type + brand)
+    // array per part — recursion depth 3, pure HOF Column algebra,
+    // map-side only (the explode multiplies rows C(4,3)=4× BEFORE any
+    // shuffle; the only shuffle is the output sort the oracle contract
+    // requires).
+    QueryDef(
+      "dsl_combinations",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          explode(ZArr.combinations(
+            concat(split(col("p_name"), " "),
+              array(col("p_type"), col("p_brand"))), 3))
+            .as("c"))
+        .select(col("p_partkey"), col("c")(0).as("elem_1"),
+          col("c")(1).as("elem_2"), col("c")(2).as("elem_3"))
+        .orderBy(col("p_partkey"), col("elem_1"), col("elem_2"),
+          col("elem_3")),
+      Some("""WITH t AS (
+             |  SELECT p_partkey,
+             |    list_concat(string_split(p_name, ' '), [p_type, p_brand]) AS arr
+             |  FROM part),
+             |e AS (SELECT p_partkey, unnest(arr) AS x,
+             |        generate_subscripts(arr, 1) AS i FROM t)
+             |SELECT a.p_partkey AS p_partkey, a.x AS elem_1, b.x AS elem_2,
+             |       c.x AS elem_3
+             |FROM e a
+             |JOIN e b ON a.p_partkey = b.p_partkey AND a.i < b.i
+             |JOIN e c ON b.p_partkey = c.p_partkey AND b.i < c.i
+             |ORDER BY p_partkey, elem_1, elem_2, elem_3""".stripMargin),
+      Seq("combinations", "cartesian_product", "explode")),
+
+    // zef permutations[n] (implementation_typing_functions.py:2517): all
+    // ordered word pairs from the 3-word (name words + type) array per part.
+    QueryDef(
+      "dsl_permutations",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          explode(ZArr.permutations(
+            concat(split(col("p_name"), " "), array(col("p_type"))), 2))
+            .as("p"))
+        .select(col("p_partkey"), col("p")(0).as("elem_1"),
+          col("p")(1).as("elem_2"))
+        .orderBy(col("p_partkey"), col("elem_1"), col("elem_2")),
+      Some("""WITH t AS (
+             |  SELECT p_partkey,
+             |    list_append(string_split(p_name, ' '), p_type) AS arr
+             |  FROM part),
+             |e AS (SELECT p_partkey, unnest(arr) AS x,
+             |        generate_subscripts(arr, 1) AS i FROM t)
+             |SELECT a.p_partkey AS p_partkey, a.x AS elem_1, b.x AS elem_2
+             |FROM e a
+             |JOIN e b ON a.p_partkey = b.p_partkey AND a.i <> b.i
+             |ORDER BY p_partkey, elem_1, elem_2""".stripMargin),
+      Seq("permutations", "combinations", "explode"))
   )
 }

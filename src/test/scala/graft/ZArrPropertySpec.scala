@@ -101,4 +101,46 @@ class ZArrPropertySpec extends AnyFunSuite {
       assert(got == exp, s"xs=$xs")
     }
   }
+
+  private def asVecVec(a: Any): Vector[Vector[Int]] =
+    a.asInstanceOf[scala.collection.Seq[scala.collection.Seq[Int]]]
+      .map(_.toVector).toVector
+
+  test("combinations matches itertools semantics (position-distinct, " +
+    "lexicographic by position, duplicates preserved)") {
+    cases(8).foreach { case (xs, k0) =>
+      val k = 1 + (k0 % 3)
+      val exp = xs.indices.combinations(k)
+        .map(is => is.map(xs).toVector).toVector
+      assert(asVecVec(eval(xs, a => ZArr.combinations(a, k))) == exp,
+        s"xs=$xs k=$k")
+    }
+  }
+
+  test("permutations[n] enumerates ordered distinct-position selections") {
+    cases(9).foreach { case (xs, k0) =>
+      val k = 1 + (k0 % 2)
+      // itertools.permutations(v, k): positions distinct, emission order =
+      // for each first position in order, recurse on the remainder
+      def perms(v: Vector[Int], n: Int): Vector[Vector[Int]] =
+        if (n == 0) Vector(Vector.empty)
+        else v.indices.toVector.flatMap { i =>
+          perms(v.take(i) ++ v.drop(i + 1), n - 1).map(v(i) +: _)
+        }
+      assert(asVecVec(eval(xs, a => ZArr.permutations(a, k)))
+        == perms(xs, k), s"xs=$xs k=$k")
+    }
+  }
+
+  test("permutationsAll dispatches on runtime length; oversize is null") {
+    val xs = Vector(1, 2, 3)
+    def perms(v: Vector[Int]): Vector[Vector[Int]] =
+      v.permutations.toVector // distinct values here, so == itertools
+    assert(asVecVec(eval(xs, a => ZArr.permutationsAll(a, 4)))
+      .sorted(Ordering.by((v: Vector[Int]) => v.mkString(",")))
+      == perms(xs).sorted(Ordering.by((v: Vector[Int]) => v.mkString(","))))
+    assert(eval(Vector(1, 2, 3, 4, 5), a => ZArr.permutationsAll(a, 4)) == null)
+    assert(asVecVec(eval(Vector.empty, a => ZArr.permutationsAll(a, 4)))
+      == Vector(Vector.empty))
+  }
 }
