@@ -166,11 +166,35 @@ object GqlLite {
             n.sort.zipWithIndex.foldRight(tie: Column) { case ((k, i), acc) =>
               val (lv, rv) = (l.getField(s"__s$i"), r.getField(s"__s$i"))
               val lt = if (k.asc) -1 else 1
-              // nulls compare equal here and fall through to the next key
-              when(lv < rv, lit(lt)).when(lv > rv, lit(-lt)).otherwise(acc)
+              // total order: nulls sort LAST in either direction (matching
+              // the window pre-prune below), equal keys fall through
+              when(lv.isNull && rv.isNull, acc)
+                .when(lv.isNull, lit(1)).when(rv.isNull, lit(-1))
+                .when(lv < rv, lit(lt)).when(lv > rv, lit(-lt)).otherwise(acc)
             }
           }
-          val agged = joined.select(col("__parent"), keyed.as("__c"))
+          // with `first: k` the final array keeps ≤ offset+k children per
+          // parent — prune to exactly those BEFORE collecting, via a rank
+          // window whose ordering matches `compare` (nulls last). Spark
+          // lowers the rank filter to WindowGroupLimit: each input
+          // partition forwards only its own top offset+k rows per parent,
+          // so the shuffle and the collected arrays are bounded by the
+          // page size, not the child count — a million-order customer
+          // costs what a 20-order customer costs. The groupBy after the
+          // window reuses its hash partitioning (no extra Exchange).
+          val prePruned = n.first match {
+            case Some(k) =>
+              val ord = n.sort.map(s =>
+                if (s.asc) col(s.field).asc_nulls_last
+                else col(s.field).desc_nulls_last) :+ col("atom_id").asc
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("__parent")).orderBy(ord: _*)
+              joined.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") <= n.offset.getOrElse(0) + k)
+                .drop("__rn")
+            case None => joined
+          }
+          val agged = prePruned.select(col("__parent"), keyed.as("__c"))
             .groupBy(col("__parent").as("atom_id"))
             .agg(collect_list(col("__c")).as("__arr"))
             .withColumn("__arr", array_sort(col("__arr"), compare))
