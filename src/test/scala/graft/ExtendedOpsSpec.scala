@@ -75,6 +75,49 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(agg.getAs[Double]("acctbal_min") > 1000.0)
   }
 
+  test("GqlLite nested first:k — WindowGroupLimit pre-prune keeps the " +
+    "same page as the full collect; null sort keys order last") {
+    val (g, _) = Transactor.transact(Graph.empty(spark),
+      Seq(PutEntity("P", "p")) ++
+        (1 to 6).map(i => PutEntity("C", s"c$i")) ++
+        (1 to 6).map(i => PutRelation("Has", "p", s"c$i")) ++
+        // scores: c1=5, c3=9, c4=1, c6=7; c2/c5 have NO score (null key)
+        Seq(PutField("c1", "score", 5.0), PutField("c3", "score", 9.0),
+          PutField("c4", "score", 1.0), PutField("c6", "score", 7.0)))
+    val child = g.now.all("C").fields(("score", "v_double", "score"))
+      .select(col("atom_id"), col("score"),
+        col("score").as("__sort_score"))
+    def page(first: Option[Int], offset: Option[Int]): Seq[String] = {
+      val q = GqlLite.Query("P", fields = Seq(),
+        nested = Seq(GqlLite.NestedJoin("Has", incoming = false,
+          as = "children", child = child, childCols = Seq("score"),
+          sort = Seq(GqlLite.SortKey("__sort_score", asc = false)),
+          first = first, offset = offset)))
+      GqlLite.run(g.now, q).collect()(0)
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("children")
+        .map(r => Option(r.getAs[java.lang.Double]("score"))
+          .map(_.toString).getOrElse("null")).toSeq
+    }
+    // desc: 9, 7, 5, 1, then the two null-score children (nulls LAST)
+    assert(page(Some(3), None) == Seq("9.0", "7.0", "5.0"))
+    assert(page(Some(2), Some(1)) == Seq("7.0", "5.0"))
+    // page spanning into the null tail: pre-prune must keep null rows too
+    assert(page(Some(6), None) ==
+      Seq("9.0", "7.0", "5.0", "1.0", "null", "null"))
+    assert(page(Some(2), Some(4)) == Seq("null", "null"))
+    // asc direction: nulls still last
+    val qAsc = GqlLite.Query("P", fields = Seq(),
+      nested = Seq(GqlLite.NestedJoin("Has", incoming = false,
+        as = "children", child = child, childCols = Seq("score"),
+        sort = Seq(GqlLite.SortKey("__sort_score", asc = true)),
+        first = Some(6))))
+    val asc = GqlLite.run(g.now, qAsc).collect()(0)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("children")
+      .map(r => Option(r.getAs[java.lang.Double]("score"))
+        .map(_.toString).getOrElse("null")).toSeq
+    assert(asc == Seq("1.0", "5.0", "7.0", "9.0", "null", "null"))
+  }
+
   test("inferTypes: shape rules classify JSON, unknown falls through") {
     import spark.implicits._
     import EntityResolution._
