@@ -169,6 +169,22 @@ object DslQueries {
              |FROM e a
              |JOIN e b ON a.p_partkey = b.p_partkey AND a.i <> b.i
              |ORDER BY p_partkey, elem_1, elem_2""".stripMargin),
-      Seq("permutations", "combinations", "explode"))
+      Seq("permutations", "combinations", "explode")),
+
+    // zef text_art (implementation_typing_functions.py:7618): string →
+    // ASCII-art banner, rows prefixed '#  ', spaces widened. Lowered as a
+    // codegen'd literal replace-chain over a fixed 5-row font; the DuckDB
+    // side is GENERATED from the same font constant (TextArt.oracleSqlExpr)
+    // so the two engines share one lowering by construction.
+    QueryDef(
+      "dsl_text_art",
+      (s, d) => Tables.nation(s, d)
+        .select(col("n_name").as("name"),
+          graft.ops.TextArt.textArt(col("n_name")).as("art"))
+        .orderBy(col("name")),
+      Some(s"""SELECT n_name AS name,
+              |  ${graft.ops.TextArt.oracleSqlExpr("n_name")} AS art
+              |FROM nation ORDER BY name""".stripMargin),
+      Seq("text_art"))
   )
 }

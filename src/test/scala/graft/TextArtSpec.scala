@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextArt
+
+/** `text_art` (implementation_typing_functions.py:7618): banner shape,
+  * comment prefix, space widening, and Scala-side parity with the generated
+  * SQL lowering (same font constant drives both).
+  */
+class TextArtSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def render(s: String): String = {
+    val sp = spark; import sp.implicits._
+    Seq(s).toDF("x").select(TextArt.textArt(col("x")).as("a"))
+      .collect()(0).getString(0)
+  }
+
+  test("banner shape: 5 rows, comment prefix, equal widths, uppercased") {
+    val art = render("Hi 5")
+    val rows = art.split("\n", -1)
+    assert(rows.length == 5)
+    assert(rows.forall(_.startsWith("#  ")))
+    assert(rows.map(_.length).distinct.length == 1) // fixed-width font
+    // 3 glyphs of width 6 (5 + gap) + widened space (3) + prefix (3)
+    assert(rows.head.length == 3 + 6 + 6 + 3 + 6)
+    assert(art.contains("#####")) // H's crossbar row exists
+  }
+
+  test("known glyph render: 'I' exact rows") {
+    val art = render("I")
+    assert(art == Seq(
+      "#  ##### ",
+      "#    #   ",
+      "#    #   ",
+      "#    #   ",
+      "#  ##### ").mkString("\n"))
+  }
+
+  test("reference lowering parity: Scala replace-chain == generated SQL") {
+    // Run the generated oracle expression through Spark's own SQL engine
+    // (same ANSI replace/upper/||/chr semantics DuckDB applies) and compare
+    // with the Column lowering — one font constant, two emitters.
+    val sp = spark; import sp.implicits._
+    val df = Seq("UNITED KINGDOM", "abc 019", "ZQX").toDF("x")
+    df.createOrReplaceTempView("text_art_in")
+    val viaSql = spark
+      .sql(s"SELECT ${TextArt.oracleSqlExpr("x")} AS a FROM text_art_in ORDER BY x")
+      .collect().map(_.getString(0))
+    val viaCol = df.select(col("x"), TextArt.textArt(col("x")).as("a"))
+      .orderBy("x").collect().map(_.getString(1))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    df.sparkSession.catalog.dropTempView("text_art_in")
+  }
+
+  test("every font glyph is 5 rows of width 5 over {#, space}") {
+    TextArt.font.foreach { case (ch, rows) =>
+      assert(rows.length == 5, s"$ch")
+      assert(rows.forall(r => r.length == 5 && r.forall(c => c == '#' || c == ' ')), s"$ch")
+    }
+    assert(TextArt.font.map(_._1).distinct.length == TextArt.font.length)
+  }
+}
