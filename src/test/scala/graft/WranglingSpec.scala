@@ -138,6 +138,42 @@ class WranglingSpec extends AnyFunSuite {
     assert(approx.intersect(exact).nonEmpty, "LSH found none of the true topk")
   }
 
+  test("lsh projections are order-deterministic: in-plan aggregate == sequential fold, bitwise") {
+    // The DuckDB oracle mirrors the projection as an explicit left fold
+    // (list_reduce over list_prepend(0.0, ...)). Cross-engine signature
+    // equality therefore rests on one claim: Spark's aggregate() HOF
+    // accumulates strictly left-to-right, so the in-plan projection is
+    // bitwise equal to a sequential loop in the same order — even for
+    // projections numerically near zero, where a different summation
+    // order could flip the sign bit and with it the bucket.
+    val emb = Tables.embeddings(spark, sf)
+    val planes = Similarity.lshPlanes(64, 16)
+    val projCols = (0 until 16).map { i =>
+      Similarity.dot(col("embedding"),
+        array(planes(i).map(r => lit(r.toDouble)): _*)).as(s"p$i")
+    }
+    val rows = emb.select(
+      (col("vec_id") +: projCols :+
+        Similarity.lshSignature(col("embedding"), 64, 16).as("sig")): _*)
+      .collect()
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0))
+      var sig = 0L
+      (0 until 16).foreach { i =>
+        var acc = 0.0; var j = 0
+        while (j < 64) { acc += v(j).toDouble * planes(i)(j); j += 1 }
+        assert(java.lang.Double.doubleToRawLongBits(acc) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1 + i)),
+          s"vec ${r.getLong(0)} plane $i: in-plan projection is not the sequential fold")
+        if (acc > 0) sig |= 1L << i
+      }
+      assert(sig == r.getLong(17), s"vec ${r.getLong(0)}: packed signature mismatch")
+    }
+  }
+
   test("ivf ANN: nprobe=k is exact; pruned probes keep high recall") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 1)
