@@ -29,16 +29,26 @@ object GraphStore {
   }
 
   def load(spark: SparkSession, path: String): Graph = {
-    // partition columns come back at the end; restore canonical order
+    import org.apache.spark.sql.Encoders
+    // explicit schemas (not inference): a freshly-published empty graph —
+    // or a sub-table whose rows all arrived via later appendTx deltas —
+    // has directories with no data files yet, which schema inference
+    // rejects but a schema'd read returns as a clean empty frame
     val atomCols = Seq("atom_id", "kind", "atype", "src_id", "dst_id",
       "inst_slice", "term_slice", "origin_uid")
-    val atoms = spark.read.parquet(s"$path/atoms")
+    val atoms = spark.read.schema(Encoders.product[AtomRow].schema)
+      .parquet(s"$path/atoms")
+      // partition columns come back at the end; restore canonical order
       .select(atomCols.map(col): _*)
-    val values = spark.read.parquet(s"$path/values")
-    val txs = spark.read.parquet(s"$path/txs")
+    val values = spark.read.schema(Encoders.product[ValueRow].schema)
+      .parquet(s"$path/values")
+    val txs = spark.read.schema(Encoders.product[TxRow].schema)
+      .parquet(s"$path/txs")
     val tagsPath = new java.io.File(s"$path/tags")
     val tags =
-      if (tagsPath.exists()) spark.read.parquet(s"$path/tags")
+      if (tagsPath.exists())
+        spark.read.schema(Encoders.product[TagRow].schema)
+          .parquet(s"$path/tags")
       else Graph.empty(spark).tags
     Graph(atoms, values, txs, tags)
   }

@@ -1,0 +1,96 @@
+package graft.fx
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** `sync` — replicate a graph across processes through shared storage
+  * (reference: `python/zef/core/fx/zefhub.py` + `graph.py` `sync` —
+  * `g | sync[True]` pushes the graph to ZefHub and every process that opens
+  * the same tag sees its updates as they land).
+  *
+  * Spark-first restatement: the hub IS the storage layer. One writer owns a
+  * store directory (HDFS/S3/local — the same single-writer-per-graph
+  * discipline as the reference's transactor role, `fx_types.py:122`);
+  * every transaction lands durably as an append-only delta
+  * ([[GraphStore.appendTx]]: atoms/values/tags/tx rows plus termination
+  * closures) before the writer proceeds. Any number of reader sessions —
+  * including different Spark applications — open the same directory and see
+  * a consistent graph at the newest published slice; [[SyncedGraph.refresh]]
+  * picks up deltas published since (one file listing — no data is re-read
+  * until a query runs, and closure reconciliation stays a lazy plan).
+  * Live subscriptions tail the same directory as a micro-batch stream
+  * ([[Sync.atomFeed]]/[[Sync.valueFeed]]/[[Sync.closureFeed]]) and compose
+  * with the unchanged [[graft.streaming.GraphSubscriptions]] builders.
+  *
+  * Why no server process: a socket hub would re-centralize every write and
+  * die at cluster scale; shared storage already gives atomic-visibility
+  * appends (files appear whole), ordered replay (one file batch per tx),
+  * and scales reads with the filesystem. This is the Delta-CDF/tx-log-tail
+  * shape claimed in SURVEY §2.9, applied to replication.
+  */
+object Sync {
+
+  /** Writer side: publish `g` as the initial snapshot of `dir` and return
+    * the writer's handle. The snapshot may be empty — a graph can be born
+    * synced and grow entirely through [[SyncedGraph.transact]]. */
+  def publish(g: Graph, dir: String): SyncedGraph = {
+    GraphStore.save(g, dir)
+    SyncedGraph(g, dir)
+  }
+
+  /** Reader (or recovering writer) side: open the newest published state —
+    * snapshot plus every appended delta, termination closures reconciled
+    * into the interval column exactly as the writer's in-memory graph
+    * carries them. */
+  def open(spark: SparkSession, dir: String): SyncedGraph =
+    SyncedGraph(GraphStore.loadWithClosures(spark, dir), dir)
+
+  // ---------------------------------------------------------------------
+  // Live tail: the store directory as a micro-batch stream, one tx file
+  // batch per trigger — the inputs GraphSubscriptions composes on.
+  // ---------------------------------------------------------------------
+
+  def atomFeed(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Encoders.product[AtomRow].schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/atoms")
+
+  def valueFeed(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Encoders.product[ValueRow].schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/values")
+
+  /** Termination closures with the closed atom's type re-derived from the
+    * deterministic id scheme (`kind:ATYPE/key`) — the store keeps closures
+    * as bare `(atom_id, term_slice)` and the subscription filters on atype. */
+  def closureFeed(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("atom_id STRING, term_slice INT")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/closures")
+      .withColumn("atype",
+        regexp_extract(col("atom_id"), "^[^:]+:([^/]+)/", 1))
+      .select(col("atom_id"), col("atype"), col("term_slice"))
+}
+
+/** A graph bound to its replication directory. The writer's handle threads
+  * through [[transact]] (in-memory graph and durable log advance together);
+  * a reader's handle re-syncs with [[refresh]]. */
+final case class SyncedGraph(graph: Graph, dir: String) {
+
+  /** Transact against the in-memory graph and durably append the delta
+    * before returning — a reader that opens after this call returns is
+    * guaranteed to see the new slice. */
+  def transact(wishes: Seq[Wish],
+      ts: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      : (SyncedGraph, Receipt) = {
+    val (g2, r) = Transactor.transact(graph, wishes, ts)
+    GraphStore.appendTx(graph.spark, dir, r)
+    (copy(graph = g2), r)
+  }
+
+  /** Re-open at the newest published slice (readers; also how a restarted
+    * writer recovers its graph). */
+  def refresh(): SyncedGraph = Sync.open(graph.spark, dir)
+
+  def now: GraphSlice = graph.now
+  def at(slice: Int): GraphSlice = graph.at(slice)
+}

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.core.{AtomSet, GraphEncoder}
+import org.apache.spark.sql.SparkSession
+import graft.core.{AtomSet, GraphEncoder, PutField}
 import graft.gql.GqlLite
 import graft.wrangling.EntityResolution
 
@@ -588,6 +589,90 @@ object Extended {
              |       ELSE 'RISK' END AS tier
              |FROM customer WHERE c_mktsegment = 'BUILDING'
              |ORDER BY name""".stripMargin),
-      Seq("dynamic_fields", "zef_function", "gql_query"))
+      Seq("dynamic_fields", "zef_function", "gql_query")),
+
+    // sync (fx/zefhub.py: `g | sync` — replicate through the hub; here the
+    // hub is shared storage, fx.Sync): the leader graph is the CDC
+    // fixture's final state (5 weekly Spend assignments, low spenders
+    // terminated at slice 6 — stream_graph_on's graph). Once per session
+    // it is published through Sync, and one MORE transaction lands through
+    // the synced writer handle: a Bonus field for every surviving user.
+    // The registered query then runs entirely on a FOLLOWER — a fresh
+    // open from storage, closure reconciliation included — reading each
+    // survivor's replicated Spend and Bonus. The oracle replays the whole
+    // lifecycle relationally from `events`: a replica that lost a delta,
+    // resurrected a terminated user, or misapplied a closure diverges.
+    QueryDef(
+      "graph_sync_replica",
+      (s, d) => {
+        val replica = graft.fx.Sync.open(s, syncDirFor(s, d))
+        val users = replica.now.all("User")
+        val spend = users.fieldValue("Spend", "v_double", "spend")
+        val bonus = users.fieldValue("Bonus", "v_long", "bonus")
+        val now = spend.join(bonus, "atom_id")
+          .select(col("atom_id"), lit("now").as("frame"),
+            col("spend"), col("bonus"))
+        // replica time travel: the pre-termination frame still sees every
+        // user — a misapplied closure (or a resurrected atom) diverges here
+        val pre = replica.at(5).all("User")
+          .fieldValue("Spend", "v_double", "spend")
+          .select(col("atom_id"), lit("pre").as("frame"),
+            col("spend"), lit(null).cast("long").as("bonus"))
+        now.unionByName(pre).orderBy(col("frame"), col("atom_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CAST(datediff('day', DATE '2024-01-01',
+             |      CAST(date_trunc('week', ts) AS DATE)) // 7 + 1 AS INT) AS q
+             |  FROM events WHERE event_type = 'purchase' AND user_id <= 30),
+             |wk AS (
+             |  SELECT user_id, q, value FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, q
+             |      ORDER BY ts DESC, event_id DESC) AS rn FROM p)
+             |  WHERE rn = 1),
+             |fin AS (
+             |  SELECT user_id, value FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY q DESC) AS rn FROM wk)
+             |  WHERE rn = 1)
+             |SELECT * FROM (
+             |  SELECT 'e:User/' || CAST(user_id AS VARCHAR) AS atom_id,
+             |    'now' AS frame, value AS spend,
+             |    CAST(floor(value) AS BIGINT) AS bonus
+             |  FROM fin WHERE value >= 100.0
+             |  UNION ALL
+             |  SELECT 'e:User/' || CAST(user_id AS VARCHAR), 'pre', value,
+             |    CAST(NULL AS BIGINT)
+             |  FROM fin
+             |) ORDER BY frame, atom_id""".stripMargin),
+      Seq("sync", "replication", "transact", "cdc"))
   )
+
+  /** Memoized per (session, sfDir): the sync store directory — the CDC
+    * fixture graph published once through [[graft.fx.Sync]] plus one
+    * appended Bonus transaction via the synced writer handle. Pid-salted
+    * for the same clobber reasons as the feed dir. The wish list is
+    * bounded: one PutField per surviving user (≤ 31). */
+  private val syncDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def syncDirFor(s: SparkSession, d: String): String =
+    syncDirCache.getOrElseUpdate((s, d), {
+      val (g, _) = Streaming.graphFeedFor(s, d)
+      val dir = s"/tmp/graft_sync/p${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(d.hashCode)
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val writer = graft.fx.Sync.publish(g, dir)
+      val survivors = g.now.all("User")
+        .fieldValue("Spend", "v_double", "v")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      writer.transact(survivors.map { case (id, v) =>
+        PutField(id, "Bonus", math.floor(v).toLong)
+      })
+      dir
+    })
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.fx.{Sync, SyncedGraph}
+import graft.streaming.GraphSubscriptions
+
+/** `sync` (reference `fx/zefhub.py`): storage-mediated replication — one
+  * writer appends durably, readers in other sessions open/refresh/tail. */
+class SyncSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("born-synced: empty publish, growth via transact, cross-session open parity") {
+    val dir = tmp("graft_sync")
+    val w0 = Sync.publish(Graph.empty(spark), dir)
+    val (w1, _) = w0.transact(Seq(
+      PutEntity("Person", "ada"), PutField("ada", "Score", 1.0),
+      PutEntity("Person", "bob"), PutField("bob", "Score", 2.0)))
+    val (w2, _) = w1.transact(Seq(AssignField("e:Person/ada", "Score", 7.5)))
+
+    // a DIFFERENT session (fresh SQL state, shared cluster) opens the dir
+    val reader = spark.newSession()
+    val r = Sync.open(reader, dir)
+    assert(r.graph.maxSlice == 2)
+    def scores(s: GraphSlice) = s.all("Person")
+      .fieldValue("Score", "v_double", "x")
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(scores(r.now) == Map("e:Person/ada" -> 7.5, "e:Person/bob" -> 2.0))
+    // time travel on the replica: slice 1 predates ada's re-assignment
+    assert(scores(r.at(1)) == Map("e:Person/ada" -> 1.0, "e:Person/bob" -> 2.0))
+    // and the writer's in-memory graph agrees with its own published state
+    assert(scores(w2.now) == scores(r.now))
+  }
+
+  test("terminations replicate: closures reconcile on open, cascade included") {
+    val dir = tmp("graft_sync_t")
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "p1"), PutEntity("Person", "p2"),
+      PutField("p2", "Score", 5.0),
+      PutRelation("Knows", "p1", "p2")))
+    val w1 = Sync.publish(g1, dir)
+    // reader opens BEFORE the termination lands
+    val early = Sync.open(spark.newSession(), dir)
+    assert(early.now.all("Person").df.count() == 2)
+
+    val (w2, _) = w1.transact(Seq(TerminateAtom("e:Person/p2")))
+    val late = early.refresh()
+    assert(late.graph.maxSlice == 2)
+    assert(late.now.all("Person").df.collect()
+      .map(_.getAs[String]("atom_id")).toSeq == Seq("e:Person/p1"))
+    // cascade: the Knows relation closed with its endpoint — on the
+    // replica exactly as in the writer's memory
+    def aliveRels(g: Graph) = g.atoms
+      .filter(col("kind") === Kind.Relation && col("atype") === "Knows" &&
+        Graph.aliveAt(g.maxSlice))
+      .count()
+    assert(aliveRels(late.graph) == 0 && aliveRels(w2.graph) == 0)
+    // the pre-termination frame still sees p2 alive with its field
+    val before = late.at(1).all("Person")
+      .fieldValue("Score", "v_double", "x").collect()
+    assert(before.map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("e:Person/p2" -> 5.0))
+  }
+
+  test("writer recovery: reopen the dir and keep transacting") {
+    val dir = tmp("graft_sync_r")
+    val w0 = Sync.publish(Graph.empty(spark), dir)
+    val (w1, _) = w0.transact(Seq(PutEntity("Doc", "a"), PutField("a", "N", 1L)))
+    // writer process "dies"; a new one recovers from storage alone
+    val recovered = Sync.open(spark, dir)
+    assert(recovered.graph.maxSlice == w1.graph.maxSlice)
+    val (w2, _) = recovered.transact(Seq(
+      PutEntity("Doc", "b"), PutField("b", "N", 2L)))
+    assert(w2.graph.maxSlice == 2)
+    // a reader sees both generations' writes
+    val r = Sync.open(spark.newSession(), dir)
+    val ns = r.now.all("Doc").fieldValue("N", "v_long", "n")
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(ns == Map("e:Doc/a" -> 1L, "e:Doc/b" -> 2L))
+  }
+
+  test("live tail: subscriptions over the synced store equal the receipts") {
+    val dir = tmp("graft_sync_s")
+    var w = Sync.publish(Graph.empty(spark), dir)
+    for (i <- 1 to 3) {
+      val (w2, _) = w.transact(Seq(
+        PutEntity("Sensor", s"s$i"), PutField(s"s$i", "Temp", i * 1.5)))
+      w = w2
+    }
+    val (w4, _) = w.transact(Seq(TerminateAtom("e:Sensor/s2")))
+
+    val qa = GraphSubscriptions.onAssigned(
+        Sync.valueFeed(spark, dir), w4.graph.atoms, "Temp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sync_assigned").start()
+    qa.processAllAvailable(); qa.stop()
+    val assigned = spark.table("t_sync_assigned")
+      .select(col("atom_id"), col("tx_slice").cast("int"), col("v_double"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(assigned == Set(
+      ("ae:Temp/e:Sensor/s1", 1, 1.5),
+      ("ae:Temp/e:Sensor/s2", 2, 3.0),
+      ("ae:Temp/e:Sensor/s3", 3, 4.5)))
+
+    // closures carry no atype on disk; the feed re-derives it from the id
+    // scheme so the same atype-filtered subscription builder applies
+    val qt = GraphSubscriptions.onTerminatedClosures(
+        Sync.closureFeed(spark, dir), "Sensor")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_sync_term").start()
+    qt.processAllAvailable(); qt.stop()
+    val terms = spark.table("t_sync_term")
+      .select(col("atom_id"), col("tx_slice").cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(terms == Set(("e:Sensor/s2", 4)))
+  }
+}
