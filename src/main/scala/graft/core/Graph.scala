@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * change, zero data movement (SURVEY §2.2, §4.2).
   */
 final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
-    tags: DataFrame) {
+    tags: DataFrame, uniqueValuesThrough: Int = -1) {
 
   def spark: SparkSession = atoms.sparkSession
 
@@ -39,13 +39,29 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
     if (hit != null) hit
     else {
       val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
-      val df = values.filter(col("tx_slice") <= slice)
-        .groupBy("ae_id")
-        .agg(max_by(struct((Seq("tx_slice") ++ vcols).map(col): _*),
-          col("tx_slice")).as("__v"))
-        .select(col("ae_id") +:
-          (Seq("tx_slice") ++ vcols).map(c => col(s"__v.$c").as(c)): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val plan =
+        if (slice <= uniqueValuesThrough)
+          // Single-assignment fast path: a bulk-encoded graph carries AT
+          // MOST ONE value row per AE ([[uniqueValuesThrough]] — the
+          // guarantee is append-only-stable: later transacts only add rows
+          // at later slices, and any subset of a unique set is unique), so
+          // "latest value per AE as of `slice`" is just a filter — no
+          // aggregate, no sort, no shuffle in the build. At 100 TB this is
+          // the difference between reading the values table and globally
+          // sorting it before every cold as-of frame. Still persisted
+          // below: downstream field joins read this frame several times
+          // per query, and an unpinned version gets re-broadcast at every
+          // join site instead of scanned from the one cached build.
+          values.filter(col("tx_slice") <= slice)
+            .select((Seq("ae_id", "tx_slice") ++ vcols).map(col): _*)
+        else
+          values.filter(col("tx_slice") <= slice)
+            .groupBy("ae_id")
+            .agg(max_by(struct((Seq("tx_slice") ++ vcols).map(col): _*),
+              col("tx_slice")).as("__v"))
+            .select(col("ae_id") +:
+              (Seq("tx_slice") ++ vcols).map(c => col(s"__v.$c").as(c)): _*)
+      val df = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       latestValuesCache.put(slice, df)
       TransientCaches.trackGraph(this)
       df
@@ -521,7 +537,7 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     // as-of resolution reads the session-cached current-values table —
     // the aggregate runs once per (graph, slice), every field access after
     // the first is a pure join
-    val latest = frame.graph.latestValues(frame.slice).drop("tx_slice")
+    val latest = AtomSet.pruneToFields(frame, Seq(rt)).drop("tx_slice")
     val carried = df.columns.filterNot(Schema.atomCols.contains)
     df.select((col("atom_id") +: carried.map(col)): _*)
       .join(rels, "atom_id").join(latest, "ae_id")
@@ -632,7 +648,7 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       .select(col("src_id").as("atom_id"), col("dst_id").as("ae_id"),
         col("atype"))
     val resolved = rels
-      .join(frame.graph.latestValues(frame.slice), "ae_id")
+      .join(AtomSet.pruneToFields(frame, rtNames), "ae_id")
       .groupBy(col("atom_id"))
       .pivot("atype", rtNames)
       .agg(max_by(struct(vcols.map(col): _*), col("tx_slice")))
@@ -749,4 +765,29 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
   }
 
   def count(): Long = df.count()
+}
+
+object AtomSet {
+
+  /** The frame's latest-values table, pre-pruned to the AEs of the given
+    * field types when the graph's ids are known to follow the deterministic
+    * scheme (encoder-built graphs — the same provenance
+    * [[Graph.uniqueValuesThrough]] records): `ae:rt/` / `ae:rt#instance/` /
+    * `ae:rt[pos]/` prefixes (Transactor.aeId and NestedInfer's array-element
+    * form) select exactly the requested fields' assignments BEFORE the
+    * relation join, so the join's values side carries one field's rows
+    * instead of every field of every entity. The relation join still does
+    * the exact matching — the prefix cut only ever drops rows that join
+    * could never keep. On non-scheme graphs (merged/foreign ids) this is
+    * an identity. */
+  private[core] def pruneToFields(frame: GraphSlice,
+      rts: Seq[String]): DataFrame = {
+    val latest = frame.graph.latestValues(frame.slice)
+    if (frame.slice <= frame.graph.uniqueValuesThrough)
+      latest.filter(rts.flatMap(rt =>
+        Seq(s"ae:$rt/", s"ae:$rt#", s"ae:$rt[")
+          .map(p => col("ae_id").startsWith(p)))
+        .reduce(_ || _))
+    else latest
+  }
 }

@@ -33,7 +33,8 @@ object GraphEncoder {
     val c = Graph(
       g.atoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       g.values.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      g.txs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      g.txs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      g.tags, g.uniqueValuesThrough)
     // memoized across queries: exempt from between-query cache release
     TransientCaches.markShared(c)
     c
@@ -144,7 +145,10 @@ object GraphEncoder {
     import spark.implicits._
     val txs = Seq(TxRow(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF()
-    Graph(atoms, values, txs)
+    // every field lands exactly one value row at slice 1 (entity keys are
+    // primary keys, one AE per (entity, field)) — as-of reads can skip the
+    // latest-per-AE aggregate entirely (Graph.latestValues fast path)
+    Graph(atoms, values, txs).copy(uniqueValuesThrough = 1)
   }
 
   /** The `events` table as genuine temporal history: each user_id becomes an

@@ -217,7 +217,11 @@ object Transactor {
       if (newTags.isEmpty) g.tags
       else g.tags.unionByName(spark.createDataset(newTags.toSeq).toDF())
 
-    val g2 = Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal)
+    // values are append-only at a strictly later slice, so the bulk
+    // encoder's single-assignment guarantee (unique ae_id through its
+    // encode slice) survives every transact unchanged
+    val g2 = Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal,
+      g.uniqueValuesThrough)
     // Incremental view maintenance: the new frame's current-values table is
     // the PRIOR frame's (planned lazily on the prior graph instance, where
     // it stays cached — and therefore materialized once — across repeated
@@ -351,7 +355,8 @@ object Transactor {
       g.atoms.unionByName(aeAtoms.unionByName(relAtoms)),
       g.values.unionByName(valuesDelta),
       g.txs.unionByName(Seq(TxRow(slice, ts)).toDF()),
-      g.tags)
+      g.tags,
+      g.uniqueValuesThrough) // delta lands at a later slice — see transact
     // same depth-capped lazy map-only seeding as transact, with the
     // distributed delta: drop re-assigned AEs by anti-join, union the delta
     val priorDepth = g.latestValuesDepth(g.maxSlice)

@@ -69,6 +69,9 @@ object SqlImport {
     }
     val atoms = (encoded.map(_._1) ++ rels).reduce(_ unionByName _)
     val values = encoded.map(_._2).reduce(_ unionByName _)
+    // one value row per AE at one slice via the encoder's scheme ids —
+    // as-of reads take Graph.latestValues' single-assignment fast path
     Graph(atoms, values, Seq(TxRow(instSlice, ts)).toDF())
+      .copy(uniqueValuesThrough = instSlice)
   }
 }

@@ -364,5 +364,8 @@ object NestedInfer {
         .reduce(_ unionByName _).persist(lvl))
     Graph(atoms, graft.core.TransientCaches.trackTable(values.persist(lvl)),
       Seq(TxRow(instSlice, ts)).toDF())
+      // one value row per AE at one slice, scheme ids (ae:rel[pos]/src) —
+      // as-of reads take Graph.latestValues' single-assignment fast path
+      .copy(uniqueValuesThrough = instSlice)
   }
 }

@@ -599,4 +599,36 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(yoDead.contains(("identity", "attribute_entity", "NickName", 1L, true)))
     assert(yoDead.exists(t => t._1 == "history" && t._2 == "terminated" && !t._5))
   }
+
+  test("single-assignment fast path: latestValues == aggregated path, before and after transact") {
+    val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
+    assert(g.uniqueValuesThrough == 1)
+    val fast = g.latestValues(1)
+    val agg = g.copy(uniqueValuesThrough = -1).latestValues(1)
+    assert(fast.columns.toSeq == agg.columns.toSeq)
+    assert(fast.exceptAll(agg).isEmpty && agg.exceptAll(fast).isEmpty)
+    // the fast path must be free of Aggregate/Exchange — that's the point
+    val plan = fast.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"fast path still aggregates:\n$plan")
+
+    // a re-assignment transact: the guarantee survives (delta lands at a
+    // LATER slice), the seeded now-frame sees the new value, and the
+    // historical frame — served by the fast path — still sees the old one
+    val ae = "ae:c_acctbal/e:Customer/1"
+    val before = g.latestValues(1).filter(col("ae_id") === ae)
+      .collect()(0).getAs[Double]("v_double")
+    val (g2, _) = Transactor.transact(g,
+      Seq(AssignField("e:Customer/1", "c_acctbal", before + 1000.0)))
+    assert(g2.uniqueValuesThrough == 1)
+    assert(g2.latestValues(2).filter(col("ae_id") === ae)
+      .collect()(0).getAs[Double]("v_double") == before + 1000.0)
+    assert(g2.latestValues(1).filter(col("ae_id") === ae)
+      .collect()(0).getAs[Double]("v_double") == before)
+    // and a frame that is neither cached nor seeded on g2 (forces a fresh
+    // build at the re-assigned slice through the NON-fast path, since
+    // 2 > uniqueValuesThrough) agrees with the seeded answer
+    assert(g2.copy(uniqueValuesThrough = 1).latestValues(2)
+      .filter(col("ae_id") === ae)
+      .collect()(0).getAs[Double]("v_double") == before + 1000.0)
+  }
 }
