@@ -215,7 +215,10 @@ object GraphStore {
     val closuresPath = new java.io.File(s"$path/closures")
     if (!closuresPath.exists()) g
     else {
-      val closures = spark.read.parquet(s"$path/closures")
+      // schema'd read: the dir may exist but be empty (Sync.publish
+      // pre-creates it so stream readers can tail before any termination)
+      val closures = spark.read.schema("atom_id STRING, term_slice INT")
+        .parquet(s"$path/closures")
         .select(col("atom_id"), col("term_slice").as("__c"))
       // cascade: a relation closes when either endpoint closes
       val rels = g.atoms.filter(col("kind") === Kind.Relation)

@@ -36,6 +36,10 @@ object Sync {
     * synced and grow entirely through [[SyncedGraph.transact]]. */
   def publish(g: Graph, dir: String): SyncedGraph = {
     GraphStore.save(g, dir)
+    // a termination-free graph writes no closure files, but schema'd
+    // STREAM readers (closureFeed) need the directory to exist before the
+    // first termination lands
+    new java.io.File(s"$dir/closures").mkdirs()
     SyncedGraph(g, dir)
   }
 

@@ -1,0 +1,203 @@
+package graft.gql
+
+import java.io.{InputStream, OutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.CopyOnWriteArrayList
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.fx.Sync
+import graft.streaming.GraphSubscriptions
+
+/** Live graph subscriptions over WebSocket — the push half of the
+  * reference's service surface (`python/zef/core/fx/websocket.py`:
+  * FX.Websocket.StartServer / SendMessage; zefhub itself pushes graph
+  * updates to subscribed clients over the same transport,
+  * `fx/zefhub.py`). Spark-first restatement: the server owns no state
+  * machine — each client subscription IS a Structured Streaming query
+  * tailing the graph's sync store ([[Sync.atomFeed]]/[[Sync.valueFeed]]/
+  * [[Sync.closureFeed]], one micro-batch per published transaction)
+  * through the same [[GraphSubscriptions]] builders the in-process API
+  * uses, with `foreachBatch` serializing each event row to a text frame.
+  * Subscribe-then-transact therefore delivers exactly the rows the batch
+  * replay of the same feed produces — the spec asserts frame parity
+  * against the receipts.
+  *
+  * Transport is RFC 6455 over a plain ServerSocket (zero dependencies —
+  * the JDK HTTP server cannot hijack its exchange socket): handshake
+  * (Sec-WebSocket-Accept = b64(sha1(key + GUID))), unfragmented text
+  * frames, client-mask decoding, ping→pong, close. One reader thread per
+  * connection; event pushes come from the streaming queries' batch
+  * threads, serialized per-socket.
+  *
+  * Protocol: the client sends one JSON text frame per subscription,
+  * `{"on": "assigned" | "instantiated" | "terminated", "atype": "X"}`;
+  * every matching graph event then arrives as one JSON frame (the
+  * subscription row rendered by Spark's own row-JSON writer, so scalar
+  * formatting matches every other engine surface).
+  */
+final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
+
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", port))
+  @volatile private var running = true
+  private val queries = new CopyOnWriteArrayList[StreamingQuery]()
+  private val sockets = new CopyOnWriteArrayList[Socket]()
+
+  def start(): Int = {
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          sockets.add(s)
+          val ct = new Thread(() => serve(s), "graft-ws-conn")
+          ct.setDaemon(true); ct.start()
+        } catch { case _: Throwable => /* closed */ }
+      }
+    }, "graft-ws-accept")
+    t.setDaemon(true); t.start()
+    server.getLocalPort
+  }
+
+  /** Block until every live subscription has processed all published
+    * transactions — the test-determinism hook (same role as
+    * `processAllAvailable` in the streaming specs). */
+  def drain(): Unit = queries.forEach { q => if (q.isActive) q.processAllAvailable() }
+
+  /** Subscriptions currently running (clients' subscribe frames are
+    * processed asynchronously on connection threads). */
+  def activeSubscriptions: Int = queries.size
+
+  def stop(): Unit = {
+    running = false
+    queries.forEach(q => if (q.isActive) q.stop())
+    sockets.forEach(s => try s.close() catch { case _: Throwable => () })
+    server.close()
+  }
+
+  // ----------------------------------------------------------------- wire
+
+  private def serve(sock: Socket): Unit = {
+    val in = sock.getInputStream
+    val out = sock.getOutputStream
+    try {
+      handshake(in, out)
+      val writeLock = new Object
+      var mine = List.empty[StreamingQuery]
+      var open = true
+      while (open && running) {
+        readFrame(in) match {
+          case None => open = false
+          case Some((0x8, _)) => // close
+            writeFrame(out, 0x8, Array.emptyByteArray, writeLock); open = false
+          case Some((0x9, payload)) => // ping → pong
+            writeFrame(out, 0xA, payload, writeLock)
+          case Some((0x1, payload)) =>
+            val q = subscribe(new String(payload, UTF_8), out, writeLock)
+            queries.add(q); mine ::= q
+          case Some(_) => () // ignore pong/unknown
+        }
+      }
+      mine.foreach(q => if (q.isActive) q.stop())
+    } catch { case _: Throwable => () }
+    finally { try sock.close() catch { case _: Throwable => () } }
+  }
+
+  private def handshake(in: InputStream, out: OutputStream): Unit = {
+    val req = new StringBuilder
+    var prev = 0
+    var done = false
+    while (!done) {
+      val b = in.read()
+      if (b < 0) throw new java.io.EOFException("closed during handshake")
+      req.append(b.toChar)
+      if (b == '\n' && prev == '\n') done = true
+      if (b != '\r') prev = b
+    }
+    val key = req.toString.linesIterator
+      .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+      .map(_.split(":", 2)(1).trim)
+      .getOrElse(throw new IllegalArgumentException("not a WebSocket upgrade"))
+    val accept = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(UTF_8)))
+    out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
+    out.flush()
+  }
+
+  /** One unfragmented frame: (opcode, unmasked payload); None on EOF. */
+  private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+    val b0 = in.read(); if (b0 < 0) return None
+    val b1 = in.read(); if (b1 < 0) return None
+    val opcode = b0 & 0x0F
+    val masked = (b1 & 0x80) != 0
+    var len: Long = b1 & 0x7F
+    if (len == 126) len = (in.read() << 8 | in.read()).toLong
+    else if (len == 127) {
+      len = 0L
+      (0 until 8).foreach(_ => len = (len << 8) | in.read())
+    }
+    val mask = if (masked) Array.fill(4)(in.read().toByte) else Array.emptyByteArray
+    val payload = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < len) {
+      val n = in.read(payload, off, len.toInt - off)
+      if (n < 0) return None
+      off += n
+    }
+    if (masked) payload.indices.foreach(i =>
+      payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+    Some((opcode, payload))
+  }
+
+  private def writeFrame(out: OutputStream, opcode: Int,
+      payload: Array[Byte], lock: Object): Unit = lock.synchronized {
+    out.write(0x80 | opcode)
+    if (payload.length < 126) out.write(payload.length)
+    else if (payload.length < 65536) {
+      out.write(126); out.write(payload.length >> 8); out.write(payload.length & 0xFF)
+    } else {
+      out.write(127)
+      (7 to 0 by -1).foreach(i => out.write(((payload.length.toLong >> (8 * i)) & 0xFF).toInt))
+    }
+    out.write(payload); out.flush()
+  }
+
+  // ---------------------------------------------------------- subscription
+
+  private def subscribe(msg: String, out: OutputStream,
+      lock: Object): StreamingQuery = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(msg)
+    val on = (j \ "on") match { case JString(s) => s; case _ => "" }
+    val atype = (j \ "atype") match { case JString(s) => s; case _ => "" }
+    require(atype.nonEmpty, s"subscription needs atype: $msg")
+    val events = on match {
+      case "assigned" =>
+        GraphSubscriptions.onAssignedScheme(
+          Sync.valueFeed(spark, storeDir), atype)
+      case "instantiated" =>
+        GraphSubscriptions.onInstantiated(
+          Sync.atomFeed(spark, storeDir), atype)
+      case "terminated" =>
+        GraphSubscriptions.onTerminatedClosures(
+          Sync.closureFeed(spark, storeDir), atype)
+      case other => throw new IllegalArgumentException(s"unknown subscription: $other")
+    }
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // one tx file per micro-batch (maxFilesPerTrigger=1) → per-batch
+        // order by tx_slice preserves publication order on the wire
+        batch.orderBy(col("tx_slice")).toJSON.collect()
+          .foreach(s => writeFrame(out, 0x1, s.getBytes(UTF_8), lock))
+      }
+      .start()
+  }
+}

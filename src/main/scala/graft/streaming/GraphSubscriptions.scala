@@ -37,6 +37,23 @@ object GraphSubscriptions {
         col("v_str"), col("v_long"), col("v_double"), col("v_bool"), col("v_ts"))
   }
 
+  /** [[onAssigned]] without the AE-type dimension join: the AE's type is
+    * re-derived from the deterministic id scheme (`ae:RT/...`,
+    * `ae:RT#instance/...`, `ae:RT[pos]/...`). For feeds written by the
+    * Transactor/GraphEncoder this is exact, and it removes the one
+    * stream-static join — whose static side resolves its file listing at
+    * analysis time and would go stale against AEs created AFTER the
+    * subscription started. The long-lived-subscription path (WsServer)
+    * uses this form. */
+  def onAssignedScheme(valueFeed: DataFrame, aet: String): DataFrame =
+    valueFeed
+      .filter(col("ae_id").startsWith(s"ae:$aet/") ||
+        col("ae_id").startsWith(s"ae:$aet#") ||
+        col("ae_id").startsWith(s"ae:$aet["))
+      .select(col("ae_id").as("atom_id"), col("tx_slice"),
+        lit("assigned").as("event"),
+        col("v_str"), col("v_long"), col("v_double"), col("v_bool"), col("v_ts"))
+
   /** Terminations: atoms whose interval closed in the feed (batch-replay
     * path, where term_slice is already reconciled into the rows). */
   def onTerminated(atomFeed: DataFrame, atype: String): DataFrame =
