@@ -26,6 +26,13 @@ object GraphStore {
     g.txs.write.mode(mode).parquet(s"$path/txs")
     if (!g.tags.isEmpty)
       g.tags.write.mode(mode).parquet(s"$path/tags")
+    // store-level provenance: the single-assignment guarantee survives the
+    // round-trip (appendTx deltas land at later slices and cannot break
+    // it), so disk-loaded graphs keep the latestValues fast path
+    if (g.uniqueValuesThrough >= 0)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$path/_graft_meta.json"),
+        s"""{"uniqueValuesThrough": ${g.uniqueValuesThrough}}""")
   }
 
   def load(spark: SparkSession, path: String): Graph = {
@@ -50,7 +57,14 @@ object GraphStore {
         spark.read.schema(Encoders.product[TagRow].schema)
           .parquet(s"$path/tags")
       else Graph.empty(spark).tags
-    Graph(atoms, values, txs, tags)
+    val meta = new java.io.File(s"$path/_graft_meta.json")
+    val uniqueThrough =
+      if (meta.exists())
+        "\"uniqueValuesThrough\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(java.nio.file.Files.readString(meta.toPath))
+          .map(_.group(1).toInt).getOrElse(-1)
+      else -1
+    Graph(atoms, values, txs, tags, uniqueThrough)
   }
 
   /** Bucketed catalog tables — the 100-TB layout. `atoms` stays partitioned

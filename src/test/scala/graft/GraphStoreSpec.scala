@@ -248,4 +248,30 @@ class GraphStoreSpec extends AnyFunSuite {
     val plan = loaded.now.all("Person").df.queryExecution.executedPlan.toString
     assert(!plan.contains("atype=Pet") || plan.contains("PartitionFilters"))
   }
+
+  test("single-assignment provenance survives the store round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
+    GraphStore.save(g, dir)
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.uniqueValuesThrough == 1)
+    // the disk-loaded graph's cold as-of frame keeps the fast path
+    val plan = loaded.latestValues(1).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"store load lost the fast path:\n$plan")
+    // an appended re-assignment lands at a later slice: the flag stays
+    // valid, the reconciled load still resolves the new value at now and
+    // the old value in the earlier frame
+    val (g2, r2) = Transactor.transact(loaded,
+      Seq(AssignField("e:Customer/1", "c_acctbal", 123.45)))
+    GraphStore.appendTx(spark, dir, r2)
+    val re = GraphStore.loadWithClosures(spark, dir)
+    assert(re.uniqueValuesThrough == 1 && re.maxSlice == 2)
+    val ae = "ae:c_acctbal/e:Customer/1"
+    assert(re.latestValues(2).filter(col("ae_id") === ae)
+      .collect()(0).getAs[Double]("v_double") == 123.45)
+    assert(re.latestValues(1).filter(col("ae_id") === ae)
+      .collect()(0).getAs[Double]("v_double") ==
+      g2.latestValues(1).filter(col("ae_id") === ae)
+        .collect()(0).getAs[Double]("v_double"))
+  }
 }
