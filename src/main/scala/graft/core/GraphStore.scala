@@ -114,6 +114,11 @@ object GraphStore {
       .saveAsTable(s"${prefix}_values")
     g.txs.write.mode(mode).format("parquet").saveAsTable(s"${prefix}_txs")
     g.tags.write.mode(mode).format("parquet").saveAsTable(s"${prefix}_tags")
+    // provenance travels as a table property (metastore-durable on a real
+    // cluster — exactly where this layout's metadata belongs)
+    if (g.uniqueValuesThrough >= 0)
+      g.spark.sql(s"ALTER TABLE ${prefix}_values SET TBLPROPERTIES " +
+        s"('graft.uniqueValuesThrough'='${g.uniqueValuesThrough}')")
   }
 
   /** An in-memory session catalog forgets table metadata across JVMs while
@@ -132,11 +137,18 @@ object GraphStore {
   def loadBucketed(spark: SparkSession, prefix: String): Graph = {
     val atomCols = Seq("atom_id", "kind", "atype", "src_id", "dst_id",
       "inst_slice", "term_slice", "origin_uid")
+    val uniqueThrough =
+      try spark.sql(s"SHOW TBLPROPERTIES ${prefix}_values " +
+          "('graft.uniqueValuesThrough')")
+        .collect().headOption.map(_.getString(1).trim)
+        .filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(-1)
+      catch { case _: Throwable => -1 }
     Graph(
       spark.table(s"${prefix}_atoms").select(atomCols.map(col): _*),
       spark.table(s"${prefix}_values"),
       spark.table(s"${prefix}_txs"),
-      spark.table(s"${prefix}_tags"))
+      spark.table(s"${prefix}_tags"),
+      uniqueThrough)
   }
 
   /** Durable incremental append: one transaction's delta lands as appended

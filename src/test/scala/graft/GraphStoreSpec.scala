@@ -249,6 +249,22 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(!plan.contains("atype=Pet") || plan.contains("PartitionFilters"))
   }
 
+  test("single-assignment provenance survives the bucketed catalog round-trip") {
+    val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
+    GraphStore.saveBucketed(g, "bmeta", numBuckets = 4)
+    val loaded = GraphStore.loadBucketed(spark, "bmeta")
+    assert(loaded.uniqueValuesThrough == 1)
+    // flagged + bucketed: the cold as-of frame is a bucket-pruned scan
+    // with NO aggregate and NO Exchange at all
+    val lv = loaded.latestValues(1)
+    lv.collect()
+    val plan = lv.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") &&
+      !lv.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      s"bucketed flagged frame not a plain scan:\n$plan")
+    assert(lv.count() == g.latestValues(1).count())
+  }
+
   test("single-assignment provenance survives the store round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
     val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
