@@ -82,10 +82,29 @@ final case class SyncedGraph(graph: Graph, dir: String) {
 
   /** Transact against the in-memory graph and durably append the delta
     * before returning — a reader that opens after this call returns is
-    * guaranteed to see the new slice. */
+    * guaranteed to see the new slice.
+    *
+    * Single-writer fencing (optimistic): before appending, the store's
+    * newest published slice must equal this handle's — if another writer
+    * (or a newer generation of this one) has appended since, the append
+    * would silently fork the log, so it throws instead; recover with
+    * [[refresh]] and re-apply. One tiny scan of the txs table per
+    * transact, same-order cost as the append itself. */
   def transact(wishes: Seq[Wish],
       ts: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
       : (SyncedGraph, Receipt) = {
+    val storeSlice = {
+      val r = graph.spark.read
+        .schema(org.apache.spark.sql.Encoders.product[TxRow].schema)
+        .parquet(s"$dir/txs")
+        .agg(org.apache.spark.sql.functions.max("tx_id")).collect()(0)
+      if (r.isNullAt(0)) 0 else r.getInt(0)
+    }
+    if (storeSlice != graph.maxSlice)
+      throw new IllegalStateException(
+        s"stale sync writer: store $dir is at slice $storeSlice, this " +
+          s"handle at ${graph.maxSlice} — another writer appended; " +
+          "refresh() and re-apply")
     val (g2, r) = Transactor.transact(graph, wishes, ts)
     GraphStore.appendTx(graph.spark, dir, r)
     (copy(graph = g2), r)

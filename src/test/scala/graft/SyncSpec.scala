@@ -84,6 +84,24 @@ class SyncSpec extends AnyFunSuite {
     assert(ns == Map("e:Doc/a" -> 1L, "e:Doc/b" -> 2L))
   }
 
+  test("writer fencing: a stale handle cannot fork the log") {
+    val dir = tmp("graft_sync_f")
+    val w0 = Sync.publish(Graph.empty(spark), dir)
+    val (w1, _) = w0.transact(Seq(PutEntity("Doc", "a")))
+    // a second writer generation appends from the same state...
+    val (_, _) = Sync.open(spark, dir).transact(Seq(PutEntity("Doc", "b")))
+    // ...so the FIRST handle is now stale: its append must refuse rather
+    // than silently fork slice 2
+    val e = intercept[IllegalStateException] {
+      w1.transact(Seq(PutEntity("Doc", "c")))
+    }
+    assert(e.getMessage.contains("stale sync writer"))
+    // recovery path: refresh then re-apply
+    val (w3, _) = w1.refresh().transact(Seq(PutEntity("Doc", "c")))
+    assert(w3.graph.maxSlice == 3)
+    assert(Sync.open(spark.newSession(), dir).now.all("Doc").df.count() == 3)
+  }
+
   test("live tail: subscriptions over the synced store equal the receipts") {
     val dir = tmp("graft_sync_s")
     var w = Sync.publish(Graph.empty(spark), dir)
