@@ -783,7 +783,7 @@ object AtomSet {
   private[core] def pruneToFields(frame: GraphSlice,
       rts: Seq[String]): DataFrame = {
     val latest = frame.graph.latestValues(frame.slice)
-    if (frame.slice <= frame.graph.uniqueValuesThrough)
+    if (rts.nonEmpty && frame.slice <= frame.graph.uniqueValuesThrough)
       latest.filter(rts.flatMap(rt =>
         Seq(s"ae:$rt/", s"ae:$rt#", s"ae:$rt[")
           .map(p => col("ae_id").startsWith(p)))
