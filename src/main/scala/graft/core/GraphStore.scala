@@ -26,6 +26,23 @@ object GraphStore {
     g.txs.write.mode(mode).parquet(s"$path/txs")
     if (!g.tags.isEmpty)
       g.tags.write.mode(mode).parquet(s"$path/tags")
+    // an Overwrite into a previously-used directory must also clear the
+    // side state the dataframe writers above don't own, or the new store
+    // inherits the old one's: appended closure rows would terminate the
+    // fresh graph's same-id atoms on load, a stale tags dir would
+    // resurrect old bindings, stale writer-fence claims would block the
+    // new log, and a stale provenance flag would put a multi-assignment
+    // graph on the single-assignment fast path (silent wrong results)
+    if (mode == SaveMode.Overwrite) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$path/closures"))
+      rm(new java.io.File(s"$path/_slices"))
+      rm(new java.io.File(s"$path/_graft_meta.json"))
+      if (g.tags.isEmpty) rm(new java.io.File(s"$path/tags"))
+    }
     // store-level provenance: the single-assignment guarantee survives the
     // round-trip (appendTx deltas land at later slices and cannot break
     // it), so disk-loaded graphs keep the latestValues fast path
@@ -161,18 +178,24 @@ object GraphStore {
     * closed atom close with it. */
   def appendTx(spark: SparkSession, path: String, r: Receipt): Unit = {
     import spark.implicits._
+    // coalesce(1): a receipt is driver-sized by construction, and one
+    // file per sub-table per tx is what lets a micro-batch tail of the
+    // store (maxFilesPerTrigger=1) treat file ≈ transaction within each
+    // sub-feed — without it one tx's rows smear across several files and
+    // several micro-batches
     if (r.newAtoms.nonEmpty)
-      spark.createDataset(r.newAtoms).toDF()
+      spark.createDataset(r.newAtoms).toDF().coalesce(1)
         .write.mode(SaveMode.Append).partitionBy("kind", "atype")
         .parquet(s"$path/atoms")
     if (r.newValues.nonEmpty)
-      spark.createDataset(r.newValues).toDF()
+      spark.createDataset(r.newValues).toDF().coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$path/values")
     if (r.newTags.nonEmpty)
-      spark.createDataset(r.newTags).toDF()
+      spark.createDataset(r.newTags).toDF().coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$path/tags")
     if (r.terminatedIds.nonEmpty)
       r.terminatedIds.map(id => (id, r.slice)).toDF("atom_id", "term_slice")
+        .coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$path/closures")
     spark.createDataset(Seq(TxRow(r.slice, r.ts))).toDF()
       .write.mode(SaveMode.Append).parquet(s"$path/txs")

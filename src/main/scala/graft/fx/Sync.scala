@@ -84,27 +84,27 @@ final case class SyncedGraph(graph: Graph, dir: String) {
     * before returning — a reader that opens after this call returns is
     * guaranteed to see the new slice.
     *
-    * Single-writer fencing (optimistic): before appending, the store's
-    * newest published slice must equal this handle's — if another writer
-    * (or a newer generation of this one) has appended since, the append
-    * would silently fork the log, so it throws instead; recover with
-    * [[refresh]] and re-apply. One tiny scan of the txs table per
-    * transact, same-order cost as the append itself. */
+    * Single-writer fencing: the slice number itself is the lock. Before
+    * appending, the writer CLAIMS the next slice by atomically creating
+    * `_slices/<n>` (create-fails-if-exists — atomic on local FS and HDFS;
+    * on an S3-class store without atomic create, front this with a real
+    * lock service). A stale handle — one the store has moved past, or one
+    * racing another writer for the same slice — fails the claim and
+    * throws instead of silently forking the log; recover with [[refresh]]
+    * and re-apply. */
   def transact(wishes: Seq[Wish],
       ts: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
       : (SyncedGraph, Receipt) = {
-    val storeSlice = {
-      val r = graph.spark.read
-        .schema(org.apache.spark.sql.Encoders.product[TxRow].schema)
-        .parquet(s"$dir/txs")
-        .agg(org.apache.spark.sql.functions.max("tx_id")).collect()(0)
-      if (r.isNullAt(0)) 0 else r.getInt(0)
+    val next = graph.maxSlice + 1
+    val claims = java.nio.file.Paths.get(dir, "_slices")
+    java.nio.file.Files.createDirectories(claims)
+    try java.nio.file.Files.createFile(claims.resolve(next.toString))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"stale sync writer: slice $next of $dir is already claimed — " +
+            "another writer appended past this handle; refresh() and re-apply")
     }
-    if (storeSlice != graph.maxSlice)
-      throw new IllegalStateException(
-        s"stale sync writer: store $dir is at slice $storeSlice, this " +
-          s"handle at ${graph.maxSlice} — another writer appended; " +
-          "refresh() and re-apply")
     val (g2, r) = Transactor.transact(graph, wishes, ts)
     GraphStore.appendTx(graph.spark, dir, r)
     (copy(graph = g2), r)

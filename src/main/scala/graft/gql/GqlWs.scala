@@ -83,10 +83,10 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
   private def serve(sock: Socket): Unit = {
     val in = sock.getInputStream
     val out = sock.getOutputStream
+    var mine = List.empty[StreamingQuery]
     try {
       handshake(in, out)
       val writeLock = new Object
-      var mine = List.empty[StreamingQuery]
       var open = true
       while (open && running) {
         readFrame(in) match {
@@ -101,9 +101,17 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
           case Some(_) => () // ignore pong/unknown
         }
       }
-      mine.foreach(q => if (q.isActive) q.stop())
     } catch { case _: Throwable => () }
-    finally { try sock.close() catch { case _: Throwable => () } }
+    finally {
+      // connection teardown — on ANY exit path — stops this connection's
+      // streaming queries and keeps the server-wide list = live
+      // subscriptions (activeSubscriptions is a readiness signal)
+      mine.foreach { q =>
+        try { if (q.isActive) q.stop() } catch { case _: Throwable => () }
+        queries.remove(q)
+      }
+      try sock.close() catch { case _: Throwable => () }
+    }
   }
 
   private def handshake(in: InputStream, out: OutputStream): Unit = {
@@ -130,19 +138,35 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
     out.flush()
   }
 
-  /** One unfragmented frame: (opcode, unmasked payload); None on EOF. */
+  /** One unfragmented frame: (opcode, unmasked payload); None on EOF
+    * anywhere in the frame (a mid-header disconnect must not desync the
+    * parser into a negative or garbage length). Client frames here are
+    * small control/subscribe messages — anything above 1 MiB is a
+    * protocol error, not a payload to buffer. */
   private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
-    val b0 = in.read(); if (b0 < 0) return None
-    val b1 = in.read(); if (b1 < 0) return None
+    def b(): Int = in.read()
+    val b0 = b(); if (b0 < 0) return None
+    val b1 = b(); if (b1 < 0) return None
     val opcode = b0 & 0x0F
     val masked = (b1 & 0x80) != 0
     var len: Long = b1 & 0x7F
-    if (len == 126) len = (in.read() << 8 | in.read()).toLong
-    else if (len == 127) {
+    if (len == 126) {
+      val h = b(); val l = b()
+      if (h < 0 || l < 0) return None
+      len = (h << 8 | l).toLong
+    } else if (len == 127) {
       len = 0L
-      (0 until 8).foreach(_ => len = (len << 8) | in.read())
+      for (_ <- 0 until 8) {
+        val x = b(); if (x < 0) return None
+        len = (len << 8) | x
+      }
     }
-    val mask = if (masked) Array.fill(4)(in.read().toByte) else Array.emptyByteArray
+    if (len < 0 || len > (1L << 20)) return None
+    val mask = new Array[Byte](if (masked) 4 else 0)
+    for (i <- mask.indices) {
+      val x = b(); if (x < 0) return None
+      mask(i) = x.toByte
+    }
     val payload = new Array[Byte](len.toInt)
     var off = 0
     while (off < len) {
@@ -193,8 +217,14 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // one tx file per micro-batch (maxFilesPerTrigger=1) → per-batch
-        // order by tx_slice preserves publication order on the wire
+        // appendTx lands one file per sub-table per tx, so with
+        // maxFilesPerTrigger=1 a micro-batch is usually one transaction
+        // (the atoms sub-feed can still split one tx across its
+        // kind/atype partition dirs); events within a batch go out in
+        // tx order. Cross-batch order follows the file source's
+        // modification-time ordering — correct for spaced transactions,
+        // but a consumer needing a strict total order should sort on the
+        // tx_slice carried in every frame rather than on arrival order.
         batch.orderBy(col("tx_slice")).toJSON.collect()
           .foreach(s => writeFrame(out, 0x1, s.getBytes(UTF_8), lock))
       }

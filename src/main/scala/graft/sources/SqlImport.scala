@@ -60,8 +60,18 @@ object SqlImport {
       .distinct.map(t => t -> readTable(spark, url, t, props, parts.get(t)))
       .toMap
     val encoded = mapping.entities.map { e =>
-      GraphEncoder.encodeEntities(tables(e.table), e.et, e.keyCol,
-        e.fieldCols, instSlice)
+      // the single-assignment provenance stamped below REQUIRES key
+      // uniqueness; a non-unique source key would silently duplicate
+      // latestValues rows on the fast path, so verify it loudly here
+      // (one count-distinct agg per entity table, import-time only)
+      import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+      val t = tables(e.table)
+      val c = t.agg(count(lit(1)), count_distinct(col(e.keyCol))).collect()(0)
+      require(c.getLong(0) == c.getLong(1),
+        s"SqlImport: ${e.table}.${e.keyCol} is not unique " +
+          s"(${c.getLong(0)} rows, ${c.getLong(1)} distinct keys) — " +
+          "entity keys must be primary-key-like")
+      GraphEncoder.encodeEntities(t, e.et, e.keyCol, e.fieldCols, instSlice)
     }
     val rels = mapping.relations.map { r =>
       GraphEncoder.encodeRelations(tables(r.table), r.rt,

@@ -33,15 +33,22 @@ object PlanMetrics {
             m.value > 0
         }
         .map { case (k, m) =>
-          val v = if (k.toLowerCase.contains("time")) {
-            // timing metrics are ns or ms depending on type; SQLMetric
-            // timing type is ms
-            f"${m.value}%,d ms"
-          } else f"${m.value}%,d"
+          // SQLMetric carries its unit in metricType: "timing" is ms,
+          // "nsTiming" is ns — printing both as ms is off by 1e6 for
+          // exactly the operators this tool exists to profile
+          val v = m.metricType match {
+            case "nsTiming" => f"${m.value / 1000000}%,d ms"
+            case "timing" => f"${m.value}%,d ms"
+            case _ => f"${m.value}%,d"
+          }
           s"$k=$v"
         }
       val timey = p.metrics.exists { case (k, m) =>
-        (k.toLowerCase.contains("time") || k == "duration") && m.value > 100 }
+        (k.toLowerCase.contains("time") || k == "duration") && {
+          val ms = if (m.metricType == "nsTiming") m.value / 1000000 else m.value
+          ms > 100
+        }
+      }
       val big = p.metrics.get("numOutputRows").exists(_.value > 100000)
       if (timey || big || depth < 3) {
         val dur = p.metrics.get("duration").map(m => s" duration=${m.value}ms").getOrElse("")

@@ -102,6 +102,41 @@ class SyncSpec extends AnyFunSuite {
     assert(Sync.open(spark.newSession(), dir).now.all("Doc").df.count() == 3)
   }
 
+  test("re-publish into a used directory inherits none of the old store's side state") {
+    val dir = tmp("graft_sync_rp")
+    var w = Sync.publish(Graph.empty(spark), dir)
+    w = w.transact(Seq(PutEntity("Sensor", "s1"), PutEntity("Sensor", "s2")))._1
+    w = w.transact(Seq(TerminateAtom("e:Sensor/s2")))._1 // closure row on disk
+    // re-init: a FRESH graph with the same deterministic ids lands in the
+    // same directory (the recovery / re-bootstrap flow)
+    val (gNew, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Sensor", "s1"), PutEntity("Sensor", "s2")))
+    val w2 = Sync.publish(gNew, dir)
+    // the OLD store's closure rows must not terminate the new store's s2
+    assert(Sync.open(spark, dir).now.all("Sensor").df.count() == 2)
+    // and the OLD store's writer-fence claims must not block the new log
+    val (w3, _) = w2.transact(Seq(PutEntity("Sensor", "s3")))
+    assert(w3.graph.maxSlice == 2)
+    assert(Sync.open(spark.newSession(), dir).now.all("Sensor").df.count() == 3)
+  }
+
+  test("overwrite with an unflagged graph clears stale single-assignment provenance") {
+    val dir = tmp("graft_meta_rp")
+    GraphStore.save(GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001"), dir)
+    assert(GraphStore.load(spark, dir).uniqueValuesThrough == 1)
+    // a multi-assignment graph overwrites the same path: the stale flag
+    // would silently put its duplicate-ae history on the filter-only
+    // fast path, so save must clear it
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutField("a", "X", 1.0)))
+    val (g2, _) = Transactor.transact(g1, Seq(AssignField("e:P/a", "X", 2.0)))
+    GraphStore.save(g2, dir)
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.uniqueValuesThrough == -1)
+    val rows = loaded.latestValues(2).filter(col("ae_id") === "ae:X/e:P/a")
+    assert(rows.count() == 1 && rows.collect()(0).getAs[Double]("v_double") == 2.0)
+  }
+
   test("live tail: subscriptions over the synced store equal the receipts") {
     val dir = tmp("graft_sync_s")
     var w = Sync.publish(Graph.empty(spark), dir)
