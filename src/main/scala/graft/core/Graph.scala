@@ -712,8 +712,12 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     // endpoint kinds resolve through one (id, kind, type) projection join
     val rels = atoms.filter(col("kind") === Kind.Relation && Graph.aliveAt(slice))
       .select(col("atype").as("__rt"), col("src_id"), col("dst_id"))
+    // one row per atom, not per validity interval: a terminate-then-
+    // recreate leaves 2+ interval rows per atom_id and an undeduped
+    // projection would fan the joins below out, doubling every field and
+    // relation count (kind/atype are interval-invariant, so dedup is exact)
     val kinds = atoms.select(col("atom_id"), col("kind").as("__k"),
-      col("atype").as("__t"))
+      col("atype").as("__t")).dropDuplicates("atom_id")
     val myIds = df.select(col("atom_id")).distinct()
 
     val out = myIds.join(rels.withColumnRenamed("src_id", "atom_id"), "atom_id")

@@ -19,15 +19,11 @@ import graft.queries.Registry
   */
 object DocsGraph {
 
-  /** Family label per registry module, in [[Registry.modules]] order. */
-  private val families = Seq("relational", "graph", "wrangling",
-    "training_prep", "streaming", "dsl", "extended", "misc")
-
   def build(spark: org.apache.spark.sql.SparkSession): Graph = {
     // an op name may equal a query name (e.g. `frequencies`), and raw-key
     // resolution is type-blind within a tx — address every owned field and
     // relation endpoint by FULL atom id (which resolution passes through)
-    val byFamily = families.zip(Registry.modules)
+    val byFamily = Registry.namedModules
     val queryWishes = byFamily.flatMap { case (fam, qs) =>
       qs.flatMap { q =>
         val id = s"e:Query/${q.name}"

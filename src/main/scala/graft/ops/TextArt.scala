@@ -61,7 +61,7 @@ object TextArt {
     '9' -> Seq(" ### ", "#   #", " ####", "    #", "#### "))
 
   private val RowPrefix = "#  " // comment style, per the reference
-  private val Sentinel = "~" // never appears in glyph rows or inputs
+  private val Sentinel = "~" // outside the sanitized alphabet by construction
   private val WideSpace = "   " // input space → wider gap
 
   /** One banner row: sentinel the spaces, replace every known char with its
@@ -76,20 +76,30 @@ object TextArt {
   }
 
   /** The banner as one newline-joined string; input is uppercased first
-    * (the font is uppercase-only, mirroring typical FIGlet fonts).
+    * (the font is uppercase-only, mirroring typical FIGlet fonts) and then
+    * SANITIZED to the renderable alphabet `[A-Z0-9 ]` — without this, a
+    * character outside the font (punctuation, or the space sentinel
+    * itself) would pass through the replace-chain verbatim and corrupt
+    * the fixed-width banner rows for general inputs.
     */
   def textArt(c: Column): Column = {
-    val src = upper(c)
+    val src = regexp_replace(upper(c), "[^A-Z0-9 ]", "")
     concat_ws("\n", (0 until 5).map(rowCol(src, _)): _*)
   }
 
   /** The IDENTICAL lowering as an ANSI SQL expression over `col`, generated
-    * from the same font constant — the DuckDB side of the oracle.
+    * from the same font constant — the DuckDB side of the oracle. The one
+    * dialect split: DuckDB's regexp_replace needs the 'g' flag for a
+    * global replace, Spark's is always global and rejects the flag arg
+    * (the parity spec runs the generated SQL through Spark too).
     */
-  def oracleSqlExpr(col: String): String = {
+  def oracleSqlExpr(col: String, dialect: String = "duckdb"): String = {
+    val g = if (dialect == "duckdb") ", 'g'" else ""
     def lit(s: String): String = "'" + s.replace("'", "''") + "'"
     def row(r: Int): String = {
-      val spaced = s"replace(upper($col), ' ', ${lit(Sentinel)})"
+      // same sanitize-then-render pipeline as [[textArt]]
+      val spaced = s"replace(regexp_replace(upper($col), '[^A-Z0-9 ]', ''$g)," +
+        s" ' ', ${lit(Sentinel)})"
       val glyphed = font.foldLeft(spaced) { case (acc, (ch, rows)) =>
         s"replace($acc, ${lit(ch.toString)}, ${lit(rows(r) + " ")})"
       }

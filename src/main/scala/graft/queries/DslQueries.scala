@@ -116,9 +116,9 @@ object DslQueries {
         "is_alpha_numeric")),
 
     // zef combinations[n] (implementation_typing_functions.py:2561): all
-    // 3-element subsequences of the 4-word (name words + type + brand)
-    // array per part — recursion depth 3, pure HOF Column algebra,
-    // map-side only (the explode multiplies rows C(4,3)=4× BEFORE any
+    // 3-element subsequences of the 7-element (5 p_name words + type +
+    // brand) array per part — recursion depth 3, pure HOF Column algebra,
+    // map-side only (the explode multiplies rows C(7,3)=35× BEFORE any
     // shuffle; the only shuffle is the output sort the oracle contract
     // requires).
     QueryDef(

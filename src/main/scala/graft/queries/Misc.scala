@@ -288,8 +288,13 @@ object Misc {
         val ev = Tables.events(s, d)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("value"))
+        // one purchase per (user, ts): both engines' as-of tie handling
+        // is unspecified for duplicate right timestamps (same hazard —
+        // and same dedup — as stream_asof_enrich below); max(value)
+        // makes the tie winner deterministic on both sides
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("value").as("p_value"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("p_value"))
         graft.ops.AsOfJoin.backward(clicks, purchases,
             Seq("user_id"), "ts", "ts", toleranceSec = Some(6 * 3600.0))
           .groupBy(col("user_id"))
@@ -306,7 +311,9 @@ object Misc {
              |        - CAST(epoch_us(r.ts) AS DOUBLE) / 1000000.0 <= 21600.0
              |    THEN r.value END AS m
              |  FROM (SELECT * FROM events WHERE event_type = 'click') l
-             |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |  ASOF LEFT JOIN (
+             |    SELECT user_id, ts, max(value) AS value FROM events
+             |    WHERE event_type = 'purchase' GROUP BY user_id, ts) r
              |    ON l.user_id = r.user_id AND l.ts >= r.ts) l
              |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
       Seq("asof_join", "tolerance", "time_travel", "group_by")),

@@ -19,15 +19,20 @@ final case class QueryDef(
     ops: Seq[String])
 
 object Registry {
-  def modules: Seq[Seq[QueryDef]] = Seq(
-    Relational.entries,
-    GraphQueries.entries,
-    Wrangling.entries,
-    TrainingPrep.entries,
-    Streaming.entries,
-    DslQueries.entries,
-    Extended.entries,
-    Misc.entries)
+  /** Family label lives WITH its module: consumers (DocsGraph) must not
+    * couple to positions in a parallel list that silently drops or
+    * mislabels entries when a module is added or reordered. */
+  def namedModules: Seq[(String, Seq[QueryDef])] = Seq(
+    "relational" -> Relational.entries,
+    "graph" -> GraphQueries.entries,
+    "wrangling" -> Wrangling.entries,
+    "training_prep" -> TrainingPrep.entries,
+    "streaming" -> Streaming.entries,
+    "dsl" -> DslQueries.entries,
+    "extended" -> Extended.entries,
+    "misc" -> Misc.entries)
+
+  def modules: Seq[Seq[QueryDef]] = namedModules.map(_._2)
 
   lazy val entries: Seq[QueryDef] = modules.flatten
 

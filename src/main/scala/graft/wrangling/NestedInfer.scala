@@ -358,12 +358,22 @@ object NestedInfer {
     // AE/field-rel ids are (rel, pos, src_id) paths; JSON map keys are
     // unique per object and pos is unique per array, so the ids are unique
     // by construction — no dedup shuffle needed (it used to cost two
-    // exchanges of pure defensiveness here)
+    // exchanges of pure defensiveness here). One adversarial exception
+    // exists: a LITERAL key that ends in a bracket suffix (e.g. keys
+    // "a[0]" and "a":[...] in one object) collides with an array-element
+    // id. That would silently double field-join rows under the
+    // single-assignment flag below, so it is checked LOUDLY instead —
+    // one cheap count-distinct over the (persisted) values table.
     val atoms = graft.core.TransientCaches.trackTable(
       Seq(entities, relAtoms, aeAtoms, fieldRels)
         .reduce(_ unionByName _).persist(lvl))
-    Graph(atoms, graft.core.TransientCaches.trackTable(values.persist(lvl)),
-      Seq(TxRow(instSlice, ts)).toDF())
+    val v = graft.core.TransientCaches.trackTable(values.persist(lvl))
+    val c = v.agg(count(lit(1)), count_distinct(col("ae_id"))).collect()(0)
+    require(c.getLong(0) == c.getLong(1),
+      s"NestedInfer: ${c.getLong(0) - c.getLong(1)} colliding AE ids — a " +
+        "literal JSON key carries a bracket suffix that collides with an " +
+        "array-element id (e.g. both \"a[0]\" and \"a\": [...] in one object)")
+    Graph(atoms, v, Seq(TxRow(instSlice, ts)).toDF())
       // one value row per AE at one slice, scheme ids (ae:rel[pos]/src) —
       // as-of reads take Graph.latestValues' single-assignment fast path
       .copy(uniqueValuesThrough = instSlice)

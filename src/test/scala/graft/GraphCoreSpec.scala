@@ -600,6 +600,22 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(yoDead.exists(t => t._1 == "history" && t._2 == "terminated" && !t._5))
   }
 
+  test("yo counts are interval-invariant: a re-opened counterpart does not double") {
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "p1"), PutEntity("Person", "p2"),
+      PutRelation("Knows", "p1", "p2")))
+    val (g2, _) = Transactor.transact(g1, Seq(TerminateAtom("e:Person/p2")))
+    val (g3, _) = Transactor.transact(g2, Seq(
+      PutEntity("Person", "p2"),
+      PutRelation("Knows2", "e:Person/p1", "p2")))
+    // p2 now has TWO validity-interval rows; the alive Knows2 relation's
+    // counterpart lookup must still count it once
+    val rows = g3.now.all("Person").yo
+      .filter(col("atom_id") === "e:Person/p1" && col("section") === "relation_out")
+      .collect().map(r => (r.getString(2), r.getLong(4)))
+    assert(rows.toSeq == Seq(("Knows2", 1L)), rows.toSeq.toString)
+  }
+
   test("single-assignment fast path: latestValues == aggregated path, before and after transact") {
     val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
     assert(g.uniqueValuesThrough == 1)

@@ -44,15 +44,28 @@ class TextArtSpec extends AnyFunSuite {
     // (same ANSI replace/upper/||/chr semantics DuckDB applies) and compare
     // with the Column lowering — one font constant, two emitters.
     val sp = spark; import sp.implicits._
-    val df = Seq("UNITED KINGDOM", "abc 019", "ZQX").toDF("x")
+    val df = Seq("UNITED KINGDOM", "abc 019", "ZQX", "O'NEIL-7.x~").toDF("x")
     df.createOrReplaceTempView("text_art_in")
     val viaSql = spark
-      .sql(s"SELECT ${TextArt.oracleSqlExpr("x")} AS a FROM text_art_in ORDER BY x")
+      .sql(s"SELECT ${TextArt.oracleSqlExpr("x", "spark")} AS a " +
+        "FROM text_art_in ORDER BY x")
       .collect().map(_.getString(0))
     val viaCol = df.select(col("x"), TextArt.textArt(col("x")).as("a"))
       .orderBy("x").collect().map(_.getString(1))
     assert(viaSql.toSeq == viaCol.toSeq)
     df.sparkSession.catalog.dropTempView("text_art_in")
+  }
+
+  test("general input: punctuation and the sentinel char sanitize away") {
+    // '~' is the internal space sentinel and '-'/'.' are not in the font;
+    // all must strip rather than corrupt the fixed-width banner
+    assert(render("A-B.C~") == render("ABC"))
+    assert(render("O'NEIL") == render("ONEIL"))
+    val rows = render("X- .~Y").split("\n", -1)
+    assert(rows.map(_.length).distinct.length == 1,
+      "sanitized banner lost fixed width")
+    // the widened space survives sanitization
+    assert(render("X .Y") == render("X Y"))
   }
 
   test("every font glyph is 5 rows of width 5 over {#, space}") {
