@@ -685,12 +685,27 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     val noDetail = lit(null).cast("string").as("detail")
     val one = lit(1L).as("n")
 
+    // yo is a per-atom diagnostic over a caller-bounded set (same contract
+    // as gather's seeds), and its report sections each branch off the same
+    // two small intermediates: the set's own rows and its incident
+    // relations. Spark shares no subplans across DataFrame branches, so a
+    // fully-lazy formulation re-scans the whole atom table once per
+    // section (7+ scans) and — worse — shuffle-dedups the FULL atom table
+    // to resolve endpoint kinds. Instead: eagerly materialize the small
+    // intermediates with localCheckpoint (lineage truncates, caches are
+    // ContextCleaner-freed — gather's pattern), so the full-table work is
+    // exactly three cached scans (own rows, incident relations, touched
+    // endpoint kinds) plus one values scan, each reused by every section.
+    val me = df.select(col("atom_id"), col("kind"), col("atype"),
+      col("src_id"), col("dst_id"), col("inst_slice"), col("term_slice"))
+      .localCheckpoint(true)
+
     val kindName = when(col("kind") === Kind.AttributeEntity,
       "attribute_entity").otherwise(col("kind"))
-    val identity = df.select(col("atom_id"), lit("identity").as("section"),
+    val identity = me.select(col("atom_id"), lit("identity").as("section"),
       kindName.as("label"), col("atype").as("detail"), one, noAt)
 
-    val endpoints = df.filter(col("kind") === Kind.Relation)
+    val endpoints = me.filter(col("kind") === Kind.Relation)
       .select(col("atom_id"), explode(array(
         struct(lit("source").as("l"), col("src_id").as("d")),
         struct(lit("target").as("l"), col("dst_id").as("d")))).as("__e"))
@@ -698,29 +713,56 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
         col("__e.l").as("label"), col("__e.d").as("detail"), one, noAt)
 
     val txTs = frame.graph.txs.select(col("tx_id"), col("ts"))
-    val inst = df.select(col("atom_id"), col("inst_slice"))
+    val inst = me.select(col("atom_id"), col("inst_slice"))
       .join(txTs.withColumnRenamed("tx_id", "inst_slice"), "inst_slice")
       .select(col("atom_id"), lit("history").as("section"),
         lit("instantiated").as("label"), noDetail, one, col("ts").as("at"))
-    val term = df.filter(col("term_slice").isNotNull && col("term_slice") <= slice)
+    val term = me.filter(col("term_slice").isNotNull && col("term_slice") <= slice)
       .select(col("atom_id"), col("term_slice"))
       .join(txTs.withColumnRenamed("tx_id", "term_slice"), "term_slice")
       .select(col("atom_id"), lit("history").as("section"),
         lit("terminated").as("label"), noDetail, one, col("ts").as("at"))
 
-    // one alive-relations pass serves fields + both relation directions;
-    // endpoint kinds resolve through one (id, kind, type) projection join
+    // one alive-relations pass, materialized BIDIRECTIONALLY in a single
+    // job, serves fields + both relation directions. The two directions
+    // come from one explode over one scan (a self-union would scan the
+    // atom table twice); myIds is checkpointed-small so the join is a
+    // broadcast probe over that single streamed scan.
     val rels = atoms.filter(col("kind") === Kind.Relation && Graph.aliveAt(slice))
       .select(col("atype").as("__rt"), col("src_id"), col("dst_id"))
+    val myIds = me.select(col("atom_id")).distinct()
+    val incident = rels
+      .select(col("__rt"), explode(array(
+        struct(lit("out").as("dir"), col("src_id").as("id"),
+          col("dst_id").as("other")),
+        struct(lit("in").as("dir"), col("dst_id").as("id"),
+          col("src_id").as("other")))).as("__e"))
+      .select(col("__e.dir").as("__dir"), col("__rt"),
+        col("__e.id").as("atom_id"), col("__e.other").as("other_id"))
+      .join(myIds, "atom_id")
+      .localCheckpoint(true)
+    val outRels = incident.filter(col("__dir") === "out")
+      .select(col("atom_id"), col("__rt"), col("other_id").as("dst_id"))
+    val inRels = incident.filter(col("__dir") === "in")
+      .select(col("atom_id"), col("__rt"), col("other_id").as("src_id"))
+
+    // endpoint-kind resolution: narrow the atom table to the endpoints this
+    // set's relations actually touch BEFORE deduping validity intervals.
+    // The semi-join streams atoms once (AQE broadcasts the endpoint-id set
+    // when small — the common yo shape — and degrades to a shuffle join for
+    // set-of-everything reports), so the interval dedup below runs over the
+    // touched endpoints only, not a full-table shuffle.
+    val touched = incident.select(col("other_id").as("atom_id")).distinct()
     // one row per atom, not per validity interval: a terminate-then-
     // recreate leaves 2+ interval rows per atom_id and an undeduped
     // projection would fan the joins below out, doubling every field and
     // relation count (kind/atype are interval-invariant, so dedup is exact)
-    val kinds = atoms.select(col("atom_id"), col("kind").as("__k"),
-      col("atype").as("__t")).dropDuplicates("atom_id")
-    val myIds = df.select(col("atom_id")).distinct()
+    val kinds = atoms.join(touched, Seq("atom_id"), "left_semi")
+      .select(col("atom_id"), col("kind").as("__k"), col("atype").as("__t"))
+      .dropDuplicates("atom_id")
+      .localCheckpoint(true)
 
-    val out = myIds.join(rels.withColumnRenamed("src_id", "atom_id"), "atom_id")
+    val out = outRels
       .join(kinds.select(col("atom_id").as("dst_id"), col("__k"), col("__t")),
         "dst_id")
 
@@ -755,8 +797,7 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .select(col("atom_id"), lit("relation_out").as("section"),
         col("__rt").as("label"), col("__t").as("detail"), col("n"), noAt)
-    val relIn = myIds
-      .join(rels.withColumnRenamed("dst_id", "atom_id"), "atom_id")
+    val relIn = inRels
       .join(kinds.select(col("atom_id").as("src_id"), col("__k"), col("__t")),
         "src_id")
       .groupBy(col("atom_id"), col("__rt"), col("__t"))
