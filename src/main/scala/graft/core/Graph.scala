@@ -551,7 +551,11 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     * maxSteps and stops early on an empty frontier (one cheap count per
     * step, the unavoidable BFS synchronization point). */
   def gather(rts: Seq[String], maxSteps: Int): AtomSet = {
-    var visited = df.select("atom_id")
+    // seed ids are caller-bounded small; eager checkpoint so the seed's
+    // defining subtree (often a full-atom-table filter) is computed once
+    // instead of once per branch that references visited/frontier (step-1
+    // join, anti-join, final union all re-derive it otherwise)
+    var visited = df.select("atom_id").localCheckpoint(true)
     var frontier = visited
     var relIds = spark.emptyDataFrame.select(lit("").as("atom_id")).limit(0)
     var step = 0
