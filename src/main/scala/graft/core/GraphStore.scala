@@ -201,6 +201,30 @@ object GraphStore {
       .write.mode(SaveMode.Append).parquet(s"$path/txs")
   }
 
+  /** Distributed delta append — the data-sized analogue of [[appendTx]]:
+    * a bulk write's delta ([[Transactor.BulkDelta]]) appends as
+    * distributed parquet writes, no driver Receipt. file==tx is NOT
+    * guaranteed here (the delta is data-sized, many files per tx);
+    * micro-batch tails must treat the txs sub-feed, not file boundaries,
+    * as the transaction boundary. */
+  def appendBulk(spark: SparkSession, path: String,
+      d: Transactor.BulkDelta, filesPerTable: Int = 1): Unit = {
+    import spark.implicits._
+    // bounded file count per append: an ingest tick's delta written at
+    // the session's full shuffle parallelism would add dozens of
+    // KB-sized files per sub-table per tx, and every later atom scan
+    // (the bulk path's own anti-joins included) re-lists all of them —
+    // the small-files tax compounds per batch. Default 1 file per
+    // sub-table (appendTx's convention); a genuinely data-sized delta
+    // passes a higher count matched to its volume.
+    d.atoms.coalesce(filesPerTable).write.mode(SaveMode.Append)
+      .partitionBy("kind", "atype").parquet(s"$path/atoms")
+    d.values.coalesce(filesPerTable).write.mode(SaveMode.Append)
+      .parquet(s"$path/values")
+    spark.createDataset(Seq(TxRow(d.slice, d.ts))).toDF()
+      .write.mode(SaveMode.Append).parquet(s"$path/txs")
+  }
+
   /** Save plus a [[FieldIndex]] over the given field relation types —
     * typically `schema.searchRts` from a parsed SimpleGQL schema, honoring
     * its declared `@search` directives. */

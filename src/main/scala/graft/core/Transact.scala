@@ -289,76 +289,135 @@ object Transactor {
   def assignFieldBulk(g: Graph, assignments: DataFrame, rt: String,
       vtype: String = "str",
       ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): Graph = {
+    require(rt != "owner_id", "field rt cannot be named owner_id")
+    assignFieldsBulkDelta(g,
+      assignments.select(col("owner_id"), col("value").as(rt)),
+      Seq(BulkField(rt, vtype)), ts)._1
+  }
+
+  /** One distributed field assignment in a multi-field bulk write. */
+  final case class BulkField(rt: String, vtype: String)
+
+  /** The data-sized analogue of a [[Receipt]]: the delta frames a bulk
+    * write appends, for callers that must durably replicate the same
+    * transaction (e.g. a synced store — [[GraphStore.appendBulk]]).
+    * `values` carries the full [[ValueRow]] schema including vtype. */
+  final case class BulkDelta(atoms: DataFrame, values: DataFrame,
+      slice: Int, ts: Timestamp)
+
+  /** Multi-field generalization of [[assignFieldBulk]]: ONE transaction
+    * (one slice) assigning several fields per owner — the shape of a real
+    * ingest tick or rescore job, where a reference transact carries many
+    * field assignments per entity in one tx (zef `impl.py` transact over
+    * dict wishes). `assignments` has one `owner_id` column plus one value
+    * column PER FIELD, named after the field's rt; a NULL value skips that
+    * field for that owner (so sparse multi-field updates don't fabricate
+    * assignments).
+    *
+    * `ensureOwnerType`: when set, owner ids that don't resolve to an alive
+    * entity of that type get the ENTITY atom opened at this slice too
+    * (anti-join, distributed) — the upsert shape a CDC-apply needs, where
+    * the stream both creates and updates entities. Owner ids must then be
+    * scheme ids (`e:<et>/<key>`, [[GraphEncoder.entityId]]).
+    *
+    * `materializeDelta`: eagerly localCheckpoints the delta frames before
+    * they enter the new graph's lineage — callers that BOTH append the
+    * delta durably and keep transacting on the in-memory graph (streaming
+    * ingest) compute the delta once instead of once per consumer, and the
+    * two consumers are guaranteed bitwise-identical rows. */
+  def assignFieldsBulkDelta(g: Graph, assignments: DataFrame,
+      fields: Seq[BulkField],
+      ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
+      ensureOwnerType: Option[String] = None,
+      materializeDelta: Boolean = false): (Graph, BulkDelta) = {
     val spark = g.spark
     val slice = g.maxSlice + 1
     val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
-    val targetCol = s"v_$vtype"
-    require(vcols.contains(targetCol),
-      s"vtype must be one of str/long/double/bool/ts, got '$vtype'")
-    val castType = vtype match {
-      case "str" => "string"
-      case "long" => "long"
-      case "double" => "double"
-      case "bool" => "boolean"
-      case "ts" => "timestamp"
-    }
-    val a = assignments.select(col("owner_id"), col("value"))
-    val counts = a.agg(count(lit(1)).as("n"),
+    require(fields.nonEmpty, "assignFieldsBulk: at least one field")
+    require(fields.map(_.rt).distinct.size == fields.size,
+      "assignFieldsBulk: duplicate field rts")
+    fields.foreach(f => require(vcols.contains(s"v_${f.vtype}"),
+      s"vtype must be one of str/long/double/bool/ts, got '${f.vtype}'"))
+    val counts = assignments.agg(count(lit(1)).as("n"),
       count_distinct(col("owner_id")).as("d")).collect()(0)
     require(counts.getLong(0) == counts.getLong(1),
-      s"assignFieldBulk: duplicate owner_id rows (${counts.getLong(0)} rows, " +
-        s"${counts.getLong(1)} distinct owners) — one value per owner per tx")
+      s"assignFieldsBulk: duplicate owner_id rows (${counts.getLong(0)} rows, " +
+        s"${counts.getLong(1)} distinct owners) — one row per owner per tx")
 
-    def aeIdCol = concat(lit(s"ae:$rt/"), col("owner_id"))
-    def relIdCol = concat(lit(s"rel:$rt/"), col("owner_id"))
+    def sqlType(vc: String): String = vc match {
+      case "v_str" => "string"; case "v_long" => "long"
+      case "v_double" => "double"; case "v_bool" => "boolean"
+      case "v_ts" => "timestamp"
+    }
+    // value rows: one per non-null assignment per field, this slice
+    val valuesDelta0 = fields.map { f =>
+      val targetCol = s"v_${f.vtype}"
+      assignments.filter(col(f.rt).isNotNull).select(
+        Seq(concat(lit(s"ae:${f.rt}/"), col("owner_id")).as("ae_id"),
+          lit(slice).as("tx_slice"), lit(f.vtype).as("vtype")) ++
+        vcols.map(c =>
+          if (c == targetCol) col(f.rt).cast(sqlType(c)).as(c)
+          else lit(null).cast(sqlType(c)).as(c)): _*)
+    }.reduce(_ unionByName _)
 
-    // value rows: one per assignment, this slice
-    val deltaCols: Seq[org.apache.spark.sql.Column] =
-      Seq(aeIdCol.as("ae_id"), lit(slice).as("tx_slice"),
-        lit(vtype).as("vtype")) ++
-      vcols.map(c =>
-        if (c == targetCol) col("value").cast(castType).as(c)
-        else lit(null).cast(c match {
-          case "v_str" => "string"; case "v_long" => "long"
-          case "v_double" => "double"; case "v_bool" => "boolean"
-          case "v_ts" => "timestamp"
-        }).as(c))
-    val valuesDelta = a.select(deltaCols: _*)
-
-    // owners whose field AE / field RELATION is not currently alive get the
-    // missing atom(s) opened at this slice — ANTI-JOINs against the atoms
-    // table, the distributed analogue of transact's isin-scoped existence
-    // check. AE and relation are checked INDEPENDENTLY (mirroring PutField):
-    // a cascade-terminate of the owner closes the field relation but leaves
-    // the AE atom alive, so a re-instantiated owner needs only the relation
-    // re-opened — re-opening neither (old behavior) left the assigned value
-    // unreachable via field() reads.
-    // the probe ids carry a literal per-rt prefix, so the build side
-    // narrows to THIS field's atoms unconditionally (string algebra, not
-    // provenance: an alive id without the prefix can never match) —
-    // at scale this is a scan predicate instead of an all-atoms build
-    def alivePrefixed(prefix: String) =
-      g.atoms.filter(col("term_slice").isNull &&
-          col("atom_id").startsWith(prefix))
-        .select(col("atom_id").as("__alive_id"))
-    val missingAe = a.select(col("owner_id"))
-      .join(alivePrefixed(s"ae:$rt/"), aeIdCol === col("__alive_id"), "left_anti")
-    val missingRel = a.select(col("owner_id"))
-      .join(alivePrefixed(s"rel:$rt/"), relIdCol === col("__alive_id"), "left_anti")
-    val aeAtoms = missingAe.select(
-      aeIdCol.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
-      lit(rt).as("atype"), lit(null).cast("string").as("src_id"),
-      lit(null).cast("string").as("dst_id"), lit(slice).as("inst_slice"),
-      lit(null).cast("int").as("term_slice"), aeIdCol.as("origin_uid"))
-    val relAtoms = missingRel.select(
-      relIdCol.as("atom_id"), lit(Kind.Relation).as("kind"),
-      lit(rt).as("atype"), col("owner_id").as("src_id"),
-      aeIdCol.as("dst_id"), lit(slice).as("inst_slice"),
-      lit(null).cast("int").as("term_slice"), relIdCol.as("origin_uid"))
+    // Atoms this tx might need to open: field AE + field RELATION per
+    // non-null assignment (checked INDEPENDENTLY, mirroring PutField: a
+    // cascade-terminate of the owner closes the field relation but leaves
+    // the AE alive, so a re-instantiated owner needs only the relation
+    // re-opened) and, when upserting, the owner entity itself. All
+    // candidates carry their full atom row in ONE exploded frame, so the
+    // existence check is a single two-phase join instead of one anti-join
+    // per field side (2F+1 atom-table scans otherwise, the dominant cost
+    // of an ingest tick): alive ids prefix-narrowed by scan predicate,
+    // semi-joined down to the candidate ids (AQE broadcasts the candidate
+    // set when delta-sized, so the atom scan STREAMS, no shuffle of the
+    // atom table), then one anti-join of candidates vs that small
+    // existing set. Scheme ids make id equality imply (kind, atype)
+    // equality, so matching on atom_id alone is exact.
+    val candCols: Seq[org.apache.spark.sql.Column] = fields.flatMap { f =>
+      val ae = concat(lit(s"ae:${f.rt}/"), col("owner_id"))
+      val rel = concat(lit(s"rel:${f.rt}/"), col("owner_id"))
+      def gated(c: org.apache.spark.sql.Column) =
+        when(col(f.rt).isNotNull, c)
+      Seq(
+        gated(struct(ae.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
+          lit(f.rt).as("atype"), lit(null).cast("string").as("src_id"),
+          lit(null).cast("string").as("dst_id"), ae.as("origin_uid"))),
+        gated(struct(rel.as("atom_id"), lit(Kind.Relation).as("kind"),
+          lit(f.rt).as("atype"), col("owner_id").as("src_id"),
+          ae.as("dst_id"), rel.as("origin_uid"))))
+    } ++ ensureOwnerType.map(et =>
+      struct(col("owner_id").as("atom_id"), lit(Kind.Entity).as("kind"),
+        lit(et).as("atype"), lit(null).cast("string").as("src_id"),
+        lit(null).cast("string").as("dst_id"),
+        col("owner_id").as("origin_uid")))
+    val cand = assignments
+      .select(explode(array(candCols: _*)).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("__c.atom_id"), col("__c.kind"), col("__c.atype"),
+        col("__c.src_id"), col("__c.dst_id"), col("__c.origin_uid"))
+    val prefixes = fields.flatMap(f =>
+      Seq(s"ae:${f.rt}/", s"rel:${f.rt}/")) ++
+      ensureOwnerType.map(et => s"e:$et/")
+    val aliveProbed = g.atoms.filter(col("term_slice").isNull &&
+        prefixes.map(p => col("atom_id").startsWith(p)).reduce(_ || _))
+      .select(col("atom_id"))
+    val existing = aliveProbed
+      .join(cand.select(col("atom_id")), Seq("atom_id"), "left_semi")
+      .withColumnRenamed("atom_id", "__ex_id")
+    val atomsDelta0 = cand
+      .join(existing, col("atom_id") === col("__ex_id"), "left_anti")
+      .select(col("atom_id"), col("kind"), col("atype"), col("src_id"),
+        col("dst_id"), lit(slice).as("inst_slice"),
+        lit(null).cast("int").as("term_slice"), col("origin_uid"))
+    val (atomsDelta, valuesDelta) =
+      if (materializeDelta)
+        (atomsDelta0.localCheckpoint(true), valuesDelta0.localCheckpoint(true))
+      else (atomsDelta0, valuesDelta0)
 
     import spark.implicits._
     val g2 = Graph(
-      g.atoms.unionByName(aeAtoms.unionByName(relAtoms)),
+      g.atoms.unionByName(atomsDelta),
       g.values.unionByName(valuesDelta),
       g.txs.unionByName(Seq(TxRow(slice, ts)).toDF()),
       g.tags,
@@ -375,6 +434,6 @@ object Transactor {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       g2.seedLatestValues(slice, merged, priorDepth + 1)
     }
-    g2
+    (g2, BulkDelta(atomsDelta, valuesDelta, slice, ts))
   }
 }

@@ -1,0 +1,126 @@
+package graft.fx
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.{Graph, GraphEncoder, GraphStore, Transactor}
+
+/** Streaming ingestion INTO a graph — the write-side complement of the
+  * CDC read path (`streaming/GraphSubscriptions` + `fx/Sync`'s live tail):
+  * a Structured Streaming source becomes graph transactions, one tx per
+  * micro-batch, durably appended to a published sync store. The loop a
+  * reference deployment runs as "subscribe a graph process to a feed and
+  * transact what arrives" (zef `fx/zefhub.py` subscription → transact
+  * flow) — here the apply step is a distributed bulk write, not per-row
+  * wishes.
+  *
+  * Ordering contract (CDC-apply): last-writer-wins BY EVENT TIME, not
+  * arrival. Each batch reduces to one winner row per key
+  * (`max_by` over (event ts, tie)), then a conditional join against the
+  * graph's stored high-water (ts, tie) per key drops stale and duplicate
+  * deliveries. The final graph state is therefore DETERMINISTIC under any
+  * batching, reordering, or redelivery of the input — the property that
+  * makes the oracle checkable and, at scale, the property that makes the
+  * ingest safe behind an at-least-once source. Slice HISTORY (how many
+  * txs, what landed together) legitimately depends on batching; final
+  * state does not.
+  *
+  * Scale shape: per batch, the work is one shuffle of the batch (winner
+  * reduction), one join against the seeded latest-values cache (O(delta)
+  * after [[Transactor.assignFieldsBulkDelta]]'s incremental seeding), and
+  * anti-joins that narrow the atom table by id-scheme prefix. The
+  * in-memory handle re-opens from the store whenever the incremental
+  * seeding depth cap is reached, so lineage and cache depth stay bounded
+  * over an unbounded stream. */
+object StreamIngest {
+
+  /** One ingested field: the graph relation type it lands as, its value
+    * type (str/long/double/bool/ts), and the expression over the stream's
+    * columns that produces it. */
+  final case class IngestField(rt: String, vtype: String, expr: Column)
+
+  private val HwTs = "_ingest_ts"
+  private val HwTie = "_ingest_tie"
+
+  /** Start the ingest query. `dir` must be a published sync store
+    * ([[Sync.publish]]); `et` the entity type keyed by `key` (scheme ids —
+    * entities are created on first sight, updated after). `eventTs` must
+    * be a timestamp column, `tie` a numeric total-order tiebreaker for
+    * equal timestamps (an event id). Defaults to a bounded run
+    * (AvailableNow) — pass a processing-time trigger for a live tail. */
+  def eventsToGraph(stream: DataFrame, dir: String, et: String,
+      key: Column, eventTs: Column, tie: Column, fields: Seq[IngestField],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(fields.nonEmpty, "ingest: at least one field")
+    require(!fields.exists(f => f.rt == HwTs || f.rt == HwTie),
+      s"ingest: field rts $HwTs/$HwTie are reserved for the high-water mark")
+    val spark = stream.sparkSession
+    var handle = Sync.open(spark, dir)
+    val rts = fields.map(_.rt)
+
+    stream.writeStream
+      .queryName(s"graft-ingest-$et")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // 1. reduce the batch to one winner per key by (event ts, tie) —
+        // deterministic regardless of partitioning or arrival order
+        val packed = batch.select(
+          GraphEncoder.entityId(et, key).as("owner_id"),
+          eventTs.as("__ts"), tie.cast("long").as("__tie"),
+          struct((Seq(eventTs.as("__wts"), tie.cast("long").as("__wtie")) ++
+            fields.map(f => f.expr.as(f.rt))): _*).as("__p"))
+        val winners = packed.groupBy(col("owner_id"))
+          .agg(max_by(col("__p"), struct(col("__ts"), col("__tie"))).as("__w"))
+          .select(col("owner_id") +: (
+            Seq(col("__w.__wts").as("__ts"), col("__w.__wtie").as("__tie")) ++
+            rts.map(rt => col(s"__w.$rt").as(rt))): _*)
+
+        // 2. stored high-water per key — a prefix-pruned read of the
+        // seeded latest-values cache, no relation joins (the high-water
+        // AEs follow the deterministic ae:<rt>/<owner> scheme)
+        val g = handle.graph
+        val lv = g.latestValues(g.maxSlice)
+        def hw(rt: String, vcol: String, as: String) =
+          lv.filter(col("ae_id").startsWith(s"ae:$rt/"))
+            .select(col("ae_id").substr(lit(s"ae:$rt/".length + 1),
+              lit(Int.MaxValue)).as("owner_id"), col(vcol).as(as))
+        val fresh = winners
+          .join(hw(HwTs, "v_ts", "__sts"), Seq("owner_id"), "left")
+          .join(hw(HwTie, "v_long", "__stie"), Seq("owner_id"), "left")
+          .filter(col("__sts").isNull || col("__ts") > col("__sts") ||
+            (col("__ts") === col("__sts") && col("__tie") > col("__stie")))
+
+        // 3. the batch's applied assignments, high-water fields included;
+        // bounded-scalar collect decides emptiness and the tx's event-time
+        // watermark in one job
+        val assignments = fresh.select(col("owner_id") +:
+          (rts.map(col) ++ Seq(col("__ts").as(HwTs), col("__tie").as(HwTie))): _*)
+          .localCheckpoint(true)
+        val stat = assignments.agg(count(lit(1)), max(col(HwTs))).collect()(0)
+        if (stat.getLong(0) > 0L) {
+          val txTs = stat.getTimestamp(1)
+          // 4. claim-fenced durable apply: one tx, all fields, entities
+          // upserted; the delta is materialized once and feeds both the
+          // store append and the in-memory handle
+          Sync.claimSlice(dir, g.maxSlice + 1)
+          val (g2, delta) = Transactor.assignFieldsBulkDelta(g, assignments,
+            fields.map(f => Transactor.BulkField(f.rt, f.vtype)) ++
+              Seq(Transactor.BulkField(HwTs, "ts"),
+                Transactor.BulkField(HwTie, "long")),
+            ts = txTs, ensureOwnerType = Some(et), materializeDelta = true)
+          GraphStore.appendBulk(spark, dir, delta)
+          // bound lineage/cache depth over an unbounded stream: once the
+          // incremental seeding cap is hit, re-open from the store (one
+          // full latest-values rebuild per ~MaxSeedDepth batches)
+          handle =
+            if (g2.latestValuesDepth(g2.maxSlice) >= Graph.MaxSeedDepth)
+              Sync.open(spark, dir)
+            else handle.copy(graph = g2)
+        }
+      }
+      .start()
+  }
+}

@@ -43,6 +43,24 @@ object Sync {
     SyncedGraph(g, dir)
   }
 
+  /** Single-writer fencing: the slice number itself is the lock — claim
+    * slice `next` by atomically creating `_slices/<next>`
+    * (create-fails-if-exists; atomic on local FS and HDFS — on an
+    * S3-class store without atomic create, front this with a real lock
+    * service). A stale or racing writer fails the claim and throws
+    * instead of silently forking the log. */
+  private[graft] def claimSlice(dir: String, next: Int): Unit = {
+    val claims = java.nio.file.Paths.get(dir, "_slices")
+    java.nio.file.Files.createDirectories(claims)
+    try java.nio.file.Files.createFile(claims.resolve(next.toString))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"stale sync writer: slice $next of $dir is already claimed — " +
+            "another writer appended past this handle; refresh() and re-apply")
+    }
+  }
+
   /** Reader (or recovering writer) side: open the newest published state —
     * snapshot plus every appended delta, termination closures reconciled
     * into the interval column exactly as the writer's in-memory graph
@@ -96,15 +114,7 @@ final case class SyncedGraph(graph: Graph, dir: String) {
       ts: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
       : (SyncedGraph, Receipt) = {
     val next = graph.maxSlice + 1
-    val claims = java.nio.file.Paths.get(dir, "_slices")
-    java.nio.file.Files.createDirectories(claims)
-    try java.nio.file.Files.createFile(claims.resolve(next.toString))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"stale sync writer: slice $next of $dir is already claimed — " +
-            "another writer appended past this handle; refresh() and re-apply")
-    }
+    Sync.claimSlice(dir, next)
     val (g2, r) = Transactor.transact(graph, wishes, ts)
     GraphStore.appendTx(graph.spark, dir, r)
     (copy(graph = g2), r)

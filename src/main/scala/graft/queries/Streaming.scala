@@ -250,7 +250,65 @@ object Streaming {
              |    6, CAST(NULL AS DOUBLE)
              |  FROM fin WHERE value < 100.0
              |) ORDER BY event, atom_id, tx_slice""".stripMargin),
-      Seq("on", "assigned", "terminated", "subscribe", "cdc", "transact"))
+      Seq("on", "assigned", "terminated", "subscribe", "cdc", "transact")),
+
+    // Streaming ingestion INTO a graph (the CDC WRITE side, closing the
+    // loop stream_graph_on opened): a file-source stream of events
+    // becomes one graph tx per micro-batch via StreamIngest.eventsToGraph
+    // — event-time last-writer-wins, entities upserted on first sight,
+    // every tx claim-fenced and durably appended to a published sync
+    // store. The run is bounded (AvailableNow over a 4-file copy of
+    // events, forcing several batches whose boundaries the final state
+    // must be independent of — the hash-split decorrelates file from
+    // event time, so batches genuinely overlap and the conditional
+    // apply path is exercised); the oracle recomputes the final state
+    // relationally: last event per user by (ts, event_id).
+    QueryDef(
+      "stream_graph_ingest",
+      (s, d) => {
+        import graft.fx.{StreamIngest, Sync}
+        import graft.core.Graph
+        val base = s"/tmp/graft_ingest/p${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        // fresh store/checkpoint per run (a re-run must not inherit prior
+        // state); the 4-file source copy is input PREP, not the operator
+        // under test — memoized per (pid, sf) like graphFeedFor
+        for (sub <- Seq("store", "ckpt")) {
+          val root = java.nio.file.Paths.get(s"$base/$sub")
+          if (java.nio.file.Files.exists(root)) {
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.delete(p))
+          }
+        }
+        val srcDir = s"$base/src"; val storeDir = s"$base/store"
+        val ev = Tables.events(s, d)
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$srcDir/_SUCCESS")))
+          ev.repartition(4, col("event_id")).write
+            .mode("overwrite").parquet(srcDir)
+        Sync.publish(Graph.empty(s), storeDir)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = StreamIngest.eventsToGraph(stream, storeDir, "User",
+          key = col("user_id"), eventTs = col("ts"), tie = col("event_id"),
+          fields = Seq(
+            StreamIngest.IngestField("Value", "double", col("value")),
+            StreamIngest.IngestField("EventType", "str", col("event_type"))),
+          checkpointDir = s"$base/ckpt")
+        q.awaitTermination()
+        val g = Sync.open(s, storeDir).graph
+        g.now.all("User").fieldValue("Value", "v_double", "value")
+          .join(g.now.all("User")
+            .fieldValue("EventType", "v_str", "event_type"), "atom_id")
+          .orderBy(col("atom_id"))
+      },
+      Some("""SELECT 'e:User/' || CAST(user_id AS VARCHAR) AS atom_id,
+             |  value, event_type
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY atom_id""".stripMargin),
+      Seq("stream_ingest", "cdc_apply", "transact", "sync", "upsert"))
   )
 
   /** Memoized per (session, sfDir): the CDC feed directory built by a

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.fx.{StreamIngest, Sync}
+
+final case class IngEvent(ts: java.sql.Timestamp, event_id: Long,
+    user_id: Long, value: Double, event_type: String)
+
+/** Streaming ingestion into a synced graph store: one tx per micro-batch,
+  * event-time last-writer-wins, entity upsert on first sight. The load-
+  * bearing property is batching-independence — the final graph state must
+  * not depend on arrival order, batch boundaries, or redelivery. */
+class StreamIngestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def ingestInto(dir: String, input: MemoryStream[IngEvent],
+      rounds: Seq[Seq[IngEvent]]): Unit = {
+    val q = StreamIngest.eventsToGraph(input.toDF(), dir, "User",
+      key = col("user_id"), eventTs = col("ts"), tie = col("event_id"),
+      fields = Seq(
+        StreamIngest.IngestField("Value", "double", col("value")),
+        StreamIngest.IngestField("EventType", "str", col("event_type"))),
+      checkpointDir = tmp("graft_ingest_ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    try rounds.foreach { r => input.addData(r); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  private def state(dir: String): Map[String, (Double, String)] = {
+    val g = Sync.open(spark, dir).graph
+    val vals = g.now.all("User").fieldValue("Value", "v_double", "v")
+      .join(g.now.all("User").fieldValue("EventType", "v_str", "t"), "atom_id")
+    vals.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getString(2))).toMap
+  }
+
+  test("out-of-order batches converge to event-time last-writer-wins") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngEvent]
+    // LATER events arrive FIRST; the second round is entirely stale for
+    // u1 and fresh for u2 — final state must be the event-time maximum
+    // per user either way
+    ingestInto(dir, input, Seq(
+      Seq(IngEvent(ts("2024-03-01 00:00:00"), 10, 1, 30.0, "late"),
+        IngEvent(ts("2024-01-05 00:00:00"), 3, 2, 5.0, "early")),
+      Seq(IngEvent(ts("2024-01-01 00:00:00"), 1, 1, 10.0, "stale"),
+        IngEvent(ts("2024-02-01 00:00:00"), 7, 2, 7.0, "mid"))))
+    assert(state(dir) == Map(
+      "e:User/1" -> (30.0, "late"), "e:User/2" -> (7.0, "mid")))
+    // u1's stale arrival did NOT land a value row; u2's did (2 txs total:
+    // both rounds applied at least one fresh row)
+    val g = Sync.open(spark, dir).graph
+    assert(g.maxSlice == 2)
+    val u1Vals = g.values.filter(col("ae_id") === "ae:Value/e:User/1").count()
+    assert(u1Vals == 1)
+  }
+
+  test("redelivery is idempotent: replayed batch appends no tx") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngEvent]
+    val batch = Seq(
+      IngEvent(ts("2024-01-01 00:00:00"), 1, 1, 10.0, "a"),
+      IngEvent(ts("2024-01-02 00:00:00"), 2, 2, 20.0, "b"))
+    ingestInto(dir, input, Seq(batch, batch)) // exact redelivery
+    val g = Sync.open(spark, dir).graph
+    assert(g.maxSlice == 1) // second delivery was entirely stale -> no tx
+    assert(state(dir) == Map(
+      "e:User/1" -> (10.0, "a"), "e:User/2" -> (20.0, "b")))
+  }
+
+  test("equal-ts tie resolves by tie id, across batch boundaries") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngEvent]
+    val t0 = ts("2024-01-01 00:00:00")
+    // higher event_id arrives first; the later-arriving lower id loses
+    ingestInto(dir, input, Seq(
+      Seq(IngEvent(t0, 5, 1, 50.0, "winner")),
+      Seq(IngEvent(t0, 2, 1, 20.0, "loser"))))
+    assert(state(dir) == Map("e:User/1" -> (50.0, "winner")))
+  }
+
+  test("entities upsert once; a second field assignment reuses the atom") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngEvent]
+    ingestInto(dir, input, Seq(
+      Seq(IngEvent(ts("2024-01-01 00:00:00"), 1, 1, 1.0, "a")),
+      Seq(IngEvent(ts("2024-01-02 00:00:00"), 2, 1, 2.0, "b"))))
+    val g = Sync.open(spark, dir).graph
+    val u1Atoms = g.atoms.filter(col("atom_id") === "e:User/1").count()
+    assert(u1Atoms == 1) // no duplicate entity from the second batch
+    val u1ValueAes = g.atoms.filter(
+      col("atom_id") === "ae:Value/e:User/1").count()
+    assert(u1ValueAes == 1) // AE reused, not re-opened
+    assert(state(dir)("e:User/1") == ((2.0, "b")))
+    // history is intact: the slice-1 frame still reads the first value
+    assert(g.at(1).all("User").fieldValue("Value", "v_double", "v")
+      .collect().map(r => r.getDouble(1)).toSeq == Seq(1.0))
+  }
+}
