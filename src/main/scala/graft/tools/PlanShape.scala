@@ -27,45 +27,53 @@ object PlanShape {
 
   final case class Shape(shuffles: Int, bcasts: Int, smj: Int, bhj: Int,
       cartesian: Int, bnlj: Int, codegen: Int, scans: Int) {
-    def tsv: String = s"$shuffles\t$bcasts\t$smj\t$bhj\t$cartesian\t$bnlj\t$scans"
+    def tsv: String = s"$shuffles\t$bcasts\t$smj\t$bhj\t$cartesian\t$bnlj\t$codegen\t$scans"
   }
 
-  val Header = "query\tshuffles\tbcasts\tsmj\tbhj\tcartesian\tbnlj\tscans"
+  val Header = "query\tshuffles\tbcasts\tsmj\tbhj\tcartesian\tbnlj\tcodegen\tscans"
 
   def shapeOf(df: DataFrame): Shape = {
-    // count from the UNEXECUTED plan's text: `sparkPlan` predates
-    // EnsureRequirements (no exchanges visible at all), and the executed
-    // adaptive plan hides its tree behind AdaptiveSparkPlanExec until
-    // runtime — but its toString renders the INITIAL physical plan,
-    // exchanges and join strategies included, deterministically at a
-    // fixed SF. Codegen spans only exist per-stage at runtime, so they
-    // are deliberately not part of the pinned shape.
-    val txt = df.queryExecution.executedPlan.toString
-    def c(pat: String) = pat.r.findAllMatchIn(txt).size
+    // structural count over the executed plan, built with AQE OFF (see
+    // snapshot()): with AQE on the tree hides behind AdaptiveSparkPlanExec
+    // until runtime, and text-rendering the initial plan over-counts —
+    // InMemoryRelation prints its cached CHILD plan, so a cached graph's
+    // encode subtree shows up as phantom exchanges. collect() walks real
+    // children only (InMemoryTableScanExec is a leaf), so the counts are
+    // the operators this query would actually run.
+    val nodes = df.queryExecution.executedPlan.collect {
+      case n => n.getClass.getSimpleName }
+    def c(names: String*) = nodes.count(names.contains)
     Shape(
-      shuffles = c("\\bExchange "),
-      bcasts = c("\\bBroadcastExchange\\b"),
-      smj = c("\\bSortMergeJoin\\b") + c("\\bShuffledHashJoin\\b"),
-      bhj = c("\\bBroadcastHashJoin\\b"),
-      cartesian = c("\\bCartesianProduct\\b"),
-      bnlj = c("\\bBroadcastNestedLoopJoin\\b"),
-      codegen = 0,
-      scans = c("\\bFileScan\\b") + c("\\bInMemoryTableScan\\b"))
+      shuffles = c("ShuffleExchangeExec"),
+      bcasts = c("BroadcastExchangeExec"),
+      smj = c("SortMergeJoinExec", "ShuffledHashJoinExec"),
+      bhj = c("BroadcastHashJoinExec"),
+      cartesian = c("CartesianProductExec"),
+      bnlj = c("BroadcastNestedLoopJoinExec"),
+      codegen = c("WholeStageCodegenExec"),
+      scans = c("FileSourceScanExec", "InMemoryTableScanExec"))
   }
 
   /** Build each query's DataFrame cold (releaseAll first, Bench's
-    * discipline) and return its shape. Construction may run driver-side
-    * jobs for imperative operators (BFS loops, checkpoints, the ingest
-    * query) — that is part of the operator and is fine at sf0.001. */
+    * discipline) under AQE-off planning and return its shape. AQE is a
+    * RUNTIME re-planner — disabling it for the snapshot exposes the
+    * static plan (the one the optimizer chose from statistics), which is
+    * the right thing to pin: AQE's runtime improvements still apply in
+    * production, but a regression in the static plan is a regression in
+    * what we ASKED for. Construction may run driver-side jobs for
+    * imperative operators (BFS loops, checkpoints, the ingest query) —
+    * that is part of the operator and is fine at sf0.001. */
   def snapshot(spark: org.apache.spark.sql.SparkSession, sf: String,
       names: Seq[String] = Nil): Seq[(String, Shape)] = {
     val picked =
       if (names.isEmpty) Registry.entries
       else Registry.entries.filter(e => names.contains(e.name))
-    picked.map { q =>
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try picked.map { q =>
       TransientCaches.releaseAll()
       q.name -> shapeOf(q.fn(spark, sf))
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
   def main(args: Array[String]): Unit = {

@@ -26,7 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
       .drop(1).filter(_.nonEmpty).map { l =>
         val f = l.split("\t")
         f(0) -> PlanShape.Shape(f(1).toInt, f(2).toInt, f(3).toInt,
-          f(4).toInt, f(5).toInt, f(6).toInt, 0, f(7).toInt)
+          f(4).toInt, f(5).toInt, f(6).toInt, f(7).toInt, f(8).toInt)
       }.toMap
     val live = PlanShape.snapshot(spark, sf)
     val missing = Registry.entries.map(_.name).filterNot(committed.contains)
