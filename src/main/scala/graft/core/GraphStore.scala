@@ -264,22 +264,38 @@ object GraphStore {
     * runs this merge with). Post-condition: `load` (no closure joins) ==
     * the pre-compaction `loadWithClosures`. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val closures = new java.io.File(s"$path/closures")
-    if (!closures.exists()) return
-    val g = loadWithClosures(spark, path)
-    g.atoms.write.mode(SaveMode.Overwrite)
-      .partitionBy("kind", "atype")
-      .parquet(s"$path/atoms__compacting")
-    val dir = new java.io.File(s"$path/atoms")
-    val old = new java.io.File(s"$path/atoms__old")
-    require(dir.renameTo(old), s"cannot stage $dir aside")
-    require(new java.io.File(s"$path/atoms__compacting").renameTo(dir),
-      s"cannot swap compacted atoms into place")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete()
     }
-    rm(old); rm(closures)
+    // atomic-swap rewrite of one sub-table: the new tree lands COMPLETELY
+    // beside the old one, then swaps in via two renames — a reader never
+    // sees a half-written store, a crash before the final rename leaves
+    // the original untouched
+    def swapIn(sub: String)(write: String => Unit): Unit = {
+      write(s"$path/${sub}__compacting")
+      val dir = new java.io.File(s"$path/$sub")
+      val old = new java.io.File(s"$path/${sub}__old")
+      require(dir.renameTo(old), s"cannot stage $dir aside")
+      require(new java.io.File(s"$path/${sub}__compacting").renameTo(dir),
+        s"cannot swap compacted $sub into place")
+      rm(old)
+    }
+    val closures = new java.io.File(s"$path/closures")
+    val g = if (closures.exists()) loadWithClosures(spark, path)
+            else load(spark, path)
+    swapIn("atoms")(g.atoms.write.mode(SaveMode.Overwrite)
+      .partitionBy("kind", "atype").parquet(_))
+    // defragment the append logs too: appendTx/appendBulk land one file
+    // per sub-table per tx by design (file ≈ tx lets a micro-batch tail
+    // treat files as transaction boundaries), so a long ingest run leaves
+    // every reader paying one file open per historical tick — compaction
+    // is where that debt is settled, same as the closure fold
+    swapIn("values")(g.values.write.mode(SaveMode.Overwrite).parquet(_))
+    swapIn("txs")(g.txs.write.mode(SaveMode.Overwrite).parquet(_))
+    if (new java.io.File(s"$path/tags").exists() && !g.tags.isEmpty)
+      swapIn("tags")(g.tags.write.mode(SaveMode.Overwrite).parquet(_))
+    if (closures.exists()) rm(closures)
   }
 
   /** Load with closure reconciliation (see [[appendTx]]). */

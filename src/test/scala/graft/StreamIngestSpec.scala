@@ -98,6 +98,39 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(state(dir) == Map("e:User/1" -> (50.0, "winner")))
   }
 
+  test("compact settles the ingest run's file debt; state and appends survive") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngEvent]
+    // 5 ticks = 5 txs = 5 value files + 5 tx files on top of the snapshot
+    val rounds = (1 to 5).map(i => Seq(
+      IngEvent(ts(f"2024-01-0$i 00:00:00"), i.toLong, 1, i * 10.0, s"t$i"),
+      IngEvent(ts(f"2024-01-0$i 00:00:00"), i.toLong + 100, 2, i * 1.0, s"u$i")))
+    ingestInto(dir, input, rounds)
+    def parquetFiles(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = state(dir)
+    val valueFilesBefore = parquetFiles("values")
+    assert(valueFilesBefore >= 5) // one per tick by design (file ~ tx)
+    graft.core.GraphStore.compact(spark, dir)
+    assert(parquetFiles("values") < valueFilesBefore)
+    assert(state(dir) == before) // defrag is a pure layout change
+    val g = Sync.open(spark, dir).graph
+    assert(g.maxSlice == 5)
+    // the compacted store still appends: one more tick lands slice 6
+    val input2 = MemoryStream[IngEvent]
+    ingestInto(dir, input2, Seq(Seq(
+      IngEvent(ts("2024-02-01 00:00:00"), 999, 1, 77.0, "post"))))
+    assert(state(dir)("e:User/1") == ((77.0, "post")))
+    assert(Sync.open(spark, dir).graph.maxSlice == 6)
+  }
+
   test("entities upsert once; a second field assignment reuses the atom") {
     import spark.implicits._
     val dir = tmp("graft_ingest")
