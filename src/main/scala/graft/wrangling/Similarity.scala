@@ -235,11 +235,18 @@ object Similarity {
     val sigd = embeddings.withColumn("__sig", lshSignature(col(vecCol), dim, bits))
     val chunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
+    // the signature table is MATERIALIZED (eager checkpoint) before the
+    // self-join: both join sides reference it, and Spark shares no
+    // subplans across branches — left lazy, the bits-x-dim projection
+    // expression (the dominant per-row cost) would run twice over the
+    // full table. The materialized form is id + 4 chunk rows per vector,
+    // a few bytes/row — the standard persisted-signature-table shape.
     val exploded = sigd.select(col(idCol),
       explode(array((0 until chunks).map(i =>
         struct(lit(i).as("ci"),
           shiftright(col("__sig"), i * chunkBits).bitwiseAND(lit(mask)).as("cv"))): _*))
         .as("__c"))
+      .localCheckpoint(true)
     val a = exploded.select(col(idCol).as("id_a"), col("__c"))
     val b = exploded.select(col(idCol).as("id_b"), col("__c"))
     val pairIds = a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
