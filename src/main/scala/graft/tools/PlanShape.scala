@@ -72,6 +72,14 @@ object PlanShape {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try picked.map { q =>
       TransientCaches.releaseAll()
+      // pin the WARM-state plan: execute once so every cache this query
+      // uses is materialized, then shape a fresh build. Cold-state plans
+      // are NOT reproducible — an InMemoryRelation's size estimate flips
+      // from child-plan guess to actual bytes on materialization, which
+      // flips broadcast-vs-SMJ selection; in a full test run other suites
+      // may have materialized shared caches first. Warm-state stats are
+      // data-determined, so the shape is stable in any execution context.
+      q.fn(spark, sf).count()
       q.name -> shapeOf(q.fn(spark, sf))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }

@@ -21,7 +21,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // the ONLY sanctioned nested-loop joins; anything else is a plan bug
   private val bnljSanctioned = Set("graph_bulk_rescore", "wr_tfidf_topk")
 
-  test("every query's plan shape matches the committed snapshot") {
+  test("no query's plan regresses vs the committed snapshot") {
     val committed = scala.io.Source.fromFile("PLANSHAPES.tsv").getLines()
       .drop(1).filter(_.nonEmpty).map { l =>
         val f = l.split("\t")
@@ -32,12 +32,22 @@ class PlanShapeSpec extends AnyFunSuite {
     val missing = Registry.entries.map(_.name).filterNot(committed.contains)
     assert(missing.isEmpty,
       s"queries missing from PLANSHAPES.tsv (refresh the snapshot): $missing")
-    val diffs = live.collect {
-      case (n, s) if committed(n) != s =>
+    // RATCHET, not equality: join strategy is statistics-sensitive — a
+    // cache materialized by an earlier suite flips a size estimate from
+    // child-plan guess to actual bytes and upgrades an SMJ to a broadcast
+    // join, so a warmer context can only look BETTER than the snapshot
+    // (taken by the canonical fresh-JVM tool run). What must never
+    // happen silently is the other direction: more shuffles, a broadcast
+    // demoted to sort-merge, a cartesian or nested-loop join appearing.
+    val regressed = live.collect {
+      case (n, s) if s.shuffles > committed(n).shuffles ||
+          s.smj > committed(n).smj ||
+          s.cartesian > committed(n).cartesian ||
+          s.bnlj > committed(n).bnlj =>
         s"$n: committed=${committed(n)} live=$s"
     }
-    assert(diffs.isEmpty, "plan shapes diverged from the snapshot " +
-      s"(intentional? refresh PLANSHAPES.tsv):\n${diffs.mkString("\n")}")
+    assert(regressed.isEmpty, "plan REGRESSIONS vs the snapshot " +
+      s"(intentional? refresh PLANSHAPES.tsv):\n${regressed.mkString("\n")}")
     // registry-wide lints, independent of the snapshot
     live.foreach { case (n, s) =>
       assert(s.cartesian == 0, s"$n plans a CartesianProduct")
