@@ -816,6 +816,79 @@ object Wrangling {
       Some("""SELECT doc_id,
              |  nfc_normalize(text[:40] || 'e' || chr(769)) AS norm
              |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin),
-      Seq("unicode_normalize", "text_analysis"))
+      Seq("unicode_normalize", "text_analysis")),
+
+    // Dedup-on-ingest: the same corpus subset as wr_minhash_lsh streams
+    // through a 3-file hash-split (batches decorrelated from doc order),
+    // each micro-batch is near-dup-checked against the durable LSH index
+    // built by the PRIOR batches, flags accumulate, the batch's bands and
+    // shingles are indexed. Same oracle as the batch LSH dedup — the
+    // incremental path must reproduce the all-pairs result exactly, in
+    // any batching (the spec additionally proves batching-independence
+    // and replay idempotence with controlled streams).
+    QueryDef(
+      "stream_dedup_ingest",
+      (s, d) => {
+        import graft.wrangling.IncrementalDedup
+        val base = s"/tmp/graft_dedup/p${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        for (sub <- Seq("index", "ckpt")) {
+          val root = java.nio.file.Paths.get(s"$base/$sub")
+          if (java.nio.file.Files.exists(root)) {
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(pp => java.nio.file.Files.delete(pp))
+          }
+        }
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+        val srcDir = s"$base/src"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$srcDir/_SUCCESS")))
+          docs.repartition(3, col("doc_id")).write
+            .mode("overwrite").parquet(srcDir)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = IncrementalDedup.streamToIndex(stream, s"$base/index",
+          "doc_id", "text", threshold = 0.5, checkpointDir = s"$base/ckpt")
+        q.awaitTermination()
+        IncrementalDedup.flags(s, s"$base/index")
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val sigCols = (0 until 16)
+          .map(i => s"min(md5('s$i:' || s)) AS m$i").mkString(", ")
+        val bandVals = (0 until 8)
+          .map(b => s"WHEN $b THEN m${2 * b} || '|' || m${2 * b + 1}")
+          .mkString(" ")
+        sqlWithToks(s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct(TOKS(text))) AS s
+           |  FROM documents WHERE doc_id < 200),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, b, CASE b $bandVals END AS bv
+           |  FROM sig, generate_series(0, 7) AS g(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, count(*) AS i
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.id_a
+           |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+           |  GROUP BY c.id_a, c.id_b),
+           |j AS (
+           |  SELECT id_a, id_b,
+           |    CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jac
+           |  FROM inter
+           |  JOIN sizes na ON na.doc_id = id_a
+           |  JOIN sizes nb ON nb.doc_id = id_b)
+           |SELECT id_a, id_b, round(jac, 6) AS jaccard
+           |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)
+      },
+      Seq("deduplicate", "minhash", "lsh", "stream_ingest", "incremental_index"))
   )
 }

@@ -114,9 +114,14 @@ object Dedup {
     * shape as [[minhashDedupPairs]] (explode→min-agg, band equi-join,
     * verify inside blocks); that xxhash64/MinHashAgg path stays the
     * throughput variant of this algorithm. */
-  def minhashDedupPairsPortable(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, numHashes: Int = 16, bands: Int = 8,
-      shingleN: Int = 1): DataFrame = {
+  /** Engine-portable LSH band keys, flat form: one (id, band, bv) row per
+    * document per band, where bv is the '|'-joined md5 minhash slice —
+    * the representation an INDEX can store and equi-join on (see
+    * [[IncrementalDedup]]); [[minhashDedupPairsPortable]] derives its
+    * self-join from the same rows, so batch and incremental paths share
+    * one banding definition. */
+  def portableBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 8, shingleN: Int = 1): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val shingled = df.select(col(idCol),
@@ -127,12 +132,19 @@ object Dedup {
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
-          .as("sig"))
+          .as("bv"))
     }
-    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
-    val a = banded.select(col(idCol).as("id_a"), col("__b"))
-    val b = banded.select(col(idCol).as("id_b"), col("__b"))
-    val cands = a.join(b, a("__b") === b("__b") && col("id_a") < col("id_b"))
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bv").as("bv"))
+  }
+
+  def minhashDedupPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 8,
+      shingleN: Int = 1): DataFrame = {
+    val banded = portableBands(df, idCol, textCol, numHashes, bands, shingleN)
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bv"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bv"))
+    val cands = a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     jaccardForPairs(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.wrangling.{Dedup, IncrementalDedup}
+
+final case class Doc(doc_id: Long, text: String)
+
+/** Dedup-on-ingest: the incremental LSH index must reproduce the batch
+  * near-dup pair set under ANY batching, flag cross-tick pairs when the
+  * later member arrives, and stay idempotent under replay. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ingest(dir: String, rounds: Seq[Seq[Doc]]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = IncrementalDedup.streamToIndex(input.toDF(), dir,
+      "doc_id", "text", threshold = 0.5, checkpointDir = tmp("dedup_ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    try rounds.foreach { r => input.addData(r); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  private def flagSet(dir: String): Set[(Long, Long, Double)] =
+    IncrementalDedup.flags(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+
+  // near-dup cluster (pairwise Jaccard >= 0.5) + two unrelated docs
+  private val corpus = Seq(
+    Doc(1, "the quick brown fox jumps over the lazy dog"),
+    Doc(2, "the quick brown fox jumps over the lazy cat"),
+    Doc(3, "the quick brown fox leaps over the lazy dog"),
+    Doc(4, "entirely different content about spark and scala"),
+    Doc(5, "unrelated text mentioning parquet columnar storage"))
+
+  private def batchPairs: Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    Dedup.minhashDedupPairsPortable(corpus.toDF(), "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+  }
+
+  test("streamed flags equal the batch LSH dedup pair set, any batching") {
+    val expected = batchPairs
+    assert(expected.nonEmpty) // the fixture must actually contain near-dups
+    val splits = Seq(
+      Seq(corpus.take(2), corpus.drop(2)),           // 2 ticks
+      Seq(corpus.take(1), corpus.slice(1, 4), corpus.drop(4)), // 3 ticks
+      Seq(corpus.reverse))                            // 1 tick, reversed
+    splits.foreach { rounds =>
+      val dir = tmp("dedup_idx")
+      ingest(dir, rounds)
+      assert(flagSet(dir) == expected,
+        s"split ${rounds.map(_.map(_.doc_id))} diverged")
+    }
+  }
+
+  test("a cross-tick pair is flagged when the later member arrives") {
+    val dir = tmp("dedup_idx")
+    ingest(dir, Seq(Seq(corpus(0), corpus(3)))) // doc 1 alone: nothing yet
+    assert(flagSet(dir).isEmpty)
+    ingest(dir, Seq(Seq(corpus(1))))            // doc 2 arrives -> pair (1,2)
+    assert(flagSet(dir).map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
+  test("replay is idempotent: re-delivered docs add no flags or index rows") {
+    val dir = tmp("dedup_idx")
+    ingest(dir, Seq(corpus))
+    val flags0 = flagSet(dir)
+    val bands0 = IncrementalDedup.bands(spark, dir).count()
+    ingest(dir, Seq(corpus)) // full replay
+    assert(flagSet(dir) == flags0)
+    assert(IncrementalDedup.bands(spark, dir).count() == bands0)
+  }
+}
