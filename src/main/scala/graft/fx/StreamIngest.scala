@@ -114,11 +114,21 @@ object StreamIngest {
           GraphStore.appendBulk(spark, dir, delta)
           // bound lineage/cache depth over an unbounded stream: once the
           // incremental seeding cap is hit, re-open from the store (one
-          // full latest-values rebuild per ~MaxSeedDepth batches)
+          // full latest-values rebuild per ~MaxSeedDepth batches). And
+          // bound executor STORAGE: each batch's graph pins one more
+          // seeded latest-values table, and nothing calls the bench
+          // harness's releaseAll in a live stream — so materialize the
+          // new frame's table (next batch's high-water read pays this
+          // job anyway), then drop the superseded instance's pins.
           handle =
-            if (g2.latestValuesDepth(g2.maxSlice) >= Graph.MaxSeedDepth)
+            if (g2.latestValuesDepth(g2.maxSlice) >= Graph.MaxSeedDepth) {
+              g.releaseDerived(); g2.releaseDerived()
               Sync.open(spark, dir)
-            else handle.copy(graph = g2)
+            } else {
+              g2.latestValues(g2.maxSlice).count()
+              g.releaseDerived()
+              handle.copy(graph = g2)
+            }
         }
       }
       .start()

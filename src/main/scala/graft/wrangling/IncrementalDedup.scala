@@ -50,8 +50,15 @@ object IncrementalDedup {
     spark.read.schema(BandsSchema).parquet(s"$dir/bands")
   def shingles(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(ShinglesSchema).parquet(s"$dir/shingles")
+  /** Flagged pairs. Deduped by pair id on read: flags are written BEFORE
+    * the tick's index append (a crash in between must lose no pair —
+    * the replayed batch re-detects and re-flags it, and this dedup
+    * absorbs the duplicate row; the opposite order would drop the pair
+    * forever). A pair appears at most twice and only across a crash
+    * boundary, so the dedup is a no-op in healthy runs. */
   def flags(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(FlagsSchema).parquet(s"$dir/flags")
+      .dropDuplicates("id_a", "id_b")
 
   /** One ingest tick: flag `batch`'s documents against the index and each
     * other, then index them. Returns the number of pairs flagged. */
@@ -83,6 +90,11 @@ object IncrementalDedup {
     val cross = newBands.join(stored
         .select(col("band"), col("bv"), col("doc_id").as("__old")),
         Seq("band", "bv"))
+      // self-pair guard: after a crash between the bands and shingles
+      // writes, a replayed doc's own band rows are already stored (the
+      // shingles table is the commit marker the replay anti-join keys
+      // on), so the probe would pair it with itself
+      .filter(col("doc_id") =!= col("__old"))
       .select(least(col("doc_id"), col("__old")).as("id_a"),
         greatest(col("doc_id"), col("__old")).as("id_b"))
     // same-tick candidates: the batch's own self-join

@@ -73,6 +73,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(flagSet(dir).map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("crash replay: bands written but shingles not -> no self-pairs, pairs intact") {
+    import spark.implicits._
+    val dir = tmp("dedup_idx")
+    ingest(dir, Seq(Seq(corpus(0)))) // doc 1 indexed cleanly
+    // simulate the crash window of tick 2: doc 2's band rows landed, the
+    // shingle (commit-marker) write did not
+    val crashed = Seq(corpus(1)).toDF()
+    Dedup.portableBands(crashed, "doc_id", "text")
+      .select(col("doc_id").cast("long").as("doc_id"), col("band"), col("bv"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/bands")
+    // replay of the batch: the anti-join keys on shingles, so doc 2 is
+    // still "new"; its stored band rows must not pair it with itself
+    ingest(dir, Seq(Seq(corpus(1))))
+    val fs = flagSet(dir)
+    assert(!fs.exists(p => p._1 == p._2))
+    assert(fs.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // and the pair appears once after the reader-side dedup
+    assert(IncrementalDedup.flags(spark, dir)
+      .filter(col("id_a") === 1 && col("id_b") === 2).count() == 1)
+  }
+
   test("replay is idempotent: re-delivered docs add no flags or index rows") {
     val dir = tmp("dedup_idx")
     ingest(dir, Seq(corpus))
