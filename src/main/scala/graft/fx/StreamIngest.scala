@@ -58,6 +58,11 @@ object StreamIngest {
       s"ingest: field rts $HwTs/$HwTie are reserved for the high-water mark")
     val spark = stream.sparkSession
     var handle = Sync.open(spark, dir)
+    // the graph superseded one tick ago — releasable once the CURRENT
+    // graph's seeded latest-values table is materialized, which this
+    // tick's high-water read does as a side effect (so no extra
+    // materialization job is ever run just for cache hygiene)
+    var retiring: Option[Graph] = None
     val rts = fields.map(_.rt)
 
     stream.writeStream
@@ -117,16 +122,20 @@ object StreamIngest {
           // full latest-values rebuild per ~MaxSeedDepth batches). And
           // bound executor STORAGE: each batch's graph pins one more
           // seeded latest-values table, and nothing calls the bench
-          // harness's releaseAll in a live stream — so materialize the
-          // new frame's table (next batch's high-water read pays this
-          // job anyway), then drop the superseded instance's pins.
+          // harness's releaseAll in a live stream. Release lags ONE tick:
+          // `g`'s seed was just materialized by this batch's high-water
+          // read, so the graph retired LAST tick (whose table only backs
+          // `g`'s lineage for recompute) can drop its pins now — at most
+          // two instances are ever pinned, with no extra job.
           handle =
             if (g2.latestValuesDepth(g2.maxSlice) >= Graph.MaxSeedDepth) {
+              retiring.foreach(_.releaseDerived())
               g.releaseDerived(); g2.releaseDerived()
+              retiring = None
               Sync.open(spark, dir)
             } else {
-              g2.latestValues(g2.maxSlice).count()
-              g.releaseDerived()
+              retiring.foreach(_.releaseDerived())
+              retiring = Some(g)
               handle.copy(graph = g2)
             }
         }
