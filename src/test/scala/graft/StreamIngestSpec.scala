@@ -162,6 +162,10 @@ class StreamIngestSpec extends AnyFunSuite {
       Seq(IngEvent(ts("2024-01-01 00:00:00"), 1, 1, 1.0, "a")),
       Seq(IngEvent(ts("2024-01-02 00:00:00"), 2, 1, 2.0, "b"))))
     val g = Sync.open(spark, dir).graph
+    // the streamed store is a structurally sound graph: referential
+    // integrity, interval discipline, no duplicate opens, endpoints
+    // alive at relation open — the full GraphVerify battery
+    assert(graft.core.GraphVerify.isHealthy(g))
     val u1Atoms = g.atoms.filter(col("atom_id") === "e:User/1").count()
     assert(u1Atoms == 1) // no duplicate entity from the second batch
     val u1ValueAes = g.atoms.filter(
