@@ -52,7 +52,78 @@ object GraphStore {
         s"""{"uniqueValuesThrough": ${g.uniqueValuesThrough}}""")
   }
 
+  /** Heal a store interrupted mid-[[compact]]: the two-rename swap has a
+    * window where a sub-table directory is staged aside (`<sub>__old`
+    * exists, `<sub>` does not) — a crash there leaves the store unreadable
+    * until the original is renamed back. Loaders call this first; the
+    * rename restores the pre-compact tree (the compaction simply didn't
+    * happen), and a leftover `__compacting` tree is deleted either way
+    * (it may be incomplete). */
+  private def healInterruptedSwap(path: String): Unit =
+    Seq("atoms", "values", "txs", "tags", "closures").foreach { sub =>
+      val dir = new java.io.File(s"$path/$sub")
+      val old = new java.io.File(s"$path/${sub}__old")
+      if (!dir.exists() && old.exists())
+        require(old.renameTo(dir), s"cannot heal $path/$sub from __old")
+      val staging = new java.io.File(s"$path/${sub}__compacting")
+      if (staging.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(staging)
+      }
+      // both present: the swap completed but the cleanup rename didn't —
+      // the live tree is authoritative, the staged copy is garbage
+      if (dir.exists() && old.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(old)
+      }
+    }
+
+  /** Remove every row a PARTIALLY-appended slice left behind — the
+    * recovery step for a writer that crashed between claiming slice `n`
+    * and committing its tx marker (txs is written LAST by appendTx and
+    * appendBulk, so "no tx row for n" identifies the partial). Without
+    * the purge, re-appending the slice would duplicate its atom/value
+    * rows. Rewrites via the same atomic staged swap as [[compact]]. */
+  def purgeSlice(spark: SparkSession, path: String, n: Int): Unit = {
+    healInterruptedSwap(path)
+    val g = load(spark, path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    def swapIn(sub: String)(write: String => Unit): Unit = {
+      write(s"$path/${sub}__compacting")
+      val dir = new java.io.File(s"$path/$sub")
+      val old = new java.io.File(s"$path/${sub}__old")
+      require(dir.renameTo(old), s"cannot stage $dir aside")
+      require(new java.io.File(s"$path/${sub}__compacting").renameTo(dir),
+        s"cannot swap purged $sub into place")
+      rm(old)
+    }
+    swapIn("atoms")(g.atoms.filter(col("inst_slice") =!= n)
+      .write.mode(SaveMode.Overwrite).partitionBy("kind", "atype").parquet(_))
+    swapIn("values")(g.values.filter(col("tx_slice") =!= n)
+      .write.mode(SaveMode.Overwrite).parquet(_))
+    // the wish path (appendTx) also lands closures and tags before its tx
+    // marker — purge their slice-n rows too
+    if (new java.io.File(s"$path/closures").exists()) {
+      val cl = spark.read.schema("atom_id STRING, term_slice INT")
+        .parquet(s"$path/closures").filter(col("term_slice") =!= n)
+      swapIn("closures")(cl.write.mode(SaveMode.Overwrite).parquet(_))
+    }
+    if (new java.io.File(s"$path/tags").exists() && !g.tags.isEmpty)
+      swapIn("tags")(g.tags.filter(col("tx_slice") =!= n)
+        .write.mode(SaveMode.Overwrite).parquet(_))
+  }
+
   def load(spark: SparkSession, path: String): Graph = {
+    healInterruptedSwap(path)
     import org.apache.spark.sql.Encoders
     // explicit schemas (not inference): a freshly-published empty graph —
     // or a sub-table whose rows all arrived via later appendTx deltas —
@@ -263,6 +334,16 @@ object GraphStore {
     * rename leaves the original untouched (same discipline a table format
     * runs this merge with). Post-condition: `load` (no closure joins) ==
     * the pre-compaction `loadWithClosures`. */
+  /** MAINTENANCE-WINDOW operation w.r.t. live tails: the file-source
+    * streams that tail this store (Sync.atomFeed/valueFeed/closureFeed)
+    * track files by path, so the consolidated trees compact swaps in read
+    * as NEW files — a tail running across a compaction re-delivers the
+    * whole history as fresh CDC events. Stop tails before compacting and
+    * restart them with fresh checkpoints after (the same contract as
+    * file-rewriting maintenance in any log-structured table format
+    * without snapshot-isolated manifests). Batch readers are safe: the
+    * two-rename swap is atomic per sub-table and load() heals an
+    * interrupted swap. */
   def compact(spark: SparkSession, path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)

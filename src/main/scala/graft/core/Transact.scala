@@ -288,12 +288,14 @@ object Transactor {
     */
   def assignFieldBulk(g: Graph, assignments: DataFrame, rt: String,
       vtype: String = "str",
-      ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): Graph = {
-    require(rt != "owner_id", "field rt cannot be named owner_id")
+      ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): Graph =
+    // assignNulls preserves this entry point's original contract: a
+    // NULL-valued assignment still RECORDS (value row + atoms opened) —
+    // set_field(null) is an explicit clear, not a no-op. The multi-field
+    // API's sparse-update semantics (null = skip) are its own contract.
     assignFieldsBulkDelta(g,
       assignments.select(col("owner_id"), col("value").as(rt)),
-      Seq(BulkField(rt, vtype)), ts)._1
-  }
+      Seq(BulkField(rt, vtype)), ts, assignNulls = true)._1
 
   /** One distributed field assignment in a multi-field bulk write. */
   final case class BulkField(rt: String, vtype: String)
@@ -329,13 +331,16 @@ object Transactor {
       fields: Seq[BulkField],
       ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
       ensureOwnerType: Option[String] = None,
-      materializeDelta: Boolean = false): (Graph, BulkDelta) = {
+      materializeDelta: Boolean = false,
+      assignNulls: Boolean = false): (Graph, BulkDelta) = {
     val spark = g.spark
     val slice = g.maxSlice + 1
     val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
     require(fields.nonEmpty, "assignFieldsBulk: at least one field")
     require(fields.map(_.rt).distinct.size == fields.size,
       "assignFieldsBulk: duplicate field rts")
+    require(fields.forall(_.rt != "owner_id"),
+      "field rt cannot be named owner_id")
     fields.foreach(f => require(vcols.contains(s"v_${f.vtype}"),
       s"vtype must be one of str/long/double/bool/ts, got '${f.vtype}'"))
     val counts = assignments.agg(count(lit(1)).as("n"),
@@ -349,10 +354,15 @@ object Transactor {
       case "v_double" => "double"; case "v_bool" => "boolean"
       case "v_ts" => "timestamp"
     }
-    // value rows: one per non-null assignment per field, this slice
+    // value rows: one per assignment per field, this slice — by default a
+    // NULL skips that field for that owner (sparse multi-field update);
+    // assignNulls=true records it (explicit clear, the single-field
+    // wrapper's contract)
+    def assigned(f: BulkField): org.apache.spark.sql.Column =
+      if (assignNulls) lit(true) else col(f.rt).isNotNull
     val valuesDelta0 = fields.map { f =>
       val targetCol = s"v_${f.vtype}"
-      assignments.filter(col(f.rt).isNotNull).select(
+      assignments.filter(assigned(f)).select(
         Seq(concat(lit(s"ae:${f.rt}/"), col("owner_id")).as("ae_id"),
           lit(slice).as("tx_slice"), lit(f.vtype).as("vtype")) ++
         vcols.map(c =>
@@ -378,7 +388,7 @@ object Transactor {
       val ae = concat(lit(s"ae:${f.rt}/"), col("owner_id"))
       val rel = concat(lit(s"rel:${f.rt}/"), col("owner_id"))
       def gated(c: org.apache.spark.sql.Column) =
-        when(col(f.rt).isNotNull, c)
+        when(assigned(f), c)
       Seq(
         gated(struct(ae.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
           lit(f.rt).as("atype"), lit(null).cast("string").as("src_id"),

@@ -43,6 +43,97 @@ object StreamIngest {
   private val HwTs = "_ingest_ts"
   private val HwTie = "_ingest_tie"
 
+  /** Mutable-free ingest state threaded across ticks: the writer handle
+    * and the instance retired one tick ago (releasable now — see
+    * [[applyBatch]] release notes). */
+  private[graft] final case class IngestState(handle: SyncedGraph,
+      retiring: Option[Graph])
+
+  /** One ingest tick over a batch — the EXACT body the streaming query
+    * runs, package-visible so probes (tools.IngestProbe) measure the
+    * production path instead of a copy. Returns the advanced state. */
+  private[graft] def applyBatch(state: IngestState, batch: DataFrame,
+      dir: String, et: String, key: Column, eventTs: Column, tie: Column,
+      fields: Seq[IngestField]): IngestState = {
+    val spark = batch.sparkSession
+    val rts = fields.map(_.rt)
+    // 1. reduce the batch to one winner per key by (event ts, tie) —
+    // deterministic regardless of partitioning or arrival order
+    val packed = batch.select(
+      GraphEncoder.entityId(et, key).as("owner_id"),
+      eventTs.as("__ts"), tie.cast("long").as("__tie"),
+      struct((Seq(eventTs.as("__wts"), tie.cast("long").as("__wtie")) ++
+        fields.map(f => f.expr.as(f.rt))): _*).as("__p"))
+    val winners = packed.groupBy(col("owner_id"))
+      .agg(max_by(col("__p"), struct(col("__ts"), col("__tie"))).as("__w"))
+      .select(col("owner_id") +: (
+        Seq(col("__w.__wts").as("__ts"), col("__w.__wtie").as("__tie")) ++
+        rts.map(rt => col(s"__w.$rt").as(rt))): _*)
+
+    // 2. stored high-water per key — a prefix-pruned read of the
+    // seeded latest-values cache, no relation joins (the high-water
+    // AEs follow the deterministic ae:<rt>/<owner> scheme)
+    val g = state.handle.graph
+    val lv = g.latestValues(g.maxSlice)
+    def hw(rt: String, vcol: String, as: String) =
+      lv.filter(col("ae_id").startsWith(s"ae:$rt/"))
+        .select(col("ae_id").substr(lit(s"ae:$rt/".length + 1),
+          lit(Int.MaxValue)).as("owner_id"), col(vcol).as(as))
+    val fresh = winners
+      .join(hw(HwTs, "v_ts", "__sts"), Seq("owner_id"), "left")
+      .join(hw(HwTie, "v_long", "__stie"), Seq("owner_id"), "left")
+      .filter(col("__sts").isNull || col("__ts") > col("__sts") ||
+        (col("__ts") === col("__sts") && col("__tie") > col("__stie")))
+
+    // 3. the batch's applied assignments, high-water fields included;
+    // bounded-scalar collect decides emptiness and the tx's event-time
+    // watermark in one job
+    val assignments = fresh.select(col("owner_id") +:
+      (rts.map(col) ++ Seq(col("__ts").as(HwTs), col("__tie").as(HwTie))): _*)
+      .localCheckpoint(true)
+    val stat = assignments.agg(count(lit(1)), max(col(HwTs))).collect()(0)
+    if (stat.getLong(0) == 0L) state
+    else {
+      val txTs = stat.getTimestamp(1)
+      // 4. claim-fenced durable apply: one tx, all fields, entities
+      // upserted; the delta is materialized once and feeds both the
+      // store append and the in-memory handle. The recovering claim
+      // adopts an orphan left by a crashed predecessor (purging its
+      // partial files) instead of wedging the stream forever.
+      val recovered = Sync.claimSliceOrRecover(spark, dir, g.maxSlice + 1)
+      // recovery rewrote store files: re-open before appending (the
+      // checkpointed assignments are RDD blocks, not file reads — still
+      // valid; only the graph's lazy file listings went stale)
+      val gBase = if (recovered) Sync.open(spark, dir).graph else g
+      val (g2, delta) = Transactor.assignFieldsBulkDelta(gBase, assignments,
+        fields.map(f => Transactor.BulkField(f.rt, f.vtype)) ++
+          Seq(Transactor.BulkField(HwTs, "ts"),
+            Transactor.BulkField(HwTie, "long")),
+        ts = txTs, ensureOwnerType = Some(et), materializeDelta = true)
+      GraphStore.appendBulk(spark, dir, delta)
+      // bound lineage/cache depth over an unbounded stream: once the
+      // incremental seeding cap is hit, re-open from the store (one
+      // full latest-values rebuild per ~MaxSeedDepth batches). And
+      // bound executor STORAGE: each batch's graph pins one more
+      // seeded latest-values table, and nothing calls the bench
+      // harness's releaseAll in a live stream. Release lags ONE tick:
+      // `g`'s seed was just materialized by this batch's high-water
+      // read, so the graph retired LAST tick (whose table only backs
+      // `g`'s lineage for recompute) can drop its pins now — at most
+      // two instances are ever pinned, with no extra job.
+      if (g2.latestValuesDepth(g2.maxSlice) >= Graph.MaxSeedDepth) {
+        state.retiring.foreach(_.releaseDerived())
+        gBase.releaseDerived(); g2.releaseDerived()
+        if (recovered) g.releaseDerived()
+        IngestState(Sync.open(spark, dir), None)
+      } else {
+        state.retiring.foreach(_.releaseDerived())
+        if (recovered) g.releaseDerived()
+        IngestState(state.handle.copy(graph = g2), Some(gBase))
+      }
+    }
+  }
+
   /** Start the ingest query. `dir` must be a published sync store
     * ([[Sync.publish]]); `et` the entity type keyed by `key` (scheme ids —
     * entities are created on first sight, updated after). `eventTs` must
@@ -57,88 +148,15 @@ object StreamIngest {
     require(!fields.exists(f => f.rt == HwTs || f.rt == HwTie),
       s"ingest: field rts $HwTs/$HwTie are reserved for the high-water mark")
     val spark = stream.sparkSession
-    var handle = Sync.open(spark, dir)
-    // the graph superseded one tick ago — releasable once the CURRENT
-    // graph's seeded latest-values table is materialized, which this
-    // tick's high-water read does as a side effect (so no extra
-    // materialization job is ever run just for cache hygiene)
-    var retiring: Option[Graph] = None
-    val rts = fields.map(_.rt)
+    var state = IngestState(Sync.open(spark, dir), None)
 
     stream.writeStream
       .queryName(s"graft-ingest-$et")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // 1. reduce the batch to one winner per key by (event ts, tie) —
-        // deterministic regardless of partitioning or arrival order
-        val packed = batch.select(
-          GraphEncoder.entityId(et, key).as("owner_id"),
-          eventTs.as("__ts"), tie.cast("long").as("__tie"),
-          struct((Seq(eventTs.as("__wts"), tie.cast("long").as("__wtie")) ++
-            fields.map(f => f.expr.as(f.rt))): _*).as("__p"))
-        val winners = packed.groupBy(col("owner_id"))
-          .agg(max_by(col("__p"), struct(col("__ts"), col("__tie"))).as("__w"))
-          .select(col("owner_id") +: (
-            Seq(col("__w.__wts").as("__ts"), col("__w.__wtie").as("__tie")) ++
-            rts.map(rt => col(s"__w.$rt").as(rt))): _*)
-
-        // 2. stored high-water per key — a prefix-pruned read of the
-        // seeded latest-values cache, no relation joins (the high-water
-        // AEs follow the deterministic ae:<rt>/<owner> scheme)
-        val g = handle.graph
-        val lv = g.latestValues(g.maxSlice)
-        def hw(rt: String, vcol: String, as: String) =
-          lv.filter(col("ae_id").startsWith(s"ae:$rt/"))
-            .select(col("ae_id").substr(lit(s"ae:$rt/".length + 1),
-              lit(Int.MaxValue)).as("owner_id"), col(vcol).as(as))
-        val fresh = winners
-          .join(hw(HwTs, "v_ts", "__sts"), Seq("owner_id"), "left")
-          .join(hw(HwTie, "v_long", "__stie"), Seq("owner_id"), "left")
-          .filter(col("__sts").isNull || col("__ts") > col("__sts") ||
-            (col("__ts") === col("__sts") && col("__tie") > col("__stie")))
-
-        // 3. the batch's applied assignments, high-water fields included;
-        // bounded-scalar collect decides emptiness and the tx's event-time
-        // watermark in one job
-        val assignments = fresh.select(col("owner_id") +:
-          (rts.map(col) ++ Seq(col("__ts").as(HwTs), col("__tie").as(HwTie))): _*)
-          .localCheckpoint(true)
-        val stat = assignments.agg(count(lit(1)), max(col(HwTs))).collect()(0)
-        if (stat.getLong(0) > 0L) {
-          val txTs = stat.getTimestamp(1)
-          // 4. claim-fenced durable apply: one tx, all fields, entities
-          // upserted; the delta is materialized once and feeds both the
-          // store append and the in-memory handle
-          Sync.claimSlice(dir, g.maxSlice + 1)
-          val (g2, delta) = Transactor.assignFieldsBulkDelta(g, assignments,
-            fields.map(f => Transactor.BulkField(f.rt, f.vtype)) ++
-              Seq(Transactor.BulkField(HwTs, "ts"),
-                Transactor.BulkField(HwTie, "long")),
-            ts = txTs, ensureOwnerType = Some(et), materializeDelta = true)
-          GraphStore.appendBulk(spark, dir, delta)
-          // bound lineage/cache depth over an unbounded stream: once the
-          // incremental seeding cap is hit, re-open from the store (one
-          // full latest-values rebuild per ~MaxSeedDepth batches). And
-          // bound executor STORAGE: each batch's graph pins one more
-          // seeded latest-values table, and nothing calls the bench
-          // harness's releaseAll in a live stream. Release lags ONE tick:
-          // `g`'s seed was just materialized by this batch's high-water
-          // read, so the graph retired LAST tick (whose table only backs
-          // `g`'s lineage for recompute) can drop its pins now — at most
-          // two instances are ever pinned, with no extra job.
-          handle =
-            if (g2.latestValuesDepth(g2.maxSlice) >= Graph.MaxSeedDepth) {
-              retiring.foreach(_.releaseDerived())
-              g.releaseDerived(); g2.releaseDerived()
-              retiring = None
-              Sync.open(spark, dir)
-            } else {
-              retiring.foreach(_.releaseDerived())
-              retiring = Some(g)
-              handle.copy(graph = g2)
-            }
-        }
+        state = applyBatch(state, batch, dir, et, key, eventTs, tie, fields)
+        ()
       }
       .start()
   }

@@ -61,6 +61,35 @@ object Sync {
     }
   }
 
+  /** [[claimSlice]] plus crash recovery, preserving the single-writer
+    * discipline: a claim file for `next` with NO committed tx row for
+    * `next` is an orphan from this writer's own crashed predecessor (both
+    * append paths write the tx marker LAST), so the partial slice is
+    * purged ([[GraphStore.purgeSlice]]) and the claim adopted; a claim
+    * WITH a committed tx row means the store moved past this handle —
+    * throw, as before. NOTE this cannot distinguish a crashed predecessor
+    * from a live concurrent writer mid-append; the fencing contract is
+    * one logical writer per store (front with a real lock service where
+    * that cannot be assumed — same caveat as [[claimSlice]]).
+    *
+    * Returns true when recovery ran: the purge REWRITES store files, so
+    * the caller must reload its graph (any DataFrame created before the
+    * purge holds a stale file listing) before appending. */
+  private[graft] def claimSliceOrRecover(spark: org.apache.spark.sql.SparkSession,
+      dir: String, next: Int): Boolean =
+    try { claimSlice(dir, next); false }
+    catch {
+      case e: IllegalStateException =>
+        import org.apache.spark.sql.{functions => F, Encoders}
+        val committed = spark.read
+          .schema(Encoders.product[graft.core.TxRow].schema)
+          .parquet(s"$dir/txs")
+          .filter(F.col("tx_id") === next).limit(1).count() > 0
+        if (committed) throw e
+        GraphStore.purgeSlice(spark, dir, next)
+        true
+    }
+
   /** Reader (or recovering writer) side: open the newest published state —
     * snapshot plus every appended delta, termination closures reconciled
     * into the interval column exactly as the writer's in-memory graph
@@ -114,8 +143,13 @@ final case class SyncedGraph(graph: Graph, dir: String) {
       ts: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
       : (SyncedGraph, Receipt) = {
     val next = graph.maxSlice + 1
-    Sync.claimSlice(dir, next)
-    val (g2, r) = Transactor.transact(graph, wishes, ts)
+    val recovered = Sync.claimSliceOrRecover(graph.spark, dir, next)
+    // recovery purged+rewrote store files: this handle's lazy frames hold
+    // stale file listings — re-open before applying (committed state is
+    // unchanged, so the wish list applies identically)
+    val base = if (recovered) GraphStore.loadWithClosures(graph.spark, dir)
+               else graph
+    val (g2, r) = Transactor.transact(base, wishes, ts)
     GraphStore.appendTx(graph.spark, dir, r)
     (copy(graph = g2), r)
   }

@@ -69,12 +69,15 @@ object IncrementalDedup {
     // idempotence under at-least-once delivery: a replayed document must
     // not self-pair or re-flag its pairs — drop in-batch id duplicates,
     // then anti-join against the ids already indexed (a small broadcast
-    // probe of this batch against the index's id column)
+    // probe of this batch against the index's id column). Checkpointed
+    // ONCE: both the banding and the shingle derivation branch off it,
+    // and a lazy `fresh` would re-run the index anti-join per branch.
     val fresh = batch.dropDuplicates(idCol)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
       .join(shingles(spark, dir).select(col("doc_id")), Seq("doc_id"),
         "left_anti")
-    // materialized once: banding is the dominant per-row cost and three
+      .localCheckpoint(true)
+    // materialized too: banding is the dominant per-row cost and three
     // consumers reference it (cross-join probe, self-join, index append)
     val newBands = Dedup.portableBands(fresh, "doc_id", "__text",
       numHashes, bandCount, shingleN)
@@ -122,7 +125,14 @@ object IncrementalDedup {
     val n = verified.count()
     if (n > 0)
       verified.coalesce(1).write.mode("append").parquet(s"$dir/flags")
-    newBands.coalesce(1).write.mode("append").parquet(s"$dir/bands")
+    // crash-window symmetry: a doc whose band rows landed but whose
+    // shingle (commit-marker) write did not is re-processed on replay —
+    // its bands must not append a second copy (the index would fan every
+    // future probe of those keys out 2x, forever)
+    newBands
+      .join(bands(spark, dir).select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .coalesce(1).write.mode("append").parquet(s"$dir/bands")
     newShingles.coalesce(1).write.mode("append").parquet(s"$dir/shingles")
     n
   }
@@ -135,15 +145,16 @@ object IncrementalDedup {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = stream.sparkSession
     publish(dir)
-    var tick = 0
     stream.writeStream
       .queryName("graft-dedup-ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        tick += 1
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the engine's batchId is checkpoint-persisted, so flag
+        // provenance stays monotone across query restarts (a closure
+        // counter would reset to 0 and misattribute post-restart pairs)
         ingestTick(spark, dir, batch, idCol, textCol, threshold,
-          numHashes, bandCount, shingleN, tick)
+          numHashes, bandCount, shingleN, tick = batchId.toInt + 1)
         ()
       }
       .start()

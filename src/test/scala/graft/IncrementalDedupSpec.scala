@@ -92,6 +92,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // and the pair appears once after the reader-side dedup
     assert(IncrementalDedup.flags(spark, dir)
       .filter(col("id_a") === 1 && col("id_b") === 2).count() == 1)
+    // the replay must not have appended a second copy of doc 2's band
+    // rows (every future probe of those keys would fan out 2x forever)
+    val bandsPerDoc = IncrementalDedup.bands(spark, dir)
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bandsPerDoc.values.toSet == Set(8L), s"band rows: $bandsPerDoc")
   }
 
   test("replay is idempotent: re-delivered docs add no flags or index rows") {

@@ -172,4 +172,62 @@ class SyncSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(terms == Set(("e:Sensor/s2", 4)))
   }
+
+  test("crashed-writer recovery: an orphan slice claim is adopted, not a wedge") {
+    val dir = tmp("graft_sync")
+    val w0 = Sync.publish(Graph.empty(spark), dir)
+    val (w1, _) = w0.transact(Seq(
+      PutEntity("Person", "ada"), PutField("ada", "Score", 1.0)))
+    // simulate a predecessor that claimed slice 2 and died before any
+    // append: claim file exists, no tx row
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_slices"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "_slices", "2"))
+    // the recovered writer (refresh + re-apply) must proceed, not throw
+    val recovered = w1.refresh()
+    val (w2, _) = recovered.transact(Seq(
+      AssignField("e:Person/ada", "Score", 7.5)))
+    assert(w2.graph.maxSlice == 2)
+    val r = Sync.open(spark, dir)
+    assert(r.now.all("Person").fieldValue("Score", "v_double", "x")
+      .collect().map(_.getDouble(1)).toSeq == Seq(7.5))
+    // a claim for a COMMITTED slice still throws (stale handle)
+    intercept[IllegalStateException] {
+      w1.transact(Seq(AssignField("e:Person/ada", "Score", 9.9)))
+    }
+  }
+
+  test("partial-append recovery: purgeSlice drops uncommitted rows before re-append") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("graft_sync")
+    val w0 = Sync.publish(Graph.empty(spark), dir)
+    val (w1, _) = w0.transact(Seq(
+      PutEntity("Person", "ada"), PutField("ada", "Score", 1.0)))
+    // simulate a crash MID-append of slice 2: claim + some atom/value rows
+    // landed, the tx marker did not
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "_slices", "2"))
+    val (gPartial, _) = Transactor.transact(w1.graph, Seq(
+      PutEntity("Person", "bob"), PutField("bob", "Score", 5.0)))
+    val partialAtoms = gPartial.atoms.filter(col("inst_slice") === 2)
+    val partialValues = gPartial.values.filter(col("tx_slice") === 2)
+    partialAtoms.write.mode("append").partitionBy("kind", "atype")
+      .parquet(s"$dir/atoms")
+    partialValues.write.mode("append").parquet(s"$dir/values")
+    // recovery: refresh sees only slice 1 committed; re-apply (a possibly
+    // DIFFERENT retry payload) must purge the partial rows, then land
+    val recovered = w1.refresh()
+    assert(recovered.graph.maxSlice == 1)
+    val (w2, _) = recovered.transact(Seq(
+      PutEntity("Person", "carl"), PutField("carl", "Score", 3.0)))
+    assert(w2.graph.maxSlice == 2)
+    val r = Sync.open(spark, dir).graph
+    // bob's partial rows are gone; carl's committed rows are there once
+    assert(r.atoms.filter(col("atom_id") === "e:Person/bob").count() == 0)
+    assert(r.atoms.filter(col("atom_id") === "e:Person/carl").count() == 1)
+    assert(r.now.all("Person").fieldValue("Score", "v_double", "x")
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap ==
+      Map("e:Person/ada" -> 1.0, "e:Person/carl" -> 3.0))
+  }
 }
