@@ -57,12 +57,22 @@ object StreamIngest {
       fields: Seq[IngestField]): IngestState = {
     val spark = batch.sparkSession
     val rts = fields.map(_.rt)
+    // time-axis robustness (the round-7 regression class): a parquet
+    // µs-timestamp source yields TIMESTAMP_NTZ, which neither compares
+    // against the stored TIMESTAMP high-water nor unifies in max_by —
+    // type-driven normalization, instant-preserving under the session's
+    // pinned UTC (same policy as ops.TimeAxis)
+    val evTs = batch.select(eventTs.as("__p")).schema.head.dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        eventTs.cast("timestamp")
+      case _ => eventTs
+    }
     // 1. reduce the batch to one winner per key by (event ts, tie) —
     // deterministic regardless of partitioning or arrival order
     val packed = batch.select(
       GraphEncoder.entityId(et, key).as("owner_id"),
-      eventTs.as("__ts"), tie.cast("long").as("__tie"),
-      struct((Seq(eventTs.as("__wts"), tie.cast("long").as("__wtie")) ++
+      evTs.as("__ts"), tie.cast("long").as("__tie"),
+      struct((Seq(evTs.as("__wts"), tie.cast("long").as("__wtie")) ++
         fields.map(f => f.expr.as(f.rt))): _*).as("__p"))
     val winners = packed.groupBy(col("owner_id"))
       .agg(max_by(col("__p"), struct(col("__ts"), col("__tie"))).as("__w"))

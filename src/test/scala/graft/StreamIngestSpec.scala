@@ -152,6 +152,37 @@ class StreamIngestSpec extends AnyFunSuite {
         "(superseded seeded tables accumulating?)")
   }
 
+  test("TIMESTAMP_NTZ event time normalizes (the r7 regression class)") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    // LocalDateTime encodes as TIMESTAMP_NTZ — the type a parquet
+    // µs-timestamp source produces
+    val input = MemoryStream[(java.time.LocalDateTime, Long, Long, Double, String)]
+    val df = input.toDF().toDF("ts", "event_id", "user_id", "value", "event_type")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val q = StreamIngest.eventsToGraph(df, dir, "User",
+      key = col("user_id"), eventTs = col("ts"), tie = col("event_id"),
+      fields = Seq(StreamIngest.IngestField("Value", "double", col("value"))),
+      checkpointDir = tmp("graft_ingest_ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      input.addData(Seq(
+        (java.time.LocalDateTime.of(2024, 1, 2, 0, 0), 2L, 1L, 20.0, "b")))
+      q.processAllAvailable()
+      // a second batch with an OLDER ntz ts must lose against the stored
+      // TIMESTAMP high-water (the cross-type compare is the broken path)
+      input.addData(Seq(
+        (java.time.LocalDateTime.of(2024, 1, 1, 0, 0), 1L, 1L, 10.0, "a")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val g = Sync.open(spark, dir).graph
+    assert(g.now.all("User").fieldValue("Value", "v_double", "v")
+      .collect().map(_.getDouble(1)).toSeq == Seq(20.0))
+  }
+
   test("entities upsert once; a second field assignment reuses the atom") {
     import spark.implicits._
     val dir = tmp("graft_ingest")
