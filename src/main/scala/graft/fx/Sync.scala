@@ -110,6 +110,16 @@ object Sync {
     spark.readStream.schema(Encoders.product[ValueRow].schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/values")
 
+  /** The atom's type from the deterministic id scheme. The type name ends
+    * at the first `/`, `#`, or `[`: an instanced AE id `ae:rt#k/owner` and
+    * an array-element id `ae:rt[0]/owner` carry the SAME type `rt` as the
+    * plain `ae:rt/owner` form — exactly the three prefixes
+    * [[graft.streaming.GraphSubscriptions.onAssignedScheme]] matches
+    * (reference `on[terminated[...]]` dispatches on the rae type alone,
+    * `implementation_typing_functions.py:296-358`). */
+  def atypeFromId(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(id, "^[^:]+:([^/#\\[]+)", 1)
+
   /** Termination closures with the closed atom's type re-derived from the
     * deterministic id scheme (`kind:ATYPE/key`) — the store keeps closures
     * as bare `(atom_id, term_slice)` and the subscription filters on atype. */
@@ -117,8 +127,16 @@ object Sync {
     spark.readStream
       .schema("atom_id STRING, term_slice INT")
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/closures")
-      .withColumn("atype",
-        regexp_extract(col("atom_id"), "^[^:]+:([^/]+)/", 1))
+      .withColumn("atype", atypeFromId(col("atom_id")))
+      .select(col("atom_id"), col("atype"), col("term_slice"))
+
+  /** [[closureFeed]]'s batch twin — same directory, same atype derivation,
+    * a plain read instead of a stream (replay / registry-query path). */
+  def closureTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema("atom_id STRING, term_slice INT")
+      .parquet(s"$dir/closures")
+      .withColumn("atype", atypeFromId(col("atom_id")))
       .select(col("atom_id"), col("atype"), col("term_slice"))
 }
 

@@ -308,8 +308,96 @@ object Streaming {
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
              |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
              |WHERE rn = 1 ORDER BY atom_id""".stripMargin),
-      Seq("stream_ingest", "cdc_apply", "transact", "sync", "upsert"))
+      Seq("stream_ingest", "cdc_apply", "transact", "sync", "upsert")),
+
+    // `on[terminated[...]]` across ALL THREE AE id forms (reference
+    // implementation_typing_functions.py:296-358 dispatches on the rae
+    // TYPE alone, never an instance): a synced store gets per-(user, week)
+    // INSTANCED Spend fields (ae:Spend#w3/e:User/7), then one tx
+    // terminates the weak weeks and the weak users. The store keeps
+    // closures as bare (atom_id, term_slice) — the subscription's atype is
+    // re-derived from the id scheme, and a derivation that kept the
+    // #instance suffix would make the Spend subscription return ZERO rows
+    // (the r8 regression this query pins). The oracle replays the
+    // termination rule relationally and mints the scheme ids itself.
+    QueryDef(
+      "stream_graph_on_terminated",
+      (s, d) => {
+        import graft.streaming.GraphSubscriptions
+        val closures = graft.fx.Sync.closureTable(s, termStoreFor(s, d))
+        def sub(atype: String) = GraphSubscriptions
+          .onTerminatedClosures(closures, atype)
+          .select(col("event"), col("atom_id"), lit(atype).as("atype"),
+            col("tx_slice").cast("int").as("tx_slice"))
+        sub("Spend").unionByName(sub("User")).orderBy(col("atom_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, CAST(datediff('day', DATE '2024-01-01',
+             |      CAST(date_trunc('week', ts) AS DATE)) // 7 + 1 AS INT) AS w,
+             |    value
+             |  FROM events WHERE event_type = 'purchase' AND user_id <= 30),
+             |wk AS (SELECT user_id, w, round(sum(value), 2) AS amt
+             |  FROM p GROUP BY 1, 2),
+             |ut AS (SELECT user_id, round(sum(value), 2) AS tot
+             |  FROM p GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT 'terminated' AS event,
+             |    'ae:Spend#w' || CAST(w AS VARCHAR) || '/e:User/' ||
+             |      CAST(user_id AS VARCHAR) AS atom_id,
+             |    'Spend' AS atype, 2 AS tx_slice
+             |  FROM wk WHERE amt < 120.0
+             |  UNION ALL
+             |  SELECT 'terminated', 'e:User/' || CAST(user_id AS VARCHAR),
+             |    'User', 2
+             |  FROM ut WHERE tot < 400.0
+             |) ORDER BY atom_id""".stripMargin),
+      Seq("on", "terminated", "subscribe", "cdc", "sync", "instanced_field"))
   )
+
+  /** Memoized per (session, sfDir): a synced store whose slice 1 puts
+    * per-(user, week) INSTANCED Spend fields and slice 2 terminates the
+    * weak weeks (weekly spend < 120) and weak users (total < 400). Wish
+    * lists are driver-sized by construction (≤31 users × 5 weeks). */
+  private val termStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private[graft] def termStoreFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    termStoreCache.getOrElseUpdate((s, d), {
+      import graft.core._
+      import graft.fx.Sync
+      val dir = s"/tmp/graft_termstore/p${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(d.hashCode)
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") <= 30)
+        .withColumn("w", (datediff(date_trunc("week", col("ts")),
+          lit("2024-01-01")) / 7 + 1).cast("int"))
+      // two aggregates mirroring the oracle EXACTLY (round-then-compare;
+      // summing the rounded weeklies would drift from round(sum(raw)))
+      val wk = p.groupBy(col("user_id"), col("w"))
+        .agg(round(sum(col("value")), 2).as("amt"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val ut = p.groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("tot"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      var w = Sync.publish(Graph.empty(s), dir)
+      w = w.transact(wk.sortBy(t => (t._1, t._2)).flatMap {
+        case (uid, wn, amt) => Seq(
+          PutEntity("User", uid.toString),
+          PutField(uid.toString, "Spend", amt, instanceKey = s"w$wn"))
+      }.toSeq)._1
+      w.transact(
+        wk.filter(_._3 < 120.0).sortBy(t => (t._1, t._2)).map { case (uid, wn, _) =>
+          TerminateAtom(s"ae:Spend#w$wn/e:User/$uid") }.toSeq ++
+        ut.filter(_._2 < 400.0).sortBy(_._1).map { case (uid, _) =>
+          TerminateAtom(s"e:User/$uid") }.toSeq)
+      dir
+    })
 
   /** Memoized per (session, sfDir): the CDC feed directory built by a
     * 6-tx replay of January's purchases (5 weekly Spend assignments +

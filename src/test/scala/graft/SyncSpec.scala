@@ -173,6 +173,48 @@ class SyncSpec extends AnyFunSuite {
     assert(terms == Set(("e:Sensor/s2", 4)))
   }
 
+  test("terminated subscriptions fire for plain, instanced AND array-element AE ids") {
+    import spark.implicits._
+    val dir = tmp("graft_sync_t3")
+    // array-element AEs (ae:tags[0]/...) come from the nested-document
+    // encoder; instanced AEs (ae:Score#w1/...) from the wish path
+    val flat = graft.wrangling.NestedInfer.flatten(
+      Seq((1, """{"name":"n1","tags":["a","b"]}""")).toDF("doc_id", "doc"),
+      "doc_id", "doc")
+    var w = Sync.publish(graft.wrangling.NestedInfer.toGraph(flat), dir)
+    w = w.transact(Seq(
+      PutEntity("User", "u1"),
+      PutField("u1", "Score", 1.0),
+      PutField("u1", "Score", 2.0, instanceKey = "w1")))._1
+    w = w.transact(Seq(
+      TerminateAtom("ae:Score/e:User/u1"),
+      TerminateAtom("ae:Score#w1/e:User/u1"),
+      TerminateAtom("ae:tags[0]/1:$")))._1
+
+    // one atype-filtered subscription per type, over the LIVE closure tail:
+    // the type derived from the id must ignore the #instance / [pos]
+    // suffixes (the regression: ae:Score#w1/... derived atype "Score#w1"
+    // and the Score subscription silently never fired)
+    def fired(atype: String, qn: String): Set[(String, Int)] = {
+      val q = GraphSubscriptions.onTerminatedClosures(
+          Sync.closureFeed(spark, dir), atype)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(qn)
+        .select(col("atom_id"), col("tx_slice").cast("int"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    }
+    assert(fired("Score", "t_term_score") == Set(
+      ("ae:Score/e:User/u1", 3), ("ae:Score#w1/e:User/u1", 3)))
+    assert(fired("tags", "t_term_tags") == Set(("ae:tags[0]/1:$", 3)))
+    // the batch twin sees the same events through the same derivation
+    val batch = GraphSubscriptions.onTerminatedClosures(
+        Sync.closureTable(spark, dir), "Score")
+      .select(col("atom_id")).collect().map(_.getString(0)).toSet
+    assert(batch == Set("ae:Score/e:User/u1", "ae:Score#w1/e:User/u1"))
+  }
+
   test("crashed-writer recovery: an orphan slice claim is adopted, not a wedge") {
     val dir = tmp("graft_sync")
     val w0 = Sync.publish(Graph.empty(spark), dir)
