@@ -55,10 +55,13 @@ object GraphStore {
   /** Heal a store interrupted mid-[[compact]]: the two-rename swap has a
     * window where a sub-table directory is staged aside (`<sub>__old`
     * exists, `<sub>` does not) — a crash there leaves the store unreadable
-    * until the original is renamed back. Loaders call this first; the
-    * rename restores the pre-compact tree (the compaction simply didn't
-    * happen), and a leftover `__compacting` tree is deleted either way
-    * (it may be incomplete). */
+    * until the original is renamed back. WRITER-SIDE only ([[compact]],
+    * [[purgeSlice]], or an explicit [[heal]]): a reader that healed
+    * "helpfully" while a LIVE compact was mid-swap would delete the
+    * in-flight `__compacting` staging tree or un-rename `__old` out from
+    * under the writer. The rename restores the pre-compact tree (the
+    * compaction simply didn't happen), and a leftover `__compacting` tree
+    * is deleted either way (it may be incomplete). */
   private def healInterruptedSwap(path: String): Unit =
     Seq("atoms", "values", "txs", "tags", "closures").foreach { sub =>
       val dir = new java.io.File(s"$path/$sub")
@@ -82,6 +85,30 @@ object GraphStore {
         }
         rm(old)
       }
+    }
+
+  /** Writer-side recovery entry: restore a store whose [[compact]] /
+    * [[purgeSlice]] crashed mid-swap. Run from the process that owns the
+    * store's maintenance (never a concurrent reader — see
+    * [[healInterruptedSwap]]); [[compact]] and [[purgeSlice]] also heal
+    * on entry, so re-running the interrupted maintenance works too. */
+  def heal(path: String): Unit = healInterruptedSwap(path)
+
+  /** Read-only guard for loaders: a store caught in the crash window of
+    * the two-rename swap (`<sub>` missing, `<sub>__old` present) is not
+    * readable — fail with the recovery instruction instead of a bare
+    * file-not-found. Deliberately does NOT repair: the same state is also
+    * what a LIVE in-flight compact looks like for ~a rename, and a reader
+    * mutating the store would race the writer (see [[healInterruptedSwap]]). */
+  private def assertNotMidSwap(path: String): Unit =
+    Seq("atoms", "values", "txs", "tags", "closures").foreach { sub =>
+      if (!new java.io.File(s"$path/$sub").exists() &&
+          new java.io.File(s"$path/${sub}__old").exists())
+        throw new IllegalStateException(
+          s"$path/$sub is staged aside (${sub}__old exists): either a " +
+            "compact()/purgeSlice() is mid-swap right now (retry the " +
+            "read) or one crashed here — run GraphStore.heal(path) from " +
+            "the writer to restore the pre-maintenance tree")
     }
 
   /** Remove every row a PARTIALLY-appended slice left behind — the
@@ -123,7 +150,7 @@ object GraphStore {
   }
 
   def load(spark: SparkSession, path: String): Graph = {
-    healInterruptedSwap(path)
+    assertNotMidSwap(path)
     import org.apache.spark.sql.Encoders
     // explicit schemas (not inference): a freshly-published empty graph —
     // or a sub-table whose rows all arrived via later appendTx deltas —
@@ -288,10 +315,19 @@ object GraphStore {
     // the small-files tax compounds per batch. Default 1 file per
     // sub-table (appendTx's convention); a genuinely data-sized delta
     // passes a higher count matched to its volume.
-    d.atoms.coalesce(filesPerTable).write.mode(SaveMode.Append)
-      .partitionBy("kind", "atype").parquet(s"$path/atoms")
-    d.values.coalesce(filesPerTable).write.mode(SaveMode.Append)
-      .parquet(s"$path/values")
+    // the two data writes are independent (different directories, both
+    // reading materialized delta blocks) — run them as concurrent jobs so
+    // the append's wall-clock is max(atoms, values), not the sum. The tx
+    // marker stays strictly LAST: it is the commit protocol
+    // (purgeSlice identifies a partial append by its missing tx row).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(d.atoms.coalesce(filesPerTable).write.mode(SaveMode.Append)
+        .partitionBy("kind", "atype").parquet(s"$path/atoms")),
+      Future(d.values.coalesce(filesPerTable).write.mode(SaveMode.Append)
+        .parquet(s"$path/values")))), Duration.Inf)
     spark.createDataset(Seq(TxRow(d.slice, d.ts))).toDF()
       .write.mode(SaveMode.Append).parquet(s"$path/txs")
   }
@@ -341,10 +377,15 @@ object GraphStore {
     * whole history as fresh CDC events. Stop tails before compacting and
     * restart them with fresh checkpoints after (the same contract as
     * file-rewriting maintenance in any log-structured table format
-    * without snapshot-isolated manifests). Batch readers are safe: the
-    * two-rename swap is atomic per sub-table and load() heals an
-    * interrupted swap. */
+    * without snapshot-isolated manifests). Batch readers never see a
+    * half-written store (each sub-table swaps in via renames of complete
+    * trees), but a read RACING the swap can transiently fail — between
+    * the two renames the sub-table directory briefly doesn't exist —
+    * and should simply retry; readers never repair the store (that's
+    * [[heal]], writer-side). A CRASH mid-swap leaves the store throwing
+    * until the writer runs [[heal]] or re-runs the maintenance op. */
   def compact(spark: SparkSession, path: String): Unit = {
+    healInterruptedSwap(path) // writer-side: adopt a crashed predecessor
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete()

@@ -332,7 +332,8 @@ object Transactor {
       ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
       ensureOwnerType: Option[String] = None,
       materializeDelta: Boolean = false,
-      assignNulls: Boolean = false): (Graph, BulkDelta) = {
+      assignNulls: Boolean = false,
+      trustedUniqueOwners: Boolean = false): (Graph, BulkDelta) = {
     val spark = g.spark
     val slice = g.maxSlice + 1
     val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
@@ -343,11 +344,17 @@ object Transactor {
       "field rt cannot be named owner_id")
     fields.foreach(f => require(vcols.contains(s"v_${f.vtype}"),
       s"vtype must be one of str/long/double/bool/ts, got '${f.vtype}'"))
-    val counts = assignments.agg(count(lit(1)).as("n"),
-      count_distinct(col("owner_id")).as("d")).collect()(0)
-    require(counts.getLong(0) == counts.getLong(1),
-      s"assignFieldsBulk: duplicate owner_id rows (${counts.getLong(0)} rows, " +
-        s"${counts.getLong(1)} distinct owners) — one row per owner per tx")
+    // one row per owner per tx. `trustedUniqueOwners` skips the check's
+    // count job for callers whose assignments come out of a groupBy on
+    // owner_id (streaming ingest's winner reduction) — uniqueness holds
+    // by construction there and a per-tick guard job is pure overhead
+    if (!trustedUniqueOwners) {
+      val counts = assignments.agg(count(lit(1)).as("n"),
+        count_distinct(col("owner_id")).as("d")).collect()(0)
+      require(counts.getLong(0) == counts.getLong(1),
+        s"assignFieldsBulk: duplicate owner_id rows (${counts.getLong(0)} rows, " +
+          s"${counts.getLong(1)} distinct owners) — one row per owner per tx")
+    }
 
     def sqlType(vc: String): String = vc match {
       case "v_str" => "string"; case "v_long" => "long"
@@ -420,10 +427,25 @@ object Transactor {
       .select(col("atom_id"), col("kind"), col("atype"), col("src_id"),
         col("dst_id"), lit(slice).as("inst_slice"),
         lit(null).cast("int").as("term_slice"), col("origin_uid"))
+    // materialize BOTH delta frames in ONE job: packed as a tagged union
+    // (their schemas differ, so each side rides in its own struct column),
+    // checkpointed once, then split by tag — the split is a map over the
+    // cached checkpoint blocks, not a recompute. Two separate
+    // localCheckpoints were two scheduled jobs per ingest tick.
     val (atomsDelta, valuesDelta) =
-      if (materializeDelta)
-        (atomsDelta0.localCheckpoint(true), valuesDelta0.localCheckpoint(true))
-      else (atomsDelta0, valuesDelta0)
+      if (materializeDelta) {
+        val packed = atomsDelta0
+          .select(struct(atomsDelta0.columns.map(col): _*).as("__a"),
+            lit(null).cast(org.apache.spark.sql.types.StructType(
+              valuesDelta0.schema.fields)).as("__v"))
+          .unionByName(valuesDelta0.select(
+            lit(null).cast(org.apache.spark.sql.types.StructType(
+              atomsDelta0.schema.fields)).as("__a"),
+            struct(valuesDelta0.columns.map(col): _*).as("__v")))
+          .localCheckpoint(true)
+        (packed.filter(col("__a").isNotNull).select(col("__a.*")),
+          packed.filter(col("__v").isNotNull).select(col("__v.*")))
+      } else (atomsDelta0, valuesDelta0)
 
     import spark.implicits._
     val g2 = Graph(

@@ -68,8 +68,13 @@ object StreamIngest {
       case _ => eventTs
     }
     // 1. reduce the batch to one winner per key by (event ts, tie) —
-    // deterministic regardless of partitioning or arrival order
-    val packed = batch.select(
+    // deterministic regardless of partitioning or arrival order. A null
+    // event time is REJECTED here: it cannot be ordered by
+    // last-writer-wins (it would slip past the high-water fence's
+    // null-guard disjunct and could write a null-ts TxRow whose null
+    // high-water then weakens the fence for that key forever). An
+    // all-null batch is a clean no-op tick.
+    val packed = batch.filter(evTs.isNotNull).select(
       GraphEncoder.entityId(et, key).as("owner_id"),
       evTs.as("__ts"), tie.cast("long").as("__tie"),
       struct((Seq(evTs.as("__wts"), tie.cast("long").as("__wtie")) ++
@@ -115,11 +120,14 @@ object StreamIngest {
       // checkpointed assignments are RDD blocks, not file reads — still
       // valid; only the graph's lazy file listings went stale)
       val gBase = if (recovered) Sync.open(spark, dir).graph else g
+      // trustedUniqueOwners: the winner reduction above is a groupBy on
+      // owner_id — one row per owner by construction, no guard job needed
       val (g2, delta) = Transactor.assignFieldsBulkDelta(gBase, assignments,
         fields.map(f => Transactor.BulkField(f.rt, f.vtype)) ++
           Seq(Transactor.BulkField(HwTs, "ts"),
             Transactor.BulkField(HwTie, "long")),
-        ts = txTs, ensureOwnerType = Some(et), materializeDelta = true)
+        ts = txTs, ensureOwnerType = Some(et), materializeDelta = true,
+        trustedUniqueOwners = true)
       GraphStore.appendBulk(spark, dir, delta)
       // bound lineage/cache depth over an unbounded stream: once the
       // incremental seeding cap is hit, re-open from the store (one

@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft._
+import graft.wrangling.{Dedup, IncrementalDedup}
+import org.apache.spark.sql.functions._
+
+/** Per-tick timing of the PRODUCTION dedup-on-ingest path: drives
+  * IncrementalDedup.ingestTick (the exact body the streaming query runs)
+  * over the registry fixture's 3-file split, then attributes the tick cost
+  * to its phases with targeted standalone measurements over the same
+  * batches (banding, stored-index scan, candidate verify). Numbers land in
+  * BASELINE.md; the bench tracks the end-to-end figure. */
+object DedupIngestProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    def time(lbl: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[dedup-probe] $lbl ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    val base = "/tmp/graft_dedup_probe"
+    val root = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    time("src prep")(docs.repartition(3, col("doc_id"))
+      .write.parquet(s"$base/src"))
+    IncrementalDedup.publish(s"$base/index")
+    val files = new java.io.File(s"$base/src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val batch = spark.read.parquet(f.getPath)
+      time(s"tick$i ingestTick") {
+        IncrementalDedup.ingestTick(spark, s"$base/index", batch,
+          "doc_id", "text", threshold = 0.5, tick = i + 1)
+      }
+    }
+    // phase attribution over the final state / last batch
+    val last = spark.read.parquet(files.last.getPath)
+    time("phase: banding only (one batch)") {
+      Dedup.portableBands(
+        last.select(col("doc_id"), col("text").as("__text")),
+        "doc_id", "__text", 16, 8, 1)
+        .select(col("doc_id"), col("band"), col("bv"))
+        .localCheckpoint(true)
+    }
+    time("phase: stored-bands full scan") {
+      IncrementalDedup.bands(spark, s"$base/index").count()
+    }
+    time("phase: stored-shingles full scan") {
+      IncrementalDedup.shingles(spark, s"$base/index")
+        .select(size(col("sh"))).agg(sum(lit(1))).collect()
+    }
+    time("final flag read") {
+      IncrementalDedup.flags(spark, s"$base/index").count()
+    }
+    spark.stop()
+  }
+}

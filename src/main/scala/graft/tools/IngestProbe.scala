@@ -15,8 +15,30 @@ object IngestProbe {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(32)
+    // job-level attribution: every Spark job launched inside a timed
+    // section is listed with its duration and first-stage callsite, so a
+    // per-batch total decomposes into its scheduled jobs (the floor at
+    // local scale is JOB COUNT, not volume — this shows which ones)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, (System.nanoTime(),
+            js.stageInfos.headOption.map(_.details.linesIterator
+              .find(_.contains("graft")).getOrElse("").trim.take(90))
+              .getOrElse("")))
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, site) = jobs.getOrDefault(je.jobId, (0L, ""))
+          if (t0 > 0)
+            println(f"[ingest-probe]   job ${je.jobId}%3d " +
+              f"${(System.nanoTime() - t0) / 1e9}%6.3f s  $site")
+        }
+      })
     def time(lbl: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
+      Thread.sleep(50) // let job-end events drain before the section line
       println(f"[ingest-probe] $lbl ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     val base = "/tmp/graft_ingest_probe"

@@ -66,6 +66,19 @@ object IncrementalDedup {
       idCol: String, textCol: String, threshold: Double,
       numHashes: Int = 16, bandCount: Int = 8, shingleN: Int = 1,
       tick: Int = 0): Long = {
+    // the index schema keys documents by LONG ids; a silent cast would
+    // collapse every non-numeric id to one NULL doc_id and mis-dedup the
+    // whole corpus — reject the batch loudly instead (same convention as
+    // SqlImport/NestedInfer: corrupt identity is an error, not a coercion)
+    val idType = batch.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"IncrementalDedup: id column '$idCol' is $idType — the durable " +
+        "index keys documents by LONG doc_id; map string/other ids to a " +
+        "stable integral id (e.g. xxhash64) before ingest")
     // idempotence under at-least-once delivery: a replayed document must
     // not self-pair or re-flag its pairs — drop in-batch id duplicates,
     // then anti-join against the ids already indexed (a small broadcast
@@ -77,26 +90,52 @@ object IncrementalDedup {
       .join(shingles(spark, dir).select(col("doc_id")), Seq("doc_id"),
         "left_anti")
       .localCheckpoint(true)
-    // materialized too: banding is the dominant per-row cost and three
-    // consumers reference it (cross-join probe, self-join, index append)
-    val newBands = Dedup.portableBands(fresh, "doc_id", "__text",
+    // null ids are identity corruption too (every null row would collapse
+    // into one doc under dropDuplicates); checked over the materialized
+    // checkpoint blocks — no extra scan of the source
+    require(fresh.filter(col("doc_id").isNull).isEmpty,
+      s"IncrementalDedup: batch contains null '$idCol' ids — every " +
+        "document needs a stable non-null id for the durable index")
+    // banding (the dominant per-row cost) and shingle derivation are
+    // materialized in ONE job: the two row shapes ride a tagged union
+    // (each in its own struct column), checkpoint once, split by tag —
+    // the split is a map over cached blocks. Multiple consumers reference
+    // each side (cross-join probe, self-join, verify, index append).
+    val bandRows = Dedup.portableBands(fresh, "doc_id", "__text",
       numHashes, bandCount, shingleN)
       .select(col("doc_id"), col("band"), col("bv"))
-      .localCheckpoint(true)
-    val newShingles = fresh.select(col("doc_id"),
+    val shRows = fresh.select(col("doc_id"),
       TextOps.wordShingles(col("__text"), shingleN).as("sh"))
+    val bT = org.apache.spark.sql.types.StructType(bandRows.schema.fields)
+    val sT = org.apache.spark.sql.types.StructType(shRows.schema.fields)
+    val packed = bandRows
+      .select(struct(bandRows.columns.map(col): _*).as("__b"),
+        lit(null).cast(sT).as("__s"))
+      .unionByName(shRows.select(lit(null).cast(bT).as("__b"),
+        struct(shRows.columns.map(col): _*).as("__s")))
       .localCheckpoint(true)
+    val newBands = packed.filter(col("__b").isNotNull).select("__b.*")
+    val newShingles = packed.filter(col("__s").isNotNull).select("__s.*")
 
     // cross-tick candidates: the new docs' band keys probe the stored
-    // index (the earlier member of every cross pair is already there)
+    // index (the earlier member of every cross pair is already there).
+    // The probe result is candidate-sized — materializing it makes this
+    // the tick's ONLY full scan of the stored index: self-matches in the
+    // same result detect crash-window replays (a doc whose band rows
+    // landed but whose shingle commit-marker did not — deterministic
+    // banding means its stored rows match its fresh rows on every band),
+    // which the band append below used to re-derive with a second
+    // per-tick scan of the whole index.
     val stored = bands(spark, dir)
-    val cross = newBands.join(stored
+    val joined = newBands.join(stored
         .select(col("band"), col("bv"), col("doc_id").as("__old")),
         Seq("band", "bv"))
-      // self-pair guard: after a crash between the bands and shingles
-      // writes, a replayed doc's own band rows are already stored (the
-      // shingles table is the commit marker the replay anti-join keys
-      // on), so the probe would pair it with itself
+      .localCheckpoint(true)
+    val replayed = joined.filter(col("doc_id") === col("__old"))
+      .select(col("doc_id")).distinct()
+    val cross = joined
+      // self-pair guard: a replayed doc's own stored band rows would
+      // pair it with itself
       .filter(col("doc_id") =!= col("__old"))
       .select(least(col("doc_id"), col("__old")).as("id_a"),
         greatest(col("doc_id"), col("__old")).as("id_b"))
@@ -128,10 +167,11 @@ object IncrementalDedup {
     // crash-window symmetry: a doc whose band rows landed but whose
     // shingle (commit-marker) write did not is re-processed on replay —
     // its bands must not append a second copy (the index would fan every
-    // future probe of those keys out 2x, forever)
+    // future probe of those keys out 2x, forever). The replay set comes
+    // out of the probe join above (normally empty), so this anti-join is
+    // a broadcast against a tiny set, not a second scan of the index.
     newBands
-      .join(bands(spark, dir).select(col("doc_id")), Seq("doc_id"),
-        "left_anti")
+      .join(broadcast(replayed), Seq("doc_id"), "left_anti")
       .coalesce(1).write.mode("append").parquet(s"$dir/bands")
     newShingles.coalesce(1).write.mode("append").parquet(s"$dir/shingles")
     n

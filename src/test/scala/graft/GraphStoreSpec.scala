@@ -290,4 +290,52 @@ class GraphStoreSpec extends AnyFunSuite {
       g2.latestValues(1).filter(col("ae_id") === ae)
         .collect()(0).getAs[Double]("v_double"))
   }
+
+  test("a reader racing compact is safe: load never repairs the store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race").toString
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann")))
+    GraphStore.save(g1, dir)
+    // simulate an IN-FLIGHT compact: the writer is mid-way through
+    // writing the consolidated atoms tree beside the live one
+    val staging = new java.io.File(s"$dir/atoms__compacting")
+    staging.mkdirs()
+    val partFile = new java.io.File(staging, "part-00000.parquet")
+    java.nio.file.Files.writeString(partFile.toPath, "half-written")
+    // the old heal-on-load DELETED the staging tree here — the writer's
+    // next rename then failed and the compaction aborted mid-run
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.now.all("Person").count() == 1) // live tree reads fine
+    assert(staging.exists() && partFile.exists(), // writer's work untouched
+      "reader must not delete an in-flight __compacting tree")
+    staging.listFiles.foreach(_.delete()); staging.delete()
+  }
+
+  test("crashed mid-swap: load throws the recovery instruction; heal restores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
+      PutEntity("Person", "b")))
+    GraphStore.save(g1, dir)
+    // crash window of the two-rename swap: `values` staged aside, the
+    // consolidated tree never swapped in
+    assert(new java.io.File(s"$dir/values")
+      .renameTo(new java.io.File(s"$dir/values__old")))
+    val e = intercept[IllegalStateException] {
+      GraphStore.load(spark, dir)
+    }
+    assert(e.getMessage.contains("heal"), s"unhelpful error: ${e.getMessage}")
+    // writer-side recovery restores the pre-maintenance tree exactly
+    GraphStore.heal(dir)
+    assert(!new java.io.File(s"$dir/values__old").exists())
+    val healed = GraphStore.load(spark, dir)
+    assert(healed.now.all("Person").count() == 2)
+    assert(healed.now.all("Person").fieldValue("Name", "v_str", "n")
+      .collect().map(_.getString(1)).toSeq == Seq("Ann"))
+    // and a crashed-then-rerun compact heals on entry by itself
+    assert(new java.io.File(s"$dir/atoms")
+      .renameTo(new java.io.File(s"$dir/atoms__old")))
+    GraphStore.compact(spark, dir)
+    assert(GraphStore.load(spark, dir).now.all("Person").count() == 2)
+  }
 }

@@ -109,4 +109,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(flagSet(dir) == flags0)
     assert(IncrementalDedup.bands(spark, dir).count() == bands0)
   }
+
+  test("non-numeric and null ids fail loudly, never silently mis-dedup") {
+    import spark.implicits._
+    val dir = tmp("dedup_idx")
+    IncrementalDedup.publish(dir)
+    // string ids: the old behavior cast them to long → every id became
+    // the SAME null doc_id, the whole batch collapsed to one document,
+    // and cross-corpus dedup was silently wrong. Must throw instead.
+    val strBatch = Seq(("a1", "some text"), ("b2", "other text"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalDedup.ingestTick(spark, dir, strBatch, "doc_id", "text",
+        threshold = 0.5)
+    }
+    assert(e1.getMessage.contains("doc_id"))
+    // null ids in an integral column are identity corruption too
+    val nullBatch = Seq((java.lang.Long.valueOf(1L), "t1"),
+        (null.asInstanceOf[java.lang.Long], "t2"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.ingestTick(spark, dir, nullBatch, "doc_id", "text",
+        threshold = 0.5)
+    }
+    assert(e2.getMessage.contains("null"))
+    // neither rejected batch may have leaked rows into the durable index
+    assert(IncrementalDedup.bands(spark, dir).isEmpty)
+    assert(IncrementalDedup.shingles(spark, dir).isEmpty)
+  }
 }

@@ -84,6 +84,29 @@ class StreamIngestSpec extends AnyFunSuite {
       "e:User/1" -> (10.0, "a"), "e:User/2" -> (20.0, "b")))
   }
 
+  test("null event time is rejected: cannot order, cannot weaken the fence") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngEvent]
+    ingestInto(dir, input, Seq(
+      // all-null batch: a clean no-op tick, no tx row
+      Seq(IngEvent(null, 1, 1, 10.0, "ghost1"),
+        IngEvent(null, 2, 2, 20.0, "ghost2")),
+      // mixed batch: only the ordered row lands (the null row would have
+      // out-tied it on event_id and written a null-ts tx + null
+      // high-water, disarming last-writer-wins for u1 forever)
+      Seq(IngEvent(ts("2024-01-01 00:00:00"), 3, 1, 30.0, "real"),
+        IngEvent(null, 9, 1, 99.0, "ghost3"))))
+    val g = Sync.open(spark, dir).graph
+    assert(g.maxSlice == 1)
+    assert(state(dir) == Map("e:User/1" -> (30.0, "real")))
+    // the tx's event-time watermark is the real winner's ts, never null
+    val txTs = g.txs.filter(col("tx_id") === 1).collect()(0).getTimestamp(1)
+    assert(txTs == ts("2024-01-01 00:00:00"))
+  }
+
   test("equal-ts tie resolves by tie id, across batch boundaries") {
     import spark.implicits._
     val dir = tmp("graft_ingest")
