@@ -210,6 +210,69 @@ object Misc {
              |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
       Seq("asof_join", "time_travel", "group_by")),
 
+    // Salted equi-join under a genuinely hot key: events carry only a
+    // handful of event_type values, so a plain hash join on event_type
+    // pins whole executors at scale — SkewJoin.saltedJoin spreads each
+    // hot key across 8 sub-partitions and replicates the dimension side
+    // 8x. Join OUTPUT is identical to the plain join (the oracle runs the
+    // plain join), which is exactly the property under test; the plan pin
+    // shows the salted path buys no extra shuffle (the dimension is
+    // broadcast, salt riding in the join key).
+    QueryDef(
+      "skew_salted_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.groupBy(col("event_type"))
+          .agg(round(avg(col("value")), 6).as("type_avg"))
+        graft.ops.SkewJoin.saltedJoin(ev, dim, Seq("event_type"), salt = 8)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value") - col("type_avg")), 2).as("dev_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type, round(avg(value), 6) AS type_avg
+             |  FROM events GROUP BY 1)
+             |SELECT e.user_id, count(*) AS n,
+             |  round(sum(e.value - dim.type_avg), 2) AS dev_sum
+             |FROM events e JOIN dim USING (event_type)
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin),
+      Seq("salted_join", "skew", "join", "group_by")),
+
+    // As-of join, broadcast-right lowering (AsOfJoin.backwardSmallRight —
+    // collect the small side's history per key into a sorted array,
+    // broadcast, binary-search-equivalent array filter; previously
+    // parity-spec'd only, no oracle). Same per-click semantics as
+    // asof_join_events plus a 6-hour tolerance: a prior purchase older
+    // than that matches as NULL (reference merge_asof tolerance).
+    QueryDef(
+      "asof_join_small_dim",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("p_value"))
+        graft.ops.AsOfJoin.backwardSmallRight(clicks, purchases,
+            Seq("user_id"), "ts", "ts", toleranceSec = Some(21600.0))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("p_value")).as("n_matched"),
+            round(sum(coalesce(col("value") - col("p_value"), lit(0.0))), 3)
+              .as("diff_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT l.user_id AS user_id, count(*) AS n_clicks,
+             |  count(CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR
+             |        THEN r.value END) AS n_matched,
+             |  round(sum(CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR
+             |        THEN l.value - r.value ELSE 0 END), 3) AS diff_sum
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
+      Seq("asof_join", "broadcast", "tolerance", "group_by")),
+
     // Range (point-in-interval) join with NO equi-key — binned lowering
     // (RangeJoin): events landing in the first 6 hours of each day. The
     // naive plan is a nested-loop cross product; the binned plan is a plain
