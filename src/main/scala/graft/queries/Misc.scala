@@ -168,9 +168,16 @@ object Misc {
       "agg_heavy_hitters",
       (s, d) => {
         import graft.functions.HeavyHittersAgg.heavyHitters
+        // capacity ABOVE the per-type user cardinality at every tested sf
+        // (sf0.1 has ~1,500 distinct users per event_type): the exact-count
+        // oracle is only comparable while the sketch is in its exact
+        // regime. Capacity-pressure semantics (est_count overshoot bounds,
+        // guaranteed-hitter retention) are spec'd in FunctionsSpec, which
+        // is where approximation belongs — a hash-compared oracle can't
+        // check an approximation.
         Tables.events(s, d)
           .groupBy(col("event_type"))
-          .agg(heavyHitters(col("user_id"), 256).as("hh"))
+          .agg(heavyHitters(col("user_id"), 4096).as("hh"))
           .select(col("event_type"), explode(col("hh")).as("e"))
           .select(col("event_type"), col("e.item").as("user_id"),
             col("e.est_count").as("n"))
