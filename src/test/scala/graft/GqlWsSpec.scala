@@ -80,29 +80,41 @@ class GqlWsSpec extends AnyFunSuite {
       val out = sock.getOutputStream
       sendText(out, """{"on":"assigned","atype":"Temp"}""")
       sendText(out, """{"on":"terminated","atype":"Sensor"}""")
+      // terminated over the AE type itself: must fire for INSTANCED ids
+      // (ae:Temp#h/...) too — the closure feed's atype derivation strips
+      // the #instance suffix (the r8 regression this pins at the WS layer)
+      sendText(out, """{"on":"terminated","atype":"Temp"}""")
       val deadline = System.currentTimeMillis() + 60000
-      while (server.activeSubscriptions < 2 &&
+      while (server.activeSubscriptions < 3 &&
           System.currentTimeMillis() < deadline) Thread.sleep(50)
-      assert(server.activeSubscriptions == 2, "subscriptions did not start")
+      assert(server.activeSubscriptions == 3, "subscriptions did not start")
 
       // subscribe-THEN-transact: the events land after the queries are live
       w = w.transact(Seq(
-        PutEntity("Sensor", "s1"), PutField("s1", "Temp", 1.5)))._1
+        PutEntity("Sensor", "s1"), PutField("s1", "Temp", 1.5),
+        PutField("s1", "Temp", 9.9, instanceKey = "h")))._1
       w = w.transact(Seq(
         PutEntity("Sensor", "s2"), PutField("s2", "Temp", 3.0)))._1
-      w = w.transact(Seq(TerminateAtom("e:Sensor/s2")))._1
+      w = w.transact(Seq(TerminateAtom("e:Sensor/s2"),
+        TerminateAtom("ae:Temp#h/e:Sensor/s1")))._1
       server.drain()
 
       val in = sock.getInputStream
-      val frames = (1 to 3).map(_ => readText(in)).toSet
+      val frames = (1 to 5).map(_ => readText(in)).toSet
       assert(frames.exists(f => f.contains("\"event\":\"assigned\"") &&
         f.contains("ae:Temp/e:Sensor/s1") && f.contains("\"v_double\":1.5") &&
         f.contains("\"tx_slice\":1")), frames.toString)
       assert(frames.exists(f => f.contains("\"event\":\"assigned\"") &&
         f.contains("ae:Temp/e:Sensor/s2") && f.contains("\"v_double\":3.0")),
         frames.toString)
+      assert(frames.exists(f => f.contains("\"event\":\"assigned\"") &&
+        f.contains("ae:Temp#h/e:Sensor/s1") && f.contains("\"v_double\":9.9")),
+        frames.toString)
       assert(frames.exists(f => f.contains("\"event\":\"terminated\"") &&
         f.contains("\"atom_id\":\"e:Sensor/s2\"") &&
+        f.contains("\"tx_slice\":3")), frames.toString)
+      assert(frames.exists(f => f.contains("\"event\":\"terminated\"") &&
+        f.contains("\"atom_id\":\"ae:Temp#h/e:Sensor/s1\"") &&
         f.contains("\"tx_slice\":3")), frames.toString)
 
       // ping → pong keeps the connection protocol-complete
