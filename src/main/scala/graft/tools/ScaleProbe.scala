@@ -54,9 +54,15 @@ object ScaleProbe {
     def shiftCols(df: DataFrame, c: Int, cols: Seq[String]): DataFrame =
       cols.foldLeft(df)((d, cn) => d.withColumn(cn, col(cn) + lit(off * c)))
 
-    // dims stay fixed (the realistic shape: fact growth, not dim growth)
-    replicate("region", (df, _) => df)
-    replicate("nation", (df, _) => df)
+    // dims stay fixed (the realistic shape: fact growth, not dim growth) —
+    // written ONCE, not unioned k times: a k-times-identical dim fans
+    // every dim join out k-fold, corrupting both results and exponents
+    // (caught by NestedInfer's AE-collision guard at 3x)
+    def fixed(name: String): Unit =
+      spark.read.parquet(s"$baseDir/$name.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    fixed("region")
+    fixed("nation")
     replicate("customer", (df, c) => shiftCols(df, c, Seq("c_custkey")))
     replicate("supplier", (df, c) => shiftCols(df, c, Seq("s_suppkey")))
     replicate("part", (df, c) => shiftCols(df, c, Seq("p_partkey")))
