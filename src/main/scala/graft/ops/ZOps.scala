@@ -422,11 +422,30 @@ object ZOps {
       * provided for pipeline readability. */
     def reversed(order: Seq[Column]): DataFrame = df.orderBy(order.map(_.desc): _*)
 
-    /** zef `max_by/min_by[f]` top-1 per group (impl.py:3084). */
+    /** zef `max_by/min_by[f]` top-1 per group (impl.py:3084) — lowered to
+      * a hash aggregate (`max`/`min` over a packed struct), NOT a
+      * row_number window: the window funnels the whole table through
+      * #distinct-keys sort tasks (a 3-value key sorts everything in 3
+      * tasks at any scale), while the aggregate keeps map-side partial
+      * combine and stays balanced at any key cardinality. Ties under
+      * `order` break deterministically by the remaining row columns
+      * (extremum of the full packed row). Requires order-able types
+      * throughout the row (no map columns) — for map payloads or
+      * mixed-direction sort expressions use distinctBy. */
     def maxBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
-      distinctBy(partition, order.map(_.desc))
+      topOnePerGroup(partition, order, asc = false)
     def minBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
-      distinctBy(partition, order)
+      topOnePerGroup(partition, order, asc = true)
+
+    private def topOnePerGroup(partition: Seq[Column], order: Seq[Column],
+        asc: Boolean): DataFrame = {
+      val packed = struct(
+        order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } ++
+          df.columns.map(col): _*)
+      val top = if (asc) min(packed) else max(packed)
+      df.groupBy(partition: _*).agg(top.as("__top"))
+        .select(df.columns.map(c => col("__top").getField(c).as(c)): _*)
+    }
 
     /** Skew-salted join — DSL face of [[graft.ops.SkewJoin.saltedJoin]]
       * (deterministic row-hash salt, replicated right side; identical

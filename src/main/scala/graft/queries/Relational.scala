@@ -169,16 +169,19 @@ object Relational {
              |ORDER BY l_suppkey, l_orderkey, l_linenumber, mov_avg_qty""".stripMargin),
       Seq("sliding", "mean")),
 
-    // zef: max_by / arg_max / first (impl.py:3084,3115,3995) → top-1 per group
+    // zef: max_by / arg_max / first (impl.py:3084,3115,3995) → top-1 per
+    // group via ZOps.maxBy's hash-agg lowering — l_returnflag has 3
+    // distinct values, so a row_number window would sort the whole table
+    // in 3 tasks at any scale; the aggregate keeps map-side combine.
+    // Negated keys express the asc tiebreaks under max.
     QueryDef(
       "max_by_per_group",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"l_returnflag")
-          .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+        import graft.ops.ZOps._
         li(s, d)
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
+          .maxBy(Seq($"l_returnflag"),
+            Seq($"l_extendedprice", -$"l_orderkey", -$"l_linenumber"))
           .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
           .orderBy($"l_returnflag")
       },

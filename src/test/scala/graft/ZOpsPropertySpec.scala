@@ -77,6 +77,28 @@ class ZOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("maxBy/minBy pick the extreme row per group, ties broken by the " +
+      "remaining columns (hash-agg lowering)") {
+    cases(7).foreach { case (xs, _) =>
+      val s = spark; import s.implicits._
+      val rows = xs.zipWithIndex.map { case (v, i) => (i, v, v % 3) }
+      val d = rows.toDF("i", "v", "g")
+      def got(r: org.apache.spark.sql.DataFrame) = r.orderBy("g", "i")
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getInt(2))).toList
+      // tie contract: among max-v rows the packed struct compares the
+      // remaining columns (i first) — so max picks the largest i, min the
+      // smallest
+      val expMax = rows.groupBy(_._3).values.map { grp =>
+        val mv = grp.map(_._2).max; grp.filter(_._2 == mv).maxBy(_._1)
+      }.toList.sortBy(r => (r._3, r._1))
+      val expMin = rows.groupBy(_._3).values.map { grp =>
+        val mv = grp.map(_._2).min; grp.filter(_._2 == mv).minBy(_._1)
+      }.toList.sortBy(r => (r._3, r._1))
+      assert(got(d.maxBy(Seq(col("g")), Seq(col("v")))) == expMax, s"maxBy xs=$xs")
+      assert(got(d.minBy(Seq(col("g")), Seq(col("v")))) == expMin, s"minBy xs=$xs")
+    }
+  }
+
   test("enumerate is dense, 0-based and order-aligned") {
     cases(6).foreach { case (xs, _) =>
       val got = df(xs).enumerate(Seq(col("i")))
