@@ -27,6 +27,45 @@ object Wrangling {
         "list_filter(regexp_split_to_array(" + m.group(1) +
           ", '\\s+'), t -> t <> '')"))
 
+  /** Shared DuckDB CTE chain (no leading WITH, pre-TOKS-expansion) for
+    * the portable MinHash-LSH pipeline over `documents WHERE doc_id <
+    * 200` (16 min-md5 hashes, 8 bands of 2): shingles → sizes →
+    * signatures → band buckets → candidate pairs → exact Jaccard, ending
+    * in `j(id_a, id_b, jac)`. Spliced into wr_minhash_lsh,
+    * stream_dedup_ingest, and wr_dedup_clusters so the three oracles'
+    * pair sets can never drift apart. */
+  private[queries] def minhashPairsCtes: String = {
+    val sigCols = (0 until 16)
+      .map(i => s"min(md5('s$i:' || s)) AS m$i").mkString(", ")
+    val bandVals = (0 until 8)
+      .map(b => s"WHEN $b THEN m${2 * b} || '|' || m${2 * b + 1}")
+      .mkString(" ")
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(TOKS(text))) AS s
+       |  FROM documents WHERE doc_id < 200),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, CASE b $bandVals END AS bv
+       |  FROM sig, generate_series(0, 7) AS g(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+       |  GROUP BY c.id_a, c.id_b),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jac
+       |  FROM inter
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b)""".stripMargin
+  }
+
   /** Shared CTE text for the DuckDB mirrors of the LSH-signature pipeline:
     * the ±1 plane matrix (driver-derived md5 parity — Similarity.lshPlanes)
     * inlined as VALUES, per-(vector,bit) projections, 4-bit chunk values.
@@ -66,6 +105,16 @@ object Wrangling {
   private val classifierCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
       graft.wrangling.TextClassifier.TextModel]
+  /** Memoized ANN-ingest bootstrap per (session, sfDir) — same
+    * amortization policy as [[ivfFor]]: the quantizer train + seed save
+    * is the offline build step, the registered query measures the INGEST
+    * path (ticks + probe). Re-invocations keep the index and replay the
+    * ticks over it (fresh checkpoint → same batchIds → idempotent
+    * overwrites), so the crash-replay path is exercised on every rerun. */
+  private val annIngestCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (String, Seq[Array[Double]])]
+
   private def ivfFor(s: org.apache.spark.sql.SparkSession, d: String) =
     ivfCache.getOrElseUpdate((s, d), {
       val emb = Tables.embeddings(s, d)
@@ -538,40 +587,53 @@ object Wrangling {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some {
-        val sigCols = (0 until 16)
-          .map(i => s"min(md5('s$i:' || s)) AS m$i").mkString(", ")
-        val bandVals = (0 until 8)
-          .map(b => s"WHEN $b THEN m${2 * b} || '|' || m${2 * b + 1}")
-          .mkString(" ")
-        sqlWithToks(s"""WITH sh AS (
-           |  SELECT doc_id, unnest(list_distinct(TOKS(text))) AS s
-           |  FROM documents WHERE doc_id < 200),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, b, CASE b $bandVals END AS bv
-           |  FROM sig, generate_series(0, 7) AS g(b)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b
-           |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-           |inter AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS i
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.id_a
-           |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-           |  GROUP BY c.id_a, c.id_b),
-           |j AS (
-           |  SELECT id_a, id_b,
-           |    CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jac
-           |  FROM inter
-           |  JOIN sizes na ON na.doc_id = id_a
-           |  JOIN sizes nb ON nb.doc_id = id_b)
+      Some(sqlWithToks(s"""WITH $minhashPairsCtes
            |SELECT id_a, id_b, round(jac, 6) AS jaccard
-           |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)
-      },
+           |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
       Seq("minhash", "lsh", "deduplicate", "near_dup")),
+
+    // Near-dup CLUSTERING: the LSH pair set (same portable pipeline as
+    // wr_minhash_lsh) becomes an undirected graph; GraphX
+    // connectedComponents labels every clustered doc with the min doc_id
+    // reachable — the survivor-election step of corpus dedup (keep one
+    // doc per cluster, not one per pair; pairs alone under-delete
+    // transitive groups A~B~C where A~C never met a band). DuckDB mirrors
+    // with a recursive label-propagation CTE over the identical pair set.
+    // Scale: pairs are band-blocked equi-joins; CC is GraphX Pregel —
+    // iterations bounded by cluster diameter (near-dup clusters are
+    // shallow), never all-pairs.
+    QueryDef(
+      "wr_dedup_clusters",
+      (s, d) => {
+        import graft.analytics.GraphAlgos
+        val pairs = Dedup.minhashDedupPairsPortable(
+          Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", "text", threshold = 0.5, numHashes = 16, bands = 8,
+          shingleN = 1)
+        val cc = GraphAlgos.dedupClusters(pairs)
+        val sizes = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sqlWithToks(s"""WITH RECURSIVE $minhashPairsCtes,
+           |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT u AS id, u AS lbl FROM edges
+           |  UNION
+           |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           |sz AS (SELECT cluster_id, count(*) AS cluster_size
+           |       FROM cc GROUP BY cluster_id)
+           |SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
+           |FROM cc JOIN sz USING (cluster_id)
+           |ORDER BY doc_id""".stripMargin)),
+      Seq("dedup_clusters", "connected_components", "deduplicate",
+        "survivor_election", "graphx")),
 
     // SimHash near-dup pairs, portable md5 bit votes: DuckDB recomputes
     // the IDENTICAL fingerprints (md5 hex-digit bits, tf-weighted votes),
@@ -682,6 +744,79 @@ object Wrangling {
           |FROM (SELECT * FROM sims ORDER BY cs DESC, vec_id LIMIT 10)
           |ORDER BY cos_sim DESC, vec_id""".stripMargin),
       Seq("similarity_search", "ivf", "ann_topk", "kmeans")),
+
+    // ANN-index-on-ingest: half the embedding corpus bootstraps a durable
+    // IVF index (quantizer train + seed save — the amortized BUILD step,
+    // memoized like ivfFor's), the other half streams in through a
+    // 3-file source — each micro-batch assigned against the FROZEN
+    // centroids (broadcast argmax, no shuffle, no retrain) and landed in
+    // its own idempotent batch=<id> delta directory. The probe runs over
+    // seed ∪ deltas at nprobe = k: the exact regime (every cell read),
+    // so the oracle is DuckDB's brute-force cosine over the FULL corpus
+    // — any vector the ingest lost, duplicated, or misrouted breaks the
+    // hash. Pruned nprobe < k (PartitionFilters across both trees) and
+    // replay idempotence are IncrementalAnnSpec's; recall is AnnBench's.
+    QueryDef(
+      "stream_ann_ingest",
+      (s, d) => {
+        import graft.wrangling.IncrementalAnn
+        val emb = Tables.embeddings(s, d)
+        val rest = emb.filter(col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        val (base, cents) = annIngestCache.getOrElseUpdate((s, d), {
+          val b = s"/tmp/graft_ann/p${ProcessHandle.current().pid()}_" +
+            Integer.toHexString(d.hashCode)
+          val root = java.nio.file.Paths.get(b)
+          if (java.nio.file.Files.exists(root)) {
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(pp => java.nio.file.Files.delete(pp))
+          }
+          val cs = IncrementalAnn.bootstrap(
+            emb.filter(col("vec_id") % 2 === 0), s"$b/index",
+            "vec_id", "embedding", k = 8, iters = 2)
+          rest.repartition(3, col("vec_id")).write
+            .mode("overwrite").parquet(s"$b/src")
+          (b, cs)
+        })
+        // fresh checkpoint per invocation: the engine re-runs all three
+        // ticks with batchIds 0..2, overwriting the same delta dirs —
+        // every rerun IS a crash-window replay over the durable index
+        val ckpt = java.nio.file.Paths.get(s"$base/ckpt")
+        if (java.nio.file.Files.exists(ckpt)) {
+          java.nio.file.Files.walk(ckpt)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(pp => java.nio.file.Files.delete(pp))
+        }
+        val srcDir = s"$base/src"
+        val stream = s.readStream.schema(rest.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = IncrementalAnn.streamToIndex(stream, s"$base/index",
+          "vec_id", "embedding", s"$base/ckpt")
+        q.awaitTermination()
+        val qv = emb.filter(col("vec_id") === 2)
+          .select(col("embedding")).collect()(0)
+          .getSeq[Float](0).toArray
+        Similarity.ivfTopK(
+          IncrementalAnn.postings(s, s"$base/index", "vec_id", "embedding"),
+          "vec_id", "embedding", cents, qv, 10, nprobe = 8)
+          .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+      },
+      Some(
+        """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2),
+          |sims AS (
+          |  SELECT e.vec_id,
+          |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+          |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ^ 2)) *
+          |       sqrt(sum(CAST(q.qe[i] AS DOUBLE) ^ 2))) AS cs
+          |  FROM embeddings e, q, generate_series(1, 64) AS g(i)
+          |  GROUP BY e.vec_id)
+          |SELECT vec_id, round(cs, 4) AS cos_sim
+          |FROM (SELECT * FROM sims ORDER BY cs DESC, vec_id LIMIT 10)
+          |ORDER BY cos_sim DESC, vec_id""".stripMargin),
+      Seq("similarity_search", "ivf", "ann_topk", "stream_ingest",
+        "incremental_index")),
 
     // Multimodal VIDEO pipeline through the hash gate, mirroring
     // wr_audio_pipeline: y4m payloads deterministically synthesized from
@@ -856,39 +991,9 @@ object Wrangling {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some {
-        val sigCols = (0 until 16)
-          .map(i => s"min(md5('s$i:' || s)) AS m$i").mkString(", ")
-        val bandVals = (0 until 8)
-          .map(b => s"WHEN $b THEN m${2 * b} || '|' || m${2 * b + 1}")
-          .mkString(" ")
-        sqlWithToks(s"""WITH sh AS (
-           |  SELECT doc_id, unnest(list_distinct(TOKS(text))) AS s
-           |  FROM documents WHERE doc_id < 200),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, b, CASE b $bandVals END AS bv
-           |  FROM sig, generate_series(0, 7) AS g(b)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b
-           |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-           |inter AS (
-           |  SELECT c.id_a, c.id_b, count(*) AS i
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.id_a
-           |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-           |  GROUP BY c.id_a, c.id_b),
-           |j AS (
-           |  SELECT id_a, id_b,
-           |    CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jac
-           |  FROM inter
-           |  JOIN sizes na ON na.doc_id = id_a
-           |  JOIN sizes nb ON nb.doc_id = id_b)
+      Some(sqlWithToks(s"""WITH $minhashPairsCtes
            |SELECT id_a, id_b, round(jac, 6) AS jaccard
-           |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)
-      },
+           |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
       Seq("deduplicate", "minhash", "lsh", "stream_ingest", "incremental_index"))
   )
 }

@@ -1,0 +1,99 @@
+package graft.wrangling
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** ANN-index-on-ingest: maintain a durable IVF index as vectors arrive —
+  * the similarity-search twin of [[IncrementalDedup]] (embeddings trickle
+  * in forever; rebuilding the inverted file over the full corpus per
+  * delivery is linear re-work per tick, quadratic over a backfill).
+  *
+  * Operating model (the standard IVF one): the coarse quantizer is a
+  * MODEL. [[bootstrap]] trains it once on the seed corpus (Lloyd's —
+  * [[Similarity.ivfTrain]], vectors never leave the cluster) and writes
+  * the seed posting lists partitioned by cell. Each incremental tick then
+  * assigns its batch against the FROZEN centroids — one codegen'd
+  * broadcast-argmax map over the batch, no shuffle, no retrain — and
+  * appends to the posting tree. Frozen-centroid assignment is also what
+  * makes streamed == batch provable: the same vector lands in the same
+  * cell either way, so the union index is definitionally the batch index
+  * (spec'd). Re-training (drift repair) is an offline [[bootstrap]]
+  * rebuild, as in every production IVF system.
+  *
+  * Exactly-once without a commit log: tick deltas land under
+  * `postings_delta/batch=<engine batchId>/` with Overwrite — a replayed
+  * micro-batch (crash between the write and the checkpoint commit)
+  * overwrites ITS OWN directory and nothing else, so replays are
+  * idempotent by construction (the engine's batchId is
+  * checkpoint-persisted and monotone across restarts).
+  *
+  * Scale shape: per tick O(batch × k) assignment work, append-only I/O.
+  * Both the seed tree and every delta tree are partitioned by `__ci`, so
+  * an nprobe probe over [[postings]] still reads only matching cell
+  * directories in every tree (PartitionFilters prune the rest unread) —
+  * the at-rest layout stays the [[Similarity.ivfSave]] one as the corpus
+  * grows. Deltas accumulate one directory per tick; folding them into the
+  * seed tree is the same maintenance-window compaction the graph store
+  * runs (GraphStore.compact), not a query-path concern. */
+object IncrementalAnn {
+
+  /** Train the coarse quantizer on the seed corpus and publish the index
+    * layout (seed postings partitioned by cell + centroid side table).
+    * Returns the centroids so the caller can keep assigning in-session. */
+  def bootstrap(seed: DataFrame, dir: String, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): Seq[Array[Double]] = {
+    val cents = Similarity.ivfTrain(seed, idCol, vecCol, k, iters)
+    Similarity.ivfSave(
+      Similarity.ivfIndex(seed, idCol, vecCol, cents), cents, dir)
+    new java.io.File(s"$dir/postings_delta").mkdirs()
+    cents
+  }
+
+  /** The frozen coarse quantizer, from the durable side table. */
+  def centroids(spark: SparkSession, dir: String): Seq[Array[Double]] =
+    Similarity.ivfLoad(spark, dir)._2
+
+  /** One tick: assign the batch against the frozen centroids and land it
+    * in the tick's own delta directory (idempotent under replay). */
+  def ingestTick(batch: DataFrame, dir: String, idCol: String,
+      vecCol: String, cents: Seq[Array[Double]], batchId: Long): Unit =
+    batch.select(col(idCol), col(vecCol))
+      .withColumn("__ci", Similarity.ivfAssign(col(vecCol), cents))
+      .write.mode(SaveMode.Overwrite).partitionBy("__ci")
+      .parquet(s"$dir/postings_delta/batch=$batchId")
+
+  /** Streaming entry: each micro-batch is one tick. Bounded by default
+    * (AvailableNow); pass a processing-time trigger for a live feed. */
+  def streamToIndex(stream: DataFrame, dir: String, idCol: String,
+      vecCol: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = stream.sparkSession
+    val cents = centroids(spark, dir)
+    stream.writeStream
+      .queryName("graft-ann-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestTick(batch, dir, idCol, vecCol, cents, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** The full posting set: seed tree ∪ delta trees. Cell stays a
+    * partition column in both reads, so `Similarity.ivfTopK` probes
+    * prune to nprobe directories across every tree. */
+  def postings(spark: SparkSession, dir: String, idCol: String,
+      vecCol: String): DataFrame = {
+    val seedTree = spark.read.parquet(s"$dir/postings")
+      .select(col(idCol), col(vecCol), col("__ci"))
+    val deltaRoot = new java.io.File(s"$dir/postings_delta")
+    val hasDelta = Option(deltaRoot.listFiles())
+      .exists(_.exists(_.getName.startsWith("batch=")))
+    if (!hasDelta) seedTree
+    else seedTree.unionByName(
+      spark.read.parquet(s"$dir/postings_delta")
+        .select(col(idCol), col(vecCol), col("__ci")))
+  }
+}

@@ -114,11 +114,29 @@ object Similarity {
   /** Nearest-centroid id for a vector against a (small) centroid set —
     * a broadcast argmax over per-centroid cosine, codegen'd
     * (array_position of the max score; ties take the lowest centroid id,
-    * deterministically). */
+    * deterministically).
+    *
+    * The centroid matrix rides in ONE nested-array literal
+    * (`element_at` per centroid) and centroid norms are precomputed on
+    * the driver with [[queryNorm]]'s accumulation order (bit-equal to
+    * the in-plan aggregate) — the first cut inlined k×dim `lit()` nodes
+    * plus a per-row norm aggregate per centroid, and Catalyst analysis
+    * over that ~4000-node tree cost seconds PER PLAN; k-means pays this
+    * expression once per iteration, ingest once per tick. */
   def ivfAssign(vecCol: Column, centroids: Seq[Array[Double]]): Column = {
-    val scores = array(centroids.map(c =>
-      cosine(vecCol, array(c.map(lit): _*))): _*)
+    val cents = typedLit(centroids.map(_.toSeq))
+    val scores = array(centroids.zipWithIndex.map { case (c, i) =>
+      dot(vecCol, element_at(cents, i + 1)) /
+        (norm(vecCol) * lit(centroidNorm(c)))
+    }: _*)
     (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** ‖c‖ with the same left-to-right accumulation as [[norm]]. */
+  private def centroidNorm(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
   }
 
   /** Lloyd's k-means for the IVF coarse quantizer. Assignment is the

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.wrangling.{IncrementalAnn, Similarity}
+
+/** ANN-index-on-ingest invariants: frozen-centroid assignment makes the
+  * streamed index EQUAL the batch index over the union corpus (not
+  * approximately — cell-for-cell), tick replays are idempotent (the
+  * crash-window guarantee), and probes over seed ∪ deltas stay
+  * partition-pruned in both trees. */
+class IncrementalAnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_incann").toString
+
+  test("streamed index == batch index over the union corpus, cell-for-cell") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = freshDir()
+    val cents = IncrementalAnn.bootstrap(seed, dir, "vec_id", "embedding",
+      k = 8, iters = 2)
+    // three ticks, arbitrary split (hash thirds)
+    (0 until 3).foreach { t =>
+      IncrementalAnn.ingestTick(
+        rest.filter(pmod(xxhash64(col("vec_id")), lit(3)) === t),
+        dir, "vec_id", "embedding", cents, batchId = t.toLong)
+    }
+    val streamed = IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+      .select(col("vec_id"), col("__ci").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("__ci"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("tick replay is idempotent: re-landing a batchId changes nothing") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = freshDir()
+    val cents = IncrementalAnn.bootstrap(seed, dir, "vec_id", "embedding",
+      k = 8, iters = 2)
+    IncrementalAnn.ingestTick(rest, dir, "vec_id", "embedding", cents, 0L)
+    val once = IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+      .count()
+    // crash between delta write and checkpoint commit → the engine
+    // replays the same batchId; Overwrite into batch=0 must not duplicate
+    IncrementalAnn.ingestTick(rest, dir, "vec_id", "embedding", cents, 0L)
+    val twice = IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+      .count()
+    assert(once == twice && once == emb.count())
+  }
+
+  test("pruned probe over seed ∪ deltas: PartitionFilters in BOTH trees, " +
+      "results equal the batch index probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = freshDir()
+    val cents = IncrementalAnn.bootstrap(seed, dir, "vec_id", "embedding",
+      k = 8, iters = 2)
+    IncrementalAnn.ingestTick(rest, dir, "vec_id", "embedding", cents, 0L)
+    val q = emb.filter(col("vec_id") === 2)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val union = IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+    val got = Similarity.ivfTopK(union, "vec_id", "embedding", cents, q,
+      10, nprobe = 2)
+    val batch = Similarity.ivfTopK(
+      Similarity.ivfIndex(emb, "vec_id", "embedding", cents),
+      "vec_id", "embedding", cents, q, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.collect().map(_.getLong(0)).toSeq == batch)
+    val plan = got.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*__ci".r.findAllIn(plan).size
+    assert(pruned == 2, s"expected both trees partition-pruned:\n$plan")
+  }
+}
