@@ -69,6 +69,7 @@ object IncrementalAnn {
       vecCol: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = stream.sparkSession
+    heal(dir) // writer-side: adopt a crashed compact before appending
     val cents = centroids(spark, dir)
     stream.writeStream
       .queryName("graft-ann-ingest")
@@ -83,9 +84,15 @@ object IncrementalAnn {
 
   /** The full posting set: seed tree ∪ delta trees. Cell stays a
     * partition column in both reads, so `Similarity.ivfTopK` probes
-    * prune to nprobe directories across every tree. */
+    * prune to nprobe directories across every tree. Readers never
+    * mutate the index (GraphStore round-10 policy); inside a crashed
+    * compact's swap window the seed tree is staged aside and this
+    * throws — run [[heal]] (or any writer entry) to recover. */
   def postings(spark: SparkSession, dir: String, idCol: String,
       vecCol: String): DataFrame = {
+    require(new java.io.File(s"$dir/postings").exists(),
+      s"$dir/postings is staged aside (crashed compact swap?): " +
+        "run IncrementalAnn.heal to recover, then reload")
     val seedTree = spark.read.parquet(s"$dir/postings")
       .select(col(idCol), col(vecCol), col("__ci"))
     val deltaRoot = new java.io.File(s"$dir/postings_delta")
@@ -95,5 +102,73 @@ object IncrementalAnn {
     else seedTree.unionByName(
       spark.read.parquet(s"$dir/postings_delta")
         .select(col(idCol), col(vecCol), col("__ci")))
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+    ()
+  }
+
+  /** Fold accumulated tick deltas into the seed tree — the
+    * one-directory-per-tick debt of a long ingest run, settled in a
+    * maintenance window (same operating contract as GraphStore.compact:
+    * stop the ingest stream, compact, restart with a fresh checkpoint;
+    * batch probes are safe outside the brief swap window). The folded
+    * union lands COMPLETELY beside the live tree, then swaps in via
+    * renames; the delta root is staged aside BEFORE the seed swap so a
+    * crash anywhere leaves either the original index or the folded one —
+    * never both copies of a delta vector visible. */
+  def compact(spark: SparkSession, dir: String, idCol: String,
+      vecCol: String): Unit = {
+    heal(dir) // writer-side: adopt a crashed predecessor first
+    def f(s: String) = new java.io.File(s"$dir/$s")
+    postings(spark, dir, idCol, vecCol)
+      .write.mode(SaveMode.Overwrite).partitionBy("__ci")
+      .parquet(s"$dir/postings__compacting")
+    require(f("postings_delta").renameTo(f("postings_delta__folded")),
+      s"cannot stage $dir/postings_delta aside")
+    require(f("postings").renameTo(f("postings__old")),
+      s"cannot stage $dir/postings aside")
+    require(f("postings__compacting").renameTo(f("postings")),
+      s"cannot swap compacted postings into place")
+    rm(f("postings__old"))
+    rm(f("postings_delta__folded"))
+    f("postings_delta").mkdirs()
+    ()
+  }
+
+  /** Writer-side recovery from a compact() crash, keyed off which
+    * directories survived (the rename order above makes every window
+    * distinguishable):
+    *  - seed tree present + staging present → the swap never started:
+    *    roll BACK (drop staging, un-stage the delta root if renamed);
+    *  - seed tree missing → crashed between the two seed renames:
+    *    roll back (`__old` → postings, `__folded` → postings_delta,
+    *    drop staging);
+    *  - seed tree present, no staging, leftovers present → the swap
+    *    completed: roll FORWARD (drop `__old`/`__folded`, re-create the
+    *    empty delta root). */
+  def heal(dir: String): Unit = {
+    def f(s: String) = new java.io.File(s"$dir/$s")
+    if (!f("postings").exists()) {
+      require(f("postings__old").exists(),
+        s"$dir has neither postings nor postings__old — not an index")
+      require(f("postings__old").renameTo(f("postings")),
+        s"cannot heal $dir/postings from __old")
+      if (!f("postings_delta").exists() && f("postings_delta__folded").exists())
+        require(f("postings_delta__folded").renameTo(f("postings_delta")),
+          s"cannot heal $dir/postings_delta from __folded")
+      rm(f("postings__compacting"))
+    } else if (f("postings__compacting").exists()) {
+      rm(f("postings__compacting"))
+      if (!f("postings_delta").exists() && f("postings_delta__folded").exists())
+        require(f("postings_delta__folded").renameTo(f("postings_delta")),
+          s"cannot heal $dir/postings_delta from __folded")
+    } else {
+      rm(f("postings__old"))
+      rm(f("postings_delta__folded"))
+      if (!f("postings_delta").exists()) { f("postings_delta").mkdirs(); () }
+    }
   }
 }

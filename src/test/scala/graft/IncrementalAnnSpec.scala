@@ -83,4 +83,97 @@ class IncrementalAnnSpec extends AnyFunSuite {
     val pruned = "PartitionFilters: \\[[^\\]]*__ci".r.findAllIn(plan).size
     assert(pruned == 2, s"expected both trees partition-pruned:\n$plan")
   }
+
+  test("compact folds deltas into the seed tree; content and probes " +
+      "unchanged; the one-dir-per-tick debt is settled") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = freshDir()
+    val cents = IncrementalAnn.bootstrap(seed, dir, "vec_id", "embedding",
+      k = 8, iters = 2)
+    (0 until 3).foreach { t =>
+      IncrementalAnn.ingestTick(
+        rest.filter(pmod(xxhash64(col("vec_id")), lit(3)) === t),
+        dir, "vec_id", "embedding", cents, batchId = t.toLong)
+    }
+    def content() = IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+      .select(col("vec_id"), col("__ci").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val before = content()
+    IncrementalAnn.compact(spark, dir, "vec_id", "embedding")
+    assert(content() == before)
+    // delta root exists and is empty again
+    assert(new java.io.File(s"$dir/postings_delta").listFiles()
+      .forall(!_.getName.startsWith("batch=")))
+    // single tree now: the pruned probe reads ONE partitioned scan
+    val q = emb.filter(col("vec_id") === 2)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val probe = Similarity.ivfTopK(
+      IncrementalAnn.postings(spark, dir, "vec_id", "embedding"),
+      "vec_id", "embedding", cents, q, 10, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*__ci".r.findAllIn(plan).size == 1)
+    probe.collect()
+  }
+
+  test("heal recovers every compact crash window, writer-side only") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    def build(): (String, Set[(Long, Int)]) = {
+      val dir = freshDir()
+      val cents = IncrementalAnn.bootstrap(seed, dir, "vec_id", "embedding",
+        k = 8, iters = 2)
+      IncrementalAnn.ingestTick(rest, dir, "vec_id", "embedding", cents, 0L)
+      val c = IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+        .select(col("vec_id"), col("__ci").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      (dir, c)
+    }
+    def f(dir: String, s: String) = new java.io.File(s"$dir/$s")
+
+    // window 1: staging written, swap not started → heal rolls BACK
+    locally {
+      val (dir, before) = build()
+      f(dir, "postings__compacting").mkdirs()
+      IncrementalAnn.heal(dir)
+      assert(!f(dir, "postings__compacting").exists())
+      assert(IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+        .count() == before.size)
+    }
+    // window 2: crashed between the two seed renames → roll back;
+    // readers in this window THROW instead of mutating
+    locally {
+      val (dir, before) = build()
+      assert(f(dir, "postings").renameTo(f(dir, "postings__old")))
+      assert(f(dir, "postings_delta").renameTo(f(dir, "postings_delta__folded")))
+      intercept[IllegalArgumentException] {
+        IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+      }
+      IncrementalAnn.heal(dir)
+      assert(IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+        .select(col("vec_id"), col("__ci").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet == before)
+    }
+    // window 3: swap completed, leftovers remain → heal rolls FORWARD
+    locally {
+      val (dir, before) = build()
+      val cents = IncrementalAnn.centroids(spark, dir)
+      IncrementalAnn.compact(spark, dir, "vec_id", "embedding")
+      f(dir, "postings__old").mkdirs() // simulated leftover
+      assert(f(dir, "postings_delta").renameTo(f(dir, "postings_delta__folded")))
+      IncrementalAnn.heal(dir)
+      assert(!f(dir, "postings__old").exists())
+      assert(!f(dir, "postings_delta__folded").exists())
+      assert(f(dir, "postings_delta").exists())
+      val after = IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+        .select(col("vec_id"), col("__ci").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(after == before)
+      val _ = cents
+    }
+  }
 }
