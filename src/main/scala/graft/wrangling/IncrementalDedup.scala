@@ -177,6 +177,56 @@ object IncrementalDedup {
     n
   }
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+    ()
+  }
+
+  /** Fold the per-tick append files of the three index trees into
+    * consolidated ones. Appends are one file per tick per tree BY DESIGN
+    * (file ≈ tick keeps the commit protocol simple), so a long ingest
+    * run leaves every probe paying a file-open per historical tick —
+    * the same debt GraphStore.compact settles for the graph's append
+    * logs, settled here with the same idiom: each tree's rewrite lands
+    * COMPLETELY beside the live one, then swaps in via two renames
+    * (writer-side [[heal]] on entry adopts a crashed predecessor;
+    * readers never mutate, and a reader inside the brief swap window
+    * errors on the missing directory rather than seeing half a store).
+    * Maintenance-window op vs live ingest tails, like GraphStore.compact:
+    * stop the stream, compact, restart with a fresh checkpoint. Also
+    * settles crash-window duplicate flag rows ([[flags]] dedups them on
+    * every read until compaction rewrites the deduped set). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    heal(dir)
+    def swapIn(sub: String)(df: DataFrame): Unit = {
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/${sub}__compacting")
+      val live = new java.io.File(s"$dir/$sub")
+      val old = new java.io.File(s"$dir/${sub}__old")
+      require(live.renameTo(old), s"cannot stage $dir/$sub aside")
+      require(new java.io.File(s"$dir/${sub}__compacting").renameTo(live),
+        s"cannot swap compacted $sub into place")
+      rm(old)
+    }
+    swapIn("bands")(bands(spark, dir))
+    swapIn("shingles")(shingles(spark, dir))
+    swapIn("flags")(flags(spark, dir))
+  }
+
+  /** Writer-side recovery from a [[compact]] crash: per tree, a missing
+    * live dir with `__old` present is un-staged back, and any leftover
+    * `__compacting` tree is dropped (crash before that tree's swap —
+    * that tree's compaction simply didn't happen). */
+  def heal(dir: String): Unit =
+    Seq("bands", "shingles", "flags").foreach { sub =>
+      val live = new java.io.File(s"$dir/$sub")
+      val old = new java.io.File(s"$dir/${sub}__old")
+      if (!live.exists() && old.exists())
+        require(old.renameTo(live), s"cannot heal $dir/$sub from __old")
+      rm(new java.io.File(s"$dir/${sub}__compacting"))
+    }
+
   /** Streaming entry: each micro-batch is one tick. Bounded by default
     * (AvailableNow); pass a processing-time trigger for a live feed. */
   def streamToIndex(stream: DataFrame, dir: String, idCol: String,
@@ -184,6 +234,7 @@ object IncrementalDedup {
       numHashes: Int = 16, bandCount: Int = 8, shingleN: Int = 1,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = stream.sparkSession
+    heal(dir) // writer-side: adopt a crashed compact before appending
     publish(dir)
     stream.writeStream
       .queryName("graft-dedup-ingest")

@@ -137,4 +137,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.bands(spark, dir).isEmpty)
     assert(IncrementalDedup.shingles(spark, dir).isEmpty)
   }
+
+  test("compact consolidates the one-file-per-tick trees; content unchanged") {
+    val dir = tmp("dedup_idx")
+    ingest(dir, corpus.map(Seq(_))) // 5 single-doc ticks → 5 files/tree
+    def bandSet() = IncrementalDedup.bands(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val (flags0, bands0) = (flagSet(dir), bandSet())
+    val bandFiles0 = files("bands")
+    assert(bandFiles0 >= 5)
+    IncrementalDedup.compact(spark, dir)
+    assert(flagSet(dir) == flags0)
+    assert(bandSet() == bands0)
+    assert(files("bands") < bandFiles0)
+    // the compacted index keeps working: replaying the corpus adds nothing
+    ingest(dir, Seq(corpus))
+    assert(flagSet(dir) == flags0)
+  }
+
+  test("heal un-stages a crashed compact swap, writer-side") {
+    val dir = tmp("dedup_idx")
+    ingest(dir, Seq(corpus))
+    val flags0 = flagSet(dir)
+    def f(s: String) = new java.io.File(s"$dir/$s")
+    // crash window: bands renamed aside, staging tree half-written
+    assert(f("bands").renameTo(f("bands__old")))
+    f("bands__compacting").mkdirs()
+    IncrementalDedup.heal(dir)
+    assert(f("bands").exists() && !f("bands__old").exists() &&
+      !f("bands__compacting").exists())
+    assert(flagSet(dir) == flags0)
+    // and the index still ingests + flags correctly after recovery
+    import spark.implicits._
+    IncrementalDedup.ingestTick(spark, dir,
+      Seq(Doc(6L, "the quick brown fox jumps over the lazy dogs")).toDF(),
+      "doc_id", "text", threshold = 0.5, tick = 99)
+    assert(flagSet(dir).size > flags0.size)
+  }
 }
