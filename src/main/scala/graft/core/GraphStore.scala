@@ -34,14 +34,10 @@ object GraphStore {
     // new log, and a stale provenance flag would put a multi-assignment
     // graph on the single-assignment fast path (silent wrong results)
     if (mode == SaveMode.Overwrite) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(s"$path/closures"))
-      rm(new java.io.File(s"$path/_slices"))
-      rm(new java.io.File(s"$path/_graft_meta.json"))
-      if (g.tags.isEmpty) rm(new java.io.File(s"$path/tags"))
+      Fs.rm(new java.io.File(s"$path/closures"))
+      Fs.rm(new java.io.File(s"$path/_slices"))
+      Fs.rm(new java.io.File(s"$path/_graft_meta.json"))
+      if (g.tags.isEmpty) Fs.rm(new java.io.File(s"$path/tags"))
     }
     // store-level provenance: the single-assignment guarantee survives the
     // round-trip (appendTx deltas land at later slices and cannot break
@@ -68,23 +64,10 @@ object GraphStore {
       val old = new java.io.File(s"$path/${sub}__old")
       if (!dir.exists() && old.exists())
         require(old.renameTo(dir), s"cannot heal $path/$sub from __old")
-      val staging = new java.io.File(s"$path/${sub}__compacting")
-      if (staging.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete()
-        }
-        rm(staging)
-      }
+      Fs.rm(new java.io.File(s"$path/${sub}__compacting"))
       // both present: the swap completed but the cleanup rename didn't —
       // the live tree is authoritative, the staged copy is garbage
-      if (dir.exists() && old.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete()
-        }
-        rm(old)
-      }
+      if (dir.exists() && old.exists()) Fs.rm(old)
     }
 
   /** Writer-side recovery entry: restore a store whose [[compact]] /
@@ -120,10 +103,7 @@ object GraphStore {
   def purgeSlice(spark: SparkSession, path: String, n: Int): Unit = {
     healInterruptedSwap(path)
     val g = load(spark, path)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
+    import Fs.rm
     def swapIn(sub: String)(write: String => Unit): Unit = {
       write(s"$path/${sub}__compacting")
       val dir = new java.io.File(s"$path/$sub")
@@ -386,10 +366,7 @@ object GraphStore {
     * until the writer runs [[heal]] or re-runs the maintenance op. */
   def compact(spark: SparkSession, path: String): Unit = {
     healInterruptedSwap(path) // writer-side: adopt a crashed predecessor
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
+    import Fs.rm
     // atomic-swap rewrite of one sub-table: the new tree lands COMPLETELY
     // beside the old one, then swaps in via two renames — a reader never
     // sees a half-written store, a crash before the final rename leaves

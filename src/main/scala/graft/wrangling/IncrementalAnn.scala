@@ -104,11 +104,7 @@ object IncrementalAnn {
         .select(col(idCol), col(vecCol), col("__ci")))
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete()
-    ()
-  }
+  private def rm(f: java.io.File): Unit = graft.core.Fs.rm(f)
 
   /** Fold accumulated tick deltas into the seed tree — the
     * one-directory-per-tick debt of a long ingest run, settled in a

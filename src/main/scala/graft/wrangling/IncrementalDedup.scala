@@ -177,11 +177,7 @@ object IncrementalDedup {
     n
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete()
-    ()
-  }
+  private def rm(f: java.io.File): Unit = graft.core.Fs.rm(f)
 
   /** Fold the per-tick append files of the three index trees into
     * consolidated ones. Appends are one file per tick per tree BY DESIGN
@@ -215,15 +211,20 @@ object IncrementalDedup {
   }
 
   /** Writer-side recovery from a [[compact]] crash: per tree, a missing
-    * live dir with `__old` present is un-staged back, and any leftover
-    * `__compacting` tree is dropped (crash before that tree's swap —
-    * that tree's compaction simply didn't happen). */
+    * live dir with `__old` present is un-staged back; live AND `__old`
+    * both present means the swap completed but the cleanup delete didn't
+    * — the live tree is authoritative and the staged copy is garbage
+    * (without this branch the leftover `__old` wedges every future
+    * compact: rename(2) onto a non-empty directory fails); any leftover
+    * `__compacting` tree is dropped either way (crash before that
+    * tree's swap — its compaction simply didn't happen). */
   def heal(dir: String): Unit =
     Seq("bands", "shingles", "flags").foreach { sub =>
       val live = new java.io.File(s"$dir/$sub")
       val old = new java.io.File(s"$dir/${sub}__old")
       if (!live.exists() && old.exists())
         require(old.renameTo(live), s"cannot heal $dir/$sub from __old")
+      else if (live.exists() && old.exists()) rm(old)
       rm(new java.io.File(s"$dir/${sub}__compacting"))
     }
 

@@ -175,5 +175,18 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Seq(Doc(6L, "the quick brown fox jumps over the lazy dogs")).toDF(),
       "doc_id", "text", threshold = 0.5, tick = 99)
     assert(flagSet(dir).size > flags0.size)
+
+    // completed-swap window: compact crashed AFTER the staging tree
+    // swapped in but BEFORE the old tree's delete — live and __old both
+    // present. Heal must drop the stale __old (the live tree is
+    // authoritative); without that, the leftover wedges every future
+    // compact (rename onto a non-empty dir fails).
+    f("bands__old").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bands__old/garbage.txt"), "stale")
+    IncrementalDedup.heal(dir)
+    assert(f("bands").exists() && !f("bands__old").exists())
+    IncrementalDedup.compact(spark, dir) // un-wedged: full compact works
+    assert(flagSet(dir).size > flags0.size)
   }
 }
