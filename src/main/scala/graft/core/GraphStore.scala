@@ -19,6 +19,7 @@ object GraphStore {
 
   def save(g: Graph, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val preExisting = new java.io.File(s"$path/atoms").exists()
     g.atoms.write.mode(mode)
       .partitionBy("kind", "atype")
       .parquet(s"$path/atoms")
@@ -31,18 +32,26 @@ object GraphStore {
     // inherits the old one's: appended closure rows would terminate the
     // fresh graph's same-id atoms on load, a stale tags dir would
     // resurrect old bindings, stale writer-fence claims would block the
-    // new log, and a stale provenance flag would put a multi-assignment
-    // graph on the single-assignment fast path (silent wrong results)
+    // new log, a stale provenance flag would put a multi-assignment
+    // graph on the single-assignment fast path (silent wrong results),
+    // and a stale field index would resolve lookups against the OLD
+    // graph's ae/owner rows (saveWithIndex rebuilds it after this)
     if (mode == SaveMode.Overwrite) {
       Fs.rm(new java.io.File(s"$path/closures"))
       Fs.rm(new java.io.File(s"$path/_slices"))
       Fs.rm(new java.io.File(s"$path/_graft_meta.json"))
+      Fs.rm(new java.io.File(s"$path/index"))
       if (g.tags.isEmpty) Fs.rm(new java.io.File(s"$path/tags"))
     }
     // store-level provenance: the single-assignment guarantee survives the
     // round-trip (appendTx deltas land at later slices and cannot break
-    // it), so disk-loaded graphs keep the latestValues fast path
-    if (g.uniqueValuesThrough >= 0)
+    // it), so disk-loaded graphs keep the latestValues fast path.
+    // SaveMode.Ignore on a pre-existing store no-ops the data writers
+    // above — the meta file must no-op with them, or the NEW graph's
+    // provenance would describe the OLD graph's rows (and fast-path a
+    // multi-assignment store into silently wrong as-of reads)
+    if (g.uniqueValuesThrough >= 0 &&
+        !(mode == SaveMode.Ignore && preExisting))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$path/_graft_meta.json"),
         s"""{"uniqueValuesThrough": ${g.uniqueValuesThrough}}""")
@@ -59,7 +68,7 @@ object GraphStore {
     * compaction simply didn't happen), and a leftover `__compacting` tree
     * is deleted either way (it may be incomplete). */
   private def healInterruptedSwap(path: String): Unit =
-    Seq("atoms", "values", "txs", "tags", "closures").foreach { sub =>
+    Seq("atoms", "values", "txs", "tags", "closures", "index").foreach { sub =>
       val dir = new java.io.File(s"$path/$sub")
       val old = new java.io.File(s"$path/${sub}__old")
       if (!dir.exists() && old.exists())
@@ -127,6 +136,14 @@ object GraphStore {
     if (new java.io.File(s"$path/tags").exists() && !g.tags.isEmpty)
       swapIn("tags")(g.tags.filter(col("tx_slice") =!= n)
         .write.mode(SaveMode.Overwrite).parquet(_))
+    // appendTxIndexed lands its index delta BEFORE the tx marker (its
+    // own ordering note) — purge the orphaned slice-n index rows too,
+    // or re-applying the recovered transaction would append them a
+    // second time and every lookup would double-count
+    if (new java.io.File(s"$path/index").exists())
+      swapIn("index")(FieldIndex.load(spark, s"$path/index")
+        .filter(col("tx_slice") =!= n)
+        .write.mode(SaveMode.Overwrite).partitionBy("rt").parquet(_))
   }
 
   def load(spark: SparkSession, path: String): Graph = {
@@ -394,7 +411,13 @@ object GraphStore {
     swapIn("txs")(g.txs.write.mode(SaveMode.Overwrite).parquet(_))
     if (new java.io.File(s"$path/tags").exists() && !g.tags.isEmpty)
       swapIn("tags")(g.tags.write.mode(SaveMode.Overwrite).parquet(_))
-    if (closures.exists()) rm(closures)
+    // the fold reconciled closure rows into atoms' term_slice, so the
+    // LOG is spent — but Sync.publish's invariant is that $path/closures
+    // EXISTS for schema'd stream readers, and the documented post-compact
+    // flow is "restart tails with fresh checkpoints": leave the log
+    // present and empty, not missing (a readStream on a missing dir
+    // throws before the tail can start)
+    if (closures.exists()) { rm(closures); closures.mkdirs(); () }
   }
 
   /** Load with closure reconciliation (see [[appendTx]]). */

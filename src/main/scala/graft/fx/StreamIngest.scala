@@ -69,12 +69,13 @@ object StreamIngest {
     }
     // 1. reduce the batch to one winner per key by (event ts, tie) —
     // deterministic regardless of partitioning or arrival order. A null
-    // event time is REJECTED here: it cannot be ordered by
-    // last-writer-wins (it would slip past the high-water fence's
-    // null-guard disjunct and could write a null-ts TxRow whose null
-    // high-water then weakens the fence for that key forever). An
-    // all-null batch is a clean no-op tick.
-    val packed = batch.filter(evTs.isNotNull).select(
+    // event time OR null tie is REJECTED here: neither can be ordered by
+    // last-writer-wins (a null ts would slip past the high-water fence's
+    // null-guard disjunct and write a null-ts TxRow; a null tie would
+    // store a null HwTie whose `__tie > __stie` comparison then yields
+    // null forever — every later equal-timestamp event for that key
+    // silently dropped). An all-null batch is a clean no-op tick.
+    val packed = batch.filter(evTs.isNotNull && tie.isNotNull).select(
       GraphEncoder.entityId(et, key).as("owner_id"),
       evTs.as("__ts"), tie.cast("long").as("__tie"),
       struct((Seq(evTs.as("__wts"), tie.cast("long").as("__wtie")) ++
@@ -107,8 +108,15 @@ object StreamIngest {
       (rts.map(col) ++ Seq(col("__ts").as(HwTs), col("__tie").as(HwTie))): _*)
       .localCheckpoint(true)
     val stat = assignments.agg(count(lit(1)), max(col(HwTs))).collect()(0)
-    if (stat.getLong(0) == 0L) state
-    else {
+    if (stat.getLong(0) == 0L) {
+      // a no-op tick still ran the high-water read, which is exactly the
+      // release precondition for the graph retired last tick (its seed
+      // backs g's lineage, now materialized) — without this, a long run
+      // of stale/duplicate batches would pin the retired latest-values
+      // table for the whole quiet period
+      state.retiring.foreach(_.releaseDerived())
+      state.copy(retiring = None)
+    } else {
       val txTs = stat.getTimestamp(1)
       // 4. claim-fenced durable apply: one tx, all fields, entities
       // upserted; the delta is materialized once and feeds both the
@@ -122,12 +130,18 @@ object StreamIngest {
       val gBase = if (recovered) Sync.open(spark, dir).graph else g
       // trustedUniqueOwners: the winner reduction above is a groupBy on
       // owner_id — one row per owner by construction, no guard job needed
+      // assignNulls: the winner ROW defines every field — a null field
+      // value is an explicit clear, not a skip. With skip semantics the
+      // final graph would depend on batching (winner (F=null, G=y) in
+      // the same batch as a loser (F=x) leaves F absent; split across
+      // batches leaves F=x — the nondeterminism this module's contract
+      // rules out). CDC upsert = whole-row replace.
       val (g2, delta) = Transactor.assignFieldsBulkDelta(gBase, assignments,
         fields.map(f => Transactor.BulkField(f.rt, f.vtype)) ++
           Seq(Transactor.BulkField(HwTs, "ts"),
             Transactor.BulkField(HwTie, "long")),
         ts = txTs, ensureOwnerType = Some(et), materializeDelta = true,
-        trustedUniqueOwners = true)
+        assignNulls = true, trustedUniqueOwners = true)
       GraphStore.appendBulk(spark, dir, delta)
       // bound lineage/cache depth over an unbounded stream: once the
       // incremental seeding cap is hit, re-open from the store (one

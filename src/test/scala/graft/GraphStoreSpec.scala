@@ -55,7 +55,10 @@ class GraphStoreSpec extends AnyFunSuite {
     val before = GraphStore.loadWithClosures(spark, dir)
     val wantAtoms = before.atoms.collect().map(_.toSeq).toSet
     GraphStore.compact(spark, dir)
-    assert(!new java.io.File(s"$dir/closures").exists())
+    // the closure LOG is spent (folded into term_slice) but the directory
+    // stays — it is Sync.publish's schema'd-stream-reader invariant
+    assert(spark.read.schema("atom_id STRING, term_slice INT")
+      .parquet(s"$dir/closures").isEmpty)
     assert(!new java.io.File(s"$dir/atoms__old").exists())
     // the PLAIN load now carries the folded intervals...
     val after = GraphStore.load(spark, dir)
@@ -289,6 +292,86 @@ class GraphStoreSpec extends AnyFunSuite {
       .collect()(0).getAs[Double]("v_double") ==
       g2.latestValues(1).filter(col("ae_id") === ae)
         .collect()(0).getAs[Double]("v_double"))
+  }
+
+  test("save Overwrite clears a stale field index with the other side state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_ow").toString
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann")))
+    GraphStore.saveWithIndex(g1, dir, Seq("Name"))
+    assert(GraphStore.loadIndex(spark, dir).isDefined)
+    // overwriting with an index-less save must not leave g1's index
+    // behind: its rows reference g1's ae/owner ids and would resolve
+    // lookups against a graph that no longer exists
+    val (g2, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "z"), PutField("z", "Name", "Zoe")))
+    GraphStore.save(g2, dir)
+    assert(GraphStore.loadIndex(spark, dir).isEmpty,
+      "stale field index survived an Overwrite save")
+  }
+
+  test("purgeSlice removes orphaned index rows (appendTxIndexed crash window)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_purge").toString
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann")))
+    GraphStore.saveWithIndex(g1, dir, Seq("Name"))
+    val before = FieldIndex.load(spark, s"$dir/index").count()
+    // appendTxIndexed's ordering is index delta FIRST, tx marker last —
+    // simulate a crash in between: the index holds slice-2 rows, the
+    // store does not
+    val (_, r2) = Transactor.transact(g1,
+      Seq(AssignField("e:Person/a", "Name", "Bob")))
+    FieldIndex.appendTx(spark, dir, s"$dir/index", r2, Seq("Name"))
+    assert(FieldIndex.load(spark, s"$dir/index")
+      .filter(col("tx_slice") === 2).count() > 0)
+    GraphStore.purgeSlice(spark, dir, 2)
+    val after = FieldIndex.load(spark, s"$dir/index")
+    assert(after.filter(col("tx_slice") === 2).count() == 0,
+      "orphaned index rows survived purgeSlice — a re-applied tx would double-count")
+    assert(after.count() == before)
+  }
+
+  test("compact leaves an empty closures log for stream tails, not a missing one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cl_dir").toString
+    val (g1, r1) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
+      PutEntity("Person", "b")))
+    GraphStore.appendTx(spark, dir, r1)
+    val (_, r2) = Transactor.transact(g1, Seq(TerminateAtom("e:Person/a")))
+    GraphStore.appendTx(spark, dir, r2)
+    assert(new java.io.File(s"$dir/closures").exists())
+    GraphStore.compact(spark, dir)
+    // the fold reconciled the log into term_slice, but the DIRECTORY is
+    // Sync.publish's schema'd-reader invariant: a restarted closure tail
+    // (the documented post-compact flow) readStreams this path
+    val cl = new java.io.File(s"$dir/closures")
+    assert(cl.exists(), "compact removed the closures log directory")
+    assert(spark.read.schema("atom_id STRING, term_slice INT")
+      .parquet(s"$dir/closures").isEmpty)
+    assert(GraphStore.load(spark, dir).at(2).all("Person").count() == 1)
+  }
+
+  test("SaveMode.Ignore on an existing store leaves provenance meta untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_ig").toString
+    // g1: multi-assignment (same field assigned twice) → NO meta file,
+    // loads on the safe max_by path
+    val (g1a, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann")))
+    val (g1, _) = Transactor.transact(g1a,
+      Seq(AssignField("e:Person/a", "Name", "Bob")))
+    GraphStore.save(g1, dir)
+    assert(!new java.io.File(s"$dir/_graft_meta.json").exists())
+    // Ignore on the existing path: data writers no-op — the meta writer
+    // must no-op with them, or g2's single-assignment flag would fast-path
+    // g1's multi-assignment rows into wrong as-of reads
+    val g2 = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
+    assert(g2.uniqueValuesThrough >= 0)
+    GraphStore.save(g2, dir, org.apache.spark.sql.SaveMode.Ignore)
+    assert(!new java.io.File(s"$dir/_graft_meta.json").exists(),
+      "Ignore-mode save wrote provenance for data it never wrote")
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.now.all("Person").fieldValue("Name", "v_str", "n")
+      .collect().map(_.getString(1)).toSeq == Seq("Bob"))
   }
 
   test("a reader racing compact is safe: load never repairs the store") {

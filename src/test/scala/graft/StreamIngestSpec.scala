@@ -11,6 +11,10 @@ import graft.fx.{StreamIngest, Sync}
 final case class IngEvent(ts: java.sql.Timestamp, event_id: Long,
     user_id: Long, value: Double, event_type: String)
 
+/** Variant with a NULLABLE tie for the null-tie rejection test. */
+final case class IngEventN(ts: java.sql.Timestamp, event_id: java.lang.Long,
+    user_id: Long, value: Double, event_type: String)
+
 /** Streaming ingestion into a synced graph store: one tx per micro-batch,
   * event-time last-writer-wins, entity upsert on first sight. The load-
   * bearing property is batching-independence — the final graph state must
@@ -105,6 +109,85 @@ class StreamIngestSpec extends AnyFunSuite {
     // the tx's event-time watermark is the real winner's ts, never null
     val txTs = g.txs.filter(col("tx_id") === 1).collect()(0).getTimestamp(1)
     assert(txTs == ts("2024-01-01 00:00:00"))
+  }
+
+  test("null tie is rejected like null ts: cannot order equal timestamps") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngEventN]
+    val t0 = ts("2024-01-01 00:00:00")
+    val q = StreamIngest.eventsToGraph(input.toDF(), dir, "User",
+      key = col("user_id"), eventTs = col("ts"), tie = col("event_id"),
+      fields = Seq(
+        StreamIngest.IngestField("Value", "double", col("value")),
+        StreamIngest.IngestField("EventType", "str", col("event_type"))),
+      checkpointDir = tmp("graft_ingest_ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    try Seq(
+      // null-tie batch: a clean no-op tick (a stored null HwTie would
+      // make every later equal-ts comparison null → events dropped
+      // silently forever)
+      Seq(IngEventN(t0, null, 1, 99.0, "ghost")),
+      Seq(IngEventN(t0, 1L, 1, 30.0, "real")),
+      // the equal-ts tiebreak still works afterwards
+      Seq(IngEventN(t0, 2L, 1, 40.0, "later")))
+      .foreach { r => input.addData(r); q.processAllAvailable() }
+    finally q.stop()
+    val g = Sync.open(spark, dir).graph
+    assert(g.maxSlice == 2, "null-tie batch must be a no-op tick")
+    assert(state(dir) == Map("e:User/1" -> (40.0, "later")))
+  }
+
+  test("null-valued fields: whole-row replace, batching-independent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // winner (later ts) carries event_type = null; loser carried "a".
+    // skip-null semantics would leave "a" when the rows split across
+    // batches but NOTHING when they share one — final state must instead
+    // be identical either way (winner row replaces the whole field set)
+    val e1 = IngEvent(ts("2024-01-01 00:00:00"), 1, 1, 10.0, "a")
+    val e2 = IngEvent(ts("2024-01-02 00:00:00"), 2, 1, 20.0, null)
+    def run(rounds: Seq[Seq[IngEvent]]): (Map[String, Double], Map[String, String]) = {
+      val dir = tmp("graft_ingest")
+      Sync.publish(Graph.empty(spark), dir)
+      val input = MemoryStream[IngEvent]
+      ingestInto(dir, input, rounds)
+      val g = Sync.open(spark, dir).graph
+      val vs = g.now.all("User").fieldValue("Value", "v_double", "v")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val ts2 = g.now.all("User").fieldValue("EventType", "v_str", "t")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (vs, ts2)
+    }
+    val oneBatch = run(Seq(Seq(e1, e2)))
+    val twoBatches = run(Seq(Seq(e1), Seq(e2)))
+    assert(oneBatch == twoBatches,
+      s"final state depends on batching: $oneBatch vs $twoBatches")
+    assert(oneBatch._1 == Map("e:User/1" -> 20.0))
+  }
+
+  test("a no-op tick releases the graph retired last tick") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    val fields = Seq(
+      StreamIngest.IngestField("Value", "double", col("value")),
+      StreamIngest.IngestField("EventType", "str", col("event_type")))
+    def tick(st: StreamIngest.IngestState, evs: Seq[IngEvent]) =
+      StreamIngest.applyBatch(st, evs.toDF(), dir, "User",
+        key = col("user_id"), eventTs = col("ts"), tie = col("event_id"),
+        fields = fields)
+    val ev = IngEvent(ts("2024-01-01 00:00:00"), 1, 1, 10.0, "a")
+    val st0 = StreamIngest.IngestState(Sync.open(spark, dir), None)
+    val st1 = tick(st0, Seq(ev))
+    assert(st1.retiring.isDefined, "productive tick retires the prior graph")
+    // the same event again: stale (fenced out) → no-op tick. The retired
+    // graph's pin must drop NOW, not at the next productive tick — an
+    // at-least-once source can replay stale batches for a long time
+    val st2 = tick(st1, Seq(ev))
+    assert(st2.retiring.isEmpty, "no-op tick must release the retired graph")
   }
 
   test("equal-ts tie resolves by tie id, across batch boundaries") {
