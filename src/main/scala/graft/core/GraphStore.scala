@@ -129,7 +129,8 @@ object GraphStore {
     // the wish path (appendTx) also lands closures and tags before its tx
     // marker — purge their slice-n rows too
     if (new java.io.File(s"$path/closures").exists()) {
-      val cl = spark.read.schema("atom_id STRING, term_slice INT")
+      val cl = spark.read
+        .schema("atom_id STRING, term_slice INT, cascaded BOOLEAN")
         .parquet(s"$path/closures").filter(col("term_slice") =!= n)
       swapIn("closures")(cl.write.mode(SaveMode.Overwrite).parquet(_))
     }
@@ -288,8 +289,17 @@ object GraphStore {
     if (r.newTags.nonEmpty)
       spark.createDataset(r.newTags).toDF().coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$path/tags")
-    if (r.terminatedIds.nonEmpty)
-      r.terminatedIds.map(id => (id, r.slice)).toDF("atom_id", "term_slice")
+    // explicit closures plus the tx's CASCADE closures (flagged): the
+    // live closure feed delivers what the tx actually closed — without
+    // the cascade rows, `on[terminated]` subscriptions on relation types
+    // silently never fire for the common case (relations die with their
+    // endpoints). Readers re-deriving the cascade (loadWithClosures)
+    // derive from NON-cascaded rows only, so the one-level rule is
+    // applied once, not compounded.
+    if (r.terminatedIds.nonEmpty || r.cascadedIds.nonEmpty)
+      (r.terminatedIds.map(id => (id, r.slice, false)) ++
+        r.cascadedIds.map(id => (id, r.slice, true)))
+        .toDF("atom_id", "term_slice", "cascaded")
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$path/closures")
     spark.createDataset(Seq(TxRow(r.slice, r.ts))).toDF()
@@ -427,9 +437,17 @@ object GraphStore {
     if (!closuresPath.exists()) g
     else {
       // schema'd read: the dir may exist but be empty (Sync.publish
-      // pre-creates it so stream readers can tail before any termination)
-      val closures = spark.read.schema("atom_id STRING, term_slice INT")
+      // pre-creates it so stream readers can tail before any termination).
+      // `cascaded` marks rows the WRITER derived via the one-level cascade
+      // (new logs; null = false on pre-flag files) — derive the read-side
+      // cascade from NON-cascaded rows only, or the one-level rule would
+      // compound (a cascaded relation's own field relations would close,
+      // which the in-memory path does not do).
+      val allRows = spark.read
+        .schema("atom_id STRING, term_slice INT, cascaded BOOLEAN")
         .parquet(s"$path/closures")
+      val closures = allRows
+        .filter(!coalesce(col("cascaded"), lit(false)))
         .select(col("atom_id"), col("term_slice").as("__c"))
       // cascade: a relation closes when either endpoint closes
       val rels = g.atoms.filter(col("kind") === Kind.Relation)
@@ -440,7 +458,8 @@ object GraphStore {
         .unionByName(rels
           .join(closures.withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"))
           .select(col("atom_id"), col("__c")))
-      val allClosures = closures.select(col("atom_id"), col("__c"))
+      val allClosures = allRows
+        .select(col("atom_id"), col("term_slice").as("__c"))
         .unionByName(cascade)
       // per INTERVAL ROW (atom_id, inst_slice): earliest closure at-or-after
       // the interval opened — re-instantiated rows only close on closures

@@ -42,7 +42,8 @@ final case class UntagAtom(tag: String) extends Wish
 final case class Receipt(ids: Map[String, String], slice: Int,
     newAtoms: Seq[AtomRow] = Nil, newValues: Seq[ValueRow] = Nil,
     terminatedIds: Seq[String] = Nil, newTags: Seq[TagRow] = Nil,
-    ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"))
+    ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
+    cascadedIds: Seq[String] = Nil)
 
 /** Wish → command → atomic append; the Spark restatement of zef's staged
   * write path (`graph_additions/_explanations.txt:1-60`): interpretation and
@@ -72,6 +73,21 @@ object Transactor {
   def fieldRelId(ownerId: String, rt: String, instanceKey: String): String =
     s"rel:$rt${if (instanceKey.isEmpty) "" else s"#$instanceKey"}/$ownerId"
 
+  /** The atom's type from the deterministic id scheme, driver-side — the
+    * String twin of [[graft.fx.Sync.atypeFromId]]'s Column form (one
+    * contract, asserted equal by SyncSpec): the type name ends at the
+    * first `/`, `#`, or `[`, so plain, instanced, and array-element ids
+    * all carry the same type. Null when the id is foreign. */
+  def atypeOfId(atomId: String): String = {
+    val colon = atomId.indexOf(':')
+    if (colon < 0) null
+    else {
+      val rest = atomId.substring(colon + 1)
+      val cut = rest.indexWhere(c => c == '/' || c == '#' || c == '[')
+      if (cut <= 0) null else rest.substring(0, cut)
+    }
+  }
+
   def transact(g: Graph, wishes: Seq[Wish],
       ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): (Graph, Receipt) = {
     val spark = g.spark
@@ -83,21 +99,6 @@ object Transactor {
     val entityIds: Map[String, String] = wishes.collect {
       case PutEntity(et, key) => key -> atomId(Kind.Entity, et, key)
     }.toMap
-    def ref(key: String): String =
-      entityIds.getOrElse(key,
-        if (key.contains(":")) key // already a full atom_id
-        else throw new IllegalArgumentException(
-          s"unknown key '$key' — pass a full atom_id for atoms outside this tx"))
-
-    val newAtoms = scala.collection.mutable.ArrayBuffer[AtomRow]()
-    val newValues = scala.collection.mutable.ArrayBuffer[ValueRow]()
-    val newTags = scala.collection.mutable.ArrayBuffer[TagRow]()
-    val terminated = scala.collection.mutable.ArrayBuffer[String]()
-    val receipt = scala.collection.mutable.Map[String, String]()
-    // ids already (re)opened within THIS tx — duplicate wishes are
-    // idempotent (reference dedups commands, graph_delta.py:1046)
-    val createdInTx = scala.collection.mutable.Set[String]()
-
     // Relation keys this tx defines — needed BEFORE the alive-check so that
     // a PutField on a relation referenced by its tx key resolves the owner
     // to the same id the write phase (refAll) will use. Resolving with a
@@ -108,8 +109,38 @@ object Transactor {
         val k = Option(key).getOrElse(s"$s0-$d0")
         k -> atomId(Kind.Relation, rt, k)
     }.toMap
-    // same resolution order as refAll: tx-local entity/relation keys first,
-    // then pass-through for full atom_ids / unknown keys
+    // one key, one atom: a key naming both an entity and a relation would
+    // make the alive-check and the write phase resolve DIFFERENT ids
+    // (resolveOwner reads entityIds first, refAll reads the receipt where
+    // the relation pass overwrote the entry) — replaying such a tx
+    // appends duplicate open intervals. Reject loudly instead.
+    locally {
+      val dup = entityIds.keySet.intersect(relationIds.keySet)
+      require(dup.isEmpty,
+        s"transact: keys name both an entity and a relation: $dup")
+    }
+    // tx-local keys first (entities, then relations — PutRelation
+    // endpoints may be relations defined in this tx, the meta-relation
+    // case its doc advertises), then pass-through for full atom_ids.
+    // relationIds BEFORE the ':' passthrough: fixture keys may contain
+    // ':' (Zascii emits "a>b:Likes") and must still resolve to the
+    // scheme id, not be written verbatim as a dangling endpoint.
+    def ref(key: String): String =
+      entityIds.getOrElse(key, relationIds.getOrElse(key,
+        if (key.contains(":")) key // already a full atom_id
+        else throw new IllegalArgumentException(
+          s"unknown key '$key' — pass a full atom_id for atoms outside this tx")))
+
+    val newAtoms = scala.collection.mutable.ArrayBuffer[AtomRow]()
+    val newValues = scala.collection.mutable.ArrayBuffer[ValueRow]()
+    val newTags = scala.collection.mutable.ArrayBuffer[TagRow]()
+    val terminated = scala.collection.mutable.ArrayBuffer[String]()
+    val receipt = scala.collection.mutable.Map[String, String]()
+    // ids already (re)opened within THIS tx — duplicate wishes are
+    // idempotent (reference dedups commands, graph_delta.py:1046)
+    val createdInTx = scala.collection.mutable.Set[String]()
+
+    // same resolution order as refAll/ref
     def resolveOwner(key: String): String =
       entityIds.getOrElse(key, relationIds.getOrElse(key, key))
 
@@ -136,7 +167,6 @@ object Transactor {
         .agg(org.apache.spark.sql.functions.max(
           col("term_slice").isNull.cast("int")).as("alive"))
         .collect().map(r => r.getString(0) -> (r.getInt(1) == 1)).toMap
-    val existing: Set[String] = existingAlive.keySet
     val aliveNow: Set[String] = existingAlive.filter(_._2).keySet
 
     // DAG ordering is implicit in wish types: entities, then relations,
@@ -191,16 +221,43 @@ object Transactor {
       case _ =>
     }
 
+    // ONE value row per AE per tx EVERYWHERE, not only in the seeded
+    // cache: assign-after-assign in one tx keeps the LAST wish (the
+    // reference dedups commands the same way). Appending both rows would
+    // leave a same-slice max_by tie in the DURABLE table — the writer's
+    // cache reads the last wish, but a cold load or a replica opening
+    // from the store would get an arbitrary winner.
+    val valueWinners: Seq[ValueRow] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, ValueRow]()
+      newValues.foreach(v => m(v.ae_id) = v)
+      m.values.toSeq
+    }
+
     val atomsAppended =
       if (newAtoms.isEmpty) g.atoms
       else g.atoms.unionByName(spark.createDataset(newAtoms.toSeq).toDF())
+    val termSet = terminated.toSet
+    // Relations closed by the cascade, AS IDS — the receipt carries them
+    // so the durable closure log records what this tx actually closed
+    // (flagged `cascaded`): without them the LIVE closure feed silently
+    // misses every cascaded termination, while batch readers reconstruct
+    // it at load time (loadWithClosures). One bounded collect, only on
+    // terminating wish-path txs (the set is the terminated atoms'
+    // incident relations).
+    val cascadedIds: Seq[String] =
+      if (terminated.isEmpty) Nil
+      else atomsAppended.filter(col("term_slice").isNull &&
+          !col("atom_id").isInCollection(termSet) &&
+          (col("src_id").isInCollection(termSet) ||
+            col("dst_id").isInCollection(termSet)))
+        .select(col("atom_id")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
     // Termination updates the denormalized interval column. An immutable-DF
     // union can't update in place, so we map the closed intervals over the
     // table; on durable storage this is a Delta-style MERGE keyed on atom_id.
     val atomsFinal =
       if (terminated.isEmpty) atomsAppended
       else {
-        val termSet = terminated.toSet
         val isTerm = col("atom_id").isInCollection(termSet) ||
           col("src_id").isInCollection(termSet) ||  // cascade: relations of a
           col("dst_id").isInCollection(termSet)     // dead atom die with it
@@ -209,8 +266,8 @@ object Transactor {
             .otherwise(col("term_slice")))
       }
     val valuesFinal =
-      if (newValues.isEmpty) g.values
-      else g.values.unionByName(spark.createDataset(newValues.toSeq).toDF())
+      if (valueWinners.isEmpty) g.values
+      else g.values.unionByName(spark.createDataset(valueWinners).toDF())
     val txsFinal = g.txs.unionByName(
       spark.createDataset(Seq(TxRow(slice, ts))).toDF())
     val tagsFinal =
@@ -238,19 +295,13 @@ object Transactor {
       // no new values → the prior frame's table IS this frame's, by
       // reference; owned=false so g2's release/eviction can't unpersist
       // the parent graph's live cache out from under it
-      if (newValues.isEmpty)
+      if (valueWinners.isEmpty)
         g2.seedLatestValues(slice, base, priorDepth, owned = false)
       else {
         val vcols = Seq("tx_slice", "v_str", "v_long", "v_double", "v_bool", "v_ts")
-        // one winner per AE within this tx: all rows share tx_slice, so the
-        // LAST wish for an AE wins (assign-after-assign in one tx)
-        val winners = {
-          val m = scala.collection.mutable.LinkedHashMap[String, ValueRow]()
-          newValues.foreach(v => m(v.ae_id) = v)
-          m.values.toSeq
-        }
-        val deltaIds = winners.map(_.ae_id).toSet
-        val delta = spark.createDataset(winners).toDF()
+        // valueWinners already holds one row per AE (last wish wins)
+        val deltaIds = valueWinners.map(_.ae_id).toSet
+        val delta = spark.createDataset(valueWinners).toDF()
           .select(col("ae_id") +: vcols.map(col): _*)
         val merged = base
           .filter(!col("ae_id").isInCollection(deltaIds))
@@ -260,8 +311,8 @@ object Transactor {
       }
     }
     (g2,
-      Receipt(receipt.toMap, slice, newAtoms.toSeq, newValues.toSeq,
-        terminated.toSeq, newTags.toSeq, ts))
+      Receipt(receipt.toMap, slice, newAtoms.toSeq, valueWinners,
+        terminated.toSeq, newTags.toSeq, ts, cascadedIds))
   }
 
   /** Distributed BULK field assignment — set-level `set_field` whose delta

@@ -35,6 +35,16 @@ object Sync {
     * the writer's handle. The snapshot may be empty — a graph can be born
     * synced and grow entirely through [[SyncedGraph.transact]]. */
   def publish(g: Graph, dir: String): SyncedGraph = {
+    // the store and fencing layers speak java.io/java.nio: a URI-schemed
+    // dir (hdfs://, s3a://) would write its PARQUET remotely but its
+    // claims/side-dirs to a literal local "./hdfs:" path — two writers on
+    // different drivers would then each claim slices against their own
+    // local disk and silently fork the log. Fail loudly; the remote-store
+    // port is a Hadoop-FileSystem sweep of these paths, not a silent
+    // partial working state.
+    require(!dir.contains("://"),
+      s"Sync: store dir must be a local filesystem path, got '$dir' — " +
+        "slice fencing and side-state use local file APIs")
     GraphStore.save(g, dir)
     // a termination-free graph writes no closure files, but schema'd
     // STREAM readers (closureFeed) need the directory to exist before the
@@ -45,10 +55,13 @@ object Sync {
 
   /** Single-writer fencing: the slice number itself is the lock — claim
     * slice `next` by atomically creating `_slices/<next>`
-    * (create-fails-if-exists; atomic on local FS and HDFS — on an
-    * S3-class store without atomic create, front this with a real lock
-    * service). A stale or racing writer fails the claim and throws
-    * instead of silently forking the log. */
+    * (create-fails-if-exists; atomic on the LOCAL filesystem, which is
+    * the store's current contract — [[publish]] rejects URI-schemed
+    * dirs. A remote port would route these paths through the Hadoop
+    * FileSystem API, where create-fails-if-exists is atomic on HDFS;
+    * S3-class stores need a real lock service either way). A stale or
+    * racing writer fails the claim and throws instead of silently
+    * forking the log. */
   private[graft] def claimSlice(dir: String, next: Int): Unit = {
     val claims = java.nio.file.Paths.get(dir, "_slices")
     java.nio.file.Files.createDirectories(claims)
@@ -122,10 +135,14 @@ object Sync {
 
   /** Termination closures with the closed atom's type re-derived from the
     * deterministic id scheme (`kind:ATYPE/key`) — the store keeps closures
-    * as bare `(atom_id, term_slice)` and the subscription filters on atype. */
+    * as `(atom_id, term_slice, cascaded)` and the subscription filters on
+    * atype (+ kind prefix). The feed INCLUDES the writer's flagged
+    * cascade rows, so `on[terminated]` on a relation type fires for the
+    * common case — relations closed because an endpoint died — exactly
+    * as the batch read path reports them. */
   def closureFeed(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("atom_id STRING, term_slice INT")
+      .schema("atom_id STRING, term_slice INT, cascaded BOOLEAN")
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/closures")
       .withColumn("atype", atypeFromId(col("atom_id")))
       .select(col("atom_id"), col("atype"), col("term_slice"))
@@ -134,7 +151,7 @@ object Sync {
     * a plain read instead of a stream (replay / registry-query path). */
   def closureTable(spark: SparkSession, dir: String): DataFrame =
     spark.read
-      .schema("atom_id STRING, term_slice INT")
+      .schema("atom_id STRING, term_slice INT, cascaded BOOLEAN")
       .parquet(s"$dir/closures")
       .withColumn("atype", atypeFromId(col("atom_id")))
       .select(col("atom_id"), col("atype"), col("term_slice"))
@@ -151,9 +168,9 @@ final case class SyncedGraph(graph: Graph, dir: String) {
     *
     * Single-writer fencing: the slice number itself is the lock. Before
     * appending, the writer CLAIMS the next slice by atomically creating
-    * `_slices/<n>` (create-fails-if-exists — atomic on local FS and HDFS;
-    * on an S3-class store without atomic create, front this with a real
-    * lock service). A stale handle — one the store has moved past, or one
+    * `_slices/<n>` (create-fails-if-exists — atomic on the local
+    * filesystem, the store's current contract; see [[Sync.claimSlice]]
+    * for the remote-port caveats). A stale handle — one the store has moved past, or one
     * racing another writer for the same slice — fails the claim and
     * throws instead of silently forking the log; recover with [[refresh]]
     * and re-apply. */
@@ -165,8 +182,13 @@ final case class SyncedGraph(graph: Graph, dir: String) {
     // recovery purged+rewrote store files: this handle's lazy frames hold
     // stale file listings — re-open before applying (committed state is
     // unchanged, so the wish list applies identically)
-    val base = if (recovered) GraphStore.loadWithClosures(graph.spark, dir)
-               else graph
+    val base = if (recovered) {
+      // the stale handle's seeded latest-values tables stay pinned on
+      // executors if only dropped by reference (StreamIngest releases
+      // the same way on its recovery path)
+      graph.releaseDerived()
+      GraphStore.loadWithClosures(graph.spark, dir)
+    } else graph
     val (g2, r) = Transactor.transact(base, wishes, ts)
     GraphStore.appendTx(graph.spark, dir, r)
     (copy(graph = g2), r)

@@ -210,8 +210,11 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
         GraphSubscriptions.onInstantiated(
           Sync.atomFeed(spark, storeDir), atype)
       case "terminated" =>
+        // optional kind prefix (e/r/ae/rel) — closure feeds carry the
+        // cascade rows, and an AE and its field relation share the atype
+        val kind = (j \ "kind") match { case JString(s) => s; case _ => "any" }
         GraphSubscriptions.onTerminatedClosures(
-          Sync.closureFeed(spark, storeDir), atype)
+          Sync.closureFeed(spark, storeDir), atype, kind)
       case other => throw new IllegalArgumentException(s"unknown subscription: $other")
     }
     events.writeStream

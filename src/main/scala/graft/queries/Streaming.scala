@@ -325,11 +325,16 @@ object Streaming {
       (s, d) => {
         import graft.streaming.GraphSubscriptions
         val closures = graft.fx.Sync.closureTable(s, termStoreFor(s, d))
-        def sub(atype: String) = GraphSubscriptions
-          .onTerminatedClosures(closures, atype)
+        // kind-narrowed (ae/e): closure feeds now carry the flagged
+        // CASCADE rows too, and the field relations rel:Spend#…/… share
+        // the Spend atype with the AEs — the reference's AET namespace
+        // maps to the ae: prefix
+        def sub(atype: String, kind: String) = GraphSubscriptions
+          .onTerminatedClosures(closures, atype, kind)
           .select(col("event"), col("atom_id"), lit(atype).as("atype"),
             col("tx_slice").cast("int").as("tx_slice"))
-        sub("Spend").unionByName(sub("User")).orderBy(col("atom_id"))
+        sub("Spend", "ae").unionByName(sub("User", "e"))
+          .orderBy(col("atom_id"))
       },
       Some("""WITH p AS (
              |  SELECT user_id, CAST(datediff('day', DATE '2024-01-01',

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
-import graft.core.{AtomRow, Receipt, TagRow, ValueRow}
+import graft.core.{AtomRow, Receipt, TagRow, Transactor, ValueRow}
 
 /** Durable tx-log tail — the change-data feed behind live subscriptions
   * (SURVEY §2.9: "Delta CDF or tx-log tail"). Each transaction's delta is
@@ -22,7 +22,8 @@ object GraphFeed {
   val closureSchema: StructType = StructType(Seq(
     StructField("atom_id", StringType),
     StructField("atype", StringType),
-    StructField("term_slice", IntegerType)))
+    StructField("term_slice", IntegerType),
+    StructField("cascaded", org.apache.spark.sql.types.BooleanType)))
 
   /** Append one transaction's full delta: new atoms, values, tags, and
     * termination closures (with the closed atom's type attached for
@@ -34,10 +35,16 @@ object GraphFeed {
     if (r.newTags.nonEmpty)
       spark.createDataset(r.newTags).toDF()
         .coalesce(1).write.mode("append").parquet(s"$feedDir/tags")
-    if (r.terminatedIds.nonEmpty) {
-      val rows = r.terminatedIds.map { id =>
-        org.apache.spark.sql.Row(id, atypeOf(id), r.slice)
-      }
+    if (r.terminatedIds.nonEmpty || r.cascadedIds.nonEmpty) {
+      // explicit + cascade closures (flagged): without the cascade rows a
+      // live `on[terminated]` on a relation type never fires for the
+      // common case — relations closed because an endpoint died
+      val rows =
+        r.terminatedIds.map { id =>
+          org.apache.spark.sql.Row(id, Transactor.atypeOfId(id), r.slice, false)
+        } ++ r.cascadedIds.map { id =>
+          org.apache.spark.sql.Row(id, Transactor.atypeOfId(id), r.slice, true)
+        }
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), closureSchema)
         .write.mode("append").parquet(s"$feedDir/closures")
@@ -54,14 +61,6 @@ object GraphFeed {
     if (newValues.nonEmpty)
       spark.createDataset(newValues).toDF()
         .coalesce(1).write.mode("append").parquet(s"$feedDir/values")
-  }
-
-  /** atype from the deterministic id scheme "prefix:ATYPE/key"
-    * (Transactor.atomId); null when the id is foreign. */
-  private def atypeOf(atomId: String): String = {
-    val colon = atomId.indexOf(':'); val slash = atomId.indexOf('/')
-    if (colon >= 0 && slash > colon + 1) atomId.substring(colon + 1, slash)
-    else null
   }
 
   def atomFeed(spark: SparkSession, feedDir: String): DataFrame =

@@ -65,10 +65,20 @@ object GraphSubscriptions {
   /** Terminations over the DURABLE feed: transactions record closures as
     * `(atom_id, atype, term_slice)` rows in the closure sub-feed
     * (GraphFeed.closureFeed) — the atoms sub-feed only ever sees open
-    * intervals, so this, not [[onTerminated]], is the live-CDC path. */
-  def onTerminatedClosures(closureFeed: DataFrame, atype: String): DataFrame =
+    * intervals, so this, not [[onTerminated]], is the live-CDC path.
+    *
+    * `kind` narrows by the id scheme's kind prefix (`e`/`r`/`ae`/`rel`),
+    * mirroring the reference's distinct ET/RT/AET type namespaces: a
+    * field AE `ae:Spend/...` and its field relation `rel:Spend/...`
+    * share the atype string but are different subscription targets —
+    * now that closure feeds carry cascade rows, an atype-only filter
+    * would conflate them. Default `"any"` keeps the unnarrowed form. */
+  def onTerminatedClosures(closureFeed: DataFrame, atype: String,
+      kind: String = "any"): DataFrame =
     closureFeed
-      .filter(col("atype") === atype)
+      .filter(col("atype") === atype &&
+        (if (kind == "any") lit(true)
+         else col("atom_id").startsWith(s"$kind:")))
       .select(col("atom_id"), col("term_slice").as("tx_slice"),
         lit("terminated").as("event"))
 }

@@ -79,11 +79,13 @@ class GqlWsSpec extends AnyFunSuite {
       wsHandshake(sock)
       val out = sock.getOutputStream
       sendText(out, """{"on":"assigned","atype":"Temp"}""")
-      sendText(out, """{"on":"terminated","atype":"Sensor"}""")
+      sendText(out, """{"on":"terminated","atype":"Sensor","kind":"e"}""")
       // terminated over the AE type itself: must fire for INSTANCED ids
       // (ae:Temp#h/...) too — the closure feed's atype derivation strips
-      // the #instance suffix (the r8 regression this pins at the WS layer)
-      sendText(out, """{"on":"terminated","atype":"Temp"}""")
+      // the #instance suffix (the r8 regression this pins at the WS
+      // layer). kind:"ae" narrows past the flagged CASCADE rows the feed
+      // now carries (the field relations rel:Temp/... share the atype).
+      sendText(out, """{"on":"terminated","atype":"Temp","kind":"ae"}""")
       val deadline = System.currentTimeMillis() + 60000
       while (server.activeSubscriptions < 3 &&
           System.currentTimeMillis() < deadline) Thread.sleep(50)

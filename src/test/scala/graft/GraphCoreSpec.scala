@@ -50,6 +50,60 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(g1.now.all("Person").count() == 1)
   }
 
+  test("assign-after-assign in one tx: ONE durable row, cold load agrees " +
+      "with the writer's cache") {
+    val (g1, r) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"),
+      PutField("a", "F", "x"),
+      AssignField("a", "F", "y")))
+    // last wish wins — and only ONE value row lands for the AE: a second
+    // same-slice row would leave max_by with a tx_slice tie, so a cold
+    // load or a replica could silently read "x" while the writer's seeded
+    // cache read "y"
+    val ae = Transactor.aeId("e:Person/a", "F", "")
+    assert(g1.values.filter(col("ae_id") === ae).count() == 1)
+    assert(r.newValues.count(_.ae_id == ae) == 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_aa").toString
+    GraphStore.save(g1, dir)
+    val cold = GraphStore.load(spark, dir)
+    def read(g: Graph) = g.now.all("Person")
+      .fieldValue("F", "v_str", "v").collect().map(_.getString(1)).toSeq
+    assert(read(g1) == Seq("y") && read(cold) == Seq("y"))
+  }
+
+  test("meta-relation endpoints resolve tx-local relation keys; ambiguous " +
+      "keys reject loudly") {
+    val (g1, r) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutEntity("Pet", "b"),
+      PutRelation("Knows", "a", "b", "k1"),
+      // the documented meta-relation case: a relation AS an endpoint,
+      // referenced by its tx key (previously threw "unknown key 'k1'")
+      PutRelation("Annotates", "k1", "a")))
+    assert(r.ids("k1") == "r:Knows/k1")
+    val ann = g1.atoms.filter(col("atype") === "Annotates")
+      .select(col("src_id")).collect()
+    assert(ann.length == 1 && ann(0).getString(0) == "r:Knows/k1")
+    // one key naming both an entity and a relation: the alive-check and
+    // the write phase would resolve different atoms — rejected
+    val e = intercept[IllegalArgumentException] {
+      Transactor.transact(Graph.empty(spark), Seq(
+        PutEntity("P", "x"), PutEntity("P", "y"),
+        PutRelation("R", "x", "y", "x")))
+    }
+    assert(e.getMessage.contains("both an entity and a relation"))
+  }
+
+  test("atypeOfId (driver) and atypeFromId (column) are one contract") {
+    import spark.implicits._
+    val ids = Seq("ae:Score/e:U/1", "ae:Score#w1/e:U/1", "ae:tags[0]/1:$",
+      "e:Person/joe", "r:Knows/k1", "rel:Score#w1/e:U/1")
+    val fromCol = ids.toDF("id")
+      .select(graft.fx.Sync.atypeFromId(col("id"))).collect().map(_.getString(0))
+    val fromStr = ids.map(Transactor.atypeOfId)
+    assert(fromCol.toSeq == fromStr)
+    assert(fromStr == Seq("Score", "Score", "tags", "Person", "Knows", "Score"))
+  }
+
   test("latestValues cache: LRU-bounded, evicted slices unpersist") {
     import org.apache.spark.storage.StorageLevel
     val g = fixture // 3 slices

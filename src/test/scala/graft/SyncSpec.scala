@@ -195,9 +195,9 @@ class SyncSpec extends AnyFunSuite {
     // the type derived from the id must ignore the #instance / [pos]
     // suffixes (the regression: ae:Score#w1/... derived atype "Score#w1"
     // and the Score subscription silently never fired)
-    def fired(atype: String, qn: String): Set[(String, Int)] = {
+    def fired(atype: String, kind: String, qn: String): Set[(String, Int)] = {
       val q = GraphSubscriptions.onTerminatedClosures(
-          Sync.closureFeed(spark, dir), atype)
+          Sync.closureFeed(spark, dir), atype, kind)
         .writeStream.outputMode("append")
         .format("memory").queryName(qn).start()
       q.processAllAvailable(); q.stop()
@@ -205,12 +205,17 @@ class SyncSpec extends AnyFunSuite {
         .select(col("atom_id"), col("tx_slice").cast("int"))
         .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     }
-    assert(fired("Score", "t_term_score") == Set(
+    assert(fired("Score", "ae", "t_term_score") == Set(
       ("ae:Score/e:User/u1", 3), ("ae:Score#w1/e:User/u1", 3)))
-    assert(fired("tags", "t_term_tags") == Set(("ae:tags[0]/1:$", 3)))
+    assert(fired("tags", "ae", "t_term_tags") == Set(("ae:tags[0]/1:$", 3)))
+    // the CASCADE rows ride the same feed: the AEs' field relations closed
+    // with them, and a rel-kind subscription sees those terminations live
+    // (the pre-cascade feed silently never fired here)
+    assert(fired("Score", "rel", "t_term_score_rel") == Set(
+      ("rel:Score/e:User/u1", 3), ("rel:Score#w1/e:User/u1", 3)))
     // the batch twin sees the same events through the same derivation
     val batch = GraphSubscriptions.onTerminatedClosures(
-        Sync.closureTable(spark, dir), "Score")
+        Sync.closureTable(spark, dir), "Score", "ae")
       .select(col("atom_id")).collect().map(_.getString(0)).toSet
     assert(batch == Set("ae:Score/e:User/u1", "ae:Score#w1/e:User/u1"))
   }
