@@ -49,16 +49,36 @@ object FieldIndex {
   /** Probe-side hash of a runtime value (mirrors ValueRow.of's type
     * dispatch; constant-folded by Catalyst into a pushable literal). */
   def vhashOf(value: Any): Column = {
-    val nul = lit(null)
-    value match {
-      case s: String => vhashExpr(lit(s), nul, nul, nul, nul)
-      case i: Int => vhashExpr(nul, lit(i.toLong), nul, nul, nul)
-      case l: Long => vhashExpr(nul, lit(l), nul, nul, nul)
-      case d: Double => vhashExpr(nul, nul, lit(d), nul, nul)
-      case b: Boolean => vhashExpr(nul, nul, nul, lit(b), nul)
-      case t: java.sql.Timestamp => vhashExpr(nul, nul, nul, nul, lit(t))
+    val vcol = value match {
+      case _: String => "v_str"
+      case _: Int | _: Long => "v_long"
+      case _: Double => "v_double"
+      case _: Boolean => "v_bool"
+      case _: java.sql.Timestamp => "v_ts"
       case other => throw new IllegalArgumentException(
         s"unsupported index probe type: ${other.getClass}")
+    }
+    vhashOf(vcol, value)
+  }
+
+  /** Probe hash keyed by the PROBED COLUMN's type, not the probe value's
+    * runtime type: the build hashed what the column stores, so an Int
+    * probe against a v_double field must hash "d:1.0", not "l:1" — the
+    * runtime-type dispatch silently missed the bucket for every
+    * numerically-coercible probe (empty result where selectByField
+    * matches), before the widening re-check could help. The cast mirrors
+    * the `===` coercion of the re-check exactly. */
+  def vhashOf(vcol: String, value: Any): Column = {
+    val nul = lit(null)
+    val v = lit(value)
+    vcol match {
+      case "v_str" => vhashExpr(v.cast("string"), nul, nul, nul, nul)
+      case "v_long" => vhashExpr(nul, v.cast("long"), nul, nul, nul)
+      case "v_double" => vhashExpr(nul, nul, v.cast("double"), nul, nul)
+      case "v_bool" => vhashExpr(nul, nul, nul, v.cast("boolean"), nul)
+      case "v_ts" => vhashExpr(nul, nul, nul, nul, v.cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"unknown value column: $other")
     }
   }
 
@@ -100,9 +120,12 @@ object FieldIndex {
       .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
       .select(col("atype").as("rt"), col("src_id").as("owner_id"),
         col("dst_id").as("ae_id"))
+    // materialize once: the emptiness guard would otherwise run the full
+    // store-atoms scan + join a second time for the write it guards
     val delta = newVals.join(fromTx.unionByName(stored).distinct(), "ae_id")
       .select(col("rt"), vhashOfCols.as("vhash"), col("ae_id"),
         col("owner_id"), col("tx_slice"))
+      .localCheckpoint(true)
     if (!delta.isEmpty)
       delta.write.mode(SaveMode.Append).partitionBy("rt").parquet(indexPath)
   }

@@ -82,9 +82,16 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
         val evict = size() > Graph.MaxCachedSlices
         // only unpersist tables THIS graph pinned: a borrowed seed (the
         // prior frame's table, passed by reference for a no-new-values tx)
-        // is still the parent graph's live cache
-        if (evict && !borrowedSeeds.contains(e.getKey))
-          e.getValue.unpersist(false)
+        // is still the parent graph's live cache. The bookkeeping must
+        // leave WITH the entry: a later on-demand rebuild of this slice
+        // is an OWNED fresh aggregate — a stale borrowed flag would make
+        // it unevictable forever, and a stale seeded depth would
+        // misreport lineage for a depth-0 rebuild.
+        if (evict) {
+          if (!borrowedSeeds.contains(e.getKey)) e.getValue.unpersist(false)
+          borrowedSeeds -= e.getKey
+          seededDepth -= e.getKey
+        }
         evict
       }
     }
@@ -156,7 +163,11 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
     * observed schema as (kind, atype) counts, relations annotated with
     * endpoint types via self-joins on the atoms table. */
   def blueprint: DataFrame = {
-    val a = atoms
+    // interval-row dedup: a terminate-then-reinstantiate atom carries one
+    // row per lifetime; the schema summary counts ATOMS, and a duplicated
+    // endpoint row would also fan the relation join out
+    val a = atoms.select(col("atom_id"), col("kind"), col("atype"),
+      col("src_id"), col("dst_id")).distinct()
     val ends = a.select(col("atom_id"), col("atype").as("end_type"))
     a.filter(col("kind") === Kind.Relation)
       .join(ends.withColumnRenamed("end_type", "src_type")
@@ -179,9 +190,15 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
     * out-degree is everywhere ≤1 (i.e. `Out[rt]` is safe vs `Outs[rt]`).
     * Derived, never materialized as delegate atoms (SURVEY §7.4). */
   def schemaRegistry: DataFrame = {
+    // interval-row dedup, same reason as blueprint: counts and the
+    // unique_out inference are per ATOM — a re-instantiated endpoint or
+    // relation would otherwise inflate n and flip unique_out to false
+    // for a genuinely unique relation (yo dedups identically)
     val ends = atoms.select(col("atom_id"), col("atype").as("t"),
-      col("kind").as("k"))
+      col("kind").as("k")).distinct()
     val rels = atoms.filter(col("kind") === Kind.Relation)
+      .select(col("atom_id"), col("atype"), col("src_id"), col("dst_id"))
+      .distinct()
       .join(ends.select(col("atom_id").as("src_id"), col("t").as("src_type"),
         col("k").as("src_kind")), Seq("src_id"), "left")
       .join(ends.select(col("atom_id").as("dst_id"), col("t").as("dst_type"),
@@ -259,12 +276,23 @@ object Graph {
       .agg(min_by(struct(atomCols: _*),
         coalesce(col("term_slice"), lit(Int.MaxValue))).as("__r"))
       .select("__r.*")
+    // DETERMINISTIC dedup for the other three tables: dropDuplicates on a
+    // key subset keeps a partition-order-dependent survivor, so two
+    // graphs carrying DIVERGENT same-key rows (same ae_id+slice,
+    // different payload — fabricated overlapping histories) would merge
+    // differently run to run. min_by over the full row struct picks the
+    // least payload, every run, both sides agree.
+    def dedupBy(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val cols = df.columns.map(col)
+      df.groupBy(keys.map(col): _*)
+        .agg(min_by(struct(cols: _*), struct(cols: _*)).as("__r"))
+        .select("__r.*")
+    }
     Graph(
       mergedAtoms,
-      a.values.unionByName(b.values)
-        .dropDuplicates(Seq("ae_id", "tx_slice", "vtype")),
-      a.txs.unionByName(b.txs).dropDuplicates("tx_id"),
-      a.tags.unionByName(b.tags).dropDuplicates(Seq("tag", "tx_slice")))
+      dedupBy(a.values.unionByName(b.values), Seq("ae_id", "tx_slice", "vtype")),
+      dedupBy(a.txs.unionByName(b.txs), Seq("tx_id")),
+      dedupBy(a.tags.unionByName(b.tags), Seq("tag", "tx_slice")))
   }
 
   /** Cross-graph merge by ETERNAL identity — zef's origin_uid semantics
@@ -373,7 +401,7 @@ final case class GraphSlice(graph: Graph, slice: Int) {
   def selectByFieldIndexed(index: org.apache.spark.sql.DataFrame, et: String,
       rt: String, vcol: String, value: Any): AtomSet = {
     val cand = index.filter(col("rt") === rt &&
-        col("vhash") === FieldIndex.vhashOf(value) && col("tx_slice") <= slice)
+        col("vhash") === FieldIndex.vhashOf(vcol, value) && col("tx_slice") <= slice)
       .select("ae_id").distinct()
     val currentHits = graph.values.filter(col("tx_slice") <= slice)
       .join(cand, Seq("ae_id"), "left_semi")
@@ -392,9 +420,13 @@ final case class GraphSlice(graph: Graph, slice: Int) {
       col("kind") === Kind.Relation && col("atype") === rt && Graph.aliveAt(slice))
       .join(currentHits.withColumnRenamed("ae_id", "dst_id"), "dst_id")
       .select(col("src_id").as("atom_id"))
+    // LEFT SEMI: an entity owning SEVERAL matching field instances (two
+    // instanced AEs both equal to the probe) must appear once, not fan
+    // out every downstream join — the semi join dedups without the extra
+    // exchange a distinct() would add
     AtomSet(this, graph.atoms.filter(
       col("kind") === Kind.Entity && col("atype") === et && Graph.aliveAt(slice))
-      .join(owners, "atom_id"))
+      .join(owners, Seq("atom_id"), "left_semi"))
   }
 
   /** Tag lookup `g[tag]` as of this frame (zef tag resolution,
@@ -655,7 +687,11 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       .join(AtomSet.pruneToFields(frame, rtNames), "ae_id")
       .groupBy(col("atom_id"))
       .pivot("atype", rtNames)
-      .agg(max_by(struct(vcols.map(col): _*), col("tx_slice")))
+      // ae_id tie-break: two INSTANCES of the same field assigned in one
+      // tx share tx_slice — without the secondary key the pivot's winner
+      // is partitioning-dependent
+      .agg(max_by(struct(vcols.map(col): _*),
+        struct(col("tx_slice"), col("ae_id"))))
     val out = rts.map { case (rt, vcol, as) => col(s"`$rt`.$vcol").as(as) }
     df.select("atom_id")
       .join(resolved, Seq("atom_id"), "left")
@@ -716,14 +752,18 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       .select(col("atom_id"), lit("endpoint").as("section"),
         col("__e.l").as("label"), col("__e.d").as("detail"), one, noAt)
 
+    // LEFT joins on the tx timestamp throughout: a merged or
+    // externally-constructed graph may lack a txs row for some slice —
+    // the report keeps the fact with a null timestamp instead of
+    // silently dropping the row
     val txTs = frame.graph.txs.select(col("tx_id"), col("ts"))
     val inst = me.select(col("atom_id"), col("inst_slice"))
-      .join(txTs.withColumnRenamed("tx_id", "inst_slice"), "inst_slice")
+      .join(txTs.withColumnRenamed("tx_id", "inst_slice"), Seq("inst_slice"), "left")
       .select(col("atom_id"), lit("history").as("section"),
         lit("instantiated").as("label"), noDetail, one, col("ts").as("at"))
     val term = me.filter(col("term_slice").isNotNull && col("term_slice") <= slice)
       .select(col("atom_id"), col("term_slice"))
-      .join(txTs.withColumnRenamed("tx_id", "term_slice"), "term_slice")
+      .join(txTs.withColumnRenamed("tx_id", "term_slice"), Seq("term_slice"), "left")
       .select(col("atom_id"), lit("history").as("section"),
         lit("terminated").as("label"), noDetail, one, col("ts").as("at"))
 
@@ -791,7 +831,7 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
       .otherwise(date_format(v("v_ts"), "yyyy-MM-dd HH:mm:ss"))
     val fieldRows = assigns
       .join(txTs.withColumnRenamed("tx_id", "__ts_slice"),
-        v("tx_slice") === col("__ts_slice"))
+        v("tx_slice") === col("__ts_slice"), "left")
       .select(col("atom_id"), lit("field").as("section"),
         col("__rt").as("label"), rendered.as("detail"), col("n"),
         col("ts").as("at"))

@@ -96,8 +96,15 @@ object GraphEncoder {
       }
       df.select(Seq(aeId.as("ae_id"), lit(instSlice).as("tx_slice"),
         lit(vtype).as("vtype")) ++ typed: _*)
-    }.reduceOption(_ unionByName _).getOrElse(
-      df.sparkSession.emptyDataFrame)
+    }.reduceOption(_ unionByName _).getOrElse {
+      // empty VALUES must still carry the ValueRow schema: a zero-column
+      // emptyDataFrame constructs a Graph fine but throws on the first
+      // read (latestValues filters tx_slice) or unionByName downstream
+      import org.apache.spark.sql.Encoders
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Encoders.product[ValueRow].schema)
+    }
     (atoms, values)
   }
 

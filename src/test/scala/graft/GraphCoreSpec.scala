@@ -93,6 +93,21 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("both an entity and a relation"))
   }
 
+  test("select_by_field returns an entity ONCE when several instances match") {
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("User", "u1"),
+      PutField("u1", "Score", 5.0, instanceKey = "a"),
+      PutField("u1", "Score", 5.0, instanceKey = "b"),
+      PutEntity("User", "u2"),
+      PutField("u2", "Score", 5.0)))
+    // u1 owns TWO matching instanced AEs — one output row, not a fan-out
+    // into every downstream join
+    val hit = g.now.selectByField("User", "Score", "v_double", 5.0)
+    assert(hit.df.count() == 2)
+    assert(hit.df.select("atom_id").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("e:User/u1", "e:User/u2"))
+  }
+
   test("atypeOfId (driver) and atypeFromId (column) are one contract") {
     import spark.implicits._
     val ids = Seq("ae:Score/e:U/1", "ae:Score#w1/e:U/1", "ae:tags[0]/1:$",

@@ -88,13 +88,14 @@ class GraphStoreSpec extends AnyFunSuite {
       """type Person {
         |  name: String! @search @relation(rt: "Name")
         |  age: Int @search @relation(rt: "Age")
+        |  score: Float @search @relation(rt: "Score")
         |  nick: String @relation(rt: "Nick")
         |}""".stripMargin)
-    assert(schema.searchRts.toSet == Set("Name", "Age")) // @search honored, Nick not indexed
+    assert(schema.searchRts.toSet == Set("Name", "Age", "Score"))
 
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
-      PutField("a", "Age", 30),
+      PutField("a", "Age", 30), PutField("a", "Score", 9.0),
       PutEntity("Person", "b"), PutField("b", "Name", "Bob"),
       PutField("b", "Age", 30)))
     val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
@@ -111,6 +112,14 @@ class GraphStoreSpec extends AnyFunSuite {
       == ids(loaded.now.selectByField("Person", "Name", "v_str", "Ann")))
     assert(ids(loaded.now.selectByFieldIndexed(idx, "Person", "Age", "v_long", 30))
       == Seq("e:Person/a", "e:Person/b"))
+    // COERCIBLE probe: the hash is keyed by the probed COLUMN's type —
+    // an Int probe against a v_double field must hash "d:9.0", not "l:9"
+    // (the runtime-type dispatch silently returned empty here, while
+    // selectByField's coercing === matched)
+    assert(ids(loaded.now.selectByFieldIndexed(idx, "Person", "Score", "v_double", 9))
+      == ids(loaded.now.selectByField("Person", "Score", "v_double", 9)))
+    assert(ids(loaded.now.selectByFieldIndexed(idx, "Person", "Score", "v_double", 9))
+      == Seq("e:Person/a"))
 
     // append maintenance: reassign Ann -> Ann2, index delta lands, as-of holds
     val (g2, r2) = Transactor.transact(g1, Seq(
