@@ -290,6 +290,18 @@ object GqlApi {
           outs :+= ((s.name, s.alias))
         } else if (schema.isEntity(fd.tpe)) {
           if (s.sels.map(_.name) == Seq("count")) {
+            // the plain hop counts ALL related entities — silently wrong
+            // under a filter: argument, and an information leak under the
+            // child type's @auth(query:) (it would count entities the
+            // caller cannot read). Reject loudly until a filtered count
+            // lowering exists.
+            require(s.args.fields.isEmpty,
+              s"relation count '${s.name}' does not support arguments — " +
+                "select the filtered fields and aggregate instead")
+            require(
+              authFilter(schema, schema.tpe(fd.tpe), "query", authClaims).isEmpty,
+              s"relation count '${s.name}' over @auth-protected type " +
+                s"'${fd.tpe}' is not supported")
             hops :+= GqlLite.Hop(fd.rt, fd.incoming, s.alias)
             outs :+= ((s.alias, s.alias))
           } else {
@@ -408,7 +420,11 @@ object GqlApi {
     }
     val userFilter = root.args.get("filter") match {
       case Some(o: VObj) => Some(compileFilter(schema, tpe, o))
-      case _ => None
+      // a malformed filter must fail like the query path's, not silently
+      // aggregate the whole type
+      case Some(other) => throw new IllegalArgumentException(
+        s"bad filter: $other")
+      case None => None
     }
     val cf = andCf(userFilter, authFilter(schema, tpe, "query", authClaims))
     val filterFields = cf.map(_.touched.toSeq.sorted).getOrElse(Nil)
@@ -479,6 +495,21 @@ object GqlApi {
               Some(GqlLite.In(uf.name, keys))))
             .select(col(uf.name), col("atom_id")).collect()
             .map(r => r.get(0) -> r.getString(1)).toMap
+          // @auth(update:) vets in-place updates exactly as update{T}
+          // does — resolved through the same auth-scoped path. An
+          // unauthorized existing holder is a LOUD reject, never a
+          // silent overwrite (the bypass) nor a silent duplicate create.
+          val authorizedIds: Set[String] =
+            authFilter(schema, tpe, "update", authClaims) match {
+              case None => hits.values.toSet
+              case Some(_) if hits.isEmpty => Set.empty
+              case Some(_) =>
+                val keyVs = inputs.map(in => in.get(uf.name).get)
+                resolveIds(g, schema, tpe,
+                  Some(VObj(Seq((uf.name,
+                    VObj(Seq(("in", VList(keyVs.toSeq)))))))),
+                  authFilter(schema, tpe, "update", authClaims)).toSet
+            }
           inputs.zip(keys).map { case (in, key) =>
             val fields = in.fields.filterNot(_._1 == "id").map { case (fname, v) =>
               val fd = tpe.field(fname)
@@ -488,6 +519,9 @@ object GqlApi {
             }.toMap
             hits.get(key) match {
               case Some(id) =>
+                require(authorizedIds.contains(id),
+                  s"upfetch: not authorized to update ${tpe.name} " +
+                    s"'${uf.name}' = $key")
                 // the key field re-assigns its own value: idempotent
                 GqlLite.UpdateEntity(id, fields)
               case None =>
@@ -591,7 +625,12 @@ object GqlApi {
     // Spark jobs regardless of batch size); a per-object MutationHook
     // keeps its driver loop as the compatibility contract
     val groups = affected.map { case (kind, et, _, _) => (kind, et) }.distinct
-    val extras = groups.flatMap { case (kind, et) =>
+    // a hook that THROWS (validation reject) aborts the mutation — the
+    // tentative graph is discarded on that path too, so its seeded
+    // derived tables must release or every rejected mutation leaks one
+    // persisted block until GC
+    val extras =
+      try groups.flatMap { case (kind, et) =>
       val ids = affected.collect { case (`kind`, `et`, key, isTxKey) =>
         // resolve an AddEntity's tx-local key via the deterministic id
         // scheme, NOT the receipt: the receipt map is keyed by bare
@@ -608,7 +647,7 @@ object GqlApi {
           ids.flatMap(id =>
             run(GqlHooks.HookCtx(before, after, id, et, kind)))
       }
-    }
+      } catch { case t: Throwable => tg.releaseDerived(); throw t }
     if (extras.isEmpty) tentative
     else {
       // the tentative graph is discarded — release the derived tables its
@@ -681,11 +720,19 @@ object GqlApi {
     val o = asObj(filterV.getOrElse(
       throw new IllegalArgumentException("mutation needs filter:")))
     // fast path: pure id filter needs no plan at all — unless an @auth
-    // expression must vet the targets too
+    // expression must vet the targets too. The id must carry THIS type's
+    // prefix: passing it through verbatim let deleteUser terminate a Post
+    // atom (and fire Post's hooks) whenever no auth was declared, while
+    // the auth path resolved the same wrong-type id to zero rows.
+    def vetted(s: String): String = {
+      require(s.startsWith(s"e:${tpe.name}/"),
+        s"mutation filter id '$s' is not a ${tpe.name} id")
+      s
+    }
     if (auth.isEmpty) o.fields match {
-      case Seq(("id", VStr(s))) => return Seq(s)
+      case Seq(("id", VStr(s))) => return Seq(vetted(s))
       case Seq(("id", VList(ids))) =>
-        return ids.map { case VStr(s) => s; case other =>
+        return ids.map { case VStr(s) => vetted(s); case other =>
           throw new IllegalArgumentException(s"bad id $other") }
       case _ => ()
     }

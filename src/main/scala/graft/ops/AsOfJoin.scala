@@ -53,6 +53,7 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"right value columns clash with left: ${clash.mkString(", ")} — alias them first")
     require(rightVals.nonEmpty, "right side carries no value columns")
+    requireNoReserved(left, right)
     val hist = right.groupBy(on.map(col): _*)
       .agg(sort_array(collect_list(
         struct(col(rightTime).as("__rt") +: rightVals.map(col): _*)))
@@ -71,6 +72,17 @@ object AsOfJoin {
         rightVals.map(v => when(ok, m.getField(v)).as(v)): _*)
   }
 
+  /** Inputs carrying the lowering's internal names would be silently
+    * overwritten (`withColumn` replaces) or make the packed struct's
+    * field lookup ambiguous — reject loudly, like the value-clash check. */
+  private def requireNoReserved(left: DataFrame, right: DataFrame): Unit = {
+    val reserved = Set("__t", "__r", "__side", "__m", "__hist", "__rt")
+    val bad = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(bad.isEmpty,
+      s"as-of join: column names ${bad.mkString(", ")} are reserved by the " +
+        "lowering — alias them first")
+  }
+
   private def joinImpl(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, toleranceSec: Option[Double],
       fwd: Boolean): DataFrame = {
@@ -79,6 +91,7 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"right value columns clash with left: ${clash.mkString(", ")} — alias them first")
     require(rightVals.nonEmpty, "right side carries no value columns")
+    requireNoReserved(left, right)
 
     // right rows pack their payload into one struct; left rows carry null.
     // side 0 = right sorts BEFORE side 1 = left at equal time in both

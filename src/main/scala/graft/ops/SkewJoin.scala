@@ -30,8 +30,22 @@ object SkewJoin {
         "full_outer").contains(joinType.toLowerCase),
       "salted join preserves left/inner semantics; for right/full outer, " +
         "swap the sides or dedupe the replicated side's unmatched rows")
+    // hash only the hashable columns: Spark's hash() rejects MapType
+    // anywhere in the input (a plain join handles such frames fine, so
+    // the salted variant must too). Rows identical across every hashable
+    // column land in one salt bucket — determinism over perfect spread.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = skewed.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(hashCols.nonEmpty,
+      "salted join: no hashable columns to derive a deterministic salt")
     val s = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col): _*), lit(salt)))
+      pmod(hash(hashCols.toSeq: _*), lit(salt)))
     val o = other.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     s.join(o, on :+ "__salt", joinType).drop("__salt")

@@ -338,6 +338,47 @@ class GqlParserSpec extends AnyFunSuite {
     assert(g3.now.all("Doc").count() == 2)
   }
 
+  test("@auth(update:) vets upfetch in-place updates; wrong-type fast-path " +
+      "ids reject") {
+    val authSdl =
+      """type Doc @auth(update: "{owner: {eq: $email}}") {
+        |  sku: String! @unique @upfetch
+        |  owner: String!
+        |  title: String!
+        |}""".stripMargin
+    val schema = GqlParser.parseSchema(authSdl)
+    val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation { addDoc(input: [{sku: "A", owner: "ann@x", title: "A1"}]) }""")
+    // bob's claims cannot overwrite ann's doc through the upsert side door
+    // (this was a full @auth bypass: upfetch updated without any vetting);
+    // an unauthorized existing key is a LOUD reject, not a silent
+    // duplicate create
+    val e = intercept[IllegalArgumentException] {
+      GqlApi.mutate(g, schema,
+        """mutation { upfetchDoc(input: [{sku: "A", title: "stolen"}]) }""",
+        authClaims = Some(Map("email" -> "bob@x")))
+    }
+    assert(e.getMessage.contains("not authorized"))
+    // ann's claims update in place as before
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation { upfetchDoc(input: [{sku: "A", title: "A2"}]) }""",
+      authClaims = Some(Map("email" -> "ann@x")))
+    assert(g2.now.all("Doc").count() == 1)
+    assert(GqlApi.query(g2.now, schema,
+        """{ queryDoc { title } }""").collect()(0).getString(0) == "A2")
+    // no-auth fast path: a pure-id mutation filter must carry THIS
+    // type's prefix (deleteDoc on a User id used to terminate the User)
+    val plain = GqlParser.parseSchema(
+      "type Doc { sku: String! @unique\n title: String! }")
+    val (gp, _) = GqlApi.mutate(Graph.empty(spark), plain,
+      """mutation { addDoc(input: [{id: "d1", sku: "A", title: "T"}]) }""")
+    val e2 = intercept[IllegalArgumentException] {
+      GqlApi.mutate(gp, plain,
+        """mutation { deleteDoc(filter: {id: "e:User/u9"}) }""")
+    }
+    assert(e2.getMessage.contains("not a Doc id"))
+  }
+
   /** seeded users + transactions linked through rt "User"
     * (Transaction --User--> User; User.transactions is @incoming). */
   def linked: (Graph, GqlParser.SchemaDef) = {
