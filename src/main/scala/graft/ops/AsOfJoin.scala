@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * Left-join semantics: unmatched (or out-of-tolerance) left rows keep
   * nulls in the right-value columns. Matching is INCLUSIVE at equal
   * timestamps (DuckDB `l.ts >= r.ts` convention).
+  *
+  * Tie contract: when several right rows share the winning (key, time),
+  * the winner is the MAXIMUM payload struct — lexicographic over the
+  * right value columns in column order — in BOTH lowerings
+  * ([[backwardSmallRight]]'s `sort_array` + `element_at(-1)` and the
+  * union+window path's `__r` in the window ordering), so results are
+  * partitioning-independent and the two paths agree row-for-row. The
+  * one exception: a right payload containing a non-orderable column
+  * (map) cannot participate in an ordering — the window path then falls
+  * back to the (time, side)-only ordering, and the tie winner among
+  * duplicate (key, time) right rows is unspecified.
   */
 object AsOfJoin {
 
@@ -108,8 +119,18 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
 
     val ord = if (fwd) col("__t").desc else col("__t").asc
+    // `__r asc` breaks duplicate-(key, time) right rows by max payload
+    // struct — the row sorting LAST wins under last() — mirroring
+    // backwardSmallRight's element_at(-1) over the sorted history, so the
+    // winner is partitioning-independent. Left rows carry a null __r and
+    // always sort by (__t, __side) alone. Non-orderable payloads (map
+    // columns) cannot enter an ordering; those keep the legacy
+    // unspecified-tie behavior rather than failing analysis.
+    val tieOrd =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rType))
+        Seq(col("__r").asc) else Nil
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(ord, col("__side").asc)
+      .orderBy(ord +: col("__side").asc +: tieOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lPre.unionByName(rPre, allowMissingColumns = true)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -429,9 +429,12 @@ object ZOps {
       * tasks at any scale), while the aggregate keeps map-side partial
       * combine and stays balanced at any key cardinality. Ties under
       * `order` break deterministically by the remaining row columns
-      * (extremum of the full packed row). Requires order-able types
-      * throughout the row (no map columns) — for map payloads or
-      * mixed-direction sort expressions use distinctBy. */
+      * (extremum of the full packed row). A frame carrying a
+      * non-orderable column (map) cannot be packed into a min/max struct;
+      * such frames fall back to the row_number window lowering ordered by
+      * (order, then the orderable remaining columns) — still
+      * deterministic unless two rows differ ONLY in their non-orderable
+      * payloads. Mixed-direction sort expressions: use distinctBy. */
     def maxBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
       topOnePerGroup(partition, order, asc = false)
     def minBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
@@ -439,12 +442,25 @@ object ZOps {
 
     private def topOnePerGroup(partition: Seq[Column], order: Seq[Column],
         asc: Boolean): DataFrame = {
-      val packed = struct(
-        order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } ++
-          df.columns.map(col): _*)
-      val top = if (asc) min(packed) else max(packed)
-      df.groupBy(partition: _*).agg(top.as("__top"))
-        .select(df.columns.map(c => col("__top").getField(c).as(c)): _*)
+      import org.apache.spark.sql.catalyst.expressions.RowOrdering
+      val orderable = df.schema.fields.forall(f => RowOrdering.isOrderable(f.dataType))
+      if (orderable) {
+        val packed = struct(
+          order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } ++
+            df.columns.map(col): _*)
+        val top = if (asc) min(packed) else max(packed)
+        df.groupBy(partition: _*).agg(top.as("__top"))
+          .select(df.columns.map(c => col("__top").getField(c).as(c)): _*)
+      } else {
+        // map-bearing frames: the hash-agg struct would fail analysis —
+        // take the window path, tie-breaking by every orderable column.
+        val tieCols = df.schema.fields
+          .filter(f => RowOrdering.isOrderable(f.dataType)).map(f => col(f.name))
+        val full = (order ++ tieCols).map(c => if (asc) c.asc else c.desc)
+        val w = Window.partitionBy(partition: _*).orderBy(full: _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     }
 
     /** Skew-salted join — DSL face of [[graft.ops.SkewJoin.saltedJoin]]

@@ -217,6 +217,47 @@ object Misc {
              |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
       Seq("asof_join", "time_travel", "group_by")),
 
+    // As-of join over a right side where EVERY (key, ts) is duplicated —
+    // pins the tie contract (AsOfJoin doc): among duplicate right
+    // (key, ts) rows the winner is the max payload struct, mirrored by
+    // both lowerings. Purchases are unioned with a value-1000 shadow copy
+    // at identical timestamps, so every match is a tie and the winner
+    // must be the ORIGINAL (higher) value; the oracle expresses the same
+    // contract as a pre-aggregation to max(value) per (user_id, ts) —
+    // exactly what "max payload struct" means for a single payload
+    // column — then a plain ASOF JOIN over the now-unique right side.
+    QueryDef(
+      "asof_join_dup_ties",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("p_value"))
+        val dup = purchases.unionByName(
+          purchases.withColumn("p_value", col("p_value") - 1000.0))
+        graft.ops.AsOfJoin.backward(clicks, dup, Seq("user_id"), "ts", "ts")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count(col("p_value")).as("n_matched"),
+            round(sum(col("p_value")), 3).as("matched_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, value - 1000.0 FROM events WHERE event_type = 'purchase'),
+             |r AS (
+             |  SELECT user_id, ts, max(value) AS p_value FROM p GROUP BY user_id, ts)
+             |SELECT l.user_id AS user_id, count(*) AS n_clicks,
+             |  count(r.p_value) AS n_matched,
+             |  round(sum(r.p_value), 3) AS matched_sum
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
+      Seq("asof_join", "tie_break", "group_by")),
+
     // Salted equi-join under a genuinely hot key: events carry only a
     // handful of event_type values, so a plain hash join on event_type
     // pins whole executors at scale — SkewJoin.saltedJoin spreads each

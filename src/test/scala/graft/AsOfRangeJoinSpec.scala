@@ -84,6 +84,42 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("asof tie contract: duplicate right (key, ts) breaks by max payload, both paths agree") {
+    import spark.implicits._
+    // three right rows share (a, 20); winner must be the max payload
+    // struct ("r2c") in BOTH lowerings, independent of partitioning.
+    val l = Seq(("a", 20L, "l1"), ("a", 25L, "l2"), ("b", 9L, "l3"))
+      .toDF("k", "t", "lv")
+    val dupR = Seq(
+      ("a", 20L, "r2a"), ("a", 20L, "r2c"), ("a", 20L, "r2b"),
+      ("a", 12L, "r1"), ("b", 6L, "r4"), ("b", 6L, "r0"))
+      .toDF("k", "t", "rv").repartition(7) // scramble physical order
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getAs[String]("k"), row.getAs[Long]("t"),
+        Option(row.getAs[String]("rv")))).toSet
+    val win = AsOfJoin.backward(l, dupR, Seq("k"), "t", "t")
+    val small = AsOfJoin.backwardSmallRight(l, dupR, Seq("k"), "t", "t")
+    assert(canon(win) == canon(small))
+    val m = canon(win).map { case (k, t, rv) => (k, t) -> rv }.toMap
+    assert(m(("a", 20L)) == Some("r2c"))
+    assert(m(("a", 25L)) == Some("r2c"))
+    assert(m(("b", 9L)) == Some("r4"))
+    // forward direction honors the same max-payload tie contract
+    val fwd = AsOfJoin.forward(l, dupR, Seq("k"), "t", "t")
+    val fm = canon(fwd).map { case (k, t, rv) => (k, t) -> rv }.toMap
+    assert(fm(("a", 20L)) == Some("r2c"))
+  }
+
+  test("asof with a non-orderable (map) payload still plans and matches on time") {
+    import spark.implicits._
+    val l = Seq(("a", 20L, "l1")).toDF("k", "t", "lv")
+    val r = Seq(("a", 12L, Map("x" -> 1)), ("a", 30L, Map("y" -> 2)))
+      .toDF("k", "t", "mv")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "t", "t").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Map[String, Int]]("mv") == Map("x" -> 1))
+  }
+
   test("asof keeps every left row (left-join semantics)") {
     import spark.implicits._
     val out = AsOfJoin.backward(leftRows.toDF("k", "t", "lv"),

@@ -119,6 +119,24 @@ class OpsSpec extends AnyFunSuite {
     assert(dLast.agg(sum("id")).collect()(0).getLong(0) == 16 + 17 + 18 + 19 + 20)
   }
 
+  test("maxBy/minBy on a map-bearing frame fall back to the window lowering") {
+    val s = spark; import s.implicits._
+    // a map column cannot enter a min/max struct — the hash-agg lowering
+    // would fail analysis; the fallback must still pick the extreme row
+    // per group with ties broken by the orderable columns.
+    val df = Seq(
+      ("a", 3L, Map("x" -> 1)), ("a", 7L, Map("y" -> 2)),
+      ("a", 7L, Map("z" -> 3)), ("b", 1L, Map("w" -> 4)))
+      .toDF("g", "v", "payload").repartition(5)
+    val mx = df.maxBy(Seq(col("g")), Seq(col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mx == Map("a" -> 7L, "b" -> 1L))
+    val mn = df.minBy(Seq(col("g")), Seq(col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mn == Map("a" -> 3L, "b" -> 1L))
+    assert(df.maxBy(Seq(col("g")), Seq(col("v"))).count() == 2)
+  }
+
   test("groupConsecutive sessionizes runs") {
     val s = spark; import s.implicits._
     val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a"), (5, "a"), (6, "a"))
