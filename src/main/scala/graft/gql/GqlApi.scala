@@ -226,6 +226,20 @@ object GqlApi {
       compileFilter(schema, tpe, GqlParser.parseFilterObject(expr, c))
     }
 
+  /** The reference's auth fallback chain (pass_auth_generic,
+    * generate_api2.py:1207-1214): the FIRST declared rule among `keys`
+    * governs — e.g. pre-update auth is `update:` if declared, else
+    * `query:`; no rule in the chain means unrestricted. Chains:
+    * query=[query], add=[add, query], pre-update=[update, query],
+    * post-update=[updatePost, update, query],
+    * delete=[delete, update, query] (pass_add_auth/pass_pre_update_auth/
+    * pass_post_update_auth/pass_delete_auth, :1230-1248). */
+  private def authFilterChain(schema: SchemaDef, tpe: TypeDef,
+      keys: Seq[String], claims: Option[Map[String, Any]])
+      : Option[CompiledFilter] =
+    keys.find(tpe.auth.contains).flatMap(k =>
+      authFilter(schema, tpe, k, claims))
+
   /** AND two optional compiled filters, merging their join requirements. */
   private def andCf(a: Option[CompiledFilter], b: Option[CompiledFilter])
       : Option[CompiledFilter] = (a, b) match {
@@ -500,7 +514,8 @@ object GqlApi {
           // unauthorized existing holder is a LOUD reject, never a
           // silent overwrite (the bypass) nor a silent duplicate create.
           val authorizedIds: Set[String] =
-            authFilter(schema, tpe, "update", authClaims) match {
+            authFilterChain(schema, tpe, Seq("update", "query"),
+                authClaims) match {
               case None => hits.values.toSet
               case Some(_) if hits.isEmpty => Set.empty
               case Some(_) =>
@@ -508,7 +523,8 @@ object GqlApi {
                 resolveIds(g, schema, tpe,
                   Some(VObj(Seq((uf.name,
                     VObj(Seq(("in", VList(keyVs.toSeq)))))))),
-                  authFilter(schema, tpe, "update", authClaims)).toSet
+                  authFilterChain(schema, tpe, Seq("update", "query"),
+                    authClaims)).toSet
             }
           inputs.zip(keys).map { case (in, key) =>
             val fields = in.fields.filterNot(_._1 == "id").map { case (fname, v) =>
@@ -537,7 +553,7 @@ object GqlApi {
           val input = asObj(root.args.get("input").getOrElse(
             throw new IllegalArgumentException("update needs input:")))
           val ids = resolveIds(g, schema, tpe, input.get("filter"),
-            authFilter(schema, tpe, "update", authClaims))
+            authFilterChain(schema, tpe, Seq("update", "query"), authClaims))
           val setFields = input.get("set").map(asObj).map(_.fields.map {
             case (fname, v) =>
               val fd = tpe.field(fname)
@@ -570,13 +586,14 @@ object GqlApi {
         case n if n.startsWith("delete") =>
           val tpe = schema.tpe(n.stripPrefix("delete"))
           resolveIds(g, schema, tpe, root.args.get("filter"),
-            authFilter(schema, tpe, "delete", authClaims))
+            authFilterChain(schema, tpe, Seq("delete", "update", "query"),
+              authClaims))
             .map(GqlLite.DeleteEntity(_))
         case other => throw new IllegalArgumentException(
           s"unknown mutation root '$other'")
       }
     }
-    commitWithHooks(g, schema, muts, auth)
+    commitWithHooks(g, schema, muts, auth, authClaims)
   }
 
   /** Entity atom ids encode their type ("e:ET/key", Transactor id scheme) —
@@ -597,7 +614,15 @@ object GqlApi {
     * not re-applied to hook writes (schema-author code, not user input). */
   private def commitWithHooks(g: Graph, schema: SchemaDef,
       muts: Seq[GqlLite.Mutation],
-      auth: Option[(GraphSlice, String) => Boolean]): (Graph, Receipt) = {
+      auth: Option[(GraphSlice, String) => Boolean],
+      authClaims: Option[Map[String, Any]] = None): (Graph, Receipt) = {
+    // post-commit auth (commit_with_post_checks): vet against the FINAL
+    // post-write frame; failure discards the tentative graph atomically
+    def vetted(t: (Graph, Receipt)): (Graph, Receipt) = {
+      try postMutationAuth(t._1, schema, muts, authClaims)
+      catch { case th: Throwable => t._1.releaseDerived(); throw th }
+      t
+    }
     // affected objects in mutation order, once per (event, TYPE, object) —
     // the type is part of the key so addA(id:"x") + addB(id:"x") in one
     // document (tx-LOCAL input keys) fires BOTH types' onCreate hooks
@@ -616,7 +641,7 @@ object GqlApi {
         seen.add((kind, et, key))
     }
     val tentative = GqlLite.mutate(g, muts, auth, schema.constraints)
-    if (affected.isEmpty) return tentative
+    if (affected.isEmpty) return vetted(tentative)
     val (tg, trec) = tentative
     val before = g.now
     val after = tg.now
@@ -648,13 +673,58 @@ object GqlApi {
             run(GqlHooks.HookCtx(before, after, id, et, kind)))
       }
       } catch { case t: Throwable => tg.releaseDerived(); throw t }
-    if (extras.isEmpty) tentative
+    if (extras.isEmpty) vetted(tentative)
     else {
       // the tentative graph is discarded — release the derived tables its
       // transact seeded, or the persisted block lingers until GC
       tg.releaseDerived()
-      GqlLite.mutate(g, muts ++ extras, None, schema.constraints)
+      vetted(GqlLite.mutate(g, muts ++ extras, None, schema.constraints))
     }
+  }
+
+  /** The reference's commit-time auth post-checks
+    * (commit_with_post_checks, generate_api2.py:1310-1341): every object
+    * CREATED by the mutation must pass @auth(add:) — falling back to
+    * query: — and every object UPDATED must pass @auth(updatePost:) —
+    * falling back to update:, then query: — both evaluated against the
+    * post-write frame, so a create (or an update) that lands outside the
+    * caller's authorized subset aborts the whole mutation. User
+    * mutations only; hook follow-ups are schema-author code (same
+    * contract as the pass-1 auth predicate). One plan per (type, kind) —
+    * an In(atom_id) probe AND-ed with the compiled auth filter. */
+  private def postMutationAuth(g2: Graph, schema: SchemaDef,
+      muts: Seq[GqlLite.Mutation],
+      claims: Option[Map[String, Any]]): Unit = {
+    val created = muts.collect { case GqlLite.AddEntity(et, key, _) =>
+      et -> graft.core.Transactor.atomId(graft.core.Kind.Entity, et, key) }
+    val updated = muts.flatMap {
+      case GqlLite.UpdateEntity(id, _) => etOfAtomId(id).map(_ -> id)
+      case GqlLite.RemoveField(id, _, _) => etOfAtomId(id).map(_ -> id)
+      case _ => None
+    }
+    def vet(kind: String, chain: Seq[String],
+        objs: Seq[(String, String)]): Unit =
+      objs.groupBy(_._1).foreach { case (et, pairs) =>
+        schema.types.get(et).foreach { tpe =>
+          authFilterChain(schema, tpe, chain, claims).foreach { cf =>
+            val ids = pairs.map(_._2).distinct
+            val f = GqlLite.And(GqlLite.In("atom_id", ids), cf.f)
+            val fieldSpecs = cf.touched.toSeq.sorted
+              .filterNot(_ == "atom_id").map { fn =>
+                val fd = tpe.field(fn)
+                (fd.rt, vcolOf(schema, fd), fn)
+              }
+            val ok = GqlLite.run(g2.now, GqlLite.Query(et, fieldSpecs,
+                Some(f), hops = cf.hops, condHops = cf.condHops))
+              .select("atom_id").collect().map(_.getString(0)).toSet
+            val denied = ids.filterNot(ok)
+            if (denied.nonEmpty) throw new SecurityException(
+              s"$kind auth check failed for $et: ${denied.mkString(", ")}")
+          }
+        }
+      }
+    vet("add", Seq("add", "query"), created)
+    vet("post-update", Seq("updatePost", "update", "query"), updated)
   }
 
   /** Compile one add-input object for `tpe` into its AddEntity plus any

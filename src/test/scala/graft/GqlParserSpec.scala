@@ -301,14 +301,19 @@ class GqlParserSpec extends AnyFunSuite {
         |  title: String!
         |}""".stripMargin
     val schema = GqlParser.parseSchema(authSdl)
-    val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
+    // add auth falls back to the query rule (pass_add_auth) — each owner
+    // seeds their own docs under their own claims
+    val (gAnn, _) = GqlApi.mutate(Graph.empty(spark), schema,
       """mutation {
         |  addDoc(input: [
         |    {id: "d1", owner: "ann@x", title: "A1"},
-        |    {id: "d2", owner: "ann@x", title: "A2"},
-        |    {id: "d3", owner: "bob@x", title: "B1"}
+        |    {id: "d2", owner: "ann@x", title: "A2"}
         |  ])
-        |}""".stripMargin)
+        |}""".stripMargin,
+      authClaims = Some(Map("email" -> "ann@x")))
+    val (g, _) = GqlApi.mutate(gAnn, schema,
+      """mutation { addDoc(input: [{id: "d3", owner: "bob@x", title: "B1"}]) }""",
+      authClaims = Some(Map("email" -> "bob@x")))
     def titles(claims: Map[String, Any]) =
       GqlApi.query(g.now, schema,
         """{ queryDoc(order: {asc: title}) { title } }""",
@@ -377,6 +382,144 @@ class GqlParserSpec extends AnyFunSuite {
         """mutation { deleteDoc(filter: {id: "e:User/u9"}) }""")
     }
     assert(e2.getMessage.contains("not a Doc id"))
+  }
+
+  test("@auth(add:) vets every create path post-commit " +
+      "(pass_add_auth, generate_api2.py:1235-1236,1330-1333)") {
+    val schema = GqlParser.parseSchema(
+      """type Doc @auth(add: "{owner: {eq: $email}}") {
+        |  owner: String!
+        |  title: String!
+        |}""".stripMargin)
+    val ann = Some(Map[String, Any]("email" -> "ann@x"))
+    // authorized add: created object satisfies the add rule
+    val (g1, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation { addDoc(input: [{owner: "ann@x", title: "A"}]) }""",
+      authClaims = ann)
+    assert(g1.now.all("Doc").count() == 1)
+    // denied: created object lands OUTSIDE the caller's authorized subset
+    // — the whole mutation aborts, nothing is created
+    intercept[SecurityException] {
+      GqlApi.mutate(g1, schema,
+        """mutation { addDoc(input: [{owner: "bob@x", title: "B"}]) }""",
+        authClaims = ann)
+    }
+    // declared add auth + no claims = denial (tokenless reject)
+    intercept[SecurityException] {
+      GqlApi.mutate(g1, schema,
+        """mutation { addDoc(input: [{owner: "ann@x", title: "C"}]) }""")
+    }
+    // one bad row poisons the whole batch atomically
+    intercept[SecurityException] {
+      GqlApi.mutate(g1, schema,
+        """mutation { addDoc(input: [
+          |  {owner: "ann@x", title: "ok"},
+          |  {owner: "bob@x", title: "bad"}]) }""".stripMargin,
+        authClaims = ann)
+    }
+    assert(g1.now.all("Doc").count() == 1)
+
+    // add: SHADOWS query: in the fallback chain (first-present rule wins)
+    val shadow = GqlParser.parseSchema(
+      """type Pub @auth(query: "{owner: {eq: $email}}",
+        |              add: "{owner: {contains: \"@\"}}") {
+        |  owner: String!
+        |}""".stripMargin)
+    val (gp, _) = GqlApi.mutate(Graph.empty(spark), shadow,
+      """mutation { addPub(input: [{owner: "bob@x"}]) }""",
+      authClaims = ann) // query rule would deny bob's row; add rule allows
+    assert(gp.now.all("Pub").count() == 1)
+
+    // upfetch's CREATE branch is add-vetted too
+    val upSchema = GqlParser.parseSchema(
+      """type Item @auth(add: "{owner: {eq: $email}}") {
+        |  sku: String! @unique @upfetch
+        |  owner: String!
+        |}""".stripMargin)
+    val (gi, _) = GqlApi.mutate(Graph.empty(spark), upSchema,
+      """mutation { upfetchItem(input: [{sku: "s1", owner: "ann@x"}]) }""",
+      authClaims = ann)
+    assert(gi.now.all("Item").count() == 1)
+    intercept[SecurityException] {
+      GqlApi.mutate(gi, upSchema,
+        """mutation { upfetchItem(input: [{sku: "s2", owner: "bob@x"}]) }""",
+        authClaims = ann)
+    }
+
+    // nested {T}Ref create inside an un-authed parent is vetted as well
+    val nested = GqlParser.parseSchema(
+      """type Folder {
+        |  name: String!
+        |  docs: [Doc]
+        |}
+        |type Doc @auth(add: "{owner: {eq: $email}}") {
+        |  owner: String!
+        |  title: String!
+        |}""".stripMargin)
+    val (gf, _) = GqlApi.mutate(Graph.empty(spark), nested,
+      """mutation { addFolder(input: [
+        |  {name: "f", docs: [{owner: "ann@x", title: "A"}]}]) }""".stripMargin,
+      authClaims = ann)
+    assert(gf.now.all("Doc").count() == 1)
+    intercept[SecurityException] {
+      GqlApi.mutate(gf, nested,
+        """mutation { addFolder(input: [
+          |  {name: "g", docs: [{owner: "bob@x", title: "B"}]}]) }""".stripMargin,
+        authClaims = ann)
+    }
+    assert(gf.now.all("Folder").count() == 1)
+  }
+
+  test("post-update auth re-vets the NEW state " +
+      "(pass_post_update_auth, generate_api2.py:1242-1244,1333-1336)") {
+    val schema = GqlParser.parseSchema(
+      """type Acct @auth(update: "{owner: {eq: $email}}") {
+        |  owner: String!
+        |  score: Float
+        |}""".stripMargin)
+    val ann = Some(Map[String, Any]("email" -> "ann@x"))
+    // no add/query rule → unvetted seed
+    val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation { addAcct(input: [{id: "a1", owner: "ann@x", score: 1.0}]) }""")
+    // in-subset update: pre- and post-state both owned by the caller
+    val (g2, _) = GqlApi.mutate(g, schema,
+      """mutation { updateAcct(input: {filter: {id: "e:Acct/a1"},
+        |  set: {score: 2.0}}) }""".stripMargin, authClaims = ann)
+    assert(GqlApi.query(g2.now, schema,
+      """{ getAcct(id: "e:Acct/a1") { score } }""",
+      authClaims = ann).collect()(0).getAs[Double]("score") == 2.0)
+    // giving the object away: pre-check passes (ann owns it NOW) but the
+    // post-state fails the update rule → atomic abort
+    intercept[SecurityException] {
+      GqlApi.mutate(g2, schema,
+        """mutation { updateAcct(input: {filter: {id: "e:Acct/a1"},
+          |  set: {owner: "bob@x"}}) }""".stripMargin, authClaims = ann)
+    }
+    assert(GqlApi.query(g2.now, schema,
+      """{ getAcct(id: "e:Acct/a1") { owner } }""",
+      authClaims = ann).collect()(0).getAs[String]("owner") == "ann@x")
+
+    // a distinct updatePost: rule governs INSTEAD of update: for the
+    // post-check (first-present chain: updatePost, update, query)
+    val postSchema = GqlParser.parseSchema(
+      """type Gauge @auth(updatePost: "{level: {ge: 0.0}}") {
+        |  name: String! @unique
+        |  level: Float
+        |}""".stripMargin)
+    val claims = Some(Map[String, Any]())
+    val (h, _) = GqlApi.mutate(Graph.empty(spark), postSchema,
+      """mutation { addGauge(input: [{id: "g1", name: "t", level: 1.0}]) }""")
+    val (h2, _) = GqlApi.mutate(h, postSchema,
+      """mutation { updateGauge(input: {filter: {id: "e:Gauge/g1"},
+        |  set: {level: 3.0}}) }""".stripMargin, authClaims = claims)
+    assert(GqlApi.query(h2.now, postSchema,
+      """{ getGauge(id: "e:Gauge/g1") { level } }""").collect()(0)
+      .getAs[Double]("level") == 3.0)
+    intercept[SecurityException] {
+      GqlApi.mutate(h2, postSchema,
+        """mutation { updateGauge(input: {filter: {id: "e:Gauge/g1"},
+          |  set: {level: -1.0}}) }""".stripMargin, authClaims = claims)
+    }
   }
 
   /** seeded users + transactions linked through rt "User"
@@ -493,13 +636,13 @@ class GqlParserSpec extends AnyFunSuite {
     val schema = GqlParser.parseSchema(sdl2)
     val (g1, _) = GqlApi.mutate(Graph.empty(spark), schema,
       """mutation { addFolder(input: [{id: "f1", name: "shared"}]) }""")
-    val (g2, _) = GqlApi.mutate(g1, schema,
-      """mutation {
-        |  addDoc(input: [
-        |    {id: "d1", owner: "ann@x", title: "A1"},
-        |    {id: "d2", owner: "bob@x", title: "B1"}
-        |  ])
-        |}""".stripMargin)
+    // Doc's add auth falls back to its query rule — seed per owner
+    val (g1b, _) = GqlApi.mutate(g1, schema,
+      """mutation { addDoc(input: [{id: "d1", owner: "ann@x", title: "A1"}]) }""",
+      authClaims = Some(Map("email" -> "ann@x")))
+    val (g2, _) = GqlApi.mutate(g1b, schema,
+      """mutation { addDoc(input: [{id: "d2", owner: "bob@x", title: "B1"}]) }""",
+      authClaims = Some(Map("email" -> "bob@x")))
     val (g, _) = Transactor.transact(g2, Seq(
       PutRelation("In", "e:Doc/d1", "e:Folder/f1"),
       PutRelation("In", "e:Doc/d2", "e:Folder/f1")))
