@@ -38,12 +38,41 @@ object GqlApi {
     case ("Float", VInt(i)) => i.toDouble
     case ("Float", VDbl(d)) => d
     case ("Boolean", VBool(b)) => b
-    case ("DateTime", VStr(s)) =>
-      Timestamp.valueOf(if (s.contains("T")) s.replace("T", " ") else s)
+    case ("DateTime", VStr(s)) => parseDateTime(fd.name, s)
     case (e, VEnum(s)) if schema.enums.contains(e) => s
     case (e, VStr(s)) if schema.enums.contains(e) => s
     case (t, other) => throw new IllegalArgumentException(
       s"field ${fd.name}: cannot convert $other to $t")
+  }
+
+  /** GQL `DateTime` literals are ISO-8601. A zone suffix (`Z` or
+    * `±hh:mm`) is honored and normalized to the UTC instant; a ZONELESS
+    * wall-clock string is interpreted as UTC — the session's pinned zone
+    * (GraftSession sets spark.sql.session.timeZone=UTC) — never the JVM
+    * default, so the stored instant is machine-independent. A space may
+    * stand in for the 'T' separator; a bare date is midnight UTC. */
+  private[graft] def parseDateTime(field: String, s0: String): Timestamp = {
+    import java.time._
+    val s = {
+      val t = s0.trim
+      // ISO separator: first space between date and time becomes 'T'
+      if (t.length > 10 && t.charAt(10) == ' ')
+        t.substring(0, 10) + "T" + t.substring(11)
+      else t
+    }
+    def fail() = throw new IllegalArgumentException(
+      s"field $field: '$s0' is not an ISO-8601 DateTime " +
+        "(want yyyy-MM-dd['T'HH:mm:ss[.SSS]][Z|±hh:mm])")
+    val instant: Instant =
+      try OffsetDateTime.parse(s).toInstant
+      catch { case _: DateTimeException =>
+        try LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
+        catch { case _: DateTimeException =>
+          try LocalDate.parse(s).atStartOfDay(ZoneOffset.UTC).toInstant
+          catch { case _: DateTimeException => fail() }
+        }
+      }
+    Timestamp.from(instant)
   }
 
   // ------------------------------------------------------------------
@@ -533,18 +562,34 @@ object GqlApi {
                 s"upfetch: relation field '$fname' is not supported in input")
               fd.rt -> convert(schema, fd, v)
             }.toMap
+            // explicit id: same contract as add's compileAddInput — it
+            // names the created entity; silently deriving a different
+            // content key made add-then-upfetch and upfetch-then-add
+            // produce different atoms from the same input object
+            val explicitId = in.get("id").map {
+              case VStr(s) => s
+              case other => throw new IllegalArgumentException(
+                s"upfetch: id must be a string, got $other")
+            }
             hits.get(key) match {
               case Some(id) =>
                 require(authorizedIds.contains(id),
                   s"upfetch: not authorized to update ${tpe.name} " +
                     s"'${uf.name}' = $key")
+                // an explicit id naming a DIFFERENT atom than the upfetch
+                // key resolved to is a contradiction, never a silent pick
+                explicitId.foreach { e =>
+                  require(id == s"e:${tpe.name}/$e",
+                    s"upfetch: id '$e' conflicts with existing ${tpe.name} " +
+                      s"holding '${uf.name}' = $key ($id)")
+                }
                 // the key field re-assigns its own value: idempotent
                 GqlLite.UpdateEntity(id, fields)
               case None =>
                 GqlLite.AddEntity(tpe.name,
-                  java.util.UUID.nameUUIDFromBytes(
+                  explicitId.getOrElse(java.util.UUID.nameUUIDFromBytes(
                     (tpe.name + in.fields.sortBy(_._1).mkString(";"))
-                      .getBytes("UTF-8")).toString,
+                      .getBytes("UTF-8")).toString),
                   fields)
             }
           }

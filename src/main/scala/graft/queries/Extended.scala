@@ -137,6 +137,41 @@ object Extended {
              |LIMIT 25 OFFSET 10""".stripMargin),
       Seq("gql_query", "graphql_parse", "filter", "sort", "pagination")),
 
+    // DateTime literals in parsed filters: a ZONED ISO-8601 literal
+    // ("+02:00") normalizes to its UTC instant and a zoneless string IS
+    // UTC (the session's pinned zone, never the JVM default) — the
+    // parser spec pins the unit matrix, this pins it end-to-end: the
+    // zoned bound below equals the oracle's UTC timestamp exactly.
+    QueryDef(
+      "gql_datetime_filter",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+        graft.gql.GqlApi.query(g.now, schema,
+          """query {
+            |  queryOrder(
+            |    filter: {and: [
+            |      {orderdate: {ge: "1998-06-15T02:00:00+02:00"}},
+            |      {orderdate: {lt: "1998-08-01 00:00:00"}},
+            |      {totalprice: {gt: 200000.0}}]},
+            |    order: {desc: totalprice}, first: 40) {
+            |    id
+            |    totalprice
+            |    orderdate
+            |  }
+            |}""".stripMargin)
+      },
+      Some("""SELECT 'e:Order/' || CAST(o_orderkey AS VARCHAR) AS id,
+             |  o_totalprice AS totalprice, o_orderdate AS orderdate
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1998-06-15 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-08-01 00:00:00'
+             |  AND o_totalprice > 200000.0
+             |ORDER BY totalprice DESC, id ASC
+             |LIMIT 40""".stripMargin),
+      Seq("gql_query", "graphql_parse", "datetime", "zone_normalize",
+        "filter")),
+
     // Parsed relation-hop count (`orders { count }`) + sort on the hop —
     // still one aggregated join, no per-entity resolvers.
     QueryDef(

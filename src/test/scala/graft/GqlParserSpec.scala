@@ -384,6 +384,65 @@ class GqlParserSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not a Doc id"))
   }
 
+  test("DateTime literals: ISO-8601 zones honored, zoneless means UTC") {
+    import java.time.Instant
+    def p(s: String): Instant = GqlApi.parseDateTime("f", s).toInstant
+    val want = Instant.parse("2024-03-05T10:00:00Z")
+    // explicit zulu, explicit offset, zoneless 'T', zoneless space —
+    // all the SAME instant; never the JVM default zone
+    assert(p("2024-03-05T10:00:00Z") == want)
+    assert(p("2024-03-05T12:00:00+02:00") == want)
+    assert(p("2024-03-05T07:30:00-02:30") == want)
+    assert(p("2024-03-05T10:00:00") == want)
+    assert(p("2024-03-05 10:00:00") == want)
+    assert(p("2024-03-05T10:00:00.250Z") ==
+      Instant.parse("2024-03-05T10:00:00.250Z"))
+    assert(p("2024-03-05") == Instant.parse("2024-03-05T00:00:00Z"))
+    intercept[IllegalArgumentException] { p("not-a-date") }
+    intercept[IllegalArgumentException] { p("2024-13-40T99:00:00") }
+    // end-to-end: a zoned literal round-trips through mutate + filter
+    val schema = GqlParser.parseSchema(
+      "type Ev { name: String!\n at: DateTime }")
+    val (g, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation { addEv(input: [
+        |  {id: "e1", name: "early", at: "2024-03-05T10:00:00Z"},
+        |  {id: "e2", name: "late", at: "2024-03-05T13:00:00+02:00"}]) }"""
+        .stripMargin)
+    val rows = GqlApi.query(g.now, schema,
+      """{ queryEv(filter: {at: {gt: "2024-03-05T10:30:00Z"}}) { name } }""")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("late")) // 13:00+02:00 = 11:00Z > 10:30Z
+  }
+
+  test("upfetch create honors an explicit id: (parity with add)") {
+    val schema = GqlParser.parseSchema(
+      "type Doc { sku: String! @unique @upfetch\n title: String! }")
+    // upfetch-then-add and add-then-upfetch converge on the SAME atom
+    val (gU, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation { upfetchDoc(input: [{id: "d1", sku: "A", title: "T1"}]) }""")
+    assert(GqlApi.query(gU.now, schema,
+      """{ getDoc(id: "e:Doc/d1") { title } }""").collect()(0)
+      .getString(0) == "T1")
+    val (gA, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation { addDoc(input: [{id: "d1", sku: "A", title: "T1"}]) }""")
+    val (gA2, _) = GqlApi.mutate(gA, schema,
+      """mutation { upfetchDoc(input: [{sku: "A", title: "T2"}]) }""")
+    assert(gA2.now.all("Doc").count() == 1) // updated in place, no dup
+    assert(GqlApi.query(gA2.now, schema,
+      """{ getDoc(id: "e:Doc/d1") { title } }""").collect()(0)
+      .getString(0) == "T2")
+    // explicit id naming a DIFFERENT atom than the key resolves to: loud
+    val e = intercept[IllegalArgumentException] {
+      GqlApi.mutate(gA, schema,
+        """mutation { upfetchDoc(input: [{id: "other", sku: "A", title: "X"}]) }""")
+    }
+    assert(e.getMessage.contains("conflicts"))
+    // matching explicit id on the update arm is the idempotent no-op case
+    val (gA3, _) = GqlApi.mutate(gA, schema,
+      """mutation { upfetchDoc(input: [{id: "d1", sku: "A", title: "T3"}]) }""")
+    assert(gA3.now.all("Doc").count() == 1)
+  }
+
   test("@auth(add:) vets every create path post-commit " +
       "(pass_add_auth, generate_api2.py:1235-1236,1330-1333)") {
     val schema = GqlParser.parseSchema(
