@@ -320,6 +320,7 @@ object GqlApi {
       authClaims: Option[Map[String, Any]], extraNeeded: Seq[String])
       : (DataFrame, Vector[(String, String)]) = {
     var hops = Vector.empty[GqlLite.Hop]
+    var condHops = Vector.empty[GqlLite.CondHop]
     var nested = Vector.empty[GqlLite.NestedJoin]
     var outs = Vector.empty[(String, String)] // (source col, alias)
     var scalarFields = Vector.empty[String]
@@ -333,19 +334,32 @@ object GqlApi {
           outs :+= ((s.name, s.alias))
         } else if (schema.isEntity(fd.tpe)) {
           if (s.sels.map(_.name) == Seq("count")) {
-            // the plain hop counts ALL related entities — silently wrong
-            // under a filter: argument, and an information leak under the
-            // child type's @auth(query:) (it would count entities the
-            // caller cannot read). Reject loudly until a filtered count
-            // lowering exists.
-            require(s.args.fields.isEmpty,
-              s"relation count '${s.name}' does not support arguments — " +
-                "select the filtered fields and aggregate instead")
-            require(
-              authFilter(schema, schema.tpe(fd.tpe), "query", authClaims).isEmpty,
-              s"relation count '${s.name}' over @auth-protected type " +
-                s"'${fd.tpe}' is not supported")
-            hops :+= GqlLite.Hop(fd.rt, fd.incoming, s.alias)
+            // per-parent related count (aggregate resolution over the
+            // filtered list, generate_api2.py:442-481). A filter:
+            // argument and/or the child type's @auth(query:) fold into a
+            // CondHop — the count-join counts ONLY children the caller
+            // may read that satisfy the filter, still one plan. Bare
+            // counts stay a plain Hop (no child-side probe at all).
+            val childTpe = schema.tpe(fd.tpe)
+            s.args.fields.foreach { case (k, _) => require(k == "filter",
+              s"relation count '${s.name}' takes only filter:, got '$k'") }
+            val childCf = andCf(
+              s.args.get("filter").map(f =>
+                compileFilter(schema, childTpe, asObj(f))),
+              authFilter(schema, childTpe, "query", authClaims))
+            childCf match {
+              case None =>
+                hops :+= GqlLite.Hop(fd.rt, fd.incoming, s.alias)
+              case Some(cf) =>
+                val childFields = cf.touched.toSeq.sorted
+                  .filterNot(_ == "atom_id").map { fn =>
+                    val cfd = childTpe.field(fn)
+                    (cfd.rt, vcolOf(schema, cfd), fn)
+                  }
+                condHops :+= GqlLite.CondHop(fd.rt, fd.incoming, s.alias,
+                  GqlLite.Query(childTpe.name, childFields, Some(cf.f),
+                    hops = cf.hops, condHops = cf.condHops))
+            }
             outs :+= ((s.alias, s.alias))
           } else {
             require(s.sels.nonEmpty,
@@ -402,6 +416,7 @@ object GqlApi {
       extraNeeded ++ dynImpls.flatMap(_._2.needs)).distinct
       .filterNot(_ == "atom_id")
       .filterNot(f => hops.exists(_.as == f))
+      .filterNot(f => condHops.exists(_.as == f))
       .filterNot(dynNames)
     val fieldSpecs = needed.map { f =>
       val fd = tpe.field(f)
@@ -411,7 +426,7 @@ object GqlApi {
     }
     val q = GqlLite.Query(tpe.name, fieldSpecs, cf.map(_.f),
       hops = hops ++ cf.map(_.hops).getOrElse(Vector()),
-      condHops = cf.map(_.condHops).getOrElse(Vector()).toSeq,
+      condHops = (condHops ++ cf.map(_.condHops).getOrElse(Vector())).toSeq,
       nested = nested)
     var df = GqlLite.run(slice, q)
     dynImpls.foreach { case (n, impl) =>

@@ -198,6 +198,38 @@ object Extended {
              |LIMIT 15""".stripMargin),
       Seq("gql_query", "graphql_parse", "relation_hop", "Outs")),
 
+    // FILTERED relation count (aggregate resolution over the filtered
+    // list, generate_api2.py:442-481): the filter: argument folds into
+    // the count join as a CondHop — the count-join's child probe runs the
+    // child filter, so only qualifying orders are counted, still one
+    // plan, no per-entity resolution.
+    QueryDef(
+      "gql_filtered_count",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
+        graft.gql.GqlApi.query(g.now, schema,
+          """query {
+            |  queryCustomer(order: {desc: nbig, then: {asc: name}},
+            |                first: 20) {
+            |    id
+            |    name
+            |    nbig: orders(filter: {totalprice: {gt: 250000.0}}) { count }
+            |  }
+            |}""".stripMargin)
+      },
+      Some("""SELECT id, name, nbig FROM (
+             |  SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS id,
+             |    c_name AS name,
+             |    (SELECT count(*) FROM orders o
+             |     WHERE o.o_custkey = c.c_custkey
+             |       AND o.o_totalprice > 250000.0) AS nbig
+             |  FROM customer c)
+             |ORDER BY nbig DESC, name ASC, id ASC
+             |LIMIT 20""".stripMargin),
+      Seq("gql_query", "graphql_parse", "relation_hop", "filtered_count",
+        "count")),
+
     // Nested entity sub-selection (internal_resolve_field,
     // generate_api2.py:911-970) as ONE aggregated join: child selection
     // compiled to its own frame, packed per parent as array<struct> —

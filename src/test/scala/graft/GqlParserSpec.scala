@@ -682,6 +682,64 @@ class GqlParserSpec extends AnyFunSuite {
     assert(agg.getAs[Long]("count") == 1)
   }
 
+  test("relation {count} folds filter: and child @auth into the count join") {
+    val (g, schema) = linked
+    // filtered count: only transactions >= 6.0 are counted per user
+    val rows = GqlApi.query(g.now, schema,
+      """{ queryUser(order: {asc: givenName}) {
+        |    givenName
+        |    big: transactions(filter: {amount: {ge: 6.0}}) { count }
+        |} }""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("big"))).toSeq ==
+      Seq(("Ann", 2L), ("Bob", 0L))) // ann: 10.0+30.0; bob's 5.0 filtered
+    // non-filter argument still rejects loudly
+    intercept[IllegalArgumentException] {
+      GqlApi.query(g.now, schema,
+        """{ queryUser { transactions(first: 1) { count } } }""")
+    }
+    // child @auth(query:) scopes the count to the caller's readable
+    // subset — no information leak through counting
+    val authed = GqlParser.parseSchema(
+      """type Folder {
+        |  name: String!
+        |  docs: [Doc] @incoming @relation(rt: "In")
+        |}
+        |type Doc @auth(query: "{owner: {eq: $email}}") {
+        |  owner: String!
+        |  title: String!
+        |}""".stripMargin)
+    val (g1, _) = GqlApi.mutate(Graph.empty(spark), authed,
+      """mutation { addFolder(input: [{id: "f1", name: "shared"}]) }""")
+    val (g2, _) = GqlApi.mutate(g1, authed,
+      """mutation { addDoc(input: [
+        |  {id: "d1", owner: "ann@x", title: "A1"},
+        |  {id: "d2", owner: "ann@x", title: "A2"}]) }""".stripMargin,
+      authClaims = Some(Map("email" -> "ann@x")))
+    val (g3, _) = GqlApi.mutate(g2, authed,
+      """mutation { addDoc(input: [{id: "d3", owner: "bob@x", title: "B1"}]) }""",
+      authClaims = Some(Map("email" -> "bob@x")))
+    val (gf, _) = Transactor.transact(g3, Seq(
+      PutRelation("In", "e:Doc/d1", "e:Folder/f1"),
+      PutRelation("In", "e:Doc/d2", "e:Folder/f1"),
+      PutRelation("In", "e:Doc/d3", "e:Folder/f1")))
+    def countFor(claims: Map[String, Any]): Long =
+      GqlApi.query(gf.now, authed,
+        """{ queryFolder { name n: docs { count } } }""",
+        authClaims = Some(claims)).collect()(0).getAs[Long]("n")
+    assert(countFor(Map("email" -> "ann@x")) == 2L)
+    assert(countFor(Map("email" -> "bob@x")) == 1L)
+    assert(countFor(Map("email" -> "eve@x")) == 0L)
+    // declared child auth + no claims is still a denial
+    intercept[SecurityException] {
+      GqlApi.query(gf.now, authed, """{ queryFolder { n: docs { count } } }""")
+    }
+    // auth AND filter compose in one count join
+    assert(GqlApi.query(gf.now, authed,
+      """{ queryFolder { n: docs(filter: {title: {contains: "2"}}) { count } } }""",
+      authClaims = Some(Map("email" -> "ann@x"))).collect()(0)
+      .getAs[Long]("n") == 1L)
+  }
+
   test("nested sub-selection under @auth filters every level") {
     val sdl2 =
       """type Folder {
