@@ -72,7 +72,18 @@ object FieldIndex {
     val nul = lit(null)
     val v = lit(value)
     vcol match {
-      case "v_str" => vhashExpr(v.cast("string"), nul, nul, nul, nul)
+      case "v_str" =>
+        // a NUMERIC probe against a string field cannot be hashed
+        // faithfully: the === re-check promotes the string COLUMN to the
+        // numeric type (stored "9.0" satisfies === 9), while any literal
+        // rendering hashed here ("s:9") would miss that bucket — the
+        // indexed probe would silently return fewer rows than
+        // selectByField. Loud reject; probe string fields with strings.
+        require(value.isInstanceOf[String],
+          s"string field probed with ${value.getClass.getSimpleName} " +
+            s"'$value' — the numeric===string coercion cannot be " +
+            "index-hashed; pass the probe value as a String")
+        vhashExpr(v.cast("string"), nul, nul, nul, nul)
       case "v_long" => vhashExpr(nul, v.cast("long"), nul, nul, nul)
       case "v_double" => vhashExpr(nul, nul, v.cast("double"), nul, nul)
       case "v_bool" => vhashExpr(nul, nul, nul, v.cast("boolean"), nul)

@@ -93,7 +93,12 @@ object GraphStore {
     * what a LIVE in-flight compact looks like for ~a rename, and a reader
     * mutating the store would race the writer (see [[healInterruptedSwap]]). */
   private def assertNotMidSwap(path: String): Unit =
-    Seq("atoms", "values", "txs", "tags", "closures").foreach { sub =>
+    // "index" included: purgeSlice swapIn()'s the index too — a crash in
+    // its window would otherwise load() fine but read as silently
+    // UNINDEXED (loadIndex → None), and a later appendTxIndexed would
+    // recreate $path/index holding only the new delta, after which the
+    // writer-side heal deletes index__old as garbage — permanent loss.
+    Seq("atoms", "values", "txs", "tags", "closures", "index").foreach { sub =>
       if (!new java.io.File(s"$path/$sub").exists() &&
           new java.io.File(s"$path/${sub}__old").exists())
         throw new IllegalStateException(
@@ -330,11 +335,17 @@ object GraphStore {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
+    // await BOTH writes to COMPLETION before surfacing a failure: if one
+    // rethrows while its sibling is still in flight, a recovery
+    // purgeSlice can race the live append and miss slice files that land
+    // after its rewrite — orphaned rows the purge existed to remove
+    val settled = Await.result(Future.sequence(Seq(
       Future(d.atoms.coalesce(filesPerTable).write.mode(SaveMode.Append)
         .partitionBy("kind", "atype").parquet(s"$path/atoms")),
       Future(d.values.coalesce(filesPerTable).write.mode(SaveMode.Append)
-        .parquet(s"$path/values")))), Duration.Inf)
+        .parquet(s"$path/values")))
+      .map(_.transform(scala.util.Success(_)))), Duration.Inf)
+    settled.collectFirst { case scala.util.Failure(t) => throw t }
     spark.createDataset(Seq(TxRow(d.slice, d.ts))).toDF()
       .write.mode(SaveMode.Append).parquet(s"$path/txs")
   }

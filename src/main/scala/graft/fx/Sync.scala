@@ -145,7 +145,8 @@ object Sync {
       .schema("atom_id STRING, term_slice INT, cascaded BOOLEAN")
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/closures")
       .withColumn("atype", atypeFromId(col("atom_id")))
-      .select(col("atom_id"), col("atype"), col("term_slice"))
+      .select(col("atom_id"), col("atype"), col("term_slice"),
+        col("cascaded"))
 
   /** [[closureFeed]]'s batch twin — same directory, same atype derivation,
     * a plain read instead of a stream (replay / registry-query path). */
@@ -154,7 +155,8 @@ object Sync {
       .schema("atom_id STRING, term_slice INT, cascaded BOOLEAN")
       .parquet(s"$dir/closures")
       .withColumn("atype", atypeFromId(col("atom_id")))
-      .select(col("atom_id"), col("atype"), col("term_slice"))
+      .select(col("atom_id"), col("atype"), col("term_slice"),
+        col("cascaded"))
 }
 
 /** A graph bound to its replication directory. The writer's handle threads

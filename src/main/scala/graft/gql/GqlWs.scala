@@ -211,10 +211,17 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
           Sync.atomFeed(spark, storeDir), atype)
       case "terminated" =>
         // optional kind prefix (e/r/ae/rel) — closure feeds carry the
-        // cascade rows, and an AE and its field relation share the atype
+        // cascade rows, and an AE and its field relation share the atype.
+        // `cascades: true` opts INTO writer-derived cascade rows; the
+        // wire default stays the protocol's original direct-only feed so
+        // a subscriber that predates cascades neither sees events double
+        // (ae: + rel: sharing one atype) nor new unrequested row classes
         val kind = (j \ "kind") match { case JString(s) => s; case _ => "any" }
+        val cascades =
+          (j \ "cascades") match { case JBool(b) => b; case _ => false }
         GraphSubscriptions.onTerminatedClosures(
-          Sync.closureFeed(spark, storeDir), atype, kind)
+          Sync.closureFeed(spark, storeDir), atype, kind,
+          includeCascades = cascades)
       case other => throw new IllegalArgumentException(s"unknown subscription: $other")
     }
     events.writeStream

@@ -72,13 +72,23 @@ object GraphSubscriptions {
     * field AE `ae:Spend/...` and its field relation `rel:Spend/...`
     * share the atype string but are different subscription targets —
     * now that closure feeds carry cascade rows, an atype-only filter
-    * would conflate them. Default `"any"` keeps the unnarrowed form. */
+    * would conflate them. Default `"any"` keeps the unnarrowed form.
+    *
+    * `includeCascades = false` restricts to DIRECT terminations (rows
+    * the writer did not derive via the one-level relation cascade) —
+    * the feed's original content before cascade rows were added, and
+    * the wire-protocol default for WS subscribers that predate them
+    * (an AE-atype subscriber would otherwise see each termination
+    * twice: its own `ae:` row plus the `rel:` cascade sharing the
+    * atype). */
   def onTerminatedClosures(closureFeed: DataFrame, atype: String,
-      kind: String = "any"): DataFrame =
+      kind: String = "any", includeCascades: Boolean = true): DataFrame =
     closureFeed
       .filter(col("atype") === atype &&
         (if (kind == "any") lit(true)
-         else col("atom_id").startsWith(s"$kind:")))
+         else col("atom_id").startsWith(s"$kind:")) &&
+        (if (includeCascades) lit(true)
+         else !coalesce(col("cascaded"), lit(false))))
       .select(col("atom_id"), col("term_slice").as("tx_slice"),
         lit("terminated").as("event"))
 }

@@ -120,6 +120,14 @@ class GraphStoreSpec extends AnyFunSuite {
       == ids(loaded.now.selectByField("Person", "Score", "v_double", 9)))
     assert(ids(loaded.now.selectByFieldIndexed(idx, "Person", "Score", "v_double", 9))
       == Seq("e:Person/a"))
+    // ...but a NUMERIC probe against a STRING field is a loud reject:
+    // the === re-check promotes the string COLUMN to numeric (stored
+    // "9.0" satisfies === 9) and no literal rendering hashes to that —
+    // the indexed probe would silently under-return vs selectByField
+    val eStr = intercept[IllegalArgumentException] {
+      loaded.now.selectByFieldIndexed(idx, "Person", "Name", "v_str", 9)
+    }
+    assert(eStr.getMessage.contains("String"))
 
     // append maintenance: reassign Ann -> Ann2, index delta lands, as-of holds
     val (g2, r2) = Transactor.transact(g1, Seq(
@@ -428,6 +436,16 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/atoms")
       .renameTo(new java.io.File(s"$dir/atoms__old")))
     GraphStore.compact(spark, dir)
+    assert(GraphStore.load(spark, dir).now.all("Person").count() == 2)
+    // the INDEX sub-table is part of the swap protocol too: a crash with
+    // index staged aside must THROW, not load-silently-unindexed — a
+    // later indexed append would rebuild a delta-only index, after which
+    // the writer-side heal deletes index__old as garbage (permanent loss)
+    assert(new java.io.File(s"$dir/index__old").mkdir())
+    val e2 = intercept[IllegalStateException] { GraphStore.load(spark, dir) }
+    assert(e2.getMessage.contains("index"))
+    GraphStore.heal(dir)
+    assert(new java.io.File(s"$dir/index").exists())
     assert(GraphStore.load(spark, dir).now.all("Person").count() == 2)
   }
 }

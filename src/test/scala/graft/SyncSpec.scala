@@ -218,6 +218,20 @@ class SyncSpec extends AnyFunSuite {
         Sync.closureTable(spark, dir), "Score", "ae")
       .select(col("atom_id")).collect().map(_.getString(0)).toSet
     assert(batch == Set("ae:Score/e:User/u1", "ae:Score#w1/e:User/u1"))
+    // includeCascades=false = the feed's pre-cascade content (the WS
+    // wire default): DIRECT terminations only, so an atype-wide
+    // subscriber is not double-fired by the rel: cascade sharing the
+    // atype — the ae: rows stay, the writer-derived rel: rows drop
+    val direct = GraphSubscriptions.onTerminatedClosures(
+        Sync.closureTable(spark, dir), "Score", "any",
+        includeCascades = false)
+      .select(col("atom_id")).collect().map(_.getString(0)).toSet
+    assert(direct == Set("ae:Score/e:User/u1", "ae:Score#w1/e:User/u1"))
+    val withCascades = GraphSubscriptions.onTerminatedClosures(
+        Sync.closureTable(spark, dir), "Score", "any")
+      .select(col("atom_id")).collect().map(_.getString(0)).toSet
+    assert(withCascades == direct ++
+      Set("rel:Score/e:User/u1", "rel:Score#w1/e:User/u1"))
   }
 
   test("crashed-writer recovery: an orphan slice claim is adopted, not a wedge") {
