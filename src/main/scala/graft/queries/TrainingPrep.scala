@@ -95,7 +95,7 @@ object TrainingPrep {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_tokens"))
           .orderBy(col("shard"))
       },
-      Some("""SELECT CAST(CAST('0x' || substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2)
+      Some("""SELECT CAST(CAST('0x' || substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4)
              |         AS INT) % 8 AS INT) AS shard,
              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_tokens
              |FROM documents GROUP BY shard ORDER BY shard""".stripMargin),

@@ -309,8 +309,8 @@ object Wrangling {
              |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
              |  round(avg(len(toks)), 4) AS avg_tokens,
-             |  round(avg(CAST(list_sum(list_transform(toks, t -> length(t)))
-             |        AS DOUBLE) / len(toks)), 4) AS avg_word_len
+             |  round(avg(coalesce(CAST(list_sum(list_transform(toks, t -> length(t)))
+             |        AS DOUBLE) / nullif(len(toks), 0), 0.0)), 4) AS avg_word_len
              |FROM tk GROUP BY lang ORDER BY lang""".stripMargin)),
       Seq("token_count", "text_analysis", "group_by", "mean")),
 
@@ -359,16 +359,16 @@ object Wrangling {
              |  FROM documents WHERE doc_id <= 100)
              |SELECT doc_id,
              |  len(toks) AS n_tokens,
-             |  round(CAST(len(list_filter(toks,
+             |  round(coalesce(CAST(len(list_filter(toks,
              |      w -> w IN ('a', 'the'))) AS DOUBLE)
-             |    / len(toks), 6) AS stop_ratio,
+             |    / nullif(len(toks), 0), 0.0), 6) AS stop_ratio,
              |  round((
              |    least(len(toks) / 100.0, 1.0)
-             |    + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-             |        / length(text) * 5.0, 1.0))
-             |    + least(CAST(len(list_filter(toks,
+             |    + (1.0 - least(coalesce(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             |        / nullif(length(text), 0), 0.0) * 5.0, 1.0))
+             |    + least(coalesce(CAST(len(list_filter(toks,
              |        w -> w IN ('a', 'the'))) AS DOUBLE)
-             |      / len(toks) * 5.0, 1.0)
+             |      / nullif(len(toks), 0), 0.0) * 5.0, 1.0)
              |  ) / 3.0, 6) AS quality
              |FROM tk ORDER BY doc_id""".stripMargin)),
       Seq("quality_score", "stopword_ratio", "filter", "text_analysis")),
@@ -896,8 +896,9 @@ object Wrangling {
 
     // URL canonicalization (the web-corpus URL-dedup key): synthetic
     // tracking-laden URLs built from customer rows, normalized to the
-    // canonical form. Spark's chain uses $1 backrefs, DuckDB's mirror \\1 —
-    // same RE2-compatible patterns, byte-identical output.
+    // canonical form. Path and query are decomposed before the tracking
+    // strip (a blanket &->? repair corrupts &-in-path URLs); the DuckDB
+    // mirror replays the identical RE2-compatible extract/replace chain.
     QueryDef(
       "wr_url_canonical",
       (s, d) => {
@@ -918,18 +919,29 @@ object Wrangling {
              |    '.COM:80/item/' || regexp_replace(c_name, '[ #]', '.', 'g') ||
              |    '/?utm_source=mail&id=' || CAST(c_custkey AS VARCHAR) ||
              |    '&utm_campaign=x#sec' AS u
-             |  FROM customer WHERE c_custkey <= 120)
+             |  FROM customer WHERE c_custkey <= 120),
+             |p AS (
+             |  SELECT c_custkey,
+             |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    regexp_replace(regexp_replace(lower(regexp_extract(u,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)),
+             |      '^www\.', ''), ':80$', '') AS host,
+             |    regexp_extract(u,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^#]*)', 2) AS rest0
+             |  FROM t),
+             |q AS (
+             |  SELECT c_custkey, scheme, host,
+             |    regexp_replace(regexp_extract(rest0, '^([^?]*)', 1), '/$', '')
+             |      AS pth,
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_extract(rest0, '^[^?]*\?(.*)$', 1),
+             |      '(^|&)(utm_[A-Za-z]*|fbclid)=[^&]*', '', 'g'),
+             |      '^&+', ''), '&+$', '') AS qry
+             |  FROM p)
              |SELECT c_custkey,
-             |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) ||
-             |  '://' ||
-             |  regexp_replace(regexp_replace(lower(regexp_extract(u,
-             |    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2)),
-             |    '^www\.', ''), ':80$', '') ||
-             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             |    regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^#]*)', 2),
-             |    '[?&](utm_[A-Za-z]*|fbclid)=[^&#]*', '', 'g'),
-             |    '^([^?]*)&', '\1?'), '/\?', '?'), '[?&]$', ''), '/$', '') AS canon_url
-             |FROM t ORDER BY c_custkey""".stripMargin),
+             |  scheme || '://' || host || pth ||
+             |  CASE WHEN qry = '' THEN '' ELSE '?' || qry END AS canon_url
+             |FROM q ORDER BY c_custkey""".stripMargin),
       Seq("url_canonicalize", "dedup", "text_analysis")),
 
     // Unicode NFC normalization (the C4/CCNet text-hygiene pass): the

@@ -134,11 +134,15 @@ object Streams {
         case (k, evs, state: GroupState[Vector[(Double, String)]]) =>
           var hist = state.getOption.getOrElse(Vector.empty)
           val out = Vector.newBuilder[AsofEnriched]
-          // per-batch event-time order, rights before lefts on ties
-          evs.toVector.sortBy(e => (e.ts, e.side)).foreach { e =>
+          // per-batch event-time order, rights before lefts on ties; the
+          // payload joins the sort key so duplicate (key, ts) right rows
+          // have a deterministic winner — history keeps (ts, payload)
+          // order and the reverse scan picks the max payload among equal
+          // timestamps, the same tie contract the batch AsOfJoin pins
+          // (grouped-iterator order alone is partitioning-dependent)
+          evs.toVector.sortBy(e => (e.ts, e.side, e.payload)).foreach { e =>
             if (e.side == 0)
-              hist = (hist :+ (e.ts, e.payload)).sortBy(_._1)
-                .takeRight(historySize)
+              hist = (hist :+ (e.ts, e.payload)).sorted.takeRight(historySize)
             else {
               val m = hist.reverseIterator.find(_._1 <= e.ts)
               out += AsofEnriched(k, e.ts, e.payload, m.map(_._1), m.map(_._2))
@@ -269,11 +273,26 @@ object Streams {
             var pending = state.getOption
             val out = Vector.newBuilder[Debounced]
             evs.toVector.sortBy(e => (e.ts.getTime, e.payload)).foreach { e =>
-              pending.foreach { case (pts, pp) =>
-                if (e.ts.getTime - pts > quietMs)
-                  out += Debounced(k, new java.sql.Timestamp(pts), pp)
+              pending match {
+                case Some((pts, pp)) if e.ts.getTime >= pts =>
+                  // in-order: flush the pending if the gap exceeded quiet,
+                  // then the new event becomes pending
+                  if (e.ts.getTime - pts > quietMs)
+                    out += Debounced(k, new java.sql.Timestamp(pts), pp)
+                  pending = Some((e.ts.getTime, e.payload))
+                case Some((pts, _)) =>
+                  // out-of-order (an in-watermark event OLDER than the
+                  // pending arrived in a later micro-batch): in event-time
+                  // order it PRECEDES the pending, so it emits iff the
+                  // pending is more than quiet after it, and the pending —
+                  // the newer event — stays pending. (Replacing the pending
+                  // here would silently drop it: the negative gap never
+                  // exceeds quiet, inverting the debounce.)
+                  if (pts - e.ts.getTime > quietMs)
+                    out += Debounced(k, e.ts, e.payload)
+                case None =>
+                  pending = Some((e.ts.getTime, e.payload))
               }
-              pending = Some((e.ts.getTime, e.payload))
             }
             pending.foreach { p =>
               state.update(p)
@@ -286,9 +305,13 @@ object Streams {
 
   /** Run any events→DataFrame transform as a real micro-batch stream over
     * the events parquet and collect the final result from a memory sink.
-    * `maxFilesPerTrigger=1` keeps it honestly incremental. */
+    * `maxFilesPerTrigger=1` keeps it honestly incremental. `mode` must
+    * match the transform: Complete for unwatermarked aggregations (the
+    * default), Append for narrow/stateful transforms (filters, dedup,
+    * flatMapGroupsWithState) — Spark rejects the wrong pairing. */
   def runAsStream(spark: SparkSession, sfDir: String,
-      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+      transform: DataFrame => DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     // The file-stream source wants a directory; stage the single parquet
     // into a temp dir (in production the feed IS a directory/CDF).
     val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_")
@@ -304,7 +327,7 @@ object Streams {
     // parquet time encoding (ns-long / µs NTZ / µs LTZ)
     val events = graft.ops.TimeAxis.normalize(raw, "ts")
     val q = transform(events).writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory").queryName(queryName)
       .start()
     q.processAllAvailable()

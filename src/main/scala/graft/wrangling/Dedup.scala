@@ -52,6 +52,11 @@ object Dedup {
   def minhashCandidatesFromSig(sigs: DataFrame, idCol: String,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
+    require(rows * bands == numHashes,
+      s"minhashCandidatesFromSig: bands ($bands) must divide numHashes " +
+        s"($numHashes) — truncated banding would silently ignore the " +
+        s"trailing ${numHashes - rows * bands} signature values and skew " +
+        "the LSH collision S-curve away from the configured one")
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("sig_h"))
     }
@@ -68,6 +73,9 @@ object Dedup {
   def minhashCandidates(sigs: DataFrame, idCol: String,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
+    require(rows * bands == numHashes,
+      s"minhashCandidates: bands ($bands) must divide numHashes ($numHashes)" +
+        " — truncated banding would silently skew the LSH S-curve")
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("sig"))
@@ -88,9 +96,13 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
       .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      // two empty shingle sets (union size 0) get jaccard null rather than
+      // an ANSI DIVIDE_BY_ZERO abort; LSH candidates never produce such a
+      // pair (shingle-less docs have no signature) but caller-supplied ones can
       .withColumn("jaccard",
         col("__inter").cast("double") /
-          (size(col("__sha")) + size(col("__shb")) - col("__inter")).cast("double"))
+          nullif((size(col("__sha")) + size(col("__shb")) - col("__inter"))
+            .cast("double"), lit(0.0)))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -291,6 +303,21 @@ object Dedup {
   def corpusDedup(df: DataFrame, idCol: String, textCol: String,
       urlCol: Option[String] = None, threshold: Double = 0.8,
       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    // the clustering stage (GraphX CC) needs long vertex ids; a string id
+    // column would hit the long cast below — an ANSI CAST_INVALID_INPUT
+    // abort mid-pipeline (or, ANSI off, silent nulls and a wrong survivor
+    // set). Reject up front with a usable message instead.
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"corpusDedup: id column '$idCol' is $other; the connected-components " +
+          "clustering stage requires an integral id — map string ids to a " +
+          "surrogate (e.g. monotonically_increasing_id or xxhash64 with a " +
+          "collision check) before calling")
+    }
     val byUrl = urlCol.fold(df) { u =>
       val survivors = df
         .withColumn("__cu", TextOps.normalizeUrl(col(u)))

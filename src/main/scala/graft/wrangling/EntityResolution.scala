@@ -38,16 +38,22 @@ object EntityResolution {
 
   /** Match incoming records to EXISTING graph entities by a field value —
     * reference `identify_entities` (data_wrangling.py:280-295): entity
-    * resolution against the store. Returns the incoming rows with
-    * `matched_atom_id` (null = no entity; the caller then instantiates).
+    * resolution against the store. Returns the incoming rows — exactly one
+    * output row per input row — with `matched_atom_id` (null = no entity;
+    * the caller then instantiates). When SEVERAL store entities share the
+    * field value, the min atom_id wins deterministically: an ambiguous
+    * value must never multiply the incoming rows (a raw left join did,
+    * silently double-processing the same record downstream).
     *
-    * Implementation: as-of field resolution on the slice (one aggregate)
-    * + an equi-join on the value — the classic lookup join; at scale the
+    * Implementation: as-of field resolution on the slice (one aggregate),
+    * a per-value min (which also shrinks the build side to one row per
+    * value), then the equi-join — the classic lookup join; at scale the
     * store side is pre-bucketed by value hash. */
   def identifyEntities(incoming: DataFrame, slice: GraphSlice, et: String,
       fieldRt: String, valueCol: String, vcol: String = "v_str"): DataFrame = {
     val store = slice.all(et).fieldValue(fieldRt, vcol, "__field_value")
-      .select(col("atom_id").as("matched_atom_id"), col("__field_value"))
+      .groupBy(col("__field_value"))
+      .agg(min(col("atom_id")).as("matched_atom_id"))
     incoming.join(store,
       incoming(valueCol) === store("__field_value"), "left")
       .drop("__field_value")

@@ -50,9 +50,13 @@ object IncrementalAnn {
     cents
   }
 
-  /** The frozen coarse quantizer, from the durable side table. */
+  /** The frozen coarse quantizer, from the durable side table. Reads ONLY
+    * `dir/centroids` — going through ivfLoad would list and schema-infer
+    * the whole postings tree just to discard it, and would fail while the
+    * seed tree is staged aside inside a compact swap window even though
+    * the side table is intact. */
   def centroids(spark: SparkSession, dir: String): Seq[Array[Double]] =
-    Similarity.ivfLoad(spark, dir)._2
+    Similarity.ivfLoadCentroids(spark, dir)
 
   /** One tick: assign the batch against the frozen centroids and land it
     * in the tick's own delta directory (idempotent under replay). */

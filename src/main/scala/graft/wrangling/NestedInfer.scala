@@ -103,8 +103,18 @@ object NestedInfer {
           col("__e.value").as("raw"))
         .filter(col("rel") =!= "type" && col("raw").isNotNull)
 
-      val isObj = col("raw").startsWith("{")
-      val isArr = col("raw").startsWith("[")
+      // classification is by PARSE SUCCESS, not raw prefix alone: a scalar
+      // string that merely STARTS with '{' or '[' ("[sic] quote", "{draft")
+      // is not valid JSON, so from_json returns null and it stays a scalar
+      // — prefix-only routing silently dropped such values (the array parse
+      // yields null -> posexplode emits nothing) or worse left a dangling
+      // child triple. One genuine ambiguity remains, inherent to the text
+      // round-trip: a scalar string whose full content IS valid JSON
+      // ("[1, 2]") is indistinguishable from nesting and parses as such.
+      val isObj = col("raw").startsWith("{") &&
+        from_json(col("raw"), mapSS).isNotNull
+      val isArr = col("raw").startsWith("[") &&
+        from_json(col("raw"), ArrayType(StringType)).isNotNull
 
       val noPos = lit(null).cast("int").as("pos")
 
@@ -120,7 +130,9 @@ object NestedInfer {
           posexplode(from_json(col("raw"), ArrayType(StringType))))
         .withColumnRenamed("col", "elem")
         .filter(col("elem").isNotNull)
-      val elemIsObj = col("elem").startsWith("{")
+      // same parse-success rule for array ELEMENTS as for field values
+      val elemIsObj = col("elem").startsWith("{") &&
+        from_json(col("elem"), mapSS).isNotNull
       val arrChildId =
         concat(col("obj_id"), lit("/"), col("rel"), lit("["), col("pos"), lit("]"))
       triples :+= arrElems.filter(!elemIsObj).select(
@@ -152,6 +164,15 @@ object NestedInfer {
       // emptiness probe only when another level could follow
       if (depth < maxDepth) done = frontier.isEmpty
     }
+    // deeper-than-maxDepth nesting must not truncate SILENTLY: the last
+    // level already emitted child triples for the unparsed frontier, so
+    // proceeding would leave dangling tgt_ids (relations into entities
+    // that don't exist) and lose every deeper value
+    if (!done && !frontier.isEmpty)
+      throw new IllegalArgumentException(
+        s"NestedInfer.flatten: documents nest deeper than maxDepth=$maxDepth" +
+          " — raise maxDepth (depth is a schema property; the loop stays" +
+          " O(depth) rounds)")
     // the triple union is scanned by every fixpoint round AND by every
     // consumer of the result graph — freeze it once
     Flattened(objects.reduce(_ unionByName _),
@@ -189,6 +210,9 @@ object NestedInfer {
     * not the expected exit. */
   def fixpoint(flat: Flattened, rules: Seq[TripleRule],
       maxIters: Int = 25): DataFrame = {
+    // no rules -> every object keeps its type (the natural fixpoint);
+    // unguarded, the per-rule union below would throw empty.reduce
+    if (rules.isEmpty) return flat.objects
     val base = flat.objects.localCheckpoint(true)
     // Checkpointed RDD stats are too weak for Catalyst to pick broadcast
     // joins on its own, and a shuffle join per rule-scan turns each round
@@ -373,6 +397,16 @@ object NestedInfer {
       s"NestedInfer: ${c.getLong(0) - c.getLong(1)} colliding AE ids — a " +
         "literal JSON key carries a bracket suffix that collides with an " +
         "array-element id (e.g. both \"a[0]\" and \"a\": [...] in one object)")
+    // entity/relation ids are path-derived too, so a literal key containing
+    // the path separator can collide two ENTITY ids ({"a/b": {...}, "a":
+    // {"b": {...}}}) — which the AE check above cannot see. One distinct
+    // count over the (persisted) atoms table closes every id class loudly
+    // instead of shipping duplicate atom_ids into every downstream join.
+    val ac = atoms.agg(count(lit(1)), count_distinct(col("atom_id"))).collect()(0)
+    require(ac.getLong(0) == ac.getLong(1),
+      s"NestedInfer: ${ac.getLong(0) - ac.getLong(1)} colliding atom ids — " +
+        "a literal JSON key containing '/', '>', or a bracket suffix " +
+        "collides with a path-derived id; rename the offending keys")
     Graph(atoms, v, Seq(TxRow(instSlice, ts)).toDF())
       // one value row per AE at one slice, scheme ids (ae:rel[pos]/src) —
       // as-of reads take Graph.latestValues' single-assignment fast path

@@ -20,7 +20,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; an all-zero vector (padding rows, failed encoder
+    * outputs — real occurrences in web-scale embedding tables) scores 0.0
+    * against everything. The denominator is nullif-guarded because the
+    * session runs ANSI mode, where a bare /0 aborts the whole job on the
+    * first degenerate row. */
+  def cosine(a: Column, b: Column): Column =
+    coalesce(dot(a, b) / nullif(norm(a) * norm(b), lit(0.0)), lit(0.0))
 
   /** Exact top-k by cosine against one query vector (broadcast as a
     * literal array — no join, map-only scan + single top-k reduction).
@@ -29,11 +35,14 @@ object Similarity {
     * that via TakeOrderedAndProject). */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    require(queryNorm(query) > 0.0,
+      "cosineTopK: query vector has zero norm — cosine is undefined")
     val q = array(query.map(v => lit(v)): _*)
     val base = excludeId.fold(embeddings)(id => embeddings.filter(col(idCol) =!= id))
     base
       .select(col(idCol),
-        (dot(col(vecCol), q) / (norm(col(vecCol)) * lit(queryNorm(query))))
+        coalesce(dot(col(vecCol), q) /
+          nullif(norm(col(vecCol)) * lit(queryNorm(query)), lit(0.0)), lit(0.0))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
@@ -83,27 +92,49 @@ object Similarity {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Bucketed ANN: group vectors by LSH signature chunk, search only
-    * buckets matching the query (multi-probe = exact chunk match on any of
-    * the `probes` chunks). Trades recall for a bucket-pruned scan. */
+  /** Signature of a LITERAL vector, computed once on the driver with the
+    * same left-to-right double accumulation and strict `proj > 0` bit rule
+    * as the in-plan [[lshSignature]] — bitwise-identical, so a driver-side
+    * query signature probes exactly the buckets the in-plan one would. */
+  def lshSignatureOf(query: Array[Float], dim: Int, bits: Int): Long = {
+    val planes = lshPlanes(dim, bits)
+    (0 until bits).foldLeft(0L) { (sig, i) =>
+      var proj = 0.0; var j = 0
+      while (j < query.length) {
+        proj += query(j).toDouble * planes(i)(j).toDouble; j += 1
+      }
+      if (proj > 0) sig | (1L << i) else sig
+    }
+  }
+
+  /** Bucketed ANN: search only vectors whose LSH signature matches the
+    * query's on at least one chunk (multi-probe). The query's signature is
+    * computed ON THE DRIVER ([[lshSignatureOf]]), so the probe compiles to
+    * a map-only scan + chunk-match filter + TakeOrderedAndProject — no
+    * explode, no join, no distinct, ZERO shuffles (the previous lowering
+    * exploded chunks and distinct'd candidate rows that carried two copies
+    * of the embedding array — a shuffle of ~65× the bytes for the same
+    * candidate set). Trades recall for a bucket-pruned scan. */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, dim: Int, bits: Int = 16,
       chunkBits: Int = 4): DataFrame = {
-    val sigd = embeddings.withColumn("__sig", lshSignature(col(vecCol), dim, bits))
-    val qdf = embeddings.sparkSession.range(1).select(
-      array(query.map(v => lit(v)): _*).as("__qv"))
-      .withColumn("__qsig", lshSignature(col("__qv"), dim, bits))
+    require(queryNorm(query) > 0.0,
+      "lshTopK: query vector has zero norm — cosine is undefined")
+    val qsig = lshSignatureOf(query, dim, bits)
     val chunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
-    def chunkArr(sig: Column) = array((0 until chunks).map(i =>
-      struct(lit(i).as("ci"),
-        shiftright(sig, i * chunkBits).bitwiseAND(lit(mask)).as("cv"))): _*)
-    val cand = sigd.select(col(idCol), col(vecCol),
-      explode(chunkArr(col("__sig"))).as("__c"))
-      .join(broadcast(qdf.select(col("__qv"), explode(chunkArr(col("__qsig"))).as("__c"))),
-        "__c")
-      .select(col(idCol), col(vecCol), col("__qv")).distinct()
-    cand.select(col(idCol), cosine(col(vecCol), col("__qv")).as("cos_sim"))
+    val sig = lshSignature(col(vecCol), dim, bits)
+    val anyChunkMatches = (0 until chunks).map { i =>
+      shiftright(sig, i * chunkBits).bitwiseAND(lit(mask)) ===
+        lit((qsig >>> (i * chunkBits)) & mask)
+    }.reduce(_ || _)
+    val q = array(query.map(v => lit(v)): _*)
+    embeddings
+      .filter(anyChunkMatches)
+      .select(col(idCol),
+        coalesce(dot(col(vecCol), q) /
+          nullif(norm(col(vecCol)) * lit(queryNorm(query)), lit(0.0)), lit(0.0))
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -125,9 +156,12 @@ object Similarity {
     * expression once per iteration, ingest once per tick. */
   def ivfAssign(vecCol: Column, centroids: Seq[Array[Double]]): Column = {
     val cents = typedLit(centroids.map(_.toSeq))
+    // zero-norm guard: a degenerate vector (or centroid) scores -2.0 — below
+    // any real cosine — instead of throwing ANSI DIVIDE_BY_ZERO; an all-zero
+    // vector thus assigns to centroid 0 deterministically
     val scores = array(centroids.zipWithIndex.map { case (c, i) =>
-      dot(vecCol, element_at(cents, i + 1)) /
-        (norm(vecCol) * lit(centroidNorm(c)))
+      coalesce(dot(vecCol, element_at(cents, i + 1)) /
+        nullif(norm(vecCol) * lit(centroidNorm(c)), lit(0.0)), lit(-2.0))
     }: _*)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
@@ -203,15 +237,18 @@ object Similarity {
       .parquet(s"$path/centroids")
   }
 
-  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, Seq[Array[Double]]) = {
-    val postings = spark.read.parquet(s"$path/postings")
-    val cents = spark.read.parquet(s"$path/centroids").collect()
+  /** Just the centroid side table — cheap (no postings-tree listing), and
+    * readable even while the postings tree is mid-swap. */
+  def ivfLoadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").collect()
       .groupBy(_.getAs[Int]("ci")).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
         rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("v")) }
-    (postings, cents)
-  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Seq[Array[Double]]) =
+    (spark.read.parquet(s"$path/postings"), ivfLoadCentroids(spark, path))
 
   /** IVF search: rank centroids against the query ON THE DRIVER (k dot
     * products — tiny), then scan only the `nprobe` nearest posting lists
@@ -225,15 +262,21 @@ object Similarity {
       while (i < a.length) {
         d += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i); i += 1
       }
-      d / math.sqrt(na * nb)
+      // a zero-norm centroid ranks last instead of producing a NaN that
+      // breaks sortBy's comparison contract (TimSort throws on NaN keys)
+      val den = math.sqrt(na * nb)
+      if (den == 0.0) -2.0 else d / den
     }
     val probes = centroids.zipWithIndex
       .sortBy { case (c, i) => (-cos(c, query), i) }
       .take(nprobe).map(_._2)
     val q = array(query.map(v => lit(v)): _*)
+    require(queryNorm(query) > 0.0,
+      "ivfTopK: query vector has zero norm — cosine is undefined")
     index.filter(col("__ci").isin(probes: _*))
       .select(col(idCol),
-        (dot(col(vecCol), q) / (norm(col(vecCol)) * lit(queryNorm(query))))
+        coalesce(dot(col(vecCol), q) /
+          nullif(norm(col(vecCol)) * lit(queryNorm(query)), lit(0.0)), lit(0.0))
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(topK)
@@ -280,7 +323,8 @@ object Similarity {
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
         col("__n").as("__nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        coalesce(dot(col("__va"), col("__vb")) /
+          nullif(col("__na") * col("__nb"), lit(0.0)), lit(0.0))
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

@@ -23,9 +23,16 @@ object TextClassifier {
 
   /** Feature units: word tokens plus char 3-grams of the lowercased text
     * (subword grams are what make the linear model robust to inflection
-    * and junk — the fasttext recipe). */
-  def featureGrams(text: Column): Column =
-    concat(split(lower(text), "\\s+"), TextOps.charShingles(lower(text), 3))
+    * and junk — the fasttext recipe). Null text featurizes as empty (one
+    * null row must not NPE HashingTF and kill a 100 TB scoring job), and
+    * char grams keep their MULTIPLICITY — a distinct'd extraction would
+    * binarize subword counts, making 'aaaaaa…' junk look like one
+    * occurrence, exactly the signal the char grams exist to carry. */
+  def featureGrams(text: Column): Column = {
+    val t = lower(coalesce(text, lit("")))
+    concat(split(t, "\\s+"),
+      regexp_extract_all(t, lit("(?s)(?=(.{3}))"), lit(1)))
+  }
 
   final case class TextModel(lr: LogisticRegressionModel,
       labels: Seq[String], numFeatures: Int) {
@@ -37,7 +44,11 @@ object TextClassifier {
       val feats = new HashingTF().setInputCol("__grams")
         .setOutputCol("__features").setNumFeatures(numFeatures)
         .transform(df.withColumn("__grams", featureGrams(col(textCol))))
-      lr.setFeaturesCol("__features").setPredictionCol("__pred")
+      // score on a COPY: Param setters mutate the shared model in place,
+      // so two threads scoring one TextModel concurrently could read
+      // half-updated column names
+      lr.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setFeaturesCol("__features").setPredictionCol("__pred")
         .setProbabilityCol("__prob").setRawPredictionCol("__raw")
         .transform(feats)
         .withColumn("predicted",
@@ -53,8 +64,12 @@ object TextClassifier {
   def train(df: DataFrame, textCol: String, labelCol: String,
       numFeatures: Int = 1 << 15, maxIter: Int = 60,
       regParam: Double = 1e-3): TextModel = {
-    val labels = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val rawLabels = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(!rawLabels.contains(null),
+      s"train: '$labelCol' contains null labels — drop or impute them " +
+        "first (a null would sort-NPE here and could never match a class)")
+    val labels = rawLabels.sorted.toSeq
     require(labels.size >= 2, "need at least two classes")
     val idx = labels.zipWithIndex.toMap
     val labelExpr = labels.tail.foldLeft(

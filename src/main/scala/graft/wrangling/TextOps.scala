@@ -35,20 +35,30 @@ object TextOps {
 
   /** Mean word length over the token array (whitespace-shape-independent:
     * computed from the tokens themselves, not from a chars-minus-spaces
-    * identity that only holds for single-spaced text). */
+    * identity that only holds for single-spaced text). Empty/whitespace-only
+    * documents score 0.0 — the denominators are nullif-guarded because the
+    * session runs ANSI mode, where a bare /0 aborts the whole corpus job on
+    * the first degenerate row (and real web corpora always carry some). */
   def avgWordLen(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / tokenCount(text).cast("double")
+    coalesce(
+      aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / nullif(tokenCount(text).cast("double"), lit(0.0)),
+      lit(0.0))
 
-  /** Fraction of characters that are punctuation. */
+  /** Fraction of characters that are punctuation (0.0 for empty text). */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
-      length(text).cast("double")
+    coalesce(
+      length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
+        nullif(length(text).cast("double"), lit(0.0)),
+      lit(0.0))
 
-  /** Fraction of tokens that are stopwords (caller supplies the set). */
+  /** Fraction of tokens that are stopwords (caller supplies the set;
+    * 0.0 for token-less text). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), w => w.isInCollection(stopwords)))
-      .cast("double") / tokenCount(text).cast("double")
+    coalesce(
+      size(filter(tokens(text), w => w.isInCollection(stopwords)))
+        .cast("double") / nullif(tokenCount(text).cast("double"), lit(0.0)),
+      lit(0.0))
 
   /** Composite quality score in [0,1]: favors mid-length documents with low
     * punctuation density and a sane stopword ratio — the shape of heuristic
@@ -151,14 +161,20 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc * lit(31L) + xxhash64(w) % lit(1000003L))
 
-  /** Word n-gram shingles (distinct) — the unit of Jaccard similarity. */
+  /** Word n-gram shingles (distinct) — the unit of Jaccard similarity.
+    * A document with fewer than n tokens has NO n-gram shingles: the empty
+    * array (matching DuckDB's range(0, len-n+1), which is empty for
+    * negative stops). Unguarded, sequence(0, size-n) would produce a
+    * DESCENDING [0,-1,...] whose element_at(0) throws under ANSI mode —
+    * one 2-token doc would abort every minhash/Jaccard job over the corpus. */
   def wordShingles(text: Column, n: Int): Column =
     if (n == 1) array_distinct(tokens(text))
     else {
       val ws = tokens(text)
-      array_distinct(transform(
-        sequence(lit(0), size(ws) - lit(n)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*)))
+      when(size(ws) < n, array().cast("array<string>")).otherwise(
+        array_distinct(transform(
+          sequence(lit(0), size(ws) - lit(n)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*))))
     }
 
   /** Character n-gram shingles (distinct). One regex pass — a zero-width
@@ -179,9 +195,11 @@ object TextOps {
     if (n == 1) tokens(text)
     else {
       val ws = tokens(text)
-      transform(
-        sequence(lit(0), size(ws) - lit(n)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*))
+      // same <n-token guard as wordShingles (ANSI-mode element_at throw)
+      when(size(ws) < n, array().cast("array<string>")).otherwise(
+        transform(
+          sequence(lit(0), size(ws) - lit(n)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*)))
     }
 
   /** Fraction of non-empty LINES that repeat an earlier line of the same
@@ -266,13 +284,19 @@ object TextOps {
         .otherwise(noWww)
     }
     val rest = {
-      val noTrack = regexp_replace(rest0, "[?&](utm_[A-Za-z]*|fbclid)=[^&#]*", "")
-      // a removed leading "?param" leaves "&next" — promote it back to "?"
-      val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
-      // trailing slash folds: before the query ("/p/?x" -> "/p?x") and at
-      // the very end; dangling ?/& from stripped params drop
-      val noSlashQ = regexp_replace(fixedQ, "/\\?", "?")
-      regexp_replace(regexp_replace(noSlashQ, "[?&]$", ""), "/$", "")
+      // path and query handled SEPARATELY: a blanket "promote the first &
+      // to ?" repair corrupts URLs whose path legitimately contains '&'
+      // before any '?' ("/a&b" is legal per RFC 3986). Trailing path slash
+      // folds; tracking params strip from the query alone, a now-leading
+      // '&' trims, and an emptied query drops its '?'.
+      val path = regexp_replace(regexp_extract(rest0, "^([^?]*)", 1), "/$", "")
+      val query = regexp_replace(
+        regexp_replace(
+          regexp_replace(regexp_extract(rest0, "^[^?]*\\?(.*)$", 1),
+            "(^|&)(utm_[A-Za-z]*|fbclid)=[^&]*", ""),
+          "^&+", ""),
+        "&+$", "")
+      concat(path, when(query === "", lit("")).otherwise(concat(lit("?"), query)))
     }
     when(scheme === "", u).otherwise(concat(scheme, lit("://"), host, rest))
   }

@@ -145,6 +145,23 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(byName("nobody") == null)
   }
 
+  test("identifyEntities: ambiguous field values never multiply incoming rows") {
+    import spark.implicits._
+    val g = GraphEncoder.encodeTpch(spark, sf)
+    // many customers share a market segment — one incoming row must come
+    // back as ONE row with the deterministic (min atom_id) match, not one
+    // row per matching entity
+    val incoming = Seq("BUILDING").toDF("seg")
+    val out = EntityResolution.identifyEntities(
+      incoming, g.now, "Customer", "c_mktsegment", "seg").collect()
+    assert(out.length == 1, s"row multiplied: ${out.length}")
+    val matched = out(0).getAs[String]("matched_atom_id")
+    assert(matched != null)
+    val again = EntityResolution.identifyEntities(
+      incoming, g.now, "Customer", "c_mktsegment", "seg").collect()
+    assert(again(0).getAs[String]("matched_atom_id") == matched)
+  }
+
   test("StructOps: flatten/unflatten round-trip, nested edits, transpose") {
     import spark.implicits._
     val df = Seq((1, ("x", (2.5, true)))).toDF("id", "s")

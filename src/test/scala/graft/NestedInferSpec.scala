@@ -120,4 +120,61 @@ class NestedInferSpec extends AnyFunSuite {
     assert(core.AtomSet(g.now, nname).field("name")
       .select("v_str").collect().map(_.getString(0)).toSeq == Seq("DE"))
   }
+
+  test("flatten: scalar strings with JSON-ish prefixes stay scalar values") {
+    // "[sic] quote" / "{draft" are NOT valid JSON — prefix-only routing
+    // silently dropped them (array parse -> null -> no rows) or left a
+    // dangling child triple; parse-success classification keeps them
+    val flat = NestedInfer.flatten(
+      docs(1 -> """{"note":"[sic] quote","draft":"{draft notes",
+                   |"tags":["[x] done","{y}-ish"],"real":{"k":"v"}}"""
+        .stripMargin.replace("\n", "")), "doc_id", "doc")
+    val scalars = flat.triples.filter(col("tgt_value").isNotNull)
+      .select("rel", "tgt_value").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(scalars.contains("note" -> "[sic] quote"))
+    assert(scalars.contains("draft" -> "{draft notes"))
+    assert(scalars.contains("tags" -> "[x] done"))
+    assert(scalars.count(_._1 == "tags") == 2)
+    // the genuinely-nested object still flattens as an object
+    val objs = flat.triples.filter(col("tgt_id").isNotNull)
+      .select("rel").collect().map(_.getString(0)).toSeq
+    assert(objs == Seq("real"))
+    // no dangling child triples: every tgt_id has an objects row
+    val dangling = flat.triples.filter(col("tgt_id").isNotNull)
+      .join(flat.objects.withColumnRenamed("obj_id", "tgt_id"),
+        Seq("tgt_id"), "left_anti")
+    assert(dangling.isEmpty)
+  }
+
+  test("flatten: deeper than maxDepth rejects loudly, never truncates") {
+    val deep = docs(1 -> """{"a":{"b":{"c":{"d":"leaf"}}}}""")
+    val ex = intercept[IllegalArgumentException] {
+      NestedInfer.flatten(deep, "doc_id", "doc", maxDepth = 2)
+    }
+    assert(ex.getMessage.contains("maxDepth"))
+    // one level deeper is enough
+    assert(NestedInfer.flatten(deep, "doc_id", "doc", maxDepth = 4)
+      .objects.count() == 4)
+  }
+
+  test("fixpoint: empty rule list is the identity, not a crash") {
+    val flat = NestedInfer.flatten(
+      docs(1 -> """{"name":"x","child":{"k":"v"}}"""), "doc_id", "doc")
+    val typed = NestedInfer.fixpoint(flat, Seq.empty).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(typed.values.toSet == Set(NestedInfer.UnknownType))
+    assert(typed.size == 2)
+  }
+
+  test("toGraph: colliding ENTITY ids reject loudly (path-separator keys)") {
+    // both children derive obj_id "1:$/a/b" — a literal '/' in a key
+    // collides with a path-derived id; must throw, not silently duplicate
+    val flat = NestedInfer.flatten(
+      docs(1 -> """{"a/b":{"x":"1"},"a":{"b":{"y":"2"}}}"""), "doc_id", "doc")
+    val ex = intercept[IllegalArgumentException] {
+      NestedInfer.toGraph(flat)
+    }
+    assert(ex.getMessage.contains("colliding atom ids"))
+  }
 }

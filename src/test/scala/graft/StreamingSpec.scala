@@ -386,4 +386,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.map(p => Seq("e1","e2","e3","e4","e5").find(p.contains).get)
       == Set("e2", "e3"))
   }
+
+  test("debounceStream: an out-of-order older event never evicts the pending") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    def ev(sec: Int, u: Long) = TsEvent(
+      java.sql.Timestamp.valueOf(
+        f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d"), u, sec.toDouble)
+    val q = Streams.debounceStream(
+        input.toDF().withWatermark("ts", "1 minute"),
+        "user_id", "ts", quietMs = 5000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_deb_ooo").start()
+    input.addData(ev(20, 1))
+    q.processAllAvailable()
+    // an in-watermark event OLDER than the pending arrives in a later
+    // micro-batch: in event-time order it PRECEDES the pending, had a
+    // >quiet gap after it, so it emits — and the pending (the newer 20s
+    // event) must survive (the old code overwrote it: gone forever)
+    input.addData(ev(10, 1))
+    q.processAllAvailable()
+    val secsOf = (rows: Array[Streams.Debounced]) =>
+      rows.map(d => (d.ts.getTime / 1000) % 3600).toSet
+    assert(secsOf(spark.table("t_deb_ooo").as[Streams.Debounced].collect())
+      == Set(10L))
+    // a much later same-key event proves the 20s pending is still alive
+    input.addData(ev(90, 1))
+    q.processAllAvailable(); q.stop()
+    assert(secsOf(spark.table("t_deb_ooo").as[Streams.Debounced].collect())
+      == Set(10L, 20L))
+  }
+
+  test("asofEnrich: duplicate (key, ts) right rows have a deterministic winner") {
+    import spark.implicits._
+    val left = Seq(("a", 10.0, "l1")).toDF("k", "t", "lv")
+    val right = Seq(("a", 10.0, "rB"), ("a", 10.0, "rA"), ("a", 10.0, "rC"))
+      .toDF("k", "t", "rv")
+    // max payload wins — the same tie contract the batch AsOfJoin pins
+    val enriched = Streams.asofEnrich(left, right, "k", "t").collect()
+    assert(enriched.length == 1)
+    assert(enriched(0).matched_payload.exists(_.contains("\"rC\"")),
+      s"got ${enriched(0).matched_payload}")
+    val batch = graft.ops.AsOfJoin.backward(left, right, Seq("k"), "t", "t")
+      .select("rv").collect()(0).getString(0)
+    assert(batch == "rC")
+  }
+
+  test("runAsStream append mode runs narrow (non-aggregating) transforms") {
+    val t = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.onEventTypes(df, Seq("error"))
+    val batchN = t(Tables.events(spark, sf)).count()
+    val streamed = Streams.runAsStream(spark, sf, t, "t_append_narrow",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(streamed.count() == batchN && batchN > 0)
+  }
 }

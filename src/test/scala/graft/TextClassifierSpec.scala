@@ -71,4 +71,28 @@ class TextClassifierSpec extends AnyFunSuite {
         scored.select("doc_id", "predicted"))
     assert(again.count() == 0)
   }
+
+  test("null text scores without crashing; null labels reject loudly") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "good solid prose with words", "hi"),
+      (2L, "zz zz zz zz zz zz", "lo"),
+      (3L, "more decent text content here", "hi"),
+      (4L, "qq qq qq qq", "lo")).toDF("id", "text", "lbl")
+    val model = TextClassifier.train(train, "text", "lbl",
+      numFeatures = 1 << 10, maxIter = 10)
+    // one null-text row must not NPE the whole scoring job
+    val toScore = Seq((10L, "good words content"), (11L, null: String))
+      .toDF("id", "text")
+    val scored = model.score(toScore, "text").collect()
+    assert(scored.length == 2)
+    assert(scored.forall(_.getAs[String]("predicted") != null))
+    val ex = intercept[IllegalArgumentException] {
+      TextClassifier.train(
+        train.withColumn("lbl",
+          when(col("id") === 4L, lit(null: String)).otherwise(col("lbl"))),
+        "text", "lbl", numFeatures = 1 << 10, maxIter = 5)
+    }
+    assert(ex.getMessage.contains("null labels"))
+  }
 }

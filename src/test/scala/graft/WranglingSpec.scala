@@ -171,6 +171,9 @@ class WranglingSpec extends AnyFunSuite {
         if (acc > 0) sig |= 1L << i
       }
       assert(sig == r.getLong(17), s"vec ${r.getLong(0)}: packed signature mismatch")
+      // the driver-side signature (lshTopK's query probe) is the same fold
+      assert(Similarity.lshSignatureOf(v.toArray, 64, 16) == r.getLong(17),
+        s"vec ${r.getLong(0)}: driver-side signature diverges from in-plan")
     }
   }
 
@@ -581,6 +584,14 @@ class WranglingSpec extends AnyFunSuite {
       // fragment dropped; non-default port kept; path case preserved
       ("http://x.com/Path#frag", "http://x.com/Path"),
       ("http://x.com:8080/p", "http://x.com:8080/p"),
+      // '&' in the PATH is legal (RFC 3986) and must survive — the old
+      // blanket &->? repair turned these into bogus query strings
+      ("https://x.com/a&b", "https://x.com/a&b"),
+      ("https://x.com/a&b?utm_source=m&q=1", "https://x.com/a&b?q=1"),
+      ("https://x.com/a&b?q=1", "https://x.com/a&b?q=1"),
+      // dangling separators from stripped params drop
+      ("http://x.com/p?id=1&", "http://x.com/p?id=1"),
+      ("http://x.com/p?", "http://x.com/p"),
       // not a URL -> untouched
       ("just words", "just words"))
     val out = cases.map(_._1).toDF("u")
@@ -594,6 +605,88 @@ class WranglingSpec extends AnyFunSuite {
       .select(graft.wrangling.TextOps.normalizeUrl(col("u"))).collect()
       .map(_.getString(0))
     assert(again.toSeq == cases.map(_._2))
+  }
+
+  test("text ops survive degenerate documents under ANSI mode") {
+    import spark.implicits._
+    // empty, whitespace-only, and shorter-than-shingle docs are inevitable
+    // in a real corpus; unguarded they abort the whole job (ANSI /0 and
+    // element_at over the descending sequence(0, size-n))
+    val stop = Seq("a", "the")
+    val docs = Seq(
+      (1L, ""), (2L, "   \t\n "), (3L, "one"), (4L, "one two"),
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val scored = docs.select(col("doc_id"),
+      TextOps.avgWordLen(col("text")).as("awl"),
+      TextOps.punctRatio(col("text")).as("pr"),
+      TextOps.stopwordRatio(col("text"), stop).as("sr"),
+      TextOps.qualityScore(col("text"), stop).as("q"),
+      size(TextOps.wordShingles(col("text"), 3)).as("nsh"),
+      TextOps.topNgramFraction(col("text"), 2).as("topng"),
+      TextOps.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(scored(1).getAs[Double]("awl") == 0.0)
+    // empty doc: lenScore 0 + punctOk 1 + stopOk 0 over 3
+    assert(scored(1).getAs[Double]("q") == 0.333333)
+    assert(scored(2).getAs[Double]("sr") == 0.0)
+    assert(scored(3).getAs[Int]("nsh") == 0)   // 1 token -> no 3-grams
+    assert(scored(4).getAs[Int]("nsh") == 0)   // 2 tokens -> no 3-grams
+    assert(scored(5).getAs[Int]("nsh") == 7)
+    assert(scored(5).getAs[Double]("awl") > 3.0)
+    // the full pipelines run end-to-end over the degenerate rows too;
+    // shingle-less docs (< n tokens) simply have no signature
+    assert(Dedup.minhashSignaturesFast(docs, "doc_id", "text").count() == 1)
+    assert(Dedup.minhashSignaturesFast(docs, "doc_id", "text",
+      shingleN = 1).count() == 3)
+    val survivors = Dedup.corpusDedup(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // empty and whitespace-only texts normalize equal -> exact stage keeps 1
+    assert(survivors == Set(1L, 3L, 4L, 5L), s"survivors $survivors")
+  }
+
+  test("similarity ops survive zero-norm vectors; zero queries reject loudly") {
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Int) = (0 until dim).map(j =>
+      ((seed * 31 + j * 7) % 10 + 1).toFloat)
+    val emb = (Seq((0L, vec(1)), (1L, vec(2)), (2L, vec(3)),
+      (3L, (0 until dim).map(_ => 0.0f)))) // the zero row
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      vec(1).toArray, 4).collect()
+    assert(top.length == 4)
+    val zeroSim = top.find(_.getLong(0) == 3L).get.getAs[Double]("cos_sim")
+    assert(zeroSim == 0.0) // zero vector scores 0, doesn't abort the scan
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.5, dim = dim).collect()
+    assert(pairs.forall(r => !r.isNullAt(2)))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(emb, "vec_id", "embedding",
+        Array.fill(dim)(0.0f), 3)
+    }
+    assert(ex.getMessage.contains("zero norm"))
+    // ivfAssign places the zero vector deterministically (centroid 0)
+    val cents = Seq(vec(1).map(_.toDouble).toArray, vec(2).map(_.toDouble).toArray)
+    val assigned = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "__ci").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned(3L) == 0)
+  }
+
+  test("LSH banding rejects non-divisible bands; corpusDedup rejects string ids") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesFast(docs, "doc_id", "text", 32, 1)
+    val ex1 = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatesFromSig(sigs, "doc_id", numHashes = 32, bands = 5)
+    }
+    assert(ex1.getMessage.contains("divide"))
+    val strDocs = Seq(("doc-1", "a b c"), ("doc-2", "a b d")).toDF("doc_id", "text")
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.corpusDedup(strDocs, "doc_id", "text")
+    }
+    assert(ex2.getMessage.contains("integral"))
   }
 
   test("rollingHash: equal texts equal, different texts differ") {
