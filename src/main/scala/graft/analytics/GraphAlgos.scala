@@ -17,16 +17,26 @@ import graft.core.{GraphSlice, Kind}
   */
 object GraphAlgos {
 
-  /** Slice view → GraphX graph over the given relation types. */
+  /** Slice view → GraphX graph over the given relation types. Edges are
+    * restricted to endpoints present in the vertex set: a relation whose
+    * src/dst is itself a relation atom (meta-relation) or outside the alive
+    * slice would otherwise materialize as a null-attr GHOST vertex inside
+    * GraphX — silently absorbing pageRank mass, winning LPA labels, and
+    * inflating triangle counts before the final atom_id join drops it. */
   def toGraphX(slice: GraphSlice, rts: Seq[String]): (XGraph[String, String], DataFrame) = {
-    val spark = slice.graph.spark
     val atoms = slice.aliveAtoms
     val verts = atoms.filter(col("kind") =!= Kind.Relation)
       .select(xxhash64(col("atom_id")).as("vid"), col("atom_id"))
+    val vids = verts.select(col("vid"))
     val rels = atoms.filter(
       col("kind") === Kind.Relation && col("atype").isInCollection(rts))
       .select(xxhash64(col("src_id")).as("src"),
         xxhash64(col("dst_id")).as("dst"), col("atype"))
+      .join(vids.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .join(vids.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+      // a usingColumns join reorders the join key FIRST — re-pin the
+      // positional order the Edge mapper below reads
+      .select(col("src"), col("dst"), col("atype"))
     val vrdd = verts.rdd.map(r => (r.getLong(0), r.getString(1)))
     val erdd = rels.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     (XGraph(vrdd, erdd), verts)
@@ -70,8 +80,14 @@ object GraphAlgos {
 
   /** Community detection via label propagation over the given relation
     * types (messages flow both directions — undirected semantics). Returns
-    * (atom_id, community) where community is the converged label's
-    * atom_id — stable across runs on a fixed graph (LPA min-label ties). */
+    * (atom_id, community) where community is the converged label's atom_id.
+    * Determinism caveat, honestly: GraphX's LabelPropagation breaks
+    * equal-count label ties by message-map ITERATION order (Map.maxBy,
+    * verified in the 4.1.2 bytecode), which can vary with partitioning —
+    * a vertex pulled equally by two communities may flip between runs.
+    * Tie-free graphs (and the registry fixture) are stable; callers
+    * needing hard determinism should post-process or use
+    * [[dedupClusters]]-style connected components. */
   def communities(slice: GraphSlice, rts: Seq[String],
       steps: Int = 5): DataFrame = {
     val spark = slice.graph.spark

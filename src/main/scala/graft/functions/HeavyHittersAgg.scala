@@ -48,13 +48,19 @@ case class HeavyHittersAgg(
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
     if (v != null) {
-      val key = v match {
-        case s: UTF8String => s.clone()
-        case other => other
-      }
-      if (buf.contains(key)) buf(key) += 1L
-      else if (buf.size < capacity) buf(key) = 1L
-      else decrementAll(buf, 1L)
+      // probe with the RAW value first (UTF8String hashes/compares by
+      // content): the dominant heavy-hitter path is an already-present
+      // key, and cloning there allocated + copied bytes per corpus row
+      // only to discard them; clone only when actually inserting (the raw
+      // ref may alias a reused row buffer, so stored keys must own bytes)
+      if (buf.contains(v)) buf(v) += 1L
+      else if (buf.size < capacity) {
+        val key = v match {
+          case s: UTF8String => s.clone()
+          case other => other
+        }
+        buf(key) = 1L
+      } else decrementAll(buf, 1L)
     }
     buf
   }
@@ -144,5 +150,18 @@ object HeavyHittersAgg {
     require(capacity > 0, "capacity must be positive")
     val e = ColumnBridge.expression(item)
     ColumnBridge.column(HeavyHittersAgg(e, capacity).toAggregateExpression())
+  }
+
+  /** Typed entry over a resolved frame: rejects unsupported item types at
+    * PLAN time with a usable message — unchecked, serialize() threw
+    * UnsupportedOperationException mid-job after the whole map stage ran
+    * (and only when partial aggregation happened to kick in). */
+  def heavyHittersChecked(df: org.apache.spark.sql.DataFrame, itemCol: String,
+      capacity: Int): Column = {
+    val dt = df.schema(itemCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == StringType,
+      s"heavy_hitters: unsupported item type $dt for '$itemCol' — " +
+        "supported: long, int, string (cast first)")
+    heavyHitters(org.apache.spark.sql.functions.col(itemCol), capacity)
   }
 }

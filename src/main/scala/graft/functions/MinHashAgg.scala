@@ -82,8 +82,13 @@ case class MinHashAgg(
 
 object MinHashAgg {
   /** Column form: minhash(shingleCol, k) usable in groupBy().agg(...). */
-  def minhash(shingle: Column, numHashes: Int): Column =
+  def minhash(shingle: Column, numHashes: Int): Column = {
+    // 0 would emit empty signatures (every doc identical -> the LSH
+    // candidate join degenerates to a cross product); negative crashes
+    // in serialize() mid-job. Reject at plan time.
+    require(numHashes > 0, s"minhash: numHashes must be positive, got $numHashes")
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(shingle), numHashes)
         .toAggregateExpression())
+  }
 }

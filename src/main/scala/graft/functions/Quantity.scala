@@ -26,10 +26,13 @@ object Quantity {
 
   /** Guard: both operands same unit, else runtime error (zef semantics).
     * raise_error only evaluates on the mismatch branch; the cast aligns
-    * the branch type. */
+    * the branch type. NULL inputs null-propagate first (Spark convention —
+    * one null row must not abort the job; unguarded, the null comparison
+    * fell into the error branch, and the concat'd message itself was null). */
   private def sameUnit(a: Column, b: Column)(out: => Column): Column =
-    when(unit(a) === unit(b), out).otherwise(
-      raise_error(concat(lit("quantity unit mismatch: "),
+    when(unit(a).isNull || unit(b).isNull, lit(null).cast("double"))
+      .when(unit(a) === unit(b), out)
+      .otherwise(raise_error(concat(lit("quantity unit mismatch: "),
         unit(a), lit(" vs "), unit(b))).cast("double"))
 
   def qAdd(a: Column, b: Column): Column =
@@ -45,8 +48,9 @@ object Quantity {
   def qEq(a: Column, b: Column): Column = sameUnitBool(a, b)(value(a) === value(b))
 
   private def sameUnitBool(a: Column, b: Column)(out: => Column): Column =
-    when(unit(a) === unit(b), out).otherwise(
-      raise_error(concat(lit("quantity unit mismatch: "),
+    when(unit(a).isNull || unit(b).isNull, lit(null).cast("boolean"))
+      .when(unit(a) === unit(b), out)
+      .otherwise(raise_error(concat(lit("quantity unit mismatch: "),
         unit(a), lit(" vs "), unit(b))).cast("boolean"))
 
   // ---- Enum (EN.Type.value; scalars.h:56-66): typed name pairs ----
@@ -54,7 +58,9 @@ object Quantity {
     struct(lit(enumType).as("enum_type"), enumValue.as("enum_value"))
 
   def enumEq(a: Column, b: Column): Column =
-    when(a.getField("enum_type") === b.getField("enum_type"),
-      a.getField("enum_value") === b.getField("enum_value"))
+    when(a.getField("enum_type").isNull || b.getField("enum_type").isNull,
+      lit(null).cast("boolean"))
+      .when(a.getField("enum_type") === b.getField("enum_type"),
+        a.getField("enum_value") === b.getField("enum_value"))
       .otherwise(raise_error(lit("enum type mismatch")).cast("boolean"))
 }

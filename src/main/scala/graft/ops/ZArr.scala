@@ -48,8 +48,10 @@ object ZArr {
     * drop leading/trailing elements equal to el. */
   def trimLeft(arr: Column, el: Column): Column = {
     val firstKeep = array_position(transform(arr, x => x =!= el), true)
+    // length = size(arr) (clamps): a MaxValue literal overflows start+len
+    // in the INTERPRETED Slice eval (raw iadd) and silently returns []
     when(firstKeep === 0, slice(arr, 1, 0)) // all-separator → empty, typed
-      .otherwise(slice(arr, firstKeep.cast("int"), lit(Int.MaxValue - 1)))
+      .otherwise(slice(arr, firstKeep.cast("int"), size(arr)))
   }
   def trimRight(arr: Column, el: Column): Column = reverse(trimLeft(reverse(arr), el))
   def trim(arr: Column, el: Column): Column = trimRight(trimLeft(arr, el), el)
@@ -110,17 +112,18 @@ object ZArr {
   }
 
   /** zef `split[el]` on lists (impl.py:4684): split into runs at separator
-    * elements (separator not included). */
+    * elements (separator not included). One pass for the separator
+    * positions, then one slice per segment between consecutive bounds —
+    * O(m) per row. (The previous lowering re-filtered the array prefix per
+    * element AND the tagged array per segment: O(m²) per row, a real wall
+    * on 10k-token arrays inside an interpreted HOF.) */
   def splitOn(arr: Column, el: Column): Column = {
-    // positions: segment id = count of separators before each element
-    val tagged = transform(arr, (x, i) =>
-      struct(x.as("v"),
-        size(filter(slice(arr, lit(1), i + 1), y => y === el)).as("seg"),
-        (x === el).as("is_sep")))
-    val nSeg = size(filter(arr, x => x === el)) + 1
-    transform(sequence(lit(0), nSeg - 1), s =>
-      transform(
-        filter(tagged, t => t.getField("seg") === s && !t.getField("is_sep")),
-        t => t.getField("v")))
+    // 0-based separator positions, framed by -1 and size(arr)
+    val seps = filter(transform(arr, (x, i) => when(x === el, i).otherwise(lit(-1))),
+      i => i >= 0)
+    val bounds = concat(array(lit(-1)), seps, array(size(arr)))
+    transform(sequence(lit(0), size(seps)), s =>
+      slice(arr, element_at(bounds, s + 1) + 2,
+        element_at(bounds, s + 2) - element_at(bounds, s + 1) - 1))
   }
 }

@@ -66,24 +66,31 @@ object ZCol {
   /** zef `is_alpha_numeric`. */
   def isAlphaNumeric(c: Column): Column = c.rlike("^[A-Za-z0-9]+$")
 
-  /** zef `int_to_alpha` (impl.py:8431): 1→a, 2→b, ..., 27→aa. */
+  /** zef `int_to_alpha` (impl.py:8431): 1→a, 2→b, ..., 27→aa.
+    * Base-26 bijective numeration, 7 static levels — exact through
+    * 8,353,082,582 (sum of 26^k, k=1..7; beyond any key space this op
+    * meets). Past the cap it errors LOUDLY: the old 4-level chain just
+    * dropped the 5th letter above 475k, silently COLLIDING different
+    * integers onto one string. Inputs < 1 error too (the numeration is
+    * defined on positive ints). */
   def intToAlpha(c: Column): Column = {
-    // base-26 bijective numeration, max 4 letters (suffices to 475k)
     val chars = "abcdefghijklmnopqrstuvwxyz"
     def letter(n: Column): Column = element_at(lit(chars.split("")), n.cast("int"))
-    def idiv(x: Column): Column = floor(x / lit(26)).cast("long")
-    val n1 = pmod(c - 1, lit(26)) + 1
-    val r1 = idiv(c - 1)
-    val n2 = pmod(r1 - 1, lit(26)) + 1
-    val r2 = idiv(r1 - 1)
-    val n3 = pmod(r2 - 1, lit(26)) + 1
-    val r3 = idiv(r2 - 1)
-    val n4 = pmod(r3 - 1, lit(26)) + 1
-    concat(
-      when(r3 > 0, letter(n4)).otherwise(lit("")),
-      when(r2 > 0, letter(n3)).otherwise(lit("")),
-      when(r1 > 0, letter(n2)).otherwise(lit("")),
-      letter(n1))
+    val levels = 7
+    val cap = (1 to levels).map(k => math.pow(26.0, k.toDouble).toLong).sum
+    // y_1 = c-1; y_{k+1} = floor(y_k / 26) - 1; letter k = y_k mod 26 + 1,
+    // emitted while y_k >= 0 (the same recurrence the 4-level chain
+    // hand-unrolled)
+    val ys = Seq.iterate((c - 1).cast("long"), levels)(y =>
+      (floor(y / lit(26)) - 1).cast("long"))
+    val letters = ys.zipWithIndex.map { case (y, k) =>
+      val l = letter(pmod(y, lit(26)) + 1)
+      if (k == 0) l else when(y >= 0, l).otherwise(lit(""))
+    }
+    when(c.cast("long") < 1 || c.cast("long") > cap,
+      raise_error(concat(lit(s"int_to_alpha: input out of [1, $cap]: "),
+        c.cast("string"))).cast("string"))
+      .otherwise(concat(letters.reverse: _*))
   }
 
   // ---- dict/map ops over MapType columns (SURVEY §2.6) ----

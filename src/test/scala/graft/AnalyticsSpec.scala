@@ -43,6 +43,29 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("toGraphX: meta-relation edges never create ghost vertices") {
+    // a Meta relation pointing AT a relation atom has no vertex endpoint;
+    // unreflected it materialized as a null-attr ghost inside GraphX,
+    // absorbing pageRank mass before the final join silently dropped it
+    val wishes = (1 to 6).map(i => PutEntity("P", s"u$i")) ++
+      (2 to 6).map(i => PutRelation("Links", s"u$i", "u1")) ++
+      Seq(PutRelation("Links", "u1", "u2", key = "l12"),
+        PutRelation("Meta", "u3", "l12"))
+    val (g2, r1) = Transactor.transact(Graph.empty(spark), wishes)
+    val (xg, _) = GraphAlgos.toGraphX(g2.now, Seq("Links", "Meta"))
+    assert(xg.vertices.filter(_._2 == null).count() == 0)
+    assert(xg.edges.count() == 6) // the Meta edge is excluded
+    // rank distribution equals the Meta-free graph's (no leaked mass)
+    val withMeta = GraphAlgos.pageRank(g2.now, Seq("Links", "Meta"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val linksOnly = GraphAlgos.pageRank(g2.now, Seq("Links"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(withMeta.keySet == linksOnly.keySet)
+    withMeta.foreach { case (k, v) =>
+      assert(math.abs(v - linksOnly(k)) < 1e-9, s"$k: $v vs ${linksOnly(k)}") }
+    assert(r1.ids.contains("l12"))
+  }
+
   test("communities: two cliques resolve to two labels") {
     val names = Seq("a1", "a2", "a3", "b1", "b2", "b3")
     val wishes = names.map(i => PutEntity("P", i)) ++

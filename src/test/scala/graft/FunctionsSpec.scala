@@ -25,6 +25,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sigs1 == sigs)
   }
 
+  test("aggregate params reject at plan time, not mid-job") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b")).toDF("k", "s")
+    // numHashes=0 would make every signature [] (all docs identical ->
+    // candidate cross product); negative crashed in serialize mid-shuffle
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHashAgg.minhash(col("s"), 0)
+    }
+    // unsupported item types used to pass analysis and throw in
+    // serialize() AFTER the whole map stage ran
+    val dbl = Seq((1L, 2.5)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.HeavyHittersAgg.heavyHittersChecked(dbl, "v", 10)
+    }
+    assert(ex.getMessage.contains("unsupported item type"))
+    assert(graft.functions.HeavyHittersAgg
+      .heavyHittersChecked(df, "s", 10) != null)
+  }
+
   test("BottomKAgg: deterministic bottom-k sample, merge-invariant, seeded") {
     import spark.implicits._
     import graft.functions.BottomKAgg.sampleK

@@ -261,6 +261,17 @@ class OpsSpec extends AnyFunSuite {
     val df = Seq(1L, 2L, 26L, 27L, 28L, 52L, 53L, 703L).toDF("n")
     val out = df.select(ZCol.intToAlpha(col("n")).as("a")).collect().map(_.getString(0))
     assert(out.toSeq == Seq("a", "b", "z", "aa", "ab", "az", "ba", "aaa"))
+    // the 4->5 letter boundary: the old 4-level chain silently collided
+    // everything past 475254 onto 4-letter strings
+    val hi = Seq(475254L, 475255L, 475255L + 26L).toDF("n")
+      .select(ZCol.intToAlpha(col("n")).as("a")).collect().map(_.getString(0))
+    assert(hi.toSeq == Seq("zzzz", "aaaaa", "aaaba"))
+    // out of range errors loudly instead of emitting a colliding string
+    val ex = intercept[Exception] {
+      Seq(0L).toDF("n").select(ZCol.intToAlpha(col("n"))).collect()
+    }
+    assert(ex.getMessage.contains("int_to_alpha") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("int_to_alpha")))
   }
 
   test("ZCol: padCenter, clamp, dict ops") {

@@ -40,6 +40,24 @@ class QuantitySpec extends AnyFunSuite {
     }
   }
 
+  test("NULL quantities null-propagate instead of aborting the job") {
+    import spark.implicits._
+    // one null row in a column must not raise_error the whole query
+    // (Spark convention: null in -> null out; mismatch stays an ERROR)
+    val df = Seq((Some(100.0), "dollars"), (None, "dollars"))
+      .toDF("a", "u")
+      .select(when(col("a").isNotNull, quantity(col("a"), col("u")))
+        .as("qa"),
+        quantity(lit(5.0), "dollars").as("qb"))
+    val rows = df.select(
+      value(qAdd(col("qa"), col("qb"))).as("sum"),
+      qLt(col("qa"), col("qb")).as("lt")).collect()
+    assert(rows.length == 2)
+    val byNull = rows.partition(_.isNullAt(0))
+    assert(byNull._1.length == 1 && byNull._1.forall(_.isNullAt(1)))
+    assert(byNull._2.head.getDouble(0) == 105.0)
+  }
+
   test("quantities group and aggregate within unit partitions") {
     import spark.implicits._
     val df = Seq(("dollars", 10.0), ("dollars", 20.0), ("euros", 5.0))
