@@ -33,9 +33,15 @@ object Dot {
     val bare = endpointIds.distinct
       .diff(nodes.map(_.getAs[String]("atom_id")))
       .map(id => s"""  "${esc(id)}";""")
-    val edges = rels.map { r =>
-      s"""  "${esc(r.getAs[String]("src_id"))}" -> "${esc(r.getAs[String]("dst_id"))}" [label="${esc(r.getAs[String]("atype"))}"];"""
-    }
+    // a relation row with a null endpoint (foreign parquet, corruption —
+    // the same rows the bare-node filter above tolerates) cannot be drawn
+    // as an edge; skip it instead of NPEing the whole export
+    val edges = rels
+      .filter(r => r.getAs[String]("src_id") != null &&
+        r.getAs[String]("dst_id") != null)
+      .map { r =>
+        s"""  "${esc(r.getAs[String]("src_id"))}" -> "${esc(r.getAs[String]("dst_id"))}" [label="${esc(r.getAs[String]("atype"))}"];"""
+      }
     ((declared ++ bare).sorted ++ edges.sorted)
       .mkString("digraph g {\n", "\n", "\n}")
   }
@@ -46,13 +52,23 @@ object Dot {
     * The blueprint is schema-sized, so no bound is needed. */
   def blueprintDot(g: Graph): String = {
     val rows = g.blueprint.collect()
-    val (rels, nodes) = rows.partition(_.getAs[String]("src_type") != null)
+    // node rows have BOTH endpoint types null; a relation with ONE
+    // unresolvable endpoint (blueprint's left joins keep them — the
+    // dangling_src/dst corruption class) must still render as an edge,
+    // with '?' for the missing side, not crash or masquerade as a node.
+    // (A relation with BOTH endpoints dangling is indistinguishable from
+    // a node row in this schema and renders as one — the diagnostic's
+    // honest limit.)
+    val (rels, nodes) = rows.partition(r =>
+      r.getAs[String]("src_type") != null || r.getAs[String]("dst_type") != null)
     val nodeLines = nodes.map { r =>
       val t = r.getAs[String]("atype")
       s"""  "${esc(t)}" [label="${esc(t)} (${r.getAs[Long]("n")})"];"""
     }
+    def ep(r: org.apache.spark.sql.Row, c: String): String =
+      Option(r.getAs[String](c)).getOrElse("?")
     val edgeLines = rels.map { r =>
-      s"""  "${esc(r.getAs[String]("src_type"))}" -> "${esc(r.getAs[String]("dst_type"))}" [label="${esc(r.getAs[String]("atype"))} (${r.getAs[Long]("n")})"];"""
+      s"""  "${esc(ep(r, "src_type"))}" -> "${esc(ep(r, "dst_type"))}" [label="${esc(r.getAs[String]("atype"))} (${r.getAs[Long]("n")})"];"""
     }
     (nodeLines.sorted ++ edgeLines.sorted)
       .mkString("digraph blueprint {\n", "\n", "\n}")

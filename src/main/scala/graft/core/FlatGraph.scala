@@ -36,18 +36,23 @@ final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
     outEdges.getOrElse(id, Vector.empty).filter(_.atype == rt)
 
   /** Latest value of the atom's rt field (the FlatGraph is a snapshot, so
-    * "latest" = max tx_slice present in the collected values). */
+    * "latest" = max tx_slice present in the collected values; same-slice
+    * ties across field INSTANCES break by ae_id, mirroring the cluster
+    * side's pivot tie-break). */
   def field(id: String, rt: String): Option[ValueRow] = {
     val aeIds = outRels(id, rt).map(_.dst_id.get).toSet
     val vs = values.filter(v => aeIds.contains(v.ae_id))
-    if (vs.isEmpty) None else Some(vs.maxBy(_.tx_slice))
+    if (vs.isEmpty) None else Some(vs.maxBy(v => (v.tx_slice, v.ae_id)))
   }
 
   def size: Int = atoms.size
 
-  /** First slice not yet used by this snapshot's rows. */
+  /** First slice not yet used by this snapshot's rows — terminations count
+    * (a terminate-only insert consumes its slice; reusing it would collapse
+    * two logically sequential local transactions into one slice number). */
   def nextSlice: Int =
-    (atoms.map(_.inst_slice) ++ values.map(_.tx_slice)).maxOption.getOrElse(0) + 1
+    (atoms.map(_.inst_slice) ++ atoms.flatMap(_.term_slice) ++
+      values.map(_.tx_slice)).maxOption.getOrElse(0) + 1
 
   /** Local insert/extend — the reference's in-process FlatGraph mutation
     * (`flatgraph_implementations.py` insert/extend), applying the SAME
@@ -75,7 +80,6 @@ final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
           s"unknown key '$key' — pass a full atom_id for existing atoms")))
 
     val out = scala.collection.mutable.ArrayBuffer[AtomRow](atoms: _*)
-    val vals = scala.collection.mutable.ArrayBuffer[ValueRow](values: _*)
     def alive(id: String): Boolean =
       out.exists(a => a.atom_id == id && a.term_slice.isEmpty)
     def put(row: AtomRow): Unit = if (!alive(row.atom_id)) out += row
@@ -94,6 +98,7 @@ final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
           Some(ref(dstKey)), slice, None, id))
       case _ => ()
     }
+    val newVals = scala.collection.mutable.ArrayBuffer[ValueRow]()
     wishes.foreach {
       case PutField(ownerKey, rt, value, inst) =>
         val owner = ref(ownerKey)
@@ -102,9 +107,18 @@ final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
         put(AtomRow(ae, Kind.AttributeEntity, rt, None, None, slice, None, ae))
         put(AtomRow(rel, Kind.Relation, rt, Some(owner), Some(ae), slice,
           None, rel))
-        vals += ValueRow.of(ae, slice, value)
+        newVals += ValueRow.of(ae, slice, value)
       case AssignField(ownerKey, rt, value, inst) =>
-        vals += ValueRow.of(aeId(ref(ownerKey), rt, inst), slice, value)
+        newVals += ValueRow.of(aeId(ref(ownerKey), rt, inst), slice, value)
+      case _: TerminateAtom => () // applied AFTER appends, like Transactor
+      case _: PutEntity | _: PutRelation => ()
+      case w => throw new IllegalArgumentException(
+        s"FlatGraph.insert does not support $w")
+    }
+    // terminations apply after ALL appends (the Transactor order), so a
+    // terminate-before-PutField batch cascade-kills the new field relation
+    // here exactly as it does on the cluster
+    wishes.foreach {
       case TerminateAtom(key) =>
         val id = ref(key)
         for (i <- out.indices) {
@@ -113,11 +127,15 @@ final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
             a.src_id.contains(id) || a.dst_id.contains(id)) // cascade
           if (hit) out(i) = a.copy(term_slice = Some(slice))
         }
-      case _: PutEntity | _: PutRelation => ()
-      case w => throw new IllegalArgumentException(
-        s"FlatGraph.insert does not support $w")
+      case _ => ()
     }
-    FlatGraph(out.toVector, vals.toVector)
+    // ONE value row per AE per insert, last wish wins — the Transactor's
+    // same-tx dedup; appending both rows made field() (first max wins)
+    // return the assignment the user OVERWROTE
+    val seen = scala.collection.mutable.Set[String]()
+    val dedupedNew =
+      newVals.reverseIterator.filter(v => seen.add(v.ae_id)).toVector.reverse
+    FlatGraph(out.toVector, values ++ dedupedNew)
   }
 }
 

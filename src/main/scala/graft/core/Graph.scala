@@ -130,21 +130,41 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
       }
     }
 
+  /** The cache's current tables, by reference — lets [[TransientCaches]]
+    * protect tables a SHARED graph serves via a borrowed seed from being
+    * unpersisted through their OWNING (non-shared) parent's release. */
+  private[graft] def cachedTables: Seq[DataFrame] =
+    latestValuesCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      latestValuesCache.values().asScala.toVector
+    }
+
   /** Unpersist every derived table this instance pinned — for graphs that
     * turn out to be throwaway (the tentative frame of a hooked mutation:
     * GqlApi.commitWithHooks discards it after hooks run, and without this
     * its seeded latest-values block lingers until the ContextCleaner GCs
     * the abandoned instance). */
-  def releaseDerived(): Unit = latestValuesCache.synchronized {
-    val it = latestValuesCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (!borrowedSeeds.contains(e.getKey)) e.getValue.unpersist(false)
+  def releaseDerived(): Unit =
+    releaseDerived(java.util.Collections.emptySet[DataFrame]())
+
+  /** Release variant that spares `protect`ed tables (identity set): a
+    * no-new-values transact seeds the child's cache with the PARENT's
+    * owned table by reference, so when only the child is marked shared,
+    * releasing the parent must not unpersist the table the shared child
+    * still serves. The entry still leaves this cache (a later use
+    * re-aggregates fresh); the table itself stays persisted. */
+  private[core] def releaseDerived(protect: java.util.Set[DataFrame]): Unit =
+    latestValuesCache.synchronized {
+      val it = latestValuesCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!borrowedSeeds.contains(e.getKey) && !protect.contains(e.getValue))
+          e.getValue.unpersist(false)
+      }
+      latestValuesCache.clear()
+      seededDepth.clear()
+      borrowedSeeds.clear()
     }
-    latestValuesCache.clear()
-    seededDepth.clear()
-    borrowedSeeds.clear()
-  }
 
   private[graft] def hasCachedLatestValues(slice: Int): Boolean =
     latestValuesCache.synchronized(latestValuesCache.containsKey(slice))

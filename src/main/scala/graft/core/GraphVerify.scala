@@ -16,7 +16,13 @@ object GraphVerify {
 
   def verify(g: Graph): DataFrame = {
     val atoms = g.atoms
-    val ids = atoms.select(col("atom_id")).distinct()
+    // the shared intermediates feed several checks each (ids: 2 anti-joins;
+    // rels: 4 checks; endpoints: 2 sides of check 6) and Spark shares no
+    // subplans across DataFrame branches — persist them for the report's
+    // lifetime or a health check scans the atom table ~10 times
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ids = TransientCaches.trackTable(
+      atoms.select(col("atom_id")).distinct().persist(lvl))
     val maxSlice = g.maxSlice
 
     def report(check: String, df: DataFrame): DataFrame =
@@ -25,7 +31,8 @@ object GraphVerify {
 
     // 1. dangling relation endpoints (verification.h:37 — "index present in
     //    source/target's edge list" becomes "endpoint id resolves")
-    val rels = atoms.filter(col("kind") === Kind.Relation)
+    val rels = TransientCaches.trackTable(
+      atoms.filter(col("kind") === Kind.Relation).persist(lvl))
     val danglingSrc = rels
       .join(ids.withColumnRenamed("atom_id", "src_id"), Seq("src_id"), "left_anti")
       .select(col("atom_id"), concat(lit("missing src "), col("src_id")).as("detail"))
@@ -67,15 +74,22 @@ object GraphVerify {
         concat(lit("value tx_slice "), col("tx_slice")).as("detail"))
 
     // 6. a relation must open while both endpoints are alive (the cascade
-    //    invariant observed from the other side)
-    val endpoints = atoms.select(col("atom_id"), col("inst_slice").as("__ei"),
-      coalesce(col("term_slice"), lit(Int.MaxValue)).as("__et"))
-    def coveredAtOpen(endCol: String): DataFrame = rels.alias("r")
+    //    invariant observed from the other side). Restricted to relations
+    //    whose endpoints RESOLVE: a missing endpoint is already reported as
+    //    dangling_src/dst, and double-reporting the same corruption under
+    //    two check names would inflate counts and confuse triage.
+    val endpoints = TransientCaches.trackTable(
+      atoms.select(col("atom_id"), col("inst_slice").as("__ei"),
+        coalesce(col("term_slice"), lit(Int.MaxValue)).as("__et")).persist(lvl))
+    val resolvedRels = rels
+      .join(ids.withColumnRenamed("atom_id", "src_id"), Seq("src_id"), "left_semi")
+      .join(ids.withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"), "left_semi")
+    def coveredAtOpen(endCol: String): DataFrame = resolvedRels.alias("r")
       .join(endpoints.withColumnRenamed("atom_id", endCol).alias("e"), endCol)
       .filter(col(s"e.__ei") <= col("r.inst_slice") &&
         col("r.inst_slice") < col("e.__et"))
       .select(col("r.atom_id"), col("r.inst_slice")).distinct()
-    val uncovered = rels.select(col("atom_id"), col("inst_slice"))
+    val uncovered = resolvedRels.select(col("atom_id"), col("inst_slice"))
       .except(coveredAtOpen("src_id").intersect(coveredAtOpen("dst_id")))
       .select(col("atom_id"),
         concat(lit("endpoint dead at open slice "), col("inst_slice")).as("detail"))

@@ -50,15 +50,23 @@ object TransientCaches {
   }
 
   /** Unpersist every transient table pinned since the last call. Safe to
-    * call mid-session: released tables recompute lazily on next read. */
+    * call mid-session: released tables recompute lazily on next read.
+    * Tables a SHARED graph currently serves are spared even when a
+    * non-shared graph owns them (the borrowed-seed case: a no-new-values
+    * transact hands the parent's table to the child by reference, and only
+    * the child gets marked shared — releasing the parent would silently
+    * unpersist the shared graph's cache out from under it). */
   def releaseAll(): Unit = {
-    val (gs, ts) = synchronized {
+    val (gs, ts, protect) = synchronized {
       val gs = new java.util.ArrayList[Graph](graphs)
       val ts = new java.util.ArrayList[DataFrame](tables.keySet())
       graphs.clear(); tables.clear()
-      (gs, ts)
+      val protect = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+      shared.forEach(g => g.cachedTables.foreach(protect.add))
+      (gs, ts, protect)
     }
-    gs.forEach(_.releaseDerived())
-    ts.forEach(_.unpersist(false))
+    gs.forEach(_.releaseDerived(protect))
+    ts.forEach(t => if (!protect.contains(t)) t.unpersist(false))
   }
 }

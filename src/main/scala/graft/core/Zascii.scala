@@ -52,6 +52,18 @@ object Zascii {
         require(j >= 0, s"line ${lineNo + 1}: unterminated string at col $i")
         out += Tok(lineNo, i, j + 1, line.substring(i, j + 1))
         i = j + 1
+      } else if (c == '-' && i + 1 < line.length &&
+          (line(i + 1).isDigit || line(i + 1) == '.') &&
+          (i == 0 || line(i - 1) == ' ' || line(i - 1) == '\t')) {
+        // a NEGATIVE literal: '-' is in lineArt, so the blanket skip ate
+        // the sign ("-42" transacted as 42, silently). A minus that starts
+        // a number after whitespace is a token, not arrow shaft — shafts
+        // are preceded by more shaft or a head, never by start-of-number.
+        var j = i + 1
+        while (j < line.length && !line(j).isWhitespace &&
+          line(j) != '"' && !lineArt(line(j))) j += 1
+        out += Tok(lineNo, i, j, line.substring(i, j))
+        i = j
       } else if (c == ' ' || c == '\t' || lineArt(c)) i += 1
       else {
         var j = i
@@ -69,7 +81,13 @@ object Zascii {
     var i = 0
     while (i < line.length) {
       val c = line(i)
-      if (c == '◄' || c == '<' || shaftChars(c)) {
+      if (c == '"') {
+        // skip quoted literals entirely — a string containing "-->" must
+        // not produce a phantom arrow (tokensOf already treats quotes as
+        // opaque; the arrow scan has to agree with it)
+        val j = line.indexOf('"', i + 1)
+        i = if (j >= 0) j + 1 else line.length
+      } else if (c == '◄' || c == '<' || shaftChars(c)) {
         val s0 = i
         val leftHead = c == '◄' || c == '<'
         if (leftHead) i += 1

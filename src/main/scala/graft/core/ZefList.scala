@@ -24,8 +24,10 @@ object ZefList {
         val relKey = s"$listKey#$i"
         Seq(
           PutRelation(ElementRt, listKey, item, relKey),
-          // index lives on the relation atom (meta-relation field)
-          PutField(s"r:$ElementRt/$relKey", IndexRt, i.toLong))
+          // index lives on the relation atom (meta-relation field); the
+          // tx-local relation KEY resolves through Transactor's own id
+          // scheme — hand-building "r:.../..." here would duplicate it
+          PutField(relKey, IndexRt, i.toLong))
     }
 
   def create(g: Graph, listKey: String, itemKeys: Seq[String]): (Graph, Receipt) =

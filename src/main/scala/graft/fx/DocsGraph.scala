@@ -34,9 +34,15 @@ object DocsGraph {
       }
     }
     val ops = Registry.entries.flatMap(q => q.ops.map(_ -> q.name))
-    val opWishes = ops.map(_._1).distinct.flatMap { op =>
+    // distinct query names per op in ONE pass: a duplicate op tag inside a
+    // QueryDef would inflate a raw pair count while the duplicate
+    // DemonstratedBy relation below dedups — the stored count must agree
+    // with what the graph can answer
+    val queriesPerOp = ops.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val opWishes = queriesPerOp.keys.toSeq.sorted.flatMap { op =>
       Seq(PutEntity("ZefOp", op),
-        PutField(s"e:ZefOp/$op", "NQueries", ops.count(_._1 == op).toLong))
+        PutField(s"e:ZefOp/$op", "NQueries", queriesPerOp(op)))
     }
     val relWishes = ops.map { case (op, q) =>
       PutRelation("DemonstratedBy", s"e:ZefOp/$op", s"e:Query/$q")

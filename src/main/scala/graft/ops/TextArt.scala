@@ -84,7 +84,12 @@ object TextArt {
     */
   def textArt(c: Column): Column = {
     val src = regexp_replace(upper(c), "[^A-Z0-9 ]", "")
-    concat_ws("\n", (0 until 5).map(rowCol(src, _)): _*)
+    // NULL propagates (matching the generated SQL's null-propagating ||
+    // chain): concat_ws SKIPS null parts, so unguarded it would return ""
+    // where the oracle side returns NULL — a silent parity split on the
+    // first nullable input column
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n", (0 until 5).map(rowCol(src, _)): _*))
   }
 
   /** The IDENTICAL lowering as an ANSI SQL expression over `col`, generated

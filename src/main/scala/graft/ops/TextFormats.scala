@@ -46,7 +46,7 @@ object TextFormats {
     * flow lists `[a, b]`, comments, blank lines, quoted scalars. */
   def fromYaml(text: String): Any = {
     val lines = text.split("\n", -1).toVector
-      .map(l => l.takeWhile(_ != '#'))
+      .map(stripYamlComment)
       .filter(_.trim.nonEmpty)
       .map(l => (l.indexWhere(_ != ' '), l.trim))
     def parseBlock(from: Int, indent: Int): (Any, Int) = {
@@ -62,8 +62,10 @@ object TextFormats {
           (lines(i)._2.startsWith("- ") || lines(i)._2 == "-")) {
         val body = lines(i)._2.drop(1).trim
         if (body.isEmpty) { // nested block under the dash
-          val (v, next) = parseBlock(i + 1, lines(i + 1)._1)
-          items += v; i = next
+          if (i + 1 < lines.length && lines(i + 1)._1 > indent) {
+            val (v, next) = parseBlock(i + 1, lines(i + 1)._1)
+            items += v; i = next
+          } else { items += null; i += 1 } // trailing/blank '-' = null item
         } else if (body.contains(": ") || body.endsWith(":")) {
           // inline first key of a mapping item: re-parse as a mini map by
           // treating the dash position as extra indentation
@@ -106,6 +108,25 @@ object TextFormats {
     if (lines.isEmpty) null else parseBlock(0, lines(0)._1)._1
   }
 
+  /** Quote-aware YAML comment strip: '#' starts a comment only OUTSIDE
+    * quotes and only at line start or after whitespace (YAML rule) — the
+    * old quote-blind takeWhile truncated quoted scalars ("#fff") and
+    * mid-token URLs (http://x#frag). */
+  private def stripYamlComment(line: String): String = {
+    var inQ = false; var q = ' '
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (inQ) { if (c == q) inQ = false }
+      else if (c == '"' || c == '\'') { inQ = true; q = c }
+      else if (c == '#' &&
+        (i == 0 || line(i - 1) == ' ' || line(i - 1) == '\t'))
+        return line.take(i)
+      i += 1
+    }
+    line
+  }
+
   private def keyColonIndex(line: String): Int = {
     var inQ = false; var q = ' '
     var i = 0
@@ -126,7 +147,8 @@ object TextFormats {
   /** Flow value: `[a, b, c]` list or a scalar. */
   def parseFlow(s0: String): Any = {
     val s = s0.trim
-    if (s.startsWith("[") && s.endsWith("]")) {
+    if (s == "{}") ListMapOf(Nil) // empty flow map (the toYaml round-trip)
+    else if (s.startsWith("[") && s.endsWith("]")) {
       val inner = s.substring(1, s.length - 1).trim
       if (inner.isEmpty) Vector.empty[Any]
       else splitTop(inner, ',').map(parseFlow).toVector
@@ -184,6 +206,10 @@ object TextFormats {
     case null => "null"
     case s: String => if (s.matches("[A-Za-z0-9_ .-]*") && s.nonEmpty) s
       else "\"" + s.replace("\"", "\\\"") + "\""
+    // empty collections fall through the nonEmptyColl block branches —
+    // emit YAML flow forms, not Scala debris ("Vector()")
+    case m: Map[_, _] if m.isEmpty => "{}"
+    case s: Seq[_] if s.isEmpty => "[]"
     case other => other.toString
   }
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.Properties
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.core.{Graph, GraphEncoder, TxRow}
+import graft.core.{Graph, GraphEncoder, TxRow, ValueRow}
 
 /** SQL → graph import — the reference's `experimental/sql_import.py:41-373`
   * (declarative mapping of relational tables onto entities/fields/
@@ -77,8 +77,27 @@ object SqlImport {
       GraphEncoder.encodeRelations(tables(r.table), r.rt,
         r.srcEt, r.srcKeyCol, r.dstEt, r.dstKeyCol, instSlice)
     }
+    require(mapping.entities.nonEmpty || mapping.relations.nonEmpty,
+      "SqlImport: mapping has no entities and no relations")
     val atoms = (encoded.map(_._1) ++ rels).reduce(_ unionByName _)
-    val values = encoded.map(_._2).reduce(_ unionByName _)
+    // relations-only mappings carry no values (reduce over Nil would throw
+    // empty.reduce) — an empty ValueRow-schema frame keeps the Graph valid
+    val values = encoded.map(_._2).reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[ValueRow].toDF())
+    // the per-table key check above cannot see ACROSS entries: two
+    // EntityMaps onto the same entity type with overlapping keys would
+    // pass both checks yet duplicate every atom and value row — and the
+    // single-assignment stamp below would then make latestValues' filter-
+    // only fast path return both rows. One distinct count over the union
+    // closes that loudly (import-time only).
+    if (encoded.size > 1) {
+      import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+      val vc = values.agg(count(lit(1)), count_distinct(col("ae_id"))).collect()(0)
+      require(vc.getLong(0) == vc.getLong(1),
+        s"SqlImport: ${vc.getLong(0) - vc.getLong(1)} colliding ae_ids across " +
+          "mapping entries — two entries map the same entity type with " +
+          "overlapping keys")
+    }
     // one value row per AE at one slice via the encoder's scheme ids —
     // as-of reads take Graph.latestValues' single-assignment fast path
     Graph(atoms, values, Seq(TxRow(instSlice, ts)).toDF())

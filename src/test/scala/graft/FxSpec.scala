@@ -112,4 +112,33 @@ class FxSpec extends AnyFunSuite {
     assert(names == Set("Ann2", "Cid"))
     assert(now.all("P").hasOut("Knows").count() == 0)
   }
+
+  test("FlatGraph insert: Transactor parity on same-tx overwrite and terminate order") {
+    // assign-after-assign in ONE insert keeps only the LAST wish (the
+    // Transactor's same-tx dedup); appending both made field() return the
+    // overwritten value
+    val fg0 = FlatGraph(Vector.empty, Vector.empty)
+      .insert(Seq(PutEntity("P", "a"),
+        PutField("a", "Name", "x"), AssignField("e:P/a", "Name", "y")))
+    assert(fg0.field("e:P/a", "Name").get.v_str.contains("y"))
+    assert(fg0.values.count(_.ae_id.contains("Name")) == 1)
+    // terminate-before-PutField: terminations apply AFTER appends (the
+    // Transactor order), so the new field relation is born cascaded-dead
+    val fg1 = FlatGraph(Vector.empty, Vector.empty)
+      .insert(Seq(PutEntity("P", "a")))
+    val fg2 = fg1.insert(Seq(
+      TerminateAtom("e:P/a"), PutField("e:P/a", "Age", 7)))
+    assert(fg2.field("e:P/a", "Age").isEmpty,
+      "field relation must be cascade-terminated like the cluster path")
+    // a terminate-only insert consumes its slice: the next insert must not
+    // reuse it
+    val t1 = fg1.insert(Seq(TerminateAtom("e:P/a")))
+    assert(t1.nextSlice == 3, s"got ${t1.nextSlice}")
+    // parity check on the cluster side for the same two wish lists
+    val (g0, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutField("a", "Name", "x"),
+      AssignField("a", "Name", "y")))
+    assert(g0.now.all("P").fieldValue("Name", "v_str", "n")
+      .collect().map(_.getAs[String]("n")).toSeq == Seq("y"))
+  }
 }

@@ -252,6 +252,21 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(fgr.atoms.count(_.kind == Kind.Entity) == 2)
     assert(fgr.atoms.count(_.kind == Kind.Relation) == 2) // Likes + Name field rel
     assert(fgr.values.exists(_.v_str.contains("Bee")))
+    // NEGATIVE literal: the '-' sign is not arrow shaft (it used to be
+    // swallowed, transacting 42 instead of -42 with no error)
+    val neg = Zascii.toFlatGraph(
+      """          RT.Delta
+        |ET.A[a] ──────────► -42
+        |""".stripMargin)
+    assert(neg.values.exists(_.v_long.contains(-42L)),
+      s"got ${neg.values}")
+    // an arrow-looking sequence INSIDE a quoted literal is not an edge
+    val quoted = Zascii.toFlatGraph(
+      """          RT.Note
+        |ET.A[a] ──────────► "x-->y"
+        |""".stripMargin)
+    assert(quoted.values.exists(_.v_str.contains("x-->y")))
+    assert(quoted.atoms.count(_.kind == Kind.Relation) == 1)
   }
 
   test("events between slices") {
@@ -715,5 +730,48 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(g2.copy(uniqueValuesThrough = 1).latestValues(2)
       .filter(col("ae_id") === ae)
       .collect()(0).getAs[Double]("v_double") == before + 1000.0)
+  }
+
+  test("diagnostics tolerate dangling endpoints: verify disjoint, dot renders") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val atoms = Seq(
+      AtomRow("e:P/a", Kind.Entity, "P", None, None, 1, None, "e:P/a"),
+      AtomRow("e:P/b", Kind.Entity, "P", None, None, 1, None, "e:P/b"),
+      AtomRow("r:X/ok", Kind.Relation, "X", Some("e:P/a"), Some("e:P/b"),
+        1, None, "r:X/ok"),
+      // unresolvable dst: the dangling_dst corruption class
+      AtomRow("r:X/bad", Kind.Relation, "X", Some("e:P/a"), Some("e:P/GONE"),
+        1, None, "r:X/bad")).toDF()
+    val g = Graph(atoms, Seq.empty[ValueRow].toDF(), Seq(TxRow(1, ts)).toDF())
+    val v = GraphVerify.verify(g).collect()
+    // reported ONCE (dangling_dst), not again as relation_endpoint_dead
+    assert(v.count(r => r.getString(0) == "dangling_dst" &&
+      r.getString(1) == "r:X/bad") == 1)
+    assert(!v.exists(r => r.getString(0) == "relation_endpoint_dead"),
+      s"double-reported: ${v.mkString(",")}")
+    // blueprintDot renders the missing side as '?' instead of NPEing —
+    // corrupt graphs are exactly what one wants to visualize
+    val bp = Dot.blueprintDot(g)
+    assert(bp.contains("\"P\" -> \"?\""), bp)
+    assert(bp.contains("\"P\" -> \"P\""))
+  }
+
+  test("releaseAll spares tables a shared graph serves via borrowed seeds") {
+    val (g0, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutField("a", "Name", "Ann")))
+    // touch latest values so g0's cache holds an owned persisted table
+    g0.now.all("P").fieldValue("Name", "v_str", "n").collect()
+    // a no-new-values tx hands g0's table to g1 BY REFERENCE (borrowed)
+    val (g1, _) = Transactor.transact(g0, Seq(TerminateAtom("e:P/a")))
+    TransientCaches.markShared(g1)
+    val served = g1.cachedTables
+    assert(served.nonEmpty)
+    TransientCaches.releaseAll()
+    // the owning (non-shared) parent's release must not have unpersisted
+    // the table the shared graph still serves
+    served.foreach(t => assert(
+      t.storageLevel.useMemory || t.storageLevel.useDisk,
+      "shared graph's borrowed cache table was unpersisted by releaseAll"))
   }
 }

@@ -448,4 +448,21 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/index").exists())
     assert(GraphStore.load(spark, dir).now.all("Person").count() == 2)
   }
+
+  test("Fs.rm never follows symlinks into their targets") {
+    import java.nio.file.Files
+    // a store cleanup over a tree containing a symlinked subdir (e.g. an
+    // index moved to another volume) must delete the LINK, never the
+    // target's contents — isDirectory is true for a link to a directory
+    val target = Files.createTempDirectory("graft_rm_target")
+    Files.write(target.resolve("precious.txt"), "keep".getBytes)
+    val root = Files.createTempDirectory("graft_rm_root")
+    Files.write(root.resolve("a.txt"), "x".getBytes)
+    Files.createSymbolicLink(root.resolve("link"), target)
+    Fs.rm(root.toFile)
+    assert(!Files.exists(root))
+    assert(Files.exists(target.resolve("precious.txt")),
+      "rm followed the symlink and destroyed the target")
+    Fs.rm(target.toFile)
+  }
 }

@@ -70,6 +70,29 @@ class SqlImportSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "e:Person/1")
   }
 
+  test("relations-only mapping imports; cross-entry key overlap rejects loudly") {
+    // relations-only used to throw empty.reduce on the values union
+    val relOnly = Mapping(entities = Nil, relations =
+      Seq(RelationMap("PET", "HasPet", "Person", "OWNER_ID", "Pet", "ID")))
+    val g = SqlImport.importGraph(spark, dbUrl, relOnly, props)
+    assert(g.atoms.filter(col("atype") === "HasPet").count() == 3)
+    assert(g.values.count() == 0)
+    // two entries mapping the SAME entity type with overlapping keys used
+    // to pass both per-table checks and silently duplicate every value row
+    // under the single-assignment stamp
+    val overlapping = Mapping(entities = Seq(
+      EntityMap("PERSON", "Person", "ID", Seq("NAME")),
+      EntityMap("PERSON", "Person", "ID", Seq("NAME"))))
+    val ex = intercept[IllegalArgumentException] {
+      SqlImport.importGraph(spark, dbUrl, overlapping, props)
+    }
+    assert(ex.getMessage.contains("colliding ae_ids"))
+    // and an empty mapping is a usable error, not empty.reduce
+    intercept[IllegalArgumentException] {
+      SqlImport.importGraph(spark, dbUrl, Mapping(Nil, Nil), props)
+    }
+  }
+
   test("partitioned JDBC read produces the same graph") {
     val mapping = Mapping(
       entities = Seq(EntityMap("PERSON", "Person", "ID", Seq("NAME"),

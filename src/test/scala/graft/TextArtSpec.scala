@@ -68,6 +68,20 @@ class TextArtSpec extends AnyFunSuite {
     assert(render("X .Y") == render("X Y"))
   }
 
+  test("NULL input: Column form and generated SQL agree (both null)") {
+    val s = spark; import s.implicits._
+    val df = Seq(Some("HI"), None).toDF("t")
+    val viaCol = df.select(TextArt.textArt(col("t")).as("a")).collect()
+    assert(viaCol.count(_.isNullAt(0)) == 1) // concat_ws would have said ""
+    df.createOrReplaceTempView("ta_null_probe")
+    val viaSql = spark.sql(
+      s"SELECT ${TextArt.oracleSqlExpr("t", dialect = "spark")} AS a " +
+        "FROM ta_null_probe").collect()
+    assert(viaSql.count(_.isNullAt(0)) == 1)
+    assert(viaCol.map(r => Option(r.getString(0))).toSet ==
+      viaSql.map(r => Option(r.getString(0))).toSet)
+  }
+
   test("every font glyph is 5 rows of width 5 over {#, space}") {
     TextArt.font.foreach { case (ch, rows) =>
       assert(rows.length == 5, s"$ch")

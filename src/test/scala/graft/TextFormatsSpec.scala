@@ -49,6 +49,22 @@ class TextFormatsSpec extends AnyFunSuite {
     assert(TextFormats.fromYaml(TextFormats.toYaml(tree)) == tree)
   }
 
+  test("YAML: quoted/mid-token '#' is data, empty colls and bare dashes survive") {
+    // '#' inside quotes or glued to a token is NOT a comment (the old
+    // quote-blind takeWhile truncated "#fff" to '"' and URLs at the #)
+    val t = TextFormats.fromYaml(
+      "color: \"#fff\"\nurl: http://x#frag\nnote: hi # real comment")
+      .asInstanceOf[Map[String, Any]]
+    assert(t("color") == "#fff")
+    assert(t("url") == "http://x#frag")
+    assert(t("note") == "hi")
+    // a trailing bare '-' is a null item, not IndexOutOfBoundsException
+    assert(TextFormats.fromYaml("- x\n-") == Vector("x", null))
+    // empty collections round-trip as {} / [] (was Scala debris "Vector()")
+    val tree = Map("a" -> Vector.empty[Any], "b" -> Map.empty[String, Any])
+    assert(TextFormats.fromYaml(TextFormats.toYaml(tree)) == tree)
+  }
+
   test("TOML: tables, dotted headers, arrays, comments") {
     val doc =
       """title = "graft" # inline comment
