@@ -111,8 +111,15 @@ object Sync {
     SyncedGraph(GraphStore.loadWithClosures(spark, dir), dir)
 
   // ---------------------------------------------------------------------
-  // Live tail: the store directory as a micro-batch stream, one tx file
-  // batch per trigger — the inputs GraphSubscriptions composes on.
+  // Live tail: the store directory as a micro-batch stream — the inputs
+  // GraphSubscriptions composes on. Granularity, honestly: appendTx
+  // partitions atoms by (kind, atype), so ONE transaction's atoms can land
+  // as several files and maxFilesPerTrigger=1 then surfaces them across
+  // several micro-batches. The feed's delivery contract is therefore
+  // per-EVENT (each row exactly once, in commit order per sub-table), NOT
+  // per-transaction atomicity within a trigger — subscriptions fire on
+  // rows, so nothing is lost or duplicated; a consumer needing whole-tx
+  // batches should group on tx markers downstream.
   // ---------------------------------------------------------------------
 
   def atomFeed(spark: SparkSession, dir: String): DataFrame =

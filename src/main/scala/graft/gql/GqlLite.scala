@@ -218,10 +218,15 @@ object GqlLite {
         else df.withColumn(n.as,
           coalesce(col(n.as), array().cast(df.schema(n.as).dataType)))
     }
-    // a global sort only when the query asks for order or pagination
+    // a global sort only when the query asks for order or pagination.
+    // nulls LAST in both directions — the same total order the nested
+    // path's window/comparator use (Spark's default asc = nulls FIRST
+    // would paginate null sort keys differently at the root than one
+    // level down, for the identical sort spec)
     if (q.sort.nonEmpty || q.first.isDefined || q.offset.isDefined) {
       val sortCols = q.sort.map(s =>
-        if (s.asc) col(s.field).asc else col(s.field).desc) :+
+        if (s.asc) col(s.field).asc_nulls_last
+        else col(s.field).desc_nulls_last) :+
         col("atom_id").asc // deterministic pagination tiebreak
       df = df.orderBy(sortCols: _*)
     }
@@ -277,10 +282,18 @@ object GqlLite {
       unique: Map[String, Seq[String]] = Map(), // et -> unique field rts
       required: Map[String, Seq[String]] = Map()) // et -> required field rts
 
+  /** Entity type from a scheme atom id ("e:ET/key") — the same prefix
+    * parse the pure-id mutation vetting uses. */
+  private def etOfId(id: String): Option[String] =
+    if (id.startsWith("e:")) Some(id.drop(2).takeWhile(_ != '/')) else None
+
   private def checkConstraints(g: graft.core.Graph, ms: Seq[Mutation],
       c: Constraints): Unit = {
     val adds = ms.collect { case a: AddEntity => a }
-    // required: every AddEntity carries all required fields
+    val updates = ms.collect { case u: UpdateEntity => u }
+    // required: every AddEntity carries all required fields, and no
+    // RemoveField may strip a declared-required field from a live entity
+    // (an update that unset it would leave the entity schema-invalid)
     adds.foreach { a =>
       c.required.getOrElse(a.et, Nil).foreach { rt =>
         if (!a.fields.contains(rt))
@@ -288,7 +301,19 @@ object GqlLite {
             s"constraint violation: ${a.et}.$rt is required")
       }
     }
-    // unique: no duplicate within the batch, none colliding with the store.
+    ms.foreach {
+      case RemoveField(id, rt, _)
+        if etOfId(id).exists(et => c.required.getOrElse(et, Nil).contains(rt)) =>
+        throw new IllegalArgumentException(
+          s"constraint violation: cannot remove required field $rt from $id")
+      case _ => ()
+    }
+    // unique: no duplicate within the batch, none colliding with the store —
+    // for ADDS and UPDATES both (an update setting a unique field to a value
+    // another entity holds violates the declaration exactly as a create
+    // does; update-blind checking silently committed the collision). An
+    // updater re-setting its OWN current value is not a collision: the
+    // store probe excludes each updater's own row for its own new value.
     // The store check reads the TYPED value column for each value's runtime
     // type (mirroring ValueRow.of) — a v_str-only compare would silently
     // pass long/double/bool/ts collisions (their v_str is null).
@@ -298,18 +323,27 @@ object GqlLite {
     // constraint.
     val probes = c.unique.toSeq.flatMap { case (et, rts) =>
       rts.flatMap { rt =>
-        val batchVals = adds.filter(_.et == et).flatMap(_.fields.get(rt))
+        val addVals = adds.filter(_.et == et).flatMap(_.fields.get(rt))
+        val updPairs = updates.collect {
+          case u if etOfId(u.atomId).contains(et) && u.fields.contains(rt) =>
+            u.atomId -> u.fields(rt)
+        }
+        val batchVals = addVals ++ updPairs.map(_._2)
         if (batchVals.distinct.size != batchVals.size)
           throw new IllegalArgumentException(
             s"constraint violation: duplicate $et.$rt within transaction")
         batchVals.groupBy(typedCol).map { case (vcol, vs) =>
-          val lits = vs.map {
+          def asLit(v: Any): Column = v match {
             case i: Int => lit(i.toLong) // v_long stores longs
-            case v => lit(v)
+            case x => lit(x)
           }
+          val ownRow = updPairs.filter(p => typedCol(p._2) == vcol)
+            .foldLeft(lit(false)) { case (acc, (id, v)) =>
+              acc || (col("atom_id") === id && col("__v") === asLit(v))
+            }
           g.now.all(et)
             .fieldValue(rt, vcol, "__v")
-            .filter(col("__v").isin(lits: _*))
+            .filter(col("__v").isin(vs.map(asLit): _*) && !ownRow)
             .select(lit(et).as("__et"), lit(rt).as("__rt"))
         }
       }
@@ -338,7 +372,11 @@ object GqlLite {
   /** Run mutations with an optional auth predicate — the SimpleGQL auth
     * hook (test_simplegql.py:28-77): update/delete targets must satisfy
     * the predicate IN THE CURRENT FRAME or the whole transaction is
-    * rejected (checked distributed, before any write). */
+    * rejected, before any write. Honestly: the opaque-function contract
+    * means the predicate is invoked per target id on the DRIVER (one job
+    * per target if it reads the slice) — fine for the hook-test shape it
+    * restates; the production path is GqlApi's declarative `@auth`, which
+    * compiles the claim filter into ONE set-based plan over all targets. */
   def mutate(g: graft.core.Graph, ms: Seq[Mutation],
       auth: Option[(graft.core.GraphSlice, String) => Boolean] = None,
       constraints: Constraints = Constraints())

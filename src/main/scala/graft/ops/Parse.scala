@@ -85,14 +85,16 @@ object Parse {
     if (s.startsWith(t, i)) Right((t, i + t.length)) else P.fail(i)
   }
 
-  /** Regex (anchored at the position). */
+  /** Regex (anchored at the position). Matches at the offset via
+    * matcher.region + lookingAt — `s.substring(i)` copied the remaining
+    * suffix on EVERY combinator invocation, making rep() parses quadratic
+    * in input length. */
   def re(pattern: String): P[String] = {
-    val r = ("^(?:" + pattern + ")").r
+    val r = java.util.regex.Pattern.compile(pattern)
     P { (s, i) =>
-      r.findFirstIn(s.substring(i)) match {
-        case Some(m) => Right((m, i + m.length))
-        case None => P.fail(i)
-      }
+      val m = r.matcher(s)
+      m.region(i, s.length)
+      if (m.lookingAt()) Right((m.group(), m.end())) else P.fail(i)
     }
   }
 

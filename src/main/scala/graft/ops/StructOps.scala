@@ -31,6 +31,14 @@ object StructOps {
   def unflattenStruct(df: DataFrame, sep: String = "_"): DataFrame = {
     val groups = df.columns.groupBy(c =>
       if (c.contains(sep)) c.split(java.util.regex.Pattern.quote(sep), 2)(0) else "")
+    // a bare column can share its name with a rebuilt group ("a" beside
+    // "a_b"): the select would emit two columns named 'a' and every later
+    // reference dies with AMBIGUOUS_REFERENCE — reject here with the cause
+    val bare = groups.getOrElse("", Array.empty[String]).toSet
+    val clash = groups.keySet.intersect(bare) - ""
+    require(clash.isEmpty,
+      s"unflattenStruct: bare column(s) ${clash.mkString(", ")} collide with " +
+        s"group prefixes of the same name — rename before unflattening")
     val cols: Seq[Column] = groups.toSeq.sortBy(_._1).flatMap {
       case ("", flat) => flat.toSeq.sorted.map(col)
       case (prefix, members) =>
@@ -69,10 +77,14 @@ object StructOps {
 
   /** zef `transpose` (impl.py:365): list-of-lists row/col swap for an
     * ArrayType(ArrayType) column (ragged input truncates to the shortest
-    * row, matching zip semantics). */
+    * row, matching zip semantics — so ANY empty inner row, or an empty
+    * outer list, transposes to []). The guard matters under ANSI mode:
+    * unguarded, sequence(0, -1) descends and element_at(row, 0) aborts
+    * the job on the first row containing an empty inner array. */
   def transpose(c: Column): Column = {
     val minLen = array_min(transform(c, r => size(r)))
-    transform(sequence(lit(0), minLen - 1),
-      i => transform(c, row => element_at(row, i + 1)))
+    when(size(c) === 0 || minLen < 1, slice(c, 1, 0)).otherwise(
+      transform(sequence(lit(0), minLen - 1),
+        i => transform(c, row => element_at(row, i + 1))))
   }
 }

@@ -400,9 +400,16 @@ object ZOps {
       * other under per-side orders, TRUNCATED to the shortest side
       * (reference: output length = sides × N_shortest). */
     def interleave(other: DataFrame, order: Seq[Column]): DataFrame = {
-      val n = math.min(df.count(), other.count())
       val a = df.enumerate(order, "__i").withColumn("__src", lit(0))
       val b = other.enumerate(order, "__i").withColumn("__src", lit(1))
+      // truncation length from the ENUMERATED (checkpoint-frozen) frames in
+      // one aggregate job — two bare count() jobs over the raw inputs paid
+      // two extra full scans for a number the enumerates already imply
+      val stats = a.agg(max(col("__i")).as("m"), count(lit(1)).as("c"))
+        .unionByName(b.agg(max(col("__i")).as("m"), count(lit(1)).as("c")))
+        .collect()
+      val n = if (stats.exists(_.getLong(1) == 0L)) 0L
+        else stats.map(_.getLong(0)).min + 1
       a.unionByName(b).filter(col("__i") < n)
         .orderBy(col("__i"), col("__src"))
         .drop("__i", "__src")

@@ -177,5 +177,23 @@ class ExtendedOpsSpec extends AnyFunSuite {
       .select(StructOps.transpose(col("m")).as("t")).collect()(0)
       .getSeq[Seq[Int]](0)
     assert(t == Seq(Seq(1, 4), Seq(2, 5), Seq(3, 6)))
+    // zip semantics at the edges: an empty inner row (or empty outer)
+    // transposes to [] — unguarded this ANSI-threw on element_at(row, 0)
+    val edges = Seq(
+      Seq(Seq(1, 2), Seq.empty[Int]),
+      Seq.empty[Seq[Int]],
+      Seq(Seq(7), Seq(8, 9))).toDF("m")
+      .select(StructOps.transpose(col("m")).as("t")).collect()
+      .map(_.getSeq[Seq[Int]](0))
+    assert(edges(0) == Seq.empty)
+    assert(edges(1) == Seq.empty)
+    assert(edges(2) == Seq(Seq(7, 8)))
+    // bare column colliding with a group prefix rejects loudly (the select
+    // would otherwise emit two columns named 'a')
+    val clash = Seq((1, 2)).toDF("a", "a_b")
+    val ex = intercept[IllegalArgumentException] {
+      StructOps.unflattenStruct(clash)
+    }
+    assert(ex.getMessage.contains("collide"))
   }
 }

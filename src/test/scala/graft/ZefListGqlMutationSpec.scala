@@ -103,6 +103,43 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
     }
   }
 
+  test("GqlLite @unique binds UPDATES too; own-value re-set passes") {
+    import GqlLite._
+    val cons = Constraints(unique = Map("User" -> Seq("Email")),
+      required = Map("User" -> Seq("Email")))
+    val (g, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("User", "a", Map("Email" -> "a@x.com")),
+      AddEntity("User", "b", Map("Email" -> "b@x.com"))), constraints = cons)
+    // an update stealing another entity's unique value used to commit
+    // silently — only adds were checked
+    intercept[IllegalArgumentException] {
+      mutate(g, Seq(UpdateEntity("e:User/b", Map("Email" -> "a@x.com"))),
+        constraints = cons)
+    }
+    // add + update colliding within one batch
+    intercept[IllegalArgumentException] {
+      mutate(g, Seq(
+        AddEntity("User", "c", Map("Email" -> "c@x.com")),
+        UpdateEntity("e:User/b", Map("Email" -> "c@x.com"))),
+        constraints = cons)
+    }
+    // re-setting the entity's OWN current value is not a collision
+    val (g2, _) = mutate(g,
+      Seq(UpdateEntity("e:User/b", Map("Email" -> "b@x.com"))),
+      constraints = cons)
+    // and a genuinely new value passes
+    val (g3, _) = mutate(g2,
+      Seq(UpdateEntity("e:User/b", Map("Email" -> "b2@x.com"))),
+      constraints = cons)
+    assert(g3.now.all("User")
+      .fieldValue("Email", "v_str", "e").collect()
+      .map(_.getAs[String]("e")).toSet == Set("a@x.com", "b2@x.com"))
+    // removing a required field rejects (the entity would go schema-invalid)
+    intercept[IllegalArgumentException] {
+      mutate(g3, Seq(RemoveField("e:User/b", "Email")), constraints = cons)
+    }
+  }
+
   test("GqlLite hops: relation counts in one aggregated join") {
     import GqlLite._
     val g = GraphEncoder.encodeTpch(spark, "/root/testdata/sf0.001")
