@@ -51,6 +51,49 @@ object GraphAlgos {
     ranks.join(verts, "vid").select(col("atom_id"), col("rank"))
   }
 
+  /** Fixed-iteration PageRank as a pure DataFrame power iteration —
+    * r_{k+1}(v) = reset + (1−reset) · Σ_{u→v} r_k(u)/outdeg(u), r_0 = 1.
+    * The deterministic variant an INDEPENDENT engine can replay exactly
+    * (which is what lets DuckDB oracle it with unrolled-iteration CTEs);
+    * [[pageRank]] stays the GraphX tolerance-based convergence form.
+    * Per iteration: one edges⋈ranks join + one keyed aggregate; the rank
+    * frame is eagerly checkpointed so the plan stays O(1) deep however
+    * many iterations run. Edges into non-vertex endpoints are dropped
+    * (same ghost rule as [[toGraphX]]); dangling vertices lose mass (the
+    * GraphX convention) and isolated vertices settle at resetProb. */
+  def pageRankStatic(slice: GraphSlice, rts: Seq[String], iters: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    require(iters >= 1, "pageRankStatic: iters >= 1")
+    val atoms = slice.aliveAtoms
+    val verts = atoms.filter(col("kind") =!= Kind.Relation)
+      .select(col("atom_id")).localCheckpoint(true)
+    val rawEdges = atoms.filter(col("kind") === Kind.Relation &&
+        col("atype").isInCollection(rts))
+      .select(col("src_id"), col("dst_id"))
+      .join(verts.withColumnRenamed("atom_id", "src_id"), Seq("src_id"), "left_semi")
+      .join(verts.withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"), "left_semi")
+      .select(col("src_id"), col("dst_id"))
+    val outdeg = rawEdges.groupBy(col("src_id")).agg(count(lit(1)).as("__d"))
+    val edges = graft.core.TransientCaches.trackTable(
+      rawEdges.join(outdeg, "src_id").persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var ranks = verts.withColumn("rank", lit(1.0))
+    var it = 0
+    while (it < iters) {
+      val msgs = edges
+        .join(ranks.withColumnRenamed("atom_id", "src_id"), "src_id")
+        .groupBy(col("dst_id").as("atom_id"))
+        .agg(sum(col("rank") / col("__d")).as("__msg"))
+      ranks = verts.join(msgs, Seq("atom_id"), "left")
+        .select(col("atom_id"),
+          (lit(resetProb) + lit(1.0 - resetProb) *
+            coalesce(col("__msg"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    ranks
+  }
+
   /** Hop distances to the given landmark atoms over the given relation
     * types — GraphX ShortestPaths (BFS pregel; distances follow out-edges,
     * `directed = false` symmetrizes first). Returns (atom_id, landmark,

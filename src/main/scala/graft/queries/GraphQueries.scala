@@ -284,6 +284,60 @@ object GraphQueries {
              |  c_acctbal AS bal_before, c_acctbal * 2 AS score,
              |  CAST(0 AS BIGINT) AS s1_score_rows
              |FROM customer ORDER BY atom_id""".stripMargin),
-      Seq("assign_field_bulk", "set_field", "time_travel", "value"))
+      Seq("assign_field_bulk", "set_field", "time_travel", "value")),
+
+    // Fixed-iteration PageRank over the encoded graph's MemberOf + Placed
+    // relations — the DETERMINISTIC power-iteration variant, which is what
+    // makes distributed graph analytics ORACLE-ABLE: DuckDB replays the
+    // identical recurrence (r_{k+1} = 0.15 + 0.85·Σ r_k/outdeg, r_0 = 1)
+    // as unrolled per-iteration CTEs over the original tables, so the
+    // candidate mass flowing customer→nation (outdeg varies per customer:
+    // 1 + its order count) must agree to 4 decimals. Per iteration the
+    // Spark side is one join + one keyed aggregate with an eager
+    // checkpoint (plan depth O(1) at any iteration count); the GraphX
+    // tolerance-based pageRank stays the convergence variant (spec-only).
+    QueryDef(
+      "graph_pagerank_static",
+      (s, d) => {
+        val g = GraphEncoder.encodeTpch(s, d)
+        graft.analytics.GraphAlgos
+          .pageRankStatic(g.now, Seq("MemberOf", "Placed"), iters = 5)
+          .filter(col("atom_id").startsWith("e:Nation/"))
+          .select(col("atom_id").as("nation_id"),
+            round(col("rank"), 4).as("rank"))
+          .orderBy(col("nation_id"))
+      },
+      Some {
+        val iterCtes = (1 to 5).map { k =>
+          s"""pr$k AS (
+             |  SELECT verts.v, 0.15 + 0.85 * coalesce(s.m, 0.0) AS r
+             |  FROM verts LEFT JOIN (
+             |    SELECT ed.dst AS v2, sum(p.r / ed.d) AS m
+             |    FROM ed JOIN pr${k - 1} p ON p.v = ed.src
+             |    GROUP BY ed.dst) s ON s.v2 = verts.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH verts AS (
+           |  SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS v
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT 'e:Nation/' || CAST(n_nationkey AS VARCHAR) FROM nation
+           |  UNION ALL
+           |  SELECT 'e:Order/' || CAST(o_orderkey AS VARCHAR) FROM orders),
+           |edges AS (
+           |  SELECT 'e:Customer/' || CAST(c_custkey AS VARCHAR) AS src,
+           |         'e:Nation/' || CAST(c_nationkey AS VARCHAR) AS dst
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT 'e:Customer/' || CAST(o_custkey AS VARCHAR),
+           |         'e:Order/' || CAST(o_orderkey AS VARCHAR) FROM orders),
+           |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+           |ed AS (SELECT e.src, e.dst, deg.d FROM edges e
+           |       JOIN deg ON deg.src = e.src),
+           |pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts),
+           |$iterCtes
+           |SELECT v AS nation_id, round(r, 4) AS rank FROM pr5
+           |WHERE v LIKE 'e:Nation/%' ORDER BY nation_id""".stripMargin
+      },
+      Seq("pagerank", "graph_analytics", "power_iteration", "fixpoint"))
   )
 }

@@ -66,6 +66,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r1.ids.contains("l12"))
   }
 
+  test("pageRankStatic: hand-computed power iteration on the star graph") {
+    val wishes = (1 to 6).map(i => PutEntity("P", s"u$i")) ++
+      (2 to 6).map(i => PutRelation("Links", s"u$i", "u1")) :+
+      PutRelation("Links", "u1", "u2")
+    val (g, _) = Transactor.transact(Graph.empty(spark), wishes)
+    def ranks(iters: Int): Map[String, Double] =
+      GraphAlgos.pageRankStatic(g.now, Seq("Links"), iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // r0 = 1 everywhere; iter 1: u1 <- 5 msgs of 1.0 -> 0.15+0.85*5 = 4.4;
+    // u2 <- u1's 1.0 -> 1.0; u3..u6 no in-edges -> 0.15
+    val r1 = ranks(1)
+    assert(math.abs(r1("e:P/u1") - 4.4) < 1e-9)
+    assert(math.abs(r1("e:P/u2") - 1.0) < 1e-9)
+    assert(math.abs(r1("e:P/u3") - 0.15) < 1e-9)
+    // iter 2: u1 <- (1.0 + 4*0.15) = 1.6 -> 0.15+0.85*1.6 = 1.51;
+    // u2 <- 4.4 -> 0.15+0.85*4.4 = 3.89
+    val r2 = ranks(2)
+    assert(math.abs(r2("e:P/u1") - 1.51) < 1e-9)
+    assert(math.abs(r2("e:P/u2") - 3.89) < 1e-9)
+    // field AEs are isolated vertices: they settle at resetProb exactly
+    assert(r2.size > 6 || r2.size == 6) // entity-only graph here
+  }
+
   test("communities: two cliques resolve to two labels") {
     val names = Seq("a1", "a2", "a3", "b1", "b2", "b3")
     val wishes = names.map(i => PutEntity("P", i)) ++
