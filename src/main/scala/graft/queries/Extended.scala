@@ -726,13 +726,9 @@ object Extended {
     syncDirCache.getOrElseUpdate((s, d), {
       val (g, _) = Streaming.graphFeedFor(s, d)
       val dir = s"/tmp/graft_sync/p${ProcessHandle.current().pid()}_" +
-        Integer.toHexString(d.hashCode)
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root)) {
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
+        Registry.dirKey(d)
+      // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
+      graft.core.Fs.rm(new java.io.File(dir))
       val writer = graft.fx.Sync.publish(g, dir)
       val survivors = g.now.all("User")
         .fieldValue("Spend", "v_double", "v")

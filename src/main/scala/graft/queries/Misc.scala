@@ -69,17 +69,28 @@ object Misc {
       "er_infer_types",
       (s, d) => {
         import graft.wrangling.EntityResolution._
+        // the numeric predicate guards its cast (ANSI: a non-numeric k
+        // would abort the job; guarded it falls through to BigK, exactly
+        // the oracle's CASE order)
         inferTypes(Tables.events(s, d), "props", Seq(
           TypeRule("SmallK", Seq("k"),
-            m => element_at(m, "k").cast("long") < 50),
+            m => when(element_at(m, "k").rlike("^-?\\d+$"),
+              element_at(m, "k").cast("long") < 50).otherwise(lit(false))),
           TypeRule("BigK", Seq("k"))))
           .groupBy(col("inferred_type"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("inferred_type"))
       },
-      Some("""SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
-             |            THEN 'SmallK' ELSE 'BigK' END AS inferred_type,
-             |       count(*) AS n
+      // mirrors the SHAPE rule exactly: a props row without a k key is
+      // ZEF_Unknown (not BigK), and TRY_CAST keeps a non-numeric k from
+      // aborting the whole oracle query — the current corpus has k on
+      // every row, but the oracle must not depend on that
+      Some("""SELECT CASE
+             |  WHEN json_extract_string(props, '$.k') IS NULL THEN 'ZEF_Unknown'
+             |  WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
+             |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+             |    THEN 'SmallK' ELSE 'BigK' END AS inferred_type,
+             |  count(*) AS n
              |FROM events GROUP BY 1 ORDER BY inferred_type""".stripMargin),
       Seq("infer_types", "pattern", "match")),
 
@@ -160,10 +171,10 @@ object Misc {
       Seq("Outs", "group_by", "distinct", "sum", "broadcast_join")),
 
     // Misra–Gries heavy hitters (custom TypedImperativeAggregate): most
-    // active users per event type. Capacity (256) exceeds the distinct
-    // users, so the sketch is EXACT and the oracle hash-checks the full
-    // partial/merge/shuffle machinery; the undercapacity bounds are spec'd
-    // in FunctionsSpec.
+    // active users per event type. Capacity (4096) exceeds the distinct
+    // users at every tested sf, so the sketch is EXACT and the oracle
+    // hash-checks the full partial/merge/shuffle machinery; the
+    // undercapacity bounds are spec'd in FunctionsSpec.
     QueryDef(
       "agg_heavy_hitters",
       (s, d) => {
@@ -197,8 +208,13 @@ object Misc {
         val ev = Tables.events(s, d)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("value"))
+        // one purchase per (user, ts) on BOTH sides: DuckDB's plain ASOF
+        // tie choice on duplicate right timestamps is unspecified (the
+        // pinned tie contract lives in asof_join_dup_ties; here the oracle
+        // must stay a plain ASOF JOIN, so the tie class is removed)
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("value").as("p_value"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("p_value"))
         graft.ops.AsOfJoin.backward(clicks, purchases,
             Seq("user_id"), "ts", "ts")
           .groupBy(col("user_id"))
@@ -212,7 +228,9 @@ object Misc {
              |  count(r.value) AS n_matched,
              |  round(sum(coalesce(l.value - r.value, 0)), 3) AS diff_sum
              |FROM (SELECT * FROM events WHERE event_type = 'click') l
-             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |ASOF LEFT JOIN (
+             |  SELECT user_id, ts, max(value) AS value FROM events
+             |  WHERE event_type = 'purchase' GROUP BY user_id, ts) r
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
       Seq("asof_join", "time_travel", "group_by")),
@@ -299,8 +317,10 @@ object Misc {
         val ev = Tables.events(s, d)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("value"))
+        // same (user, ts) purchase dedup as asof_join_events/_tolerance
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("value").as("p_value"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("p_value"))
         graft.ops.AsOfJoin.backwardSmallRight(clicks, purchases,
             Seq("user_id"), "ts", "ts", toleranceSec = Some(21600.0))
           .groupBy(col("user_id"))
@@ -310,13 +330,23 @@ object Misc {
               .as("diff_sum"))
           .orderBy(col("user_id"))
       },
+      // the tolerance bound replays the ENGINE'S arithmetic bit-for-bit
+      // (double epoch-seconds, TimeAxis.seconds) like asof_join_tolerance —
+      // an exact INTERVAL compare can disagree with the double form right
+      // at the 6-hour boundary (each /1e6 rounds by up to ~1e-7 s)
       Some("""SELECT l.user_id AS user_id, count(*) AS n_clicks,
-             |  count(CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR
-             |        THEN r.value END) AS n_matched,
-             |  round(sum(CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR
-             |        THEN l.value - r.value ELSE 0 END), 3) AS diff_sum
+             |  count(CASE WHEN
+             |      CAST(epoch_us(l.ts) AS DOUBLE) / 1000000.0
+             |        - CAST(epoch_us(r.ts) AS DOUBLE) / 1000000.0 <= 21600.0
+             |    THEN r.value END) AS n_matched,
+             |  round(sum(CASE WHEN
+             |      CAST(epoch_us(l.ts) AS DOUBLE) / 1000000.0
+             |        - CAST(epoch_us(r.ts) AS DOUBLE) / 1000000.0 <= 21600.0
+             |    THEN l.value - r.value ELSE 0 END), 3) AS diff_sum
              |FROM (SELECT * FROM events WHERE event_type = 'click') l
-             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |ASOF LEFT JOIN (
+             |  SELECT user_id, ts, max(value) AS value FROM events
+             |  WHERE event_type = 'purchase' GROUP BY user_id, ts) r
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |GROUP BY l.user_id ORDER BY user_id""".stripMargin),
       Seq("asof_join", "broadcast", "tolerance", "group_by")),
@@ -473,7 +503,11 @@ object Misc {
     QueryDef(
       "sql_text_surface",
       (s, d) => {
-        Tables.all.foreach(t =>
+        // register only the tables the statement reads: registering all
+        // ten paid eight parquet footer loads per run and left a session-
+        // global 'events' view with the RAW (non-TimeAxis-normalized)
+        // schema for unrelated code to trip over
+        Seq("customer", "nation").foreach(t =>
           Tables.table(s, d, t).createOrReplaceTempView(t))
         s.sql("""
           SELECT n_name, count(*) AS n_customers,

@@ -34,7 +34,23 @@ object Registry {
 
   def modules: Seq[Seq[QueryDef]] = namedModules.map(_._2)
 
-  lazy val entries: Seq[QueryDef] = modules.flatten
+  lazy val entries: Seq[QueryDef] = {
+    val all = modules.flatten
+    // a repeated name would SILENTLY shadow one query in the Verify maps
+    // (last wins) while Bench ran both — the shadowed query would count as
+    // verified without ever being oracle-checked
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"Registry: duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
+
+  /** Collision-free /tmp staging key for an sfDir: the sanitized path
+    * itself — the previous 32-bit `hashCode` key could collide two
+    * different dirs and silently reuse the wrong scale factor's staged
+    * source files across JVMs. */
+  private[graft] def dirKey(d: String): String =
+    d.replaceAll("[^A-Za-z0-9._-]", "_")
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(q => q.name -> q.fn).toMap

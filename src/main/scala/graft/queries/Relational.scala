@@ -29,7 +29,10 @@ object Relational {
       (s, d) => {
         import s.implicits._
         li(s, d)
-          .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+          // string-cast literal resolves in the SESSION zone (pinned UTC);
+          // Timestamp.valueOf parses in the JVM DEFAULT zone, shifting the
+          // cutoff instant vs the oracle's literal on any non-UTC host
+          .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             round(sum($"l_quantity"), 2).as("sum_qty"),

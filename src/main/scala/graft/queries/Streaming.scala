@@ -269,17 +269,13 @@ object Streaming {
         import graft.fx.{StreamIngest, Sync}
         import graft.core.Graph
         val base = s"/tmp/graft_ingest/p${ProcessHandle.current().pid()}_" +
-          Integer.toHexString(d.hashCode)
+          Registry.dirKey(d)
         // fresh store/checkpoint per run (a re-run must not inherit prior
         // state); the 4-file source copy is input PREP, not the operator
         // under test — memoized per (pid, sf) like graphFeedFor
         for (sub <- Seq("store", "ckpt")) {
-          val root = java.nio.file.Paths.get(s"$base/$sub")
-          if (java.nio.file.Files.exists(root)) {
-            java.nio.file.Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.delete(p))
-          }
+          // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
+          graft.core.Fs.rm(new java.io.File(s"$base/$sub"))
         }
         val srcDir = s"$base/src"; val storeDir = s"$base/store"
         val ev = Tables.events(s, d)
@@ -371,13 +367,9 @@ object Streaming {
       import graft.core._
       import graft.fx.Sync
       val dir = s"/tmp/graft_termstore/p${ProcessHandle.current().pid()}_" +
-        Integer.toHexString(d.hashCode)
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root)) {
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
+        Registry.dirKey(d)
+      // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
+      graft.core.Fs.rm(new java.io.File(dir))
       val p = Tables.events(s, d)
         .filter(col("event_type") === "purchase" && col("user_id") <= 30)
         .withColumn("w", (datediff(date_trunc("week", col("ts")),
@@ -420,13 +412,9 @@ object Streaming {
       // two JVMs sharing a plain sfDir-keyed path (e.g. a driver Verify
       // overlapping a bench) would clobber each other's live feed
       val feedDir = s"/tmp/graft_feed/p${ProcessHandle.current().pid()}_" +
-        Integer.toHexString(d.hashCode)
-      val root = java.nio.file.Paths.get(feedDir)
-      if (java.nio.file.Files.exists(root)) {
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
+        Registry.dirKey(d)
+      // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
+      graft.core.Fs.rm(new java.io.File(feedDir))
       val weekly = Tables.events(s, d)
         .filter(col("event_type") === "purchase" && col("user_id") <= 30)
         .withColumn("q", (datediff(date_trunc("week", col("ts")),
@@ -436,7 +424,11 @@ object Streaming {
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       var g = Graph.empty(s)
-      for (w <- 1 to 5) {
+      // replay weeks AS PRESENT IN THE DATA — a hard-coded 1..5 silently
+      // dropped any purchase outside the current fixture's date span while
+      // the oracle's unbounded week CTE kept it (a data-coupling trap)
+      val weeks = weekly.map(_._2).distinct.sorted
+      for (w <- weeks) {
         val wishes = weekly.filter(_._2 == w).sortBy(_._1).flatMap {
           case (uid, _, v) => Seq(
             PutEntity("User", uid.toString),

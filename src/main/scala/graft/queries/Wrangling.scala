@@ -765,13 +765,9 @@ object Wrangling {
           .select(col("vec_id"), col("embedding"))
         val (base, cents) = annIngestCache.getOrElseUpdate((s, d), {
           val b = s"/tmp/graft_ann/p${ProcessHandle.current().pid()}_" +
-            Integer.toHexString(d.hashCode)
-          val root = java.nio.file.Paths.get(b)
-          if (java.nio.file.Files.exists(root)) {
-            java.nio.file.Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(pp => java.nio.file.Files.delete(pp))
-          }
+            Registry.dirKey(d)
+          // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
+          graft.core.Fs.rm(new java.io.File(b))
           val cs = IncrementalAnn.bootstrap(
             emb.filter(col("vec_id") % 2 === 0), s"$b/index",
             "vec_id", "embedding", k = 8, iters = 2)
@@ -782,12 +778,8 @@ object Wrangling {
         // fresh checkpoint per invocation: the engine re-runs all three
         // ticks with batchIds 0..2, overwriting the same delta dirs —
         // every rerun IS a crash-window replay over the durable index
-        val ckpt = java.nio.file.Paths.get(s"$base/ckpt")
-        if (java.nio.file.Files.exists(ckpt)) {
-          java.nio.file.Files.walk(ckpt)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(pp => java.nio.file.Files.delete(pp))
-        }
+        // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
+        graft.core.Fs.rm(new java.io.File(s"$base/ckpt"))
         val srcDir = s"$base/src"
         val stream = s.readStream.schema(rest.schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -978,14 +970,10 @@ object Wrangling {
       (s, d) => {
         import graft.wrangling.IncrementalDedup
         val base = s"/tmp/graft_dedup/p${ProcessHandle.current().pid()}_" +
-          Integer.toHexString(d.hashCode)
+          Registry.dirKey(d)
         for (sub <- Seq("index", "ckpt")) {
-          val root = java.nio.file.Paths.get(s"$base/$sub")
-          if (java.nio.file.Files.exists(root)) {
-            java.nio.file.Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .forEach(pp => java.nio.file.Files.delete(pp))
-          }
+          // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
+          graft.core.Fs.rm(new java.io.File(s"$base/$sub"))
         }
         val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
           .select(col("doc_id"), col("text"))
