@@ -77,21 +77,30 @@ object GraphAlgos {
     val edges = graft.core.TransientCaches.trackTable(
       rawEdges.join(outdeg, "src_id").persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var ranks = verts.withColumn("rank", lit(1.0))
+    // iterate ONLY edge-touching vertices: an isolated vertex receives no
+    // message in any round, so its rank is exactly resetProb from round 1
+    // — re-materializing the (much larger, AE-heavy) full vertex set per
+    // checkpointed round paid ~5× the data motion for constants
+    val active = edges.select(col("src_id").as("atom_id"))
+      .unionByName(edges.select(col("dst_id").as("atom_id")))
+      .distinct().localCheckpoint(true)
+    var ranks = active.withColumn("rank", lit(1.0))
     var it = 0
     while (it < iters) {
       val msgs = edges
         .join(ranks.withColumnRenamed("atom_id", "src_id"), "src_id")
         .groupBy(col("dst_id").as("atom_id"))
         .agg(sum(col("rank") / col("__d")).as("__msg"))
-      ranks = verts.join(msgs, Seq("atom_id"), "left")
+      ranks = active.join(msgs, Seq("atom_id"), "left")
         .select(col("atom_id"),
           (lit(resetProb) + lit(1.0 - resetProb) *
             coalesce(col("__msg"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
       it += 1
     }
-    ranks
+    ranks.unionByName(
+      verts.join(active, Seq("atom_id"), "left_anti")
+        .withColumn("rank", lit(resetProb)))
   }
 
   /** Hop distances to the given landmark atoms over the given relation

@@ -283,8 +283,14 @@ object GqlApi {
     * the result set is the auth-filtered subset, still one plan. */
   def query(slice: GraphSlice, schema: SchemaDef, text: String,
       vars: Map[String, Any] = Map(),
-      authClaims: Option[Map[String, Any]] = None): DataFrame = {
-    val op = parseOperation(text, vars)
+      authClaims: Option[Map[String, Any]] = None): DataFrame =
+    query(slice, schema, parseOperation(text, vars), authClaims)
+
+  /** Pre-parsed entry — a transport that already parsed the document to
+    * route it (GqlServer) passes the Operation through instead of paying
+    * a second full lex+parse per request. */
+  def query(slice: GraphSlice, schema: SchemaDef, op: GqlParser.Operation,
+      authClaims: Option[Map[String, Any]]): DataFrame = {
     require(op.kind == "query", s"expected a query document, got ${op.kind}")
     require(op.roots.size == 1, "exactly one root field per query document")
     val root = op.roots.head
@@ -511,8 +517,14 @@ object GqlApi {
       vars: Map[String, Any] = Map(),
       auth: Option[(GraphSlice, String) => Boolean] = None,
       authClaims: Option[Map[String, Any]] = None)
+      : (Graph, Receipt) =
+    mutate(g, schema, parseOperation(text, vars), auth, authClaims)
+
+  /** Pre-parsed entry (see the query overload). */
+  def mutate(g: Graph, schema: SchemaDef, op: GqlParser.Operation,
+      auth: Option[(GraphSlice, String) => Boolean],
+      authClaims: Option[Map[String, Any]])
       : (Graph, Receipt) = {
-    val op = parseOperation(text, vars)
     require(op.kind == "mutation", s"expected a mutation document, got ${op.kind}")
     val muts = op.roots.flatMap { root =>
       root.name match {

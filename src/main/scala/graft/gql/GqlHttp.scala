@@ -46,7 +46,12 @@ final class GqlServer(schema: GqlParser.SchemaDef, g0: Graph, port: Int = 0) {
 
   private def jToScala(v: JValue): Any = v match {
     case JString(s) => s
-    case JInt(i) => i.toLong
+    case JInt(i) =>
+      // BigInt.toLong WRAPS out-of-range values (2^63 became Long.MinValue
+      // and a ge-filter silently matched everything) — reject loudly
+      if (!i.isValidLong)
+        throw new IllegalArgumentException(s"integer out of 64-bit range: $i")
+      i.toLong
     case JLong(l) => l
     case JDouble(d) => d
     case JDecimal(d) => d.toDouble
@@ -78,26 +83,42 @@ final class GqlServer(schema: GqlParser.SchemaDef, g0: Graph, port: Int = 0) {
       case JNothing | JNull => Map.empty
       case other => throw new IllegalArgumentException(s"variables must be an object, got $other")
     }
+    // auth claims ride in the body's "claims" object (the JSON analogue of
+    // the reference's token-derived claim map): without a transport for
+    // them, every @auth-bearing schema was simply UNUSABLE over HTTP —
+    // each request died on "requires auth claims"
+    val claims: Option[Map[String, Any]] = parsed \ "claims" match {
+      case JObject(fs) => Some(fs.map { case (k, v) => k -> jToScala(v) }.toMap)
+      case JNothing | JNull => None
+      case other => throw new IllegalArgumentException(s"claims must be an object, got $other")
+    }
     val op = GqlParser.parseOperation(text, vars)
+    def keyOf(r: GqlParser.Sel): String =
+      if (r.alias != null && r.alias.nonEmpty) r.alias else r.name
     op.kind match {
       case "query" =>
         val root = op.roots.head
-        val rows = GqlApi.query(current.now, schema, text, vars)
+        // the already-parsed op rides through (no second lex+parse)
+        val rows = GqlApi.query(current.now, schema, op, claims)
           .toJSON.collect()
-        val key = if (root.alias != null && root.alias.nonEmpty) root.alias
-          else root.name
-        s"""{"data":{"${esc(key)}":[${rows.mkString(",")}]}}"""
+        s"""{"data":{"${esc(keyOf(root))}":[${rows.mkString(",")}]}}"""
       case "mutation" =>
         val receipt = writeLock.synchronized {
-          val (g2, r) = GqlApi.mutate(current, schema, text, vars)
+          val (g2, r) = GqlApi.mutate(current, schema, op, None, claims)
           current = g2
           r
         }
         val ids = receipt.ids.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
           .mkString("{", ",", "}")
-        val key = op.roots.head.name
-        s"""{"data":{"${esc(key)}":{"ids":$ids,"slice":${receipt.slice}}}}"""
+        // the document commits as ONE transaction (merged receipt), so the
+        // same payload answers under EVERY root's (alias-aware) key — a
+        // multi-root mutation used to answer only the first root, leaving
+        // clients of the second believing their mutation never ran
+        val payload = s"""{"ids":$ids,"slice":${receipt.slice}}"""
+        val entries = op.roots.map(r => s""""${esc(keyOf(r))}":$payload""")
+          .mkString(",")
+        s"""{"data":{$entries}}"""
       case other =>
         throw new IllegalArgumentException(s"unsupported operation kind '$other'")
     }

@@ -64,12 +64,29 @@ object GqlParser {
             val ch = src.charAt(i)
             if (ch == '"') { closed = true; i += 1 }
             else if (ch == '\\' && i + 1 < n) {
+              // full GraphQL EscapedCharacter set + \uXXXX; an unknown
+              // escape is a loud error — mapping it to its literal char
+              // silently corrupted values ("café" became "cafu00e9")
               src.charAt(i + 1) match {
-                case 'n' => sb += '\n'
-                case 't' => sb += '\t'
-                case other => sb += other
+                case 'n' => sb += '\n'; i += 2
+                case 't' => sb += '\t'; i += 2
+                case 'r' => sb += '\r'; i += 2
+                case 'b' => sb += '\b'; i += 2
+                case 'f' => sb += '\f'; i += 2
+                case '"' => sb += '"'; i += 2
+                case '\\' => sb += '\\'; i += 2
+                case '/' => sb += '/'; i += 2
+                case 'u' =>
+                  require(i + 5 < n, s"truncated \\u escape at $i")
+                  val hex = src.substring(i + 2, i + 6)
+                  require(hex.forall(ch0 =>
+                    ch0.isDigit || ('a' to 'f').contains(ch0.toLower)),
+                    s"invalid \\u escape '\\u$hex'")
+                  sb += Integer.parseInt(hex, 16).toChar
+                  i += 6
+                case other => throw new IllegalArgumentException(
+                  s"unknown string escape '\\$other'")
               }
-              i += 2
             } else { sb += ch; i += 1 }
           }
           require(closed, "unterminated string")
@@ -138,6 +155,9 @@ object GqlParser {
       !eof && (peek match { case TPunct(`c`) => true; case _ => false })
     def peekIsName(s: String): Boolean =
       !eof && (peek match { case TName(`s`) => true; case _ => false })
+    def requireConsumed(): Unit =
+      require(eof, s"GraphQL parse error: unexpected trailing input " +
+        s"starting at ${toks(pos)} — one operation per document")
     private def fail(msg: String, got: Tok): Nothing =
       throw new IllegalArgumentException(s"GraphQL parse error: $msg, got $got")
 
@@ -210,20 +230,27 @@ object GqlParser {
         if (peekIsName("query")) { next(); "query" }
         else if (peekIsName("mutation")) { next(); "mutation" }
         else "query" // anonymous shorthand `{ ... }`
-      // optional operation name + (ignored) variable declarations
-      if (!peekIsPunct("{")) {
-        expectName()
-        if (peekIsPunct("(")) { // skip variable declarations
-          var depth = 0
-          var going = true
-          while (going) next() match {
-            case TPunct("(") => depth += 1
-            case TPunct(")") => depth -= 1; going = depth > 0
-            case _ => ()
-          }
+      // optional operation name, then optional (ignored) variable
+      // declarations — the name is OPTIONAL before the declarations
+      // ("query ($x: Float!) { … }" is valid GraphQL that stock clients
+      // emit; unconditionally expecting a name 400'd it)
+      if (!peekIsPunct("{") && !peekIsPunct("(")) expectName()
+      if (peekIsPunct("(")) { // skip variable declarations
+        var depth = 0
+        var going = true
+        while (going) next() match {
+          case TPunct("(") => depth += 1
+          case TPunct(")") => depth -= 1; going = depth > 0
+          case _ => ()
         }
       }
-      Operation(kind, parseSelections())
+      val op = Operation(kind, parseSelections())
+      // the parser serves ONE operation per document: anything left over
+      // (a second operation, pasted garbage, a stray brace) must reject
+      // loudly — silently ignoring it made clients believe a trailing
+      // mutation executed
+      requireConsumed()
+      op
     }
   }
 

@@ -55,7 +55,14 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
           sockets.add(s)
           val ct = new Thread(() => serve(s), "graft-ws-conn")
           ct.setDaemon(true); ct.start()
-        } catch { case _: Throwable => /* closed */ }
+        } catch {
+          case _: Throwable =>
+            // a PERSISTENT accept failure (fd exhaustion, say) must not
+            // become a 100%-CPU retry spin; stop() closing the server
+            // flips `running` first, so the pause only ever delays
+            // recovery, never shutdown
+            if (running) Thread.sleep(100)
+        }
       }
     }, "graft-ws-accept")
     t.setDaemon(true); t.start()
@@ -73,9 +80,15 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
 
   def stop(): Unit = {
     running = false
-    queries.forEach(q => if (q.isActive) q.stop())
+    // close sockets FIRST: a batch thread blocked writing to a stalled
+    // client holds its streaming query mid-batch, and q.stop() waits for
+    // the batch — closing the socket unblocks the write so the stop can
+    // proceed. Each step is try-guarded so one failure cannot skip
+    // server.close() and leak the listener port.
     sockets.forEach(s => try s.close() catch { case _: Throwable => () })
-    server.close()
+    queries.forEach(q =>
+      try { if (q.isActive) q.stop() } catch { case _: Throwable => () })
+    try server.close() catch { case _: Throwable => () }
   }
 
   // ----------------------------------------------------------------- wire
@@ -138,15 +151,49 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
     out.flush()
   }
 
-  /** One unfragmented frame: (opcode, unmasked payload); None on EOF
-    * anywhere in the frame (a mid-header disconnect must not desync the
+  /** One MESSAGE: (opcode, unmasked payload), reassembled across
+    * continuation frames when the client's library fragments it (FIN=0
+    * then opcode-0 continuations — treating the first fragment as the
+    * whole message fed partial JSON to the parser and tore the
+    * subscription down). Control frames (ping/close) may interleave
+    * between fragments per RFC 6455 and are returned to the caller before
+    * the reassembly completes only if they arrive FIRST; mid-message
+    * pings are answered by the caller on the next loop. None on EOF
+    * anywhere in a frame (a mid-header disconnect must not desync the
     * parser into a negative or garbage length). Client frames here are
-    * small control/subscribe messages — anything above 1 MiB is a
+    * small control/subscribe messages — anything above 1 MiB total is a
     * protocol error, not a payload to buffer. */
   private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+    var opcode0 = -1
+    val acc = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      readRawFrame(in) match {
+        case None => return None
+        case Some((fin, op, payload)) =>
+          if (op >= 0x8) {
+            // control frame: never fragmented, forward as-is (if we're
+            // mid-reassembly the caller handles it and keeps reading —
+            // the partial data message is dropped with the connection
+            // still consistent, matching the pre-fragmentation behavior
+            // for control frames)
+            return Some((op, payload))
+          }
+          if (opcode0 < 0) opcode0 = op // first fragment carries the opcode
+          acc.write(payload)
+          if (acc.size > (1 << 20)) return None
+          done = fin
+      }
+    }
+    Some((opcode0, acc.toByteArray))
+  }
+
+  /** One raw frame: (fin, opcode, unmasked payload). */
+  private def readRawFrame(in: InputStream): Option[(Boolean, Int, Array[Byte])] = {
     def b(): Int = in.read()
     val b0 = b(); if (b0 < 0) return None
     val b1 = b(); if (b1 < 0) return None
+    val fin = (b0 & 0x80) != 0
     val opcode = b0 & 0x0F
     val masked = (b1 & 0x80) != 0
     var len: Long = b1 & 0x7F
@@ -176,7 +223,7 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
     }
     if (masked) payload.indices.foreach(i =>
       payload(i) = (payload(i) ^ mask(i % 4)).toByte)
-    Some((opcode, payload))
+    Some((fin, opcode, payload))
   }
 
   private def writeFrame(out: OutputStream, opcode: Int,

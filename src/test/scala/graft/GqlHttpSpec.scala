@@ -91,6 +91,60 @@ class GqlHttpSpec extends AnyFunSuite {
       assert(es == 400 && ebody.contains("\"errors\""))
       val (es2, _) = post(port, s"""{"query": "${esc(queryText)}"}""")
       assert(es2 == 200, "server must survive a failed request")
+
+      // 5. a multi-root mutation answers under EVERY root's key (it used
+      // to answer only the first, so clients of the second root believed
+      // their mutation never ran)
+      val multi =
+        """mutation {
+          |  first: addAccount(input: [{id: "m1", name: "Cid"}])
+          |  second: addAccount(input: [{id: "m2", name: "Dee"}])
+          |}""".stripMargin
+      val (mms, mmbody) = post(port, s"""{"query": "${esc(multi)}"}""")
+      assert(mms == 200, mmbody)
+      assert(mmbody.contains("\"first\"") && mmbody.contains("\"second\""),
+        mmbody)
+
+      // 6. trailing garbage after the operation rejects loudly (was
+      // silently ignored — a pasted second operation "ran" as a no-op)
+      val (ts2, tbody) = post(port,
+        s"""{"query": "${esc(queryText + " mutation { deleteAccount(filter: {id: {eq: \"a1\"}}) }")}"}""")
+      assert(ts2 == 400 && tbody.contains("trailing"), tbody)
+
+      // 7. out-of-Long-range integers reject instead of silently wrapping
+      val (bs, bbody) = post(port,
+        s"""{"query": "${esc(varQuery)}", "variables": {"min": 9223372036854775808}}""")
+      assert(bs == 400 && bbody.contains("64-bit"), bbody)
+    } finally server.stop()
+  }
+
+  test("HTTP: @auth schemas work via body claims; claimless requests reject") {
+    val schema = GqlParser.parseSchema(
+      """type Doc @auth(query: "{owner: {eq: $user}}") {
+        |  owner: String!
+        |  body: String
+        |}""".stripMargin)
+    // add-vetting falls back to AllowQuery when add: is absent, so each
+    // doc seeds under its own owner's claims
+    val (g1, _) = GqlApi.mutate(Graph.empty(spark), schema,
+      """mutation { addDoc(input: [{id: "d1", owner: "ann", body: "annsdoc"}]) }""",
+      authClaims = Some(Map("user" -> "ann")))
+    val (g0, _) = GqlApi.mutate(g1, schema,
+      """mutation { addDoc(input: [{id: "d2", owner: "bob", body: "bobsdoc"}]) }""",
+      authClaims = Some(Map("user" -> "bob")))
+    val server = new GqlServer(schema, g0)
+    val port = server.start()
+    try {
+      val q = "{ queryDoc { id owner body } }"
+      // claims ride in the body: each caller sees only their own rows
+      val (s1, b1) = post(port,
+        s"""{"query": "${esc(q)}", "claims": {"user": "ann"}}""")
+      assert(s1 == 200, b1)
+      assert(b1.contains("annsdoc") && !b1.contains("bobsdoc"))
+      // no claims against an @auth type = loud reject (was the ONLY
+      // behavior — @auth schemas were entirely unusable over HTTP)
+      val (s2, b2) = post(port, s"""{"query": "${esc(q)}"}""")
+      assert(s2 == 400 && b2.contains("errors"), b2)
     } finally server.stop()
   }
 }

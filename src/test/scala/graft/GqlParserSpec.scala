@@ -1207,4 +1207,32 @@ class GqlParserSpec extends AnyFunSuite {
     assert(agg.getAs[Double]("amountSum") == 40.0)
     assert(agg.getAs[Double]("amountMax") == 30.0)
   }
+
+  test("lexer escapes, anonymous-op variables, trailing-input rejection") {
+    import graft.gql.GqlParser
+    // full escape set incl. \uXXXX (the old lexer kept the 'u' literally:
+    // "café" silently became the 9-char "cafu00e9")
+    val doc = "{ queryUser(filter: {name: {eq: " +
+      "\"caf\\u00e9 a\\rb\\t\\\"q\\\" \\\\ \\/\"}}) { id } }"
+    val op = GqlParser.parseOperation(doc)
+    val filterStr = op.roots.head.args.toString
+    assert(filterStr.contains("café a\rb\t\"q\" \\ /"), filterStr)
+    // unknown escapes reject loudly instead of corrupting the value
+    intercept[IllegalArgumentException] {
+      GqlParser.parseOperation("""{ q(filter: {x: {eq: "a\zb"}}) { id } }""")
+    }
+    // anonymous operation WITH variable declarations is valid GraphQL
+    // that stock clients emit (name is optional before the declarations)
+    val anon = GqlParser.parseOperation(
+      "query ($min: Float!) { queryUser(filter: {bal: {ge: $min}}) { id } }",
+      Map("min" -> 5.0))
+    assert(anon.kind == "query" && anon.roots.head.name == "queryUser")
+    // trailing input after the operation rejects loudly (a pasted second
+    // operation was silently ignored — clients believed it executed)
+    val ex = intercept[IllegalArgumentException] {
+      GqlParser.parseOperation(
+        "{ queryUser { id } } mutation { deleteUser(filter: {id: {eq: \"u\"}}) }")
+    }
+    assert(ex.getMessage.contains("trailing"))
+  }
 }

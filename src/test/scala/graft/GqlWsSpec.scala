@@ -54,6 +54,22 @@ class GqlWsSpec extends AnyFunSuite {
     out.write(p); out.flush()
   }
 
+  /** The same text message split over FIN=0 text + FIN=1 continuation —
+    * the fragmentation stock client libraries may apply. */
+  private def sendTextFragmented(out: OutputStream, s: String): Unit = {
+    val p = s.getBytes(UTF_8)
+    val half = p.length / 2
+    out.write(0x01) // text, FIN=0
+    out.write(0x80 | half)
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write(p, 0, half)
+    out.write(0x80) // continuation, FIN=1
+    out.write(0x80 | (p.length - half))
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write(p, half, p.length - half)
+    out.flush()
+  }
+
   private def readText(in: InputStream): String = {
     val b0 = in.read(); require(b0 >= 0, "eof")
     assert((b0 & 0x0F) == 0x1, s"expected text frame, got opcode ${b0 & 0x0F}")
@@ -78,7 +94,10 @@ class GqlWsSpec extends AnyFunSuite {
     try {
       wsHandshake(sock)
       val out = sock.getOutputStream
-      sendText(out, """{"on":"assigned","atype":"Temp"}""")
+      // the FIRST subscribe rides fragmented (FIN=0 + continuation): a
+      // client library that fragments must not get its partial JSON
+      // parsed and the connection torn down
+      sendTextFragmented(out, """{"on":"assigned","atype":"Temp"}""")
       sendText(out, """{"on":"terminated","atype":"Sensor","kind":"e"}""")
       // terminated over the AE type itself: must fire for INSTANCED ids
       // (ae:Temp#h/...) too — the closure feed's atype derivation strips
