@@ -56,11 +56,14 @@ object GraphAlgos {
     * The deterministic variant an INDEPENDENT engine can replay exactly
     * (which is what lets DuckDB oracle it with unrolled-iteration CTEs);
     * [[pageRank]] stays the GraphX tolerance-based convergence form.
-    * Per iteration: one edges⋈ranks join + one keyed aggregate; the rank
-    * frame is eagerly checkpointed so the plan stays O(1) deep however
-    * many iterations run. Edges into non-vertex endpoints are dropped
-    * (same ghost rule as [[toGraphX]]); dangling vertices lose mass (the
-    * GraphX convention) and isolated vertices settle at resetProb. */
+    * Per iteration: one edges⋈ranks join + one keyed aggregate, chained
+    * LAZILY into one plan (small iteration counts run as ONE job; a
+    * checkpoint every 8 rounds bounds lineage for long runs — the
+    * materialize-per-round variant spent its wall time scheduling jobs).
+    * Edges into non-vertex endpoints are dropped (same ghost rule as
+    * [[toGraphX]]); dangling vertices lose mass (the GraphX convention)
+    * and isolated vertices settle at resetProb — they are appended as
+    * constants rather than iterated. */
   def pageRankStatic(slice: GraphSlice, rts: Seq[String], iters: Int,
       resetProb: Double = 0.15): DataFrame = {
     require(iters >= 1, "pageRankStatic: iters >= 1")
@@ -84,6 +87,11 @@ object GraphAlgos {
     val active = edges.select(col("src_id").as("atom_id"))
       .unionByName(edges.select(col("dst_id").as("atom_id")))
       .distinct().localCheckpoint(true)
+    // rounds CHAIN LAZILY into one plan — a handful of join+agg layers is
+    // exactly what Catalyst handles well, and one job beats one
+    // materialization job PER round (the eager-checkpoint variant spent
+    // its time scheduling, not computing). Long runs bound their lineage
+    // with a checkpoint every 8 rounds.
     var ranks = active.withColumn("rank", lit(1.0))
     var it = 0
     while (it < iters) {
@@ -95,8 +103,8 @@ object GraphAlgos {
         .select(col("atom_id"),
           (lit(resetProb) + lit(1.0 - resetProb) *
             coalesce(col("__msg"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
       it += 1
+      if (it % 8 == 0 && it < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.unionByName(
       verts.join(active, Seq("atom_id"), "left_anti")

@@ -293,9 +293,11 @@ object GraphQueries {
     // as unrolled per-iteration CTEs over the original tables, so the
     // candidate mass flowing customer→nation (outdeg varies per customer:
     // 1 + its order count) must agree to 4 decimals. Per iteration the
-    // Spark side is one join + one keyed aggregate with an eager
-    // checkpoint (plan depth O(1) at any iteration count); the GraphX
-    // tolerance-based pageRank stays the convergence variant (spec-only).
+    // Spark side is one join + one keyed aggregate, chained lazily into
+    // ONE plan (a checkpoint every 8 rounds bounds lineage for long runs);
+    // only edge-active vertices iterate — isolated ones are resetProb
+    // constants. The GraphX tolerance-based pageRank stays the
+    // convergence variant (spec-only).
     QueryDef(
       "graph_pagerank_static",
       (s, d) => {
