@@ -109,7 +109,14 @@ final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
           None, rel))
         newVals += ValueRow.of(ae, slice, value)
       case AssignField(ownerKey, rt, value, inst) =>
-        newVals += ValueRow.of(aeId(ref(ownerKey), rt, inst), slice, value)
+        val ae = aeId(ref(ownerKey), rt, inst)
+        // same existence contract as Transactor: an assign to a
+        // never-created AE (wrong instanceKey) must reject, not append a
+        // value row no field() read can see
+        require(alive(ae),
+          s"assign: field AE '$ae' does not exist — use PutField " +
+            "(create-or-assign) or pass the instanceKey it was created with")
+        newVals += ValueRow.of(ae, slice, value)
       case _: TerminateAtom => () // applied AFTER appends, like Transactor
       case _: PutEntity | _: PutRelation => ()
       case w => throw new IllegalArgumentException(

@@ -96,19 +96,36 @@ object Transactor {
 
     // Resolve every key this tx touches to an atom_id. Entities/relations
     // named in wishes; keys not defined in THIS tx refer to existing atoms.
-    val entityIds: Map[String, String] = wishes.collect {
+    val entityPairs = wishes.collect {
       case PutEntity(et, key) => key -> atomId(Kind.Entity, et, key)
-    }.toMap
+    }
+    val entityIds: Map[String, String] = entityPairs.toMap
     // Relation keys this tx defines — needed BEFORE the alive-check so that
     // a PutField on a relation referenced by its tx key resolves the owner
     // to the same id the write phase (refAll) will use. Resolving with a
     // weaker map here queried the wrong ae/rel ids, so replaying a tx
     // appended duplicate open intervals for the same atom_id.
-    val relationIds: Map[String, String] = wishes.collect {
+    val relationPairs = wishes.collect {
       case PutRelation(rt, s0, d0, key) =>
         val k = Option(key).getOrElse(s"$s0-$d0")
         k -> atomId(Kind.Relation, rt, k)
-    }.toMap
+    }
+    val relationIds: Map[String, String] = relationPairs.toMap
+    // A key shared by wishes of DIFFERENT types (PutEntity("Person","joe")
+    // + PutEntity("Company","joe"); two default-keyed relations between
+    // one endpoint pair) is legal to CREATE — type-scoped ids never
+    // collide, and callers like the GraphQL add path legitimately reuse
+    // input ids across types — but a BARE-KEY REFERENCE to it (field,
+    // tag, terminate, endpoint) would Map-resolve to whichever wish came
+    // last: a silent wrong-atom write. Such references reject loudly at
+    // resolution; pass the full atom_id to disambiguate.
+    val ambiguousKeys: Set[String] =
+      (entityPairs ++ relationPairs).groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.size > 1).keySet
+    def requireUnambiguous(key: String): Unit =
+      require(!ambiguousKeys.contains(key),
+        s"transact: key '$key' names atoms of DIFFERENT types in this tx — " +
+          "reference it by full atom_id")
     // one key, one atom: a key naming both an entity and a relation would
     // make the alive-check and the write phase resolve DIFFERENT ids
     // (resolveOwner reads entityIds first, refAll reads the receipt where
@@ -125,11 +142,13 @@ object Transactor {
     // relationIds BEFORE the ':' passthrough: fixture keys may contain
     // ':' (Zascii emits "a>b:Likes") and must still resolve to the
     // scheme id, not be written verbatim as a dangling endpoint.
-    def ref(key: String): String =
+    def ref(key: String): String = {
+      requireUnambiguous(key)
       entityIds.getOrElse(key, relationIds.getOrElse(key,
         if (key.contains(":")) key // already a full atom_id
         else throw new IllegalArgumentException(
           s"unknown key '$key' — pass a full atom_id for atoms outside this tx")))
+    }
 
     val newAtoms = scala.collection.mutable.ArrayBuffer[AtomRow]()
     val newValues = scala.collection.mutable.ArrayBuffer[ValueRow]()
@@ -141,8 +160,10 @@ object Transactor {
     val createdInTx = scala.collection.mutable.Set[String]()
 
     // same resolution order as refAll/ref
-    def resolveOwner(key: String): String =
+    def resolveOwner(key: String): String = {
+      requireUnambiguous(key)
       entityIds.getOrElse(key, relationIds.getOrElse(key, key))
+    }
 
     // Existing-atom check scoped to the ids this tx could touch (pushed-down
     // isin filter — never a full scan collect, graph size notwithstanding).
@@ -153,6 +174,8 @@ object Transactor {
       case PutField(ownerKey, rt, _, inst) =>
         val owner = resolveOwner(ownerKey)
         Seq(aeId(owner, rt, inst), fieldRelId(owner, rt, inst))
+      case AssignField(ownerKey, rt, _, inst) =>
+        Seq(aeId(resolveOwner(ownerKey), rt, inst)) // existence probe below
       case _ => Nil
     }.toSet
     // (atom_id -> currently alive?) — an id that exists only with closed
@@ -192,7 +215,10 @@ object Transactor {
       case _ =>
     }
     def localIds: Map[String, String] = receipt.toMap
-    def refAll(key: String): String = localIds.getOrElse(key, ref(key))
+    def refAll(key: String): String = {
+      requireUnambiguous(key)
+      localIds.getOrElse(key, ref(key))
+    }
 
     wishes.foreach {
       case PutField(ownerKey, rt, value, inst) =>
@@ -211,6 +237,14 @@ object Transactor {
         newValues += ValueRow.of(ae, slice, value)
       case AssignField(ownerKey, rt, value, inst) =>
         val ae = aeId(refAll(ownerKey), rt, inst)
+        // assign targets an EXISTING field AE (zef `assign`): unguarded,
+        // a wrong instanceKey (or a never-created field) appended a value
+        // row anchored to no atom — invisible to every field() read, so
+        // the caller's write silently vanished
+        require(aliveNow.contains(ae) || createdInTx.contains(ae),
+          s"assign: field AE '$ae' does not exist — use PutField " +
+            "(create-or-assign) or pass the instanceKey the field was " +
+            "created with")
         newValues += ValueRow.of(ae, slice, value)
       case TerminateAtom(key) =>
         terminated += refAll(key)

@@ -69,16 +69,24 @@ object StreamIngest {
     }
     // 1. reduce the batch to one winner per key by (event ts, tie) —
     // deterministic regardless of partitioning or arrival order. A null
-    // event time OR null tie is REJECTED here: neither can be ordered by
-    // last-writer-wins (a null ts would slip past the high-water fence's
-    // null-guard disjunct and write a null-ts TxRow; a null tie would
-    // store a null HwTie whose `__tie > __stie` comparison then yields
-    // null forever — every later equal-timestamp event for that key
-    // silently dropped). An all-null batch is a clean no-op tick.
-    val packed = batch.filter(evTs.isNotNull && tie.isNotNull).select(
+    // KEY, event time, or tie is REJECTED here: none can participate in
+    // last-writer-wins (a null key would append NULL-id ghost atom/value
+    // rows the fence can never match — a fresh set EVERY tick; a null ts
+    // would slip past the high-water fence's null-guard disjunct and
+    // write a null-ts TxRow; a null tie would store a null HwTie whose
+    // `__tie > __stie` comparison then yields null forever — every later
+    // equal-timestamp event for that key silently dropped). The tie
+    // guard applies AFTER the long conversion — try_cast, so a
+    // non-numeric tie nulls into the reject filter on BOTH ANSI and
+    // legacy sessions instead of aborting the tick (ANSI) or sneaking a
+    // null high-water past the raw-column guard (legacy).
+    // An all-null batch is a clean no-op tick.
+    val tieL = tie.try_cast("long")
+    val packed = batch
+      .filter(key.isNotNull && evTs.isNotNull && tieL.isNotNull).select(
       GraphEncoder.entityId(et, key).as("owner_id"),
-      evTs.as("__ts"), tie.cast("long").as("__tie"),
-      struct((Seq(evTs.as("__wts"), tie.cast("long").as("__wtie")) ++
+      evTs.as("__ts"), tieL.as("__tie"),
+      struct((Seq(evTs.as("__wts"), tieL.as("__wtie")) ++
         fields.map(f => f.expr.as(f.rt))): _*).as("__p"))
     val winners = packed.groupBy(col("owner_id"))
       .agg(max_by(col("__p"), struct(col("__ts"), col("__tie"))).as("__w"))
@@ -177,8 +185,15 @@ object StreamIngest {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(fields.nonEmpty, "ingest: at least one field")
-    require(!fields.exists(f => f.rt == HwTs || f.rt == HwTie),
-      s"ingest: field rts $HwTs/$HwTie are reserved for the high-water mark")
+    // every reserved name rejects at CONSTRUCTION, not on the first
+    // non-empty tick deep inside the bulk write: the high-water rts, the
+    // owner key column, and the winner-reduction internals
+    val reserved = Set(HwTs, HwTie, "owner_id",
+      "__ts", "__tie", "__wts", "__wtie", "__sts", "__stie", "__p", "__w")
+    val bad = fields.map(_.rt).filter(reserved.contains)
+    require(bad.isEmpty,
+      s"ingest: field rt(s) ${bad.mkString(", ")} are reserved (high-water " +
+        "mark, owner key, or winner-reduction internals) — rename them")
     val spark = stream.sparkSession
     var state = IngestState(Sync.open(spark, dir), None)
 

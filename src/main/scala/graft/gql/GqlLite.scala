@@ -257,9 +257,14 @@ object GqlLite {
 
   def compileMutation(m: Mutation): Seq[graft.core.Wish] = m match {
     case AddEntity(et, key, fields) =>
+      // fields reference the FULL type-scoped atom id, not the bare key:
+      // one document may add entities of DIFFERENT types under the same
+      // input id (ids are type-scoped), and a bare-key field reference
+      // would be ambiguous there (the Transactor rejects it loudly)
+      val fullId = graft.core.Transactor.atomId(graft.core.Kind.Entity, et, key)
       graft.core.PutEntity(et, key) +:
         fields.toSeq.sortBy(_._1).map { case (rt, v) =>
-          graft.core.PutField(key, rt, v) }
+          graft.core.PutField(fullId, rt, v) }
     case UpdateEntity(id, fields) =>
       // PutField = the reference's set_field (create-or-assign): an update
       // may set a field the entity never carried — including @hook writes

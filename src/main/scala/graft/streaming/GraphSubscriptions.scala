@@ -55,10 +55,19 @@ object GraphSubscriptions {
         col("v_str"), col("v_long"), col("v_double"), col("v_bool"), col("v_ts"))
 
   /** Terminations: atoms whose interval closed in the feed (batch-replay
-    * path, where term_slice is already reconciled into the rows). */
-  def onTerminated(atomFeed: DataFrame, atype: String): DataFrame =
+    * path, where term_slice is already reconciled into the rows). `kind`
+    * narrows by the id scheme's kind prefix exactly like
+    * [[onTerminatedClosures]] — an AE `ae:Spend/...` and its
+    * cascade-closed field relation `rel:Spend/...` share the atype, so an
+    * atype-only replay reported a "terminated Spend" for the relation row
+    * while the live path (kind="ae") correctly suppressed it: the two
+    * documented-equivalent paths returned different event sets. */
+  def onTerminated(atomFeed: DataFrame, atype: String,
+      kind: String = "any"): DataFrame =
     atomFeed
-      .filter(col("atype") === atype && col("term_slice").isNotNull)
+      .filter(col("atype") === atype && col("term_slice").isNotNull &&
+        (if (kind == "any") lit(true)
+         else col("atom_id").startsWith(s"$kind:")))
       .select(col("atom_id"), col("term_slice").as("tx_slice"),
         lit("terminated").as("event"))
 

@@ -148,8 +148,17 @@ object IncrementalDedup {
     val cands = cross.unionByName(within).distinct()
 
     // exact shingle-set Jaccard; the old side's shingles come from the
-    // index (no text re-read), the new side's from this batch
-    val allSh = shingles(spark, dir).unionByName(newShingles)
+    // index (no text re-read), the new side's from this batch. The stored
+    // tree is first narrowed ONCE by the (candidate-sized) id set and
+    // materialized — joining the full tree twice (id_a side and id_b
+    // side) paid two O(corpus) reads of the shingle parquet per tick
+    // where the bands probe pays one.
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
+    val allSh = shingles(spark, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .unionByName(newShingles)
+      .localCheckpoint(true)
     val verified = cands
       .join(allSh.select(col("doc_id").as("id_a"), col("sh").as("__sha")), "id_a")
       .join(allSh.select(col("doc_id").as("id_b"), col("sh").as("__shb")), "id_b")

@@ -91,6 +91,61 @@ class GraphCoreSpec extends AnyFunSuite {
         PutRelation("R", "x", "y", "x")))
     }
     assert(e.getMessage.contains("both an entity and a relation"))
+    // SAME-KIND ambiguity: creating two types under one key is legal
+    // (type-scoped ids never collide), but a BARE-KEY reference to the
+    // ambiguous key must reject — it silently resolved to the LAST wish
+    val e2 = intercept[IllegalArgumentException] {
+      Transactor.transact(Graph.empty(spark), Seq(
+        PutEntity("Person", "joe"), PutEntity("Company", "joe"),
+        PutField("joe", "Name", "J")))
+    }
+    assert(e2.getMessage.contains("DIFFERENT types"))
+    val e3 = intercept[IllegalArgumentException] {
+      Transactor.transact(Graph.empty(spark), Seq(
+        PutEntity("P", "a"), PutEntity("P", "b"),
+        PutRelation("Likes", "a", "b"), PutRelation("Knows", "a", "b"),
+        TagAtom("a-b", "t"))) // bare reference to the colliding default key
+    }
+    assert(e3.getMessage.contains("DIFFERENT types"))
+    // unreferenced collisions and full-id references stay legal
+    val (gOk, rOk) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "joe"), PutEntity("Company", "joe"),
+      PutField("e:Person/joe", "Name", "J")))
+    assert(rOk.ids.values.toSet.contains("e:Company/joe"))
+    assert(gOk.now.all("Person").fieldValue("Name", "v_str", "n")
+      .collect()(0).getAs[String]("n") == "J")
+    // idempotent duplicates of ONE atom stay legal
+    val (_, rDup) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutEntity("P", "a")))
+    assert(rDup.ids("a") == "e:P/a")
+  }
+
+  test("assign targets an EXISTING field AE or rejects loudly") {
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"),
+      PutField("a", "Nick", "JJ", instanceKey = "primary")))
+    // wrong instanceKey resolves to an AE that doesn't exist — the value
+    // row would anchor to no atom and every field() read would silently
+    // keep the old value
+    val e = intercept[IllegalArgumentException] {
+      Transactor.transact(g, Seq(AssignField("e:P/a", "Nick", "XX")))
+    }
+    assert(e.getMessage.contains("does not exist"))
+    // the right instanceKey assigns; create-then-assign in ONE tx works
+    val (g2, _) = Transactor.transact(g, Seq(
+      AssignField("e:P/a", "Nick", "X2", instanceKey = "primary")))
+    assert(g2.now.all("P").fieldValue("Nick", "v_str", "n")
+      .collect()(0).getAs[String]("n") == "X2")
+    val (g3, _) = Transactor.transact(g2, Seq(
+      PutEntity("P", "b"), PutField("b", "Age", 1L),
+      AssignField("b", "Age", 2L)))
+    assert(g3.now.all("P").df.count() == 2)
+    // FlatGraph mirrors the contract
+    val fg = graft.core.FlatGraph(Vector.empty, Vector.empty)
+      .insert(Seq(PutEntity("P", "a"), PutField("a", "Nick", "n1", "k")))
+    intercept[IllegalArgumentException] {
+      fg.insert(Seq(AssignField("e:P/a", "Nick", "n2")))
+    }
   }
 
   test("select_by_field returns an entity ONCE when several instances match") {

@@ -15,6 +15,14 @@ final case class IngEvent(ts: java.sql.Timestamp, event_id: Long,
 final case class IngEventN(ts: java.sql.Timestamp, event_id: java.lang.Long,
     user_id: Long, value: Double, event_type: String)
 
+/** Variant with a NULLABLE key for the null-key rejection test. */
+final case class IngEventK(ts: java.sql.Timestamp, event_id: Long,
+    user_id: java.lang.Long, value: Double, event_type: String)
+
+/** Variant with a STRING tie for the non-numeric-tie rejection test. */
+final case class IngEventS(ts: java.sql.Timestamp, event_id: String,
+    user_id: Long, value: Double, event_type: String)
+
 /** Streaming ingestion into a synced graph store: one tx per micro-batch,
   * event-time last-writer-wins, entity upsert on first sight. The load-
   * bearing property is batching-independence — the final graph state must
@@ -138,6 +146,53 @@ class StreamIngestSpec extends AnyFunSuite {
     val g = Sync.open(spark, dir).graph
     assert(g.maxSlice == 2, "null-tie batch must be a no-op tick")
     assert(state(dir) == Map("e:User/1" -> (40.0, "later")))
+  }
+
+  test("null keys and non-numeric ties reject: no ghost rows, no poisoned fence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    // null KEY: unguarded, every such event appended NULL-id atom/value
+    // rows the fence could never match — a fresh ghost set EVERY tick
+    val dir1 = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir1)
+    val inK = MemoryStream[IngEventK]
+    val qK = StreamIngest.eventsToGraph(inK.toDF(), dir1, "User",
+      key = col("user_id"), eventTs = col("ts"), tie = col("event_id"),
+      fields = Seq(StreamIngest.IngestField("Value", "double", col("value"))),
+      checkpointDir = tmp("graft_ingest_ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    try Seq(
+      Seq(IngEventK(t0, 1, null, 10.0, "ghost"),
+        IngEventK(t0, 2, 1L, 20.0, "real")),
+      Seq(IngEventK(t0, 3, null, 30.0, "ghost2")))
+      .foreach { r => inK.addData(r); qK.processAllAvailable() }
+    finally qK.stop()
+    val g1 = Sync.open(spark, dir1).graph
+    assert(g1.atoms.filter(col("atom_id").isNull).count() == 0)
+    assert(g1.values.filter(col("ae_id").isNull).count() == 0)
+    assert(g1.maxSlice == 1) // the all-ghost second batch was a no-op tick
+    // NON-NUMERIC tie: nulls in the long conversion AFTER the old raw
+    // null-guard — must reject like a null tie, not poison the high-water
+    val dir2 = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir2)
+    val inS = MemoryStream[IngEventS]
+    val qS = StreamIngest.eventsToGraph(inS.toDF(), dir2, "User",
+      key = col("user_id"), eventTs = col("ts"), tie = col("event_id"),
+      fields = Seq(StreamIngest.IngestField("Value", "double", col("value"))),
+      checkpointDir = tmp("graft_ingest_ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    try Seq(
+      Seq(IngEventS(t0, "evt-1", 1, 99.0, "bad")),
+      Seq(IngEventS(t0, "5", 1, 30.0, "ok")),
+      Seq(IngEventS(t0, "7", 1, 40.0, "later"))) // equal-ts tiebreak lives
+      .foreach { r => inS.addData(r); qS.processAllAvailable() }
+    finally qS.stop()
+    val g2 = Sync.open(spark, dir2).graph
+    assert(g2.maxSlice == 2)
+    val v = g2.values.filter(col("ae_id") === "ae:Value/e:User/1" &&
+      col("tx_slice") === 2).collect()(0).getAs[Double]("v_double")
+    assert(v == 40.0)
   }
 
   test("null-valued fields: whole-row replace, batching-independent") {
