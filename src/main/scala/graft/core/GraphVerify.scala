@@ -18,11 +18,14 @@ object GraphVerify {
     val atoms = g.atoms
     // the shared intermediates feed several checks each (ids: 2 anti-joins;
     // rels: 4 checks; endpoints: 2 sides of check 6) and Spark shares no
-    // subplans across DataFrame branches — persist them for the report's
-    // lifetime or a health check scans the atom table ~10 times
+    // subplans across DataFrame branches — persist them while the report
+    // computes or a health check scans the atom table ~10 times. They are
+    // unpersisted before returning (the report materializes eagerly below),
+    // so a long-running service calling verify() periodically accumulates
+    // nothing: without this, each call pinned three atom-scan-sized tables
+    // with no release path outside the batch harnesses' releaseAll().
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ids = TransientCaches.trackTable(
-      atoms.select(col("atom_id")).distinct().persist(lvl))
+    val ids = atoms.select(col("atom_id")).distinct().persist(lvl)
     val maxSlice = g.maxSlice
 
     def report(check: String, df: DataFrame): DataFrame =
@@ -31,8 +34,7 @@ object GraphVerify {
 
     // 1. dangling relation endpoints (verification.h:37 — "index present in
     //    source/target's edge list" becomes "endpoint id resolves")
-    val rels = TransientCaches.trackTable(
-      atoms.filter(col("kind") === Kind.Relation).persist(lvl))
+    val rels = atoms.filter(col("kind") === Kind.Relation).persist(lvl)
     val danglingSrc = rels
       .join(ids.withColumnRenamed("atom_id", "src_id"), Seq("src_id"), "left_anti")
       .select(col("atom_id"), concat(lit("missing src "), col("src_id")).as("detail"))
@@ -78,9 +80,9 @@ object GraphVerify {
     //    whose endpoints RESOLVE: a missing endpoint is already reported as
     //    dangling_src/dst, and double-reporting the same corruption under
     //    two check names would inflate counts and confuse triage.
-    val endpoints = TransientCaches.trackTable(
+    val endpoints =
       atoms.select(col("atom_id"), col("inst_slice").as("__ei"),
-        coalesce(col("term_slice"), lit(Int.MaxValue)).as("__et")).persist(lvl))
+        coalesce(col("term_slice"), lit(Int.MaxValue)).as("__et")).persist(lvl)
     val resolvedRels = rels
       .join(ids.withColumnRenamed("atom_id", "src_id"), Seq("src_id"), "left_semi")
       .join(ids.withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"), "left_semi")
@@ -94,7 +96,7 @@ object GraphVerify {
       .select(col("atom_id"),
         concat(lit("endpoint dead at open slice "), col("inst_slice")).as("detail"))
 
-    report("dangling_src", danglingSrc)
+    val full = report("dangling_src", danglingSrc)
       .unionByName(report("dangling_dst", danglingDst))
       .unionByName(report("orphan_value", orphanValues))
       .unionByName(report("inverted_interval", badInterval))
@@ -102,6 +104,15 @@ object GraphVerify {
       .unionByName(report("duplicate_open_interval", doubleOpen))
       .unionByName(report("value_slice_out_of_range", badValueSlice))
       .unionByName(report("relation_endpoint_dead", uncovered))
+    // Materialize eagerly (violations are tiny — empty on a healthy graph)
+    // so the three intermediates can be unpersisted NOW instead of pinning
+    // until some batch harness's releaseAll. localCheckpoint blocks are
+    // freed by the ContextCleaner once the returned report is unreachable —
+    // the release path a periodic service health check needs.
+    try full.localCheckpoint(true)
+    finally {
+      ids.unpersist(false); rels.unpersist(false); endpoints.unpersist(false)
+    }
   }
 
   /** Boolean form, `verify_graph(g)` (verification.h:60). */

@@ -57,15 +57,22 @@ object TransientCaches {
     * the child gets marked shared — releasing the parent would silently
     * unpersist the shared graph's cache out from under it). */
   def releaseAll(): Unit = {
-    val (gs, ts, protect) = synchronized {
+    // Lock-order discipline: Graph.latestValues holds its latestValuesCache
+    // monitor and calls trackGraph (takes this monitor), so this method must
+    // NEVER call into a Graph while holding this monitor — g.cachedTables
+    // takes the graph's monitor and the two would deadlock ABBA. Snapshot
+    // the registries under this monitor, then query the shared graphs
+    // lock-free.
+    val (gs, ts, sharedSnap) = synchronized {
       val gs = new java.util.ArrayList[Graph](graphs)
       val ts = new java.util.ArrayList[DataFrame](tables.keySet())
       graphs.clear(); tables.clear()
-      val protect = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
-      shared.forEach(g => g.cachedTables.foreach(protect.add))
-      (gs, ts, protect)
+      val sharedSnap = new java.util.ArrayList[Graph](shared)
+      (gs, ts, sharedSnap)
     }
+    val protect = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    sharedSnap.forEach(g => g.cachedTables.foreach(protect.add))
     gs.forEach(_.releaseDerived(protect))
     ts.forEach(t => if (!protect.contains(t)) t.unpersist(false))
   }

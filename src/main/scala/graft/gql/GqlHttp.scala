@@ -114,9 +114,13 @@ final class GqlServer(schema: GqlParser.SchemaDef, g0: Graph, port: Int = 0) {
         // the document commits as ONE transaction (merged receipt), so the
         // same payload answers under EVERY root's (alias-aware) key — a
         // multi-root mutation used to answer only the first root, leaving
-        // clients of the second believing their mutation never ran
+        // clients of the second believing their mutation never ran.
+        // Distinct keys only: two unaliased roots with the same field name
+        // merge into one response key (GraphQL's field-merge rule) instead
+        // of emitting duplicate keys — invalid JSON for most clients.
         val payload = s"""{"ids":$ids,"slice":${receipt.slice}}"""
-        val entries = op.roots.map(r => s""""${esc(keyOf(r))}":$payload""")
+        val entries = op.roots.map(keyOf).distinct
+          .map(k => s""""${esc(k)}":$payload""")
           .mkString(",")
         s"""{"data":{$entries}}"""
       case other =>

@@ -102,12 +102,10 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
       val writeLock = new Object
       var open = true
       while (open && running) {
-        readFrame(in) match {
+        readFrame(in, out, writeLock) match {
           case None => open = false
           case Some((0x8, _)) => // close
             writeFrame(out, 0x8, Array.emptyByteArray, writeLock); open = false
-          case Some((0x9, payload)) => // ping → pong
-            writeFrame(out, 0xA, payload, writeLock)
           case Some((0x1, payload)) =>
             val q = subscribe(new String(payload, UTF_8), out, writeLock)
             queries.add(q); mine ::= q
@@ -155,15 +153,20 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
     * continuation frames when the client's library fragments it (FIN=0
     * then opcode-0 continuations — treating the first fragment as the
     * whole message fed partial JSON to the parser and tore the
-    * subscription down). Control frames (ping/close) may interleave
-    * between fragments per RFC 6455 and are returned to the caller before
-    * the reassembly completes only if they arrive FIRST; mid-message
-    * pings are answered by the caller on the next loop. None on EOF
+    * subscription down). Control frames may interleave between fragments
+    * per RFC 6455: pings are answered with a pong HERE, inside the
+    * reassembly loop, so a mid-message ping cannot discard the accumulated
+    * fragments (returning it to the caller used to orphan the opcode-0
+    * continuations into a message serve() silently dropped — the client's
+    * subscribe was lost despite RFC-conformant behavior); pongs/unknown
+    * controls are skipped; close aborts the partial message and is
+    * forwarded (the connection is ending regardless). None on EOF
     * anywhere in a frame (a mid-header disconnect must not desync the
     * parser into a negative or garbage length). Client frames here are
     * small control/subscribe messages — anything above 1 MiB total is a
     * protocol error, not a payload to buffer. */
-  private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+  private def readFrame(in: InputStream, out: OutputStream,
+      lock: Object): Option[(Int, Array[Byte])] = {
     var opcode0 = -1
     val acc = new java.io.ByteArrayOutputStream()
     var done = false
@@ -171,18 +174,15 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
       readRawFrame(in) match {
         case None => return None
         case Some((fin, op, payload)) =>
-          if (op >= 0x8) {
-            // control frame: never fragmented, forward as-is (if we're
-            // mid-reassembly the caller handles it and keeps reading —
-            // the partial data message is dropped with the connection
-            // still consistent, matching the pre-fragmentation behavior
-            // for control frames)
-            return Some((op, payload))
+          if (op == 0x8) return Some((op, payload)) // close: abort + forward
+          else if (op == 0x9) writeFrame(out, 0xA, payload, lock) // ping → pong in place
+          else if (op >= 0x8) () // pong / reserved control: skip, keep reading
+          else {
+            if (opcode0 < 0) opcode0 = op // first fragment carries the opcode
+            acc.write(payload)
+            if (acc.size > (1 << 20)) return None
+            done = fin
           }
-          if (opcode0 < 0) opcode0 = op // first fragment carries the opcode
-          acc.write(payload)
-          if (acc.size > (1 << 20)) return None
-          done = fin
       }
     }
     Some((opcode0, acc.toByteArray))

@@ -105,6 +105,20 @@ class GqlHttpSpec extends AnyFunSuite {
       assert(mmbody.contains("\"first\"") && mmbody.contains("\"second\""),
         mmbody)
 
+      // 5b. two UNALIASED roots with the same name merge to ONE response
+      // key (GraphQL field-merge) — emitting the key twice is invalid
+      // JSON for most clients
+      val dup =
+        """mutation {
+          |  addAccount(input: [{id: "m3", name: "Eve"}])
+          |  addAccount(input: [{id: "m4", name: "Fay"}])
+          |}""".stripMargin
+      val (ds, dbody) = post(port, s"""{"query": "${esc(dup)}"}""")
+      assert(ds == 200, dbody)
+      assert("\"addAccount\"".r.findAllIn(dbody).size == 1,
+        s"duplicate response keys: $dbody")
+      assert(dbody.contains("\"m3\"") && dbody.contains("\"m4\""), dbody)
+
       // 6. trailing garbage after the operation rejects loudly (was
       // silently ignored — a pasted second operation "ran" as a no-op)
       val (ts2, tbody) = post(port,

@@ -55,7 +55,11 @@ class GqlWsSpec extends AnyFunSuite {
   }
 
   /** The same text message split over FIN=0 text + FIN=1 continuation —
-    * the fragmentation stock client libraries may apply. */
+    * the fragmentation stock client libraries may apply. A masked ping
+    * rides BETWEEN the fragments (RFC 6455 §5.4 allows control frames to
+    * interleave mid-message): the server must pong it AND keep the
+    * accumulated fragments — answering the ping used to abandon the
+    * partial message and silently drop the subscribe. */
   private def sendTextFragmented(out: OutputStream, s: String): Unit = {
     val p = s.getBytes(UTF_8)
     val half = p.length / 2
@@ -63,6 +67,7 @@ class GqlWsSpec extends AnyFunSuite {
     out.write(0x80 | half)
     out.write(Array[Byte](0, 0, 0, 0))
     out.write(p, 0, half)
+    out.write(0x89); out.write(0x80); out.write(Array[Byte](0, 0, 0, 0)) // ping, masked, empty
     out.write(0x80) // continuation, FIN=1
     out.write(0x80 | (p.length - half))
     out.write(Array[Byte](0, 0, 0, 0))
@@ -108,7 +113,16 @@ class GqlWsSpec extends AnyFunSuite {
       val deadline = System.currentTimeMillis() + 60000
       while (server.activeSubscriptions < 3 &&
           System.currentTimeMillis() < deadline) Thread.sleep(50)
+      // == 3 includes the FRAGMENTED subscribe whose fragments straddled a
+      // ping — lost entirely before the in-reassembly pong fix
       assert(server.activeSubscriptions == 3, "subscriptions did not start")
+
+      // the mid-fragment ping's pong is the first server frame on the wire
+      val inEarly = sock.getInputStream
+      val pongB0 = inEarly.read()
+      assert((pongB0 & 0x0F) == 0xA,
+        s"expected pong for mid-fragment ping, got opcode ${pongB0 & 0x0F}")
+      inEarly.read() // pong length 0
 
       // subscribe-THEN-transact: the events land after the queries are live
       w = w.transact(Seq(

@@ -829,4 +829,33 @@ class GraphCoreSpec extends AnyFunSuite {
       t.storageLevel.useMemory || t.storageLevel.useDisk,
       "shared graph's borrowed cache table was unpersisted by releaseAll"))
   }
+
+  test("releaseAll does not deadlock against a shared graph's concurrent latestValues") {
+    // ABBA regression: releaseAll used to hold the TransientCaches monitor
+    // while calling sharedGraph.cachedTables (takes the graph monitor),
+    // while latestValues holds the graph monitor and calls trackGraph
+    // (takes the TransientCaches monitor). A shared server graph answering
+    // a query during a harness releaseAll deadlocked both threads.
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("P", "a"), PutField("a", "Name", "Ann")))
+    TransientCaches.markShared(g)
+    val slice = g.maxSlice
+    val boom = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val qThread = new Thread(() => try {
+      (1 to 200).foreach { _ =>
+        g.releaseDerived() // force the next call onto the miss path
+        g.latestValues(slice) // graph monitor -> trackGraph (TC monitor)
+      }
+    } catch { case t: Throwable => boom.set(t) })
+    val rThread = new Thread(() => try {
+      (1 to 200).foreach(_ => TransientCaches.releaseAll())
+    } catch { case t: Throwable => boom.set(t) })
+    qThread.start(); rThread.start()
+    qThread.join(120000); rThread.join(120000)
+    val stuck = qThread.isAlive || rThread.isAlive
+    if (stuck) { qThread.interrupt(); rThread.interrupt() }
+    assert(!stuck, "releaseAll vs latestValues deadlocked (ABBA)")
+    assert(boom.get() == null, s"concurrent path threw: ${boom.get()}")
+    g.latestValues(slice) // leave a valid cache entry behind
+  }
 }
