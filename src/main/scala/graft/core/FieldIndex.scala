@@ -112,8 +112,17 @@ object FieldIndex {
     index.repartition(col("rt")).sortWithinPartitions(col("vhash"))
       .write.mode(SaveMode.Overwrite).partitionBy("rt").parquet(path)
 
+  /** Explicit schema, not inference: an index directory may exist with no
+    * data files yet (healed from an empty staged dir, or created ahead of
+    * the first indexed append) — inference rejects that, a schema'd read
+    * returns a clean empty frame. Column order restored to canonical
+    * (partition column `rt` otherwise comes back last). */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read
+      .schema("vhash BIGINT, ae_id STRING, owner_id STRING, tx_slice INT, rt STRING")
+      .parquet(path)
+      .select(col("rt"), col("vhash"), col("ae_id"), col("owner_id"),
+        col("tx_slice"))
 
   /** Append one transaction's index delta: new assignments joined to their
     * owning field relation (from the receipt itself for fields created in

@@ -57,27 +57,22 @@ object GraphStore {
         s"""{"uniqueValuesThrough": ${g.uniqueValuesThrough}}""")
   }
 
-  /** Heal a store interrupted mid-[[compact]]: the two-rename swap has a
-    * window where a sub-table directory is staged aside (`<sub>__old`
-    * exists, `<sub>` does not) — a crash there leaves the store unreadable
-    * until the original is renamed back. WRITER-SIDE only ([[compact]],
-    * [[purgeSlice]], or an explicit [[heal]]): a reader that healed
+  /** Every sub-table [[compact]]/[[purgeSlice]] may rewrite via the
+    * staged swap — shared by the writer-side heal and the read-side
+    * mid-swap guard so a sub-table can never join the swap protocol
+    * without joining both (the round-10 index-loss bug was exactly an
+    * unguarded swapped sub-table). */
+  private val SwappedSubs =
+    Seq("atoms", "values", "txs", "tags", "closures", "index")
+
+  /** Heal a store interrupted mid-[[compact]]/[[purgeSlice]] — delegates
+    * to [[StagedSwap.heal]] per sub-table (see that object's
+    * window-by-window contract). WRITER-SIDE only: a reader that healed
     * "helpfully" while a LIVE compact was mid-swap would delete the
-    * in-flight `__compacting` staging tree or un-rename `__old` out from
-    * under the writer. The rename restores the pre-compact tree (the
-    * compaction simply didn't happen), and a leftover `__compacting` tree
-    * is deleted either way (it may be incomplete). */
+    * in-flight staging tree or un-rename `__old` out from under the
+    * writer. */
   private def healInterruptedSwap(path: String): Unit =
-    Seq("atoms", "values", "txs", "tags", "closures", "index").foreach { sub =>
-      val dir = new java.io.File(s"$path/$sub")
-      val old = new java.io.File(s"$path/${sub}__old")
-      if (!dir.exists() && old.exists())
-        require(old.renameTo(dir), s"cannot heal $path/$sub from __old")
-      Fs.rm(new java.io.File(s"$path/${sub}__compacting"))
-      // both present: the swap completed but the cleanup rename didn't —
-      // the live tree is authoritative, the staged copy is garbage
-      if (dir.exists() && old.exists()) Fs.rm(old)
-    }
+    StagedSwap.healAll(path, SwappedSubs)
 
   /** Writer-side recovery entry: restore a store whose [[compact]] /
     * [[purgeSlice]] crashed mid-swap. Run from the process that owns the
@@ -98,7 +93,7 @@ object GraphStore {
     // UNINDEXED (loadIndex → None), and a later appendTxIndexed would
     // recreate $path/index holding only the new delta, after which the
     // writer-side heal deletes index__old as garbage — permanent loss.
-    Seq("atoms", "values", "txs", "tags", "closures", "index").foreach { sub =>
+    SwappedSubs.foreach { sub =>
       if (!new java.io.File(s"$path/$sub").exists() &&
           new java.io.File(s"$path/${sub}__old").exists())
         throw new IllegalStateException(
@@ -117,16 +112,8 @@ object GraphStore {
   def purgeSlice(spark: SparkSession, path: String, n: Int): Unit = {
     healInterruptedSwap(path)
     val g = load(spark, path)
-    import Fs.rm
-    def swapIn(sub: String)(write: String => Unit): Unit = {
-      write(s"$path/${sub}__compacting")
-      val dir = new java.io.File(s"$path/$sub")
-      val old = new java.io.File(s"$path/${sub}__old")
-      require(dir.renameTo(old), s"cannot stage $dir aside")
-      require(new java.io.File(s"$path/${sub}__compacting").renameTo(dir),
-        s"cannot swap purged $sub into place")
-      rm(old)
-    }
+    def swapIn(sub: String)(write: String => Unit): Unit =
+      StagedSwap.swapIn(path, sub)(write)
     swapIn("atoms")(g.atoms.filter(col("inst_slice") =!= n)
       .write.mode(SaveMode.Overwrite).partitionBy("kind", "atype").parquet(_))
     swapIn("values")(g.values.filter(col("tx_slice") =!= n)
@@ -405,19 +392,10 @@ object GraphStore {
   def compact(spark: SparkSession, path: String): Unit = {
     healInterruptedSwap(path) // writer-side: adopt a crashed predecessor
     import Fs.rm
-    // atomic-swap rewrite of one sub-table: the new tree lands COMPLETELY
-    // beside the old one, then swaps in via two renames — a reader never
-    // sees a half-written store, a crash before the final rename leaves
-    // the original untouched
-    def swapIn(sub: String)(write: String => Unit): Unit = {
-      write(s"$path/${sub}__compacting")
-      val dir = new java.io.File(s"$path/$sub")
-      val old = new java.io.File(s"$path/${sub}__old")
-      require(dir.renameTo(old), s"cannot stage $dir aside")
-      require(new java.io.File(s"$path/${sub}__compacting").renameTo(dir),
-        s"cannot swap compacted $sub into place")
-      rm(old)
-    }
+    // atomic staged-swap rewrite of one sub-table — see StagedSwap's
+    // protocol doc
+    def swapIn(sub: String)(write: String => Unit): Unit =
+      StagedSwap.swapIn(path, sub)(write)
     val closures = new java.io.File(s"$path/closures")
     val g = if (closures.exists()) loadWithClosures(spark, path)
             else load(spark, path)

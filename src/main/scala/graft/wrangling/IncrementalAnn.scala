@@ -108,8 +108,6 @@ object IncrementalAnn {
         .select(col(idCol), col(vecCol), col("__ci")))
   }
 
-  private def rm(f: java.io.File): Unit = graft.core.Fs.rm(f)
-
   /** Fold accumulated tick deltas into the seed tree — the
     * one-directory-per-tick debt of a long ingest run, settled in a
     * maintenance window (same operating contract as GraphStore.compact:
@@ -122,53 +120,26 @@ object IncrementalAnn {
   def compact(spark: SparkSession, dir: String, idCol: String,
       vecCol: String): Unit = {
     heal(dir) // writer-side: adopt a crashed predecessor first
-    def f(s: String) = new java.io.File(s"$dir/$s")
-    postings(spark, dir, idCol, vecCol)
-      .write.mode(SaveMode.Overwrite).partitionBy("__ci")
-      .parquet(s"$dir/postings__compacting")
-    require(f("postings_delta").renameTo(f("postings_delta__folded")),
-      s"cannot stage $dir/postings_delta aside")
-    require(f("postings").renameTo(f("postings__old")),
-      s"cannot stage $dir/postings aside")
-    require(f("postings__compacting").renameTo(f("postings")),
-      s"cannot swap compacted postings into place")
-    rm(f("postings__old"))
-    rm(f("postings_delta__folded"))
-    f("postings_delta").mkdirs()
-    ()
+    // the folded union must be COMPUTED from the live trees before
+    // StagedSwap stages the delta root aside — hence the read inside the
+    // write callback (swapIn writes staging FIRST, renames after)
+    graft.core.StagedSwap.swapIn(dir, "postings",
+        retire = Seq("postings_delta")) { staging =>
+      postings(spark, dir, idCol, vecCol)
+        .write.mode(SaveMode.Overwrite).partitionBy("__ci").parquet(staging)
+    }
   }
 
-  /** Writer-side recovery from a compact() crash, keyed off which
-    * directories survived (the rename order above makes every window
-    * distinguishable):
-    *  - seed tree present + staging present → the swap never started:
-    *    roll BACK (drop staging, un-stage the delta root if renamed);
-    *  - seed tree missing → crashed between the two seed renames:
-    *    roll back (`__old` → postings, `__folded` → postings_delta,
-    *    drop staging);
-    *  - seed tree present, no staging, leftovers present → the swap
-    *    completed: roll FORWARD (drop `__old`/`__folded`, re-create the
-    *    empty delta root). */
+  /** Writer-side recovery from a compact() crash — delegates to
+    * [[graft.core.StagedSwap.heal]] with the delta root as the retired
+    * tree (see that object's window-by-window contract). A directory
+    * with NEITHER postings nor postings__old is not an index at all:
+    * reject loudly instead of "healing" it into an empty one. */
   def heal(dir: String): Unit = {
     def f(s: String) = new java.io.File(s"$dir/$s")
-    if (!f("postings").exists()) {
-      require(f("postings__old").exists(),
-        s"$dir has neither postings nor postings__old — not an index")
-      require(f("postings__old").renameTo(f("postings")),
-        s"cannot heal $dir/postings from __old")
-      if (!f("postings_delta").exists() && f("postings_delta__folded").exists())
-        require(f("postings_delta__folded").renameTo(f("postings_delta")),
-          s"cannot heal $dir/postings_delta from __folded")
-      rm(f("postings__compacting"))
-    } else if (f("postings__compacting").exists()) {
-      rm(f("postings__compacting"))
-      if (!f("postings_delta").exists() && f("postings_delta__folded").exists())
-        require(f("postings_delta__folded").renameTo(f("postings_delta")),
-          s"cannot heal $dir/postings_delta from __folded")
-    } else {
-      rm(f("postings__old"))
-      rm(f("postings_delta__folded"))
-      if (!f("postings_delta").exists()) { f("postings_delta").mkdirs(); () }
-    }
+    require(f("postings").exists() || f("postings__old").exists(),
+      s"$dir has neither postings nor postings__old — not an index")
+    graft.core.StagedSwap.heal(dir, "postings",
+      retire = Seq("postings_delta"))
   }
 }

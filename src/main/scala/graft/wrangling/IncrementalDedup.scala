@@ -186,8 +186,6 @@ object IncrementalDedup {
     n
   }
 
-  private def rm(f: java.io.File): Unit = graft.core.Fs.rm(f)
-
   /** Fold the per-tick append files of the three index trees into
     * consolidated ones. Appends are one file per tick per tree BY DESIGN
     * (file ≈ tick keeps the commit protocol simple), so a long ingest
@@ -204,38 +202,19 @@ object IncrementalDedup {
     * every read until compaction rewrites the deduped set). */
   def compact(spark: SparkSession, dir: String): Unit = {
     heal(dir)
-    def swapIn(sub: String)(df: DataFrame): Unit = {
-      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$dir/${sub}__compacting")
-      val live = new java.io.File(s"$dir/$sub")
-      val old = new java.io.File(s"$dir/${sub}__old")
-      require(live.renameTo(old), s"cannot stage $dir/$sub aside")
-      require(new java.io.File(s"$dir/${sub}__compacting").renameTo(live),
-        s"cannot swap compacted $sub into place")
-      rm(old)
-    }
+    def swapIn(sub: String)(df: DataFrame): Unit =
+      graft.core.StagedSwap.swapIn(dir, sub)(staging =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging))
     swapIn("bands")(bands(spark, dir))
     swapIn("shingles")(shingles(spark, dir))
     swapIn("flags")(flags(spark, dir))
   }
 
-  /** Writer-side recovery from a [[compact]] crash: per tree, a missing
-    * live dir with `__old` present is un-staged back; live AND `__old`
-    * both present means the swap completed but the cleanup delete didn't
-    * — the live tree is authoritative and the staged copy is garbage
-    * (without this branch the leftover `__old` wedges every future
-    * compact: rename(2) onto a non-empty directory fails); any leftover
-    * `__compacting` tree is dropped either way (crash before that
-    * tree's swap — its compaction simply didn't happen). */
+  /** Writer-side recovery from a [[compact]] crash — delegates to
+    * [[graft.core.StagedSwap.heal]] per tree (see that object's
+    * window-by-window contract). */
   def heal(dir: String): Unit =
-    Seq("bands", "shingles", "flags").foreach { sub =>
-      val live = new java.io.File(s"$dir/$sub")
-      val old = new java.io.File(s"$dir/${sub}__old")
-      if (!live.exists() && old.exists())
-        require(old.renameTo(live), s"cannot heal $dir/$sub from __old")
-      else if (live.exists() && old.exists()) rm(old)
-      rm(new java.io.File(s"$dir/${sub}__compacting"))
-    }
+    graft.core.StagedSwap.healAll(dir, Seq("bands", "shingles", "flags"))
 
   /** Streaming entry: each micro-batch is one tick. Bounded by default
     * (AvailableNow); pass a processing-time trigger for a live feed. */

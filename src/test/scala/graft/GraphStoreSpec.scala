@@ -447,6 +447,15 @@ class GraphStoreSpec extends AnyFunSuite {
     GraphStore.heal(dir)
     assert(new java.io.File(s"$dir/index").exists())
     assert(GraphStore.load(spark, dir).now.all("Person").count() == 2)
+    // purgeSlice is the fourth consumer of the staged swap: it too heals
+    // a crashed predecessor on entry before rewriting
+    assert(new java.io.File(s"$dir/values")
+      .renameTo(new java.io.File(s"$dir/values__old")))
+    GraphStore.purgeSlice(spark, dir, n = 999) // no slice-999 rows: pure heal+rewrite
+    val healed2 = GraphStore.load(spark, dir)
+    assert(healed2.now.all("Person").count() == 2)
+    assert(healed2.now.all("Person").fieldValue("Name", "v_str", "n")
+      .collect().map(_.getString(1)).toSeq == Seq("Ann"))
   }
 
   test("Fs.rm never follows symlinks into their targets") {
