@@ -38,6 +38,7 @@ object GraphStore {
     // graph's ae/owner rows (saveWithIndex rebuilds it after this)
     if (mode == SaveMode.Overwrite) {
       Fs.rm(new java.io.File(s"$path/closures"))
+      Fs.rm(new java.io.File(s"$path/atoms_log"))
       Fs.rm(new java.io.File(s"$path/_slices"))
       Fs.rm(new java.io.File(s"$path/_graft_meta.json"))
       Fs.rm(new java.io.File(s"$path/index"))
@@ -63,7 +64,7 @@ object GraphStore {
     * without joining both (the round-10 index-loss bug was exactly an
     * unguarded swapped sub-table). */
   private val SwappedSubs =
-    Seq("atoms", "values", "txs", "tags", "closures", "index")
+    Seq("atoms", "values", "txs", "tags", "closures", "index", "atoms_log")
 
   /** Heal a store interrupted mid-[[compact]]/[[purgeSlice]] — delegates
     * to [[StagedSwap.heal]] per sub-table (see that object's
@@ -137,6 +138,14 @@ object GraphStore {
       swapIn("index")(FieldIndex.load(spark, s"$path/index")
         .filter(col("tx_slice") =!= n)
         .write.mode(SaveMode.Overwrite).partitionBy("rt").parquet(_))
+    // the flat atoms CDC mirror lands before the tx marker too — purge
+    // its slice-n rows or the re-applied transaction's feed events would
+    // be delivered twice to a tailing subscription
+    if (new java.io.File(s"$path/atoms_log").exists())
+      swapIn("atoms_log")(spark.read
+        .schema(org.apache.spark.sql.Encoders.product[AtomRow].schema)
+        .parquet(s"$path/atoms_log").filter(col("inst_slice") =!= n)
+        .write.mode(SaveMode.Overwrite).parquet(_))
   }
 
   def load(spark: SparkSession, path: String): Graph = {
@@ -271,10 +280,27 @@ object GraphStore {
     // store (maxFilesPerTrigger=1) treat file ≈ transaction within each
     // sub-feed — without it one tx's rows smear across several files and
     // several micro-batches
-    if (r.newAtoms.nonEmpty)
+    if (r.newAtoms.nonEmpty) {
       spark.createDataset(r.newAtoms).toDF().coalesce(1)
         .write.mode(SaveMode.Append).partitionBy("kind", "atype")
         .parquet(s"$path/atoms")
+      // the FLAT atoms CDC mirror: the partitioned tree above lands one
+      // file per (kind, atype) combo per tx, so a maxFilesPerTrigger=1
+      // tail of it smeared one transaction's atoms across several
+      // micro-batches — a racing feed reader observed a tx PARTIALLY,
+      // diverging from the reference's tx-granular subscription frames
+      // (core/src/observable.cpp fires against complete graph slices).
+      // One flat file per tx here restores file ≈ tx for the atoms
+      // sub-feed (values/closures already have it); the duplicate write
+      // is receipt-sized — the same change-data-file trade Delta CDF
+      // makes. Sync.atomFeed tails THIS log, batch loads read the tree.
+      // Only LIVE-FEED stores carry the mirror (Sync.publish creates the
+      // dir): a plain store pays no extra write job for a feed nobody
+      // can tail.
+      if (new java.io.File(s"$path/atoms_log").exists())
+        spark.createDataset(r.newAtoms).toDF().coalesce(1)
+          .write.mode(SaveMode.Append).parquet(s"$path/atoms_log")
+    }
     if (r.newValues.nonEmpty)
       spark.createDataset(r.newValues).toDF().coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$path/values")
@@ -326,11 +352,22 @@ object GraphStore {
     // rethrows while its sibling is still in flight, a recovery
     // purgeSlice can race the live append and miss slice files that land
     // after its rewrite — orphaned rows the purge existed to remove
-    val settled = Await.result(Future.sequence(Seq(
+    // flat CDC mirror (see appendTx) — live-feed stores only (the dir is
+    // Sync.publish's marker): file ≈ tx for the atoms sub-feed holds at
+    // the default filesPerTable=1; a data-sized delta passing a higher
+    // count smears per the doc'd bulk caveat (tails treat the txs
+    // sub-feed as the boundary). Concurrent with its siblings, so the
+    // append's wall-clock stays max(...), not the sum.
+    val mirror =
+      if (new java.io.File(s"$path/atoms_log").exists())
+        Seq(Future(d.atoms.coalesce(filesPerTable).write
+          .mode(SaveMode.Append).parquet(s"$path/atoms_log")))
+      else Nil
+    val settled = Await.result(Future.sequence((Seq(
       Future(d.atoms.coalesce(filesPerTable).write.mode(SaveMode.Append)
         .partitionBy("kind", "atype").parquet(s"$path/atoms")),
       Future(d.values.coalesce(filesPerTable).write.mode(SaveMode.Append)
-        .parquet(s"$path/values")))
+        .parquet(s"$path/values"))) ++ mirror)
       .map(_.transform(scala.util.Success(_)))), Duration.Inf)
     settled.collectFirst { case scala.util.Failure(t) => throw t }
     spark.createDataset(Seq(TxRow(d.slice, d.ts))).toDF()
@@ -417,6 +454,11 @@ object GraphStore {
     // present and empty, not missing (a readStream on a missing dir
     // throws before the tail can start)
     if (closures.exists()) { rm(closures); closures.mkdirs(); () }
+    // the atoms CDC mirror is likewise spent (every row it carries is in
+    // the compacted tree) — and likewise left present-and-empty for
+    // schema'd stream readers restarting after the maintenance window
+    val atomsLog = new java.io.File(s"$path/atoms_log")
+    if (atomsLog.exists()) { rm(atomsLog); atomsLog.mkdirs(); () }
   }
 
   /** Load with closure reconciliation (see [[appendTx]]). */

@@ -46,10 +46,12 @@ object Sync {
       s"Sync: store dir must be a local filesystem path, got '$dir' — " +
         "slice fencing and side-state use local file APIs")
     GraphStore.save(g, dir)
-    // a termination-free graph writes no closure files, but schema'd
-    // STREAM readers (closureFeed) need the directory to exist before the
-    // first termination lands
+    // a termination-free graph writes no closure files and an
+    // untransacted one no atoms-log files, but schema'd STREAM readers
+    // (closureFeed/atomFeed) need the directories to exist before the
+    // first delta lands
     new java.io.File(s"$dir/closures").mkdirs()
+    new java.io.File(s"$dir/atoms_log").mkdirs()
     SyncedGraph(g, dir)
   }
 
@@ -112,19 +114,25 @@ object Sync {
 
   // ---------------------------------------------------------------------
   // Live tail: the store directory as a micro-batch stream — the inputs
-  // GraphSubscriptions composes on. Granularity, honestly: appendTx
-  // partitions atoms by (kind, atype), so ONE transaction's atoms can land
-  // as several files and maxFilesPerTrigger=1 then surfaces them across
-  // several micro-batches. The feed's delivery contract is therefore
-  // per-EVENT (each row exactly once, in commit order per sub-table), NOT
-  // per-transaction atomicity within a trigger — subscriptions fire on
-  // rows, so nothing is lost or duplicated; a consumer needing whole-tx
-  // batches should group on tx markers downstream.
+  // GraphSubscriptions composes on. Delivery is PER-TX-ATOMIC within each
+  // sub-feed: appendTx lands one file per sub-table per transaction
+  // (values/closures directly; atoms via the flat `atoms_log` CDC mirror,
+  // since the partitioned atoms tree splits one tx across per-(kind,
+  // atype) files), so maxFilesPerTrigger=1 surfaces exactly one
+  // transaction's rows per micro-batch — a racing feed reader observes a
+  // multi-atom tx all-or-nothing, matching the reference's tx-granular
+  // subscription frames (core/src/observable.cpp fires against complete
+  // graph slices). Caveats: the feeds are CHANGE logs — a tail replays
+  // transactions appended after publish(), not the published snapshot;
+  // appendBulk with filesPerTable>1 smears (its doc: treat the txs
+  // sub-feed as the boundary); atomicity is per sub-feed, not across
+  // atoms/values/closures of the same tx (per-class subscriptions never
+  // observe across feeds).
   // ---------------------------------------------------------------------
 
   def atomFeed(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Encoders.product[AtomRow].schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/atoms")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/atoms_log")
 
   def valueFeed(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Encoders.product[ValueRow].schema)

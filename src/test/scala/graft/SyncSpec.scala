@@ -37,6 +37,45 @@ class SyncSpec extends AnyFunSuite {
     assert(scores(w2.now) == scores(r.now))
   }
 
+  test("atomFeed delivers a multi-atom tx all-or-nothing (per-tx-atomic)") {
+    val dir = tmp("graft_sync_txa")
+    var w = Sync.publish(Graph.empty(spark), dir)
+    // each tx instantiates atoms of THREE kinds (entity + 2 AEs + 2 field
+    // relations): in the partitioned atoms tree those land as one file per
+    // (kind, atype) combo, which the old per-event tail surfaced across
+    // several micro-batches — a racing feed reader observed the tx
+    // PARTIALLY. The reference fires subscriptions against complete graph
+    // slices (core/src/observable.cpp), so the feed must too.
+    for (i <- 1 to 3)
+      w = w.transact(Seq(
+        PutEntity("Sensor", s"s$i"), PutField(s"s$i", "Temp", i * 1.5),
+        PutField(s"s$i", "Label", s"L$i")))._1
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, Int)]]()
+    val q = Sync.atomFeed(spark, dir).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(b.select(col("atom_id"), col("inst_slice"))
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSeq)
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val nonEmpty = batches.asScala.toSeq.filter(_.nonEmpty)
+    val bySlice = GraphStore.load(spark, dir).atoms
+      .select(col("atom_id"), col("inst_slice"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._2).map { case (s, rows) => s -> rows.toSet }
+    nonEmpty.foreach { rows =>
+      val slices = rows.map(_._2).distinct
+      assert(slices.size == 1, s"micro-batch mixes transactions: $slices")
+      assert(rows.toSet == bySlice(slices.head),
+        s"micro-batch delivered a PARTIAL tx: ${rows.size} of " +
+          s"${bySlice(slices.head).size} atoms of slice ${slices.head}")
+    }
+    // nothing lost either: all three transactions arrive, exactly once
+    assert(nonEmpty.map(_.head._2).sorted == Seq(1, 2, 3))
+  }
+
   test("terminations replicate: closures reconcile on open, cascade included") {
     val dir = tmp("graft_sync_t")
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
