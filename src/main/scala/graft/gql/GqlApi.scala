@@ -511,18 +511,19 @@ object GqlApi {
   // Mutation execution
   // ------------------------------------------------------------------
   /** Run a mutation document through the staged write path with the
-    * schema's declared constraints (+ an optional auth hook, the
-    * programmatic stand-in for the reference's @auth expressions). */
+    * schema's declared constraints (+ an optional set-based auth vet —
+    * [[GqlLite.AuthVet]], the programmatic stand-in for the reference's
+    * @auth expressions; one semi-join plan per transaction). */
   def mutate(g: Graph, schema: SchemaDef, text: String,
       vars: Map[String, Any] = Map(),
-      auth: Option[(GraphSlice, String) => Boolean] = None,
+      auth: Option[GqlLite.AuthVet] = None,
       authClaims: Option[Map[String, Any]] = None)
       : (Graph, Receipt) =
     mutate(g, schema, parseOperation(text, vars), auth, authClaims)
 
   /** Pre-parsed entry (see the query overload). */
   def mutate(g: Graph, schema: SchemaDef, op: GqlParser.Operation,
-      auth: Option[(GraphSlice, String) => Boolean],
+      auth: Option[GqlLite.AuthVet],
       authClaims: Option[Map[String, Any]])
       : (Graph, Receipt) = {
     require(op.kind == "mutation", s"expected a mutation document, got ${op.kind}")
@@ -686,7 +687,7 @@ object GqlApi {
     * not re-applied to hook writes (schema-author code, not user input). */
   private def commitWithHooks(g: Graph, schema: SchemaDef,
       muts: Seq[GqlLite.Mutation],
-      auth: Option[(GraphSlice, String) => Boolean],
+      auth: Option[GqlLite.AuthVet],
       authClaims: Option[Map[String, Any]] = None): (Graph, Receipt) = {
     // post-commit auth (commit_with_post_checks): vet against the FINAL
     // post-write frame; failure discards the tentative graph atomically

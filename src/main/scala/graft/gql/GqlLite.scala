@@ -374,27 +374,45 @@ object GqlLite {
       s"unsupported unique-field value type: ${other.getClass}")
   }
 
-  /** Run mutations with an optional auth predicate — the SimpleGQL auth
-    * hook (test_simplegql.py:28-77): update/delete targets must satisfy
-    * the predicate IN THE CURRENT FRAME or the whole transaction is
-    * rejected, before any write. Honestly: the opaque-function contract
-    * means the predicate is invoked per target id on the DRIVER (one job
-    * per target if it reads the slice) — fine for the hook-test shape it
-    * restates; the production path is GqlApi's declarative `@auth`, which
-    * compiles the claim filter into ONE set-based plan over all targets. */
+  /** Set-based mutation auth — the SimpleGQL auth hook
+    * (test_simplegql.py:28-77) as ONE Spark plan per transaction: the vet
+    * builds the AUTHORIZED id set for the frame (an `atom_id` column,
+    * with the whole slice DSL available — field-value joins, hops), and
+    * [[mutate]] semi-joins the transaction's update/delete targets
+    * against it. A target outside the set rejects the whole transaction
+    * before any write. This replaces the former opaque per-id
+    * `(slice, id) => Boolean` hook, which invoked the predicate per
+    * target on the driver — O(targets) Spark jobs when the predicate
+    * read the slice. Declarative claim-based rules compile to the same
+    * shape via GqlApi's `@auth`. */
+  type AuthVet = graft.core.GraphSlice => org.apache.spark.sql.DataFrame
+
+  /** Run mutations with an optional set-based auth vet ([[AuthVet]]):
+    * update/delete targets must be IN the vet's authorized set for the
+    * current frame or the whole transaction is rejected, before any
+    * write — one semi-join job for the whole batch, never a per-target
+    * driver loop. */
   def mutate(g: graft.core.Graph, ms: Seq[Mutation],
-      auth: Option[(graft.core.GraphSlice, String) => Boolean] = None,
+      auth: Option[AuthVet] = None,
       constraints: Constraints = Constraints())
       : (graft.core.Graph, graft.core.Receipt) = {
-    auth.foreach { check =>
+    auth.foreach { vet =>
       val targets = ms.collect {
         case UpdateEntity(id, _) => id
         case DeleteEntity(id) => id
         case RemoveField(id, _, _) => id
-      }
-      targets.foreach { id =>
-        if (!check(g.now, id))
-          throw new SecurityException(s"auth hook rejected mutation of $id")
+      }.distinct
+      if (targets.nonEmpty) {
+        // targets are mutation-document ids (driver-sized by
+        // construction) — one isin-probed pass over the authorized set
+        val allowed = vet(g.now)
+          .filter(col("atom_id").isin(targets: _*))
+          .select(col("atom_id"))
+          .collect().map(_.getString(0)).toSet
+        val rejected = targets.filterNot(allowed)
+        if (rejected.nonEmpty)
+          throw new SecurityException(
+            s"auth vet rejected mutation of ${rejected.mkString(", ")}")
       }
     }
     checkConstraints(g, ms, constraints)

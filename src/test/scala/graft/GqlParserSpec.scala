@@ -278,8 +278,12 @@ class GqlParserSpec extends AnyFunSuite {
     val bob = GqlApi.query(g2.now, schema,
       """{ getUser(id: "e:User/u2") { score } }""").collect()
     assert(bob(0).getAs[Double]("score") == 6.5)
-    // auth hook: only ann's row may be mutated → delete of bob rejected
-    val annOnly = (slice: GraphSlice, id: String) => id == "e:User/u1"
+    // auth vet: only ann's row may be mutated → delete of bob rejected.
+    // The vet is SET-based (authorized ids as one DataFrame) — a single
+    // semi-join plan per transaction, never a per-target driver loop.
+    val annOnly: GqlLite.AuthVet =
+      slice => slice.aliveAtoms.filter(col("atom_id") === "e:User/u1")
+        .select(col("atom_id"))
     intercept[SecurityException] {
       GqlApi.mutate(g2, schema,
         """mutation { deleteUser(filter: {id: "e:User/u2"}) }""",

@@ -159,13 +159,13 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
     val (g, _) = mutate(Graph.empty(spark), Seq(
       AddEntity("Doc", "d1", Map("Owner" -> "ann")),
       AddEntity("Doc", "d2", Map("Owner" -> "bob"))))
-    // auth: only ann's docs may be mutated
-    val annOnly = (slice: GraphSlice, id: String) => {
-      val owner = AtomSet(slice,
-        slice.graph.atoms.filter(col("atom_id") === id))
-        .fieldValue("Owner", "v_str", "o").collect()
-      owner.nonEmpty && owner(0).getAs[String]("o") == "ann"
-    }
+    // auth: only ann's docs may be mutated — the vet builds the
+    // authorized id set as ONE field-value plan over the frame (the old
+    // opaque per-id hook collected the owner once per target: O(targets)
+    // driver round-trips)
+    val annOnly: AuthVet = slice =>
+      slice.all("Doc").fieldValue("Owner", "v_str", "o")
+        .filter(col("o").startsWith("ann")).select(col("atom_id"))
     val (g2, _) = mutate(g,
       Seq(UpdateEntity("e:Doc/d1", Map("Owner" -> "ann2"))), Some(annOnly))
     assert(g2.maxSlice == 2)
@@ -173,6 +173,17 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
       mutate(g2, Seq(DeleteEntity("e:Doc/d2")), Some(annOnly))
     }
     // nothing written by the rejected tx
+    assert(g2.now.all("Doc").count() == 2)
+    // multi-target tx: one vet pass covers the whole batch and names
+    // exactly the unauthorized targets; the authorized one is not blamed
+    // and the WHOLE tx still aborts (atomicity)
+    val e = intercept[SecurityException] {
+      mutate(g2, Seq(
+        UpdateEntity("e:Doc/d1", Map("Owner" -> "ann3")),
+        DeleteEntity("e:Doc/d2")), Some(annOnly))
+    }
+    assert(e.getMessage.contains("e:Doc/d2"), e.getMessage)
+    assert(!e.getMessage.contains("e:Doc/d1"), e.getMessage)
     assert(g2.now.all("Doc").count() == 2)
   }
 }
