@@ -20,12 +20,7 @@ object AnnIngestProbe {
     (1 to 2).foreach { round =>
       println(s"[ann-probe] --- round $round ---")
       val base = s"/tmp/graft_annprobe/r$round"
-      val root = java.nio.file.Paths.get(base)
-      if (java.nio.file.Files.exists(root)) {
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
+      graft.core.Fs.rm(new java.io.File(base))
       val emb = Tables.embeddings(spark, d)
       val seed = emb.filter(col("vec_id") % 2 === 0)
       val rest = emb.filter(col("vec_id") % 2 =!= 0)

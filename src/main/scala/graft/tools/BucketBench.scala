@@ -55,9 +55,12 @@ object BucketBench {
     def fileStats(root: java.io.File): (Long, Double) = {
       def walk(f: java.io.File): (Long, Long) =
         if (f.isDirectory)
-          f.listFiles.map(walk).foldLeft((0L, 0L)) {
-            case ((n1, b1), (n2, b2)) => (n1 + n2, b1 + b2)
-          }
+          // listFiles is null on an unreadable or concurrently-removed
+          // dir (Spark temp cleanup can race the walk) — count it empty
+          Option(f.listFiles).getOrElse(Array.empty)
+            .map(walk).foldLeft((0L, 0L)) {
+              case ((n1, b1), (n2, b2)) => (n1 + n2, b1 + b2)
+            }
         else if (f.getName.startsWith("_") || f.getName.startsWith("."))
           (0L, 0L) // markers/CRCs aren't data files
         else (1L, f.length)
@@ -92,10 +95,9 @@ object BucketBench {
     val plainDir = "/tmp/bucketbench_plain"
     val (_, tPlainW) = timed(GraphStore.save(g, plainDir))
     val (pFiles, pMib) = fileStats(new java.io.File(plainDir))
+    val plain = GraphStore.load(spark, plainDir)
     report("plain", tPlainW, pFiles, pMib,
-      GraphStore.load(spark, plainDir).values,
-      (GraphStore.load(spark, plainDir).atoms,
-        GraphStore.load(spark, plainDir).atoms))
+      plain.values, (plain.atoms, plain.atoms))
 
     val wh = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)

@@ -19,11 +19,7 @@ object DedupIngestProbe {
       println(f"[dedup-probe] $lbl ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     val base = "/tmp/graft_dedup_probe"
-    val root = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    graft.core.Fs.rm(new java.io.File(base))
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text"))
     time("src prep")(docs.repartition(3, col("doc_id"))

@@ -38,15 +38,15 @@ object IngestProbe {
       })
     def time(lbl: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
+      // capture elapsed BEFORE the drain sleep: the sleep only orders the
+      // job-end log lines ahead of the section line, it is not section work
+      // (inside the window it inflated every sub-second tick by 50ms+)
+      val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(50) // let job-end events drain before the section line
-      println(f"[ingest-probe] $lbl ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[ingest-probe] $lbl $sec%.3f s")
     }
     val base = "/tmp/graft_ingest_probe"
-    val root = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    Fs.rm(new java.io.File(base))
     val ev = Tables.events(spark, sf)
     time("src prep")(ev.repartition(4, col("event_id"))
       .write.parquet(s"$base/src"))

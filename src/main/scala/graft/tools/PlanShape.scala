@@ -67,7 +67,14 @@ object PlanShape {
       names: Seq[String] = Nil): Seq[(String, Shape)] = {
     val picked =
       if (names.isEmpty) Registry.entries
-      else Registry.entries.filter(e => names.contains(e.name))
+      else {
+        val known = Registry.entries.map(_.name).toSet
+        val unknown = names.filterNot(known)
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.mkString(", ")} — a typo " +
+            "here used to silently snapshot nothing")
+        Registry.entries.filter(e => names.contains(e.name))
+      }
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try picked.map { q =>
@@ -89,12 +96,26 @@ object PlanShape {
     val out = sys.env.getOrElse("SPARK_GRAFT_PLANSHAPES", "PLANSHAPES.tsv")
     val spark = GraftSession.local(4) // same config as SparkTestSession:
     // the spec replays the snapshot in the shared test session
-    val shapes = snapshot(spark, sf, args.toSeq)
-    val body = shapes.sortBy(_._1)
-      .map { case (n, s) => s"$n\t${s.tsv}" }.mkString("\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      Header + "\n" + body + "\n")
-    println(s"[plan-shape] wrote $out (${shapes.size} queries)")
+    val fresh = snapshot(spark, sf, args.toSeq).map {
+      case (n, s) => n -> s.tsv }.toMap
+    // name args mean "refresh THESE rows": merge into the committed
+    // snapshot instead of overwriting it — a single-query refresh used to
+    // rewrite the whole TSV with one row, failing PlanShapeSpec's
+    // missing-queries assertion for every other registry query
+    val outPath = java.nio.file.Paths.get(out)
+    val existing =
+      if (args.nonEmpty && java.nio.file.Files.exists(outPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(outPath)).asScala
+          .drop(1).filter(_.nonEmpty)
+          .map(l => l.split("\t", 2)(0) -> l.split("\t", 2)(1)).toMap
+      else Map.empty[String, String]
+    val merged = existing ++ fresh
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (n, s) => s"$n\t$s" }.mkString("\n")
+    java.nio.file.Files.writeString(outPath, Header + "\n" + body + "\n")
+    println(s"[plan-shape] wrote $out (${fresh.size} refreshed, " +
+      s"${merged.size} total)")
     spark.stop()
   }
 }

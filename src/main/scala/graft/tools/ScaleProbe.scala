@@ -115,6 +115,11 @@ object ScaleProbe {
         case None => println(s"[scale-probe] unknown query: $name"); None
         case Some(q) =>
           def run(dir: String): Double = {
+            // release the PREVIOUS probe/dir's pinned caches first: 7
+            // probes × 2 dirs of accumulated graphs otherwise churn
+            // executor storage (the growing-times signature CacheProbe
+            // documents), distorting the very exponents this tool reports
+            graft.core.TransientCaches.releaseAll()
             q.fn(spark, dir).count() // warm-up (primes graph caches)
             median((1 to runs).map(_ => time(q.fn(spark, dir).count())))
           }

@@ -20,6 +20,11 @@ object VerifyOne {
       val q = queries.Registry.entries.find(_.name == n)
         .getOrElse(sys.error(s"unknown query $n"))
       q.fn(spark, sf).coalesce(1).write.mode("overwrite").parquet(s"$out/$n")
+      // drop any stale .sql first: a query whose oracle was removed (or
+      // renamed) would otherwise keep being diffed against the outdated
+      // SQL from a prior run — bogus FAILs, or worse, bogus PASSes
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$out/$n.sql"))
       q.oracle.foreach(sql => java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$out/$n.sql"), sql))
       println(s"[verify-one] wrote $out/$n")
