@@ -141,20 +141,35 @@ object GraphAlgos {
   /** Community detection via label propagation over the given relation
     * types (messages flow both directions — undirected semantics). Returns
     * (atom_id, community) where community is the converged label's atom_id.
-    * Determinism caveat, honestly: GraphX's LabelPropagation breaks
+    *
+    * DETERMINISTIC ties: GraphX's stock LabelPropagation breaks
     * equal-count label ties by message-map ITERATION order (Map.maxBy,
-    * verified in the 4.1.2 bytecode), which can vary with partitioning —
-    * a vertex pulled equally by two communities may flip between runs.
-    * Tie-free graphs (and the registry fixture) are stable; callers
-    * needing hard determinism should post-process or use
-    * [[dedupClusters]]-style connected components. */
+    * verified in the 4.1.2 bytecode), which varies with partitioning — a
+    * vertex pulled equally by two communities could flip between runs.
+    * This is the same Pregel shape with the one rule pinned: max count,
+    * then MINIMUM label (vertex ids are xxhash64(atom_id), so the
+    * tie-break is a pure function of the graph, never of partitioning). */
   def communities(slice: GraphSlice, rts: Seq[String],
       steps: Int = 5): DataFrame = {
     val spark = slice.graph.spark
     import spark.implicits._
+    import org.apache.spark.graphx._
     val (g, verts) = toGraphX(slice, rts)
-    org.apache.spark.graphx.lib.LabelPropagation.run(g, steps)
-      .vertices.toDF("vid", "label")
+    val lpaGraph = g.mapVertices { case (vid, _) => vid }
+    val labels = Pregel(lpaGraph,
+        initialMsg = Map.empty[VertexId, Long],
+        maxIterations = steps)(
+      vprog = (_, attr, msg) =>
+        if (msg.isEmpty) attr
+        else {
+          val top = msg.values.max
+          msg.collect { case (l, c) if c == top => l }.min
+        },
+      sendMsg = e => Iterator(
+        (e.srcId, Map(e.dstAttr -> 1L)), (e.dstId, Map(e.srcAttr -> 1L))),
+      mergeMsg = (a, b) => (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+    labels.vertices.toDF("vid", "label")
       .join(verts, "vid")
       .join(verts.select(col("vid").as("label"),
         col("atom_id").as("community")), "label")

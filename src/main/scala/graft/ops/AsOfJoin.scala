@@ -21,15 +21,16 @@ import org.apache.spark.sql.functions._
   * timestamps (DuckDB `l.ts >= r.ts` convention).
   *
   * Tie contract: when several right rows share the winning (key, time),
-  * the winner is the MAXIMUM payload struct — lexicographic over the
-  * right value columns in column order — in BOTH lowerings
-  * ([[backwardSmallRight]]'s `sort_array` + `element_at(-1)` and the
-  * union+window path's `__r` in the window ordering), so results are
-  * partitioning-independent and the two paths agree row-for-row. The
-  * one exception: a right payload containing a non-orderable column
-  * (map) cannot participate in an ordering — the window path then falls
-  * back to the (time, side)-only ordering, and the tie winner among
-  * duplicate (key, time) right rows is unspecified.
+  * the winner is the MAXIMUM over the payload's CANONICAL TIE KEYS —
+  * lexicographic over the right value columns in column order, where an
+  * orderable column is its own key and a one-level map contributes its
+  * sorted entry array ([[Orderables.canonicalKey]]) — in BOTH lowerings
+  * ([[backwardSmallRight]]'s sorted history + `element_at(-1)` and the
+  * union+window path's `__tie` in the window ordering), so results are
+  * partitioning-independent and the two paths agree row-for-row,
+  * map-carrying payloads included. Residual: right rows identical in
+  * every canonicalizable column (i.e. differing only inside deeper
+  * non-orderable nesting) keep an unspecified winner.
   */
 object AsOfJoin {
 
@@ -65,10 +66,31 @@ object AsOfJoin {
       s"right value columns clash with left: ${clash.mkString(", ")} — alias them first")
     require(rightVals.nonEmpty, "right side carries no value columns")
     requireNoReserved(left, right)
-    val hist = right.groupBy(on.map(col): _*)
-      .agg(sort_array(collect_list(
-        struct(col(rightTime).as("__rt") +: rightVals.map(col): _*)))
-        .as("__hist"))
+    val payload = struct(col(rightTime).as("__rt") +: rightVals.map(col): _*)
+    val payloadOrderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.select(payload).schema.head.dataType)
+    val hist =
+      if (payloadOrderable)
+        // the common case: the payload struct IS its own canonical order
+        right.groupBy(on.map(col): _*)
+          .agg(sort_array(collect_list(payload)).as("__hist"))
+      else {
+        // map-carrying payloads can't ride sort_array — sort the history
+        // by the CANONICAL tie-key struct instead (same keys the window
+        // lowering orders by, so the two paths agree row-for-row), with
+        // the payload riding alongside
+        val tie = tieStruct(right, rightTime, rightVals)
+        right.groupBy(on.map(col): _*)
+          .agg(array_sort(
+            collect_list(struct(tie.as("__tk"), payload.as("__pl"))),
+            (a, b) => when(a.getField("__tk") < b.getField("__tk"), -1)
+              .when(a.getField("__tk") > b.getField("__tk"), 1)
+              .otherwise(0))
+            .as("__histkv"))
+          .withColumn("__hist", col("__histkv.__pl"))
+          .drop("__histkv")
+      }
     val joined = left.join(broadcast(hist), on, "left")
     val eligible = filter(col("__hist"),
       h => h.getField("__rt") <= col(leftTime))
@@ -83,11 +105,25 @@ object AsOfJoin {
         rightVals.map(v => when(ok, m.getField(v)).as(v)): _*)
   }
 
+  /** Canonical tie-key struct over a right payload: the time column plus
+    * each value column's canonical orderable key (itself when orderable,
+    * sorted map entries for one-level maps — [[Orderables.canonicalKey]]);
+    * deeper non-orderable nesting contributes nothing and keeps the
+    * documented unspecified-residual. Shared by both lowerings so their
+    * tie winners agree. */
+  private def tieStruct(right: DataFrame, rightTime: String,
+      rightVals: Seq[String]): org.apache.spark.sql.Column =
+    struct(col(rightTime).as("__rt") +:
+      rightVals.zipWithIndex.flatMap { case (v, i) =>
+        Orderables.canonicalKey(right.schema(v).dataType, col(v))
+          .map(_.as(s"__k$i"))
+      }: _*)
+
   /** Inputs carrying the lowering's internal names would be silently
     * overwritten (`withColumn` replaces) or make the packed struct's
     * field lookup ambiguous — reject loudly, like the value-clash check. */
   private def requireNoReserved(left: DataFrame, right: DataFrame): Unit = {
-    val reserved = Set("__t", "__r", "__side", "__m", "__hist", "__rt")
+    val reserved = Set("__t", "__r", "__side", "__m", "__hist", "__rt", "__tie")
     val bad = (left.columns ++ right.columns).filter(reserved.contains).distinct
     require(bad.isEmpty,
       s"as-of join: column names ${bad.mkString(", ")} are reserved by the " +
@@ -111,26 +147,26 @@ object AsOfJoin {
       on.map(col) ++ Seq(
         col(rightTime).as("__t"),
         struct(col(rightTime).as("__rt") +: rightVals.map(col): _*).as("__r"),
+        tieStruct(right, rightTime, rightVals).as("__tie"),
         lit(0).as("__side")): _*)
     val rType = rPre.schema("__r").dataType
+    val tieType = rPre.schema("__tie").dataType
     val lPre = left
       .withColumn("__t", col(leftTime))
       .withColumn("__r", lit(null).cast(rType))
+      .withColumn("__tie", lit(null).cast(tieType))
       .withColumn("__side", lit(1))
 
     val ord = if (fwd) col("__t").desc else col("__t").asc
-    // `__r asc` breaks duplicate-(key, time) right rows by max payload
-    // struct — the row sorting LAST wins under last() — mirroring
-    // backwardSmallRight's element_at(-1) over the sorted history, so the
-    // winner is partitioning-independent. Left rows carry a null __r and
-    // always sort by (__t, __side) alone. Non-orderable payloads (map
-    // columns) cannot enter an ordering; those keep the legacy
-    // unspecified-tie behavior rather than failing analysis.
-    val tieOrd =
-      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rType))
-        Seq(col("__r").asc) else Nil
+    // `__tie asc` breaks duplicate-(key, time) right rows by max CANONICAL
+    // tie key — the row sorting LAST wins under last() — mirroring
+    // backwardSmallRight's element_at(-1) over its sorted history, so the
+    // winner is partitioning-independent, map-carrying payloads included
+    // (canonical keys are orderable by construction; the payload struct
+    // itself may not be). Left rows carry a null __tie and always sort by
+    // (__t, __side) alone.
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(ord +: col("__side").asc +: tieOrd: _*)
+      .orderBy(ord, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lPre.unionByName(rPre, allowMissingColumns = true)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

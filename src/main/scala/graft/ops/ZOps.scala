@@ -437,11 +437,15 @@ object ZOps {
       * combine and stays balanced at any key cardinality. Ties under
       * `order` break deterministically by the remaining row columns
       * (extremum of the full packed row). A frame carrying a
-      * non-orderable column (map) cannot be packed into a min/max struct;
-      * such frames fall back to the row_number window lowering ordered by
-      * (order, then the orderable remaining columns) — still
-      * deterministic unless two rows differ ONLY in their non-orderable
-      * payloads. Mixed-direction sort expressions: use distinctBy. */
+      * non-orderable column (map) cannot pack the row itself into a
+      * min/max struct; such frames aggregate the winner's CANONICAL
+      * IDENTITY instead (orderable columns as-is, one-level maps as
+      * sorted entry arrays — [[Orderables.canonicalKey]]) and re-join it
+      * to fetch the full rows: still one hash aggregate + one equi-join,
+      * map-side combined and key-balanced — no global sort funnel — and
+      * deterministic unless two rows differ ONLY inside deeper
+      * non-orderable nesting. Mixed-direction sort expressions: use
+      * distinctBy. */
     def maxBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
       topOnePerGroup(partition, order, asc = false)
     def minBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
@@ -459,14 +463,27 @@ object ZOps {
         df.groupBy(partition: _*).agg(top.as("__top"))
           .select(df.columns.map(c => col("__top").getField(c).as(c)): _*)
       } else {
-        // map-bearing frames: the hash-agg struct would fail analysis —
-        // take the window path, tie-breaking by every orderable column.
-        val tieCols = df.schema.fields
-          .filter(f => RowOrdering.isOrderable(f.dataType)).map(f => col(f.name))
-        val full = (order ++ tieCols).map(c => if (asc) c.asc else c.desc)
-        val w = Window.partitionBy(partition: _*).orderBy(full: _*)
-        df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        // the winner's identity: partition exprs (constant within a
+        // group, so they never flip a within-group comparison but make
+        // the identity join key group-unique), then the order keys, then
+        // every column's canonical orderable key in schema order
+        val idStruct = struct(
+          partition.zipWithIndex.map { case (c, i) => c.as(s"__p$i") } ++
+            order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } ++
+            df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+              Orderables.canonicalKey(f.dataType, col(f.name))
+                .map(_.as(s"__k$i"))
+            }: _*)
+        val top = if (asc) min(col("__id")) else max(col("__id"))
+        val withId = df.withColumn("__id", idStruct)
+        val winners = withId.groupBy(partition: _*).agg(top.as("__top"))
+          .select(col("__top"))
+        // semi-join back on the identity, then collapse rows that are
+        // indistinguishable up to it (differ only in deeper non-orderable
+        // nesting) to one per group
+        withId.join(winners, col("__id") === col("__top"), "left_semi")
+          .dropDuplicates(Seq("__id"))
+          .drop("__id")
       }
     }
 

@@ -105,6 +105,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(aLabels.intersect(bLabels).isEmpty)
   }
 
+  test("communities: equal-pull ties break deterministically (min label), run-to-run stable") {
+    // m sits exactly between two 2-cliques — after round 1 it is pulled
+    // by both sides with equal counts. GraphX's stock LPA resolved this
+    // by message-map iteration order (partitioning-dependent); the
+    // deterministic rule is max count then MIN label (vids are
+    // xxhash64(atom_id), a pure function of the graph).
+    val names = Seq("a1", "a2", "b1", "b2", "m")
+    val wishes = names.map(i => PutEntity("P", i)) ++
+      Seq(("a1", "a2"), ("b1", "b2"), ("a1", "m"), ("b1", "m"))
+        .map { case (s, t) => PutRelation("Knows", s, t) }
+    val (g, _) = Transactor.transact(Graph.empty(spark), wishes)
+    def run(): Map[String, String] =
+      GraphAlgos.communities(g.now, Seq("Knows"), steps = 4)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val first = run()
+    // the tie lands on the min-vid side of m's two equal pulls — stable
+    // across repeated runs (each run re-plans with fresh partitioning)
+    (1 to 3).foreach(_ => assert(run() == first,
+      "communities() tie resolution varied between runs"))
+    assert(first.size == 5)
+  }
+
   test("triangleCounts: triangle members count 1, pendant counts 0") {
     val wishes = Seq("a", "b", "c", "d").map(i => PutEntity("P", i)) ++
       Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))

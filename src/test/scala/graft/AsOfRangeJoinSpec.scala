@@ -120,6 +120,33 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(out.head.getAs[Map[String, Int]]("mv") == Map("x" -> 1))
   }
 
+  test("asof map-payload ties: canonical entry order decides, window == smallRight row-for-row") {
+    import spark.implicits._
+    // duplicate right (key, ts) rows whose payloads differ ONLY in a map
+    // column used to keep an UNSPECIFIED winner on the window path and
+    // failed analysis on smallRight; both now order ties by the map's
+    // sorted entry array (Orderables.canonicalKey) and must agree.
+    val l = Seq(("a", 20L, "l1"), ("a", 25L, "l2"), ("b", 9L, "l3"))
+      .toDF("k", "t", "lv")
+    val r = Seq(
+      ("a", 20L, Map("y" -> 2)), ("a", 20L, Map("z" -> 3)),
+      ("a", 20L, Map("x" -> 9)),
+      ("a", 12L, Map("w" -> 0)), ("b", 6L, Map("b1" -> 1)))
+      .toDF("k", "t", "mv").repartition(7) // scramble physical order
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getAs[String]("k"), row.getAs[Long]("t"),
+        Option(row.getAs[Map[String, Int]]("mv")))).toSet
+    val win = AsOfJoin.backward(l, r, Seq("k"), "t", "t")
+    val small = AsOfJoin.backwardSmallRight(l, r, Seq("k"), "t", "t")
+    assert(canon(win) == canon(small),
+      "the two lowerings diverged on a map-payload tie")
+    val m = canon(win).map { case (k, t, mv) => (k, t) -> mv }.toMap
+    // sorted-entries order: [(z,3)] > [(y,2)] > [(x,9)] — key decides first
+    assert(m(("a", 20L)) == Some(Map("z" -> 3)))
+    assert(m(("a", 25L)) == Some(Map("z" -> 3)))
+    assert(m(("b", 9L)) == Some(Map("b1" -> 1)))
+  }
+
   test("asof keeps every left row (left-join semantics)") {
     import spark.implicits._
     val out = AsOfJoin.backward(leftRows.toDF("k", "t", "lv"),

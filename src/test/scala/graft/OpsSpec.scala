@@ -119,22 +119,34 @@ class OpsSpec extends AnyFunSuite {
     assert(dLast.agg(sum("id")).collect()(0).getLong(0) == 16 + 17 + 18 + 19 + 20)
   }
 
-  test("maxBy/minBy on a map-bearing frame fall back to the window lowering") {
+  test("maxBy/minBy on a map-bearing frame: hash-agg identity + re-join, deterministic ties") {
     val s = spark; import s.implicits._
-    // a map column cannot enter a min/max struct — the hash-agg lowering
-    // would fail analysis; the fallback must still pick the extreme row
-    // per group with ties broken by the orderable columns.
+    // a map column cannot enter a min/max struct — the row-packing
+    // lowering would fail analysis; the map path aggregates the winner's
+    // CANONICAL identity (maps as sorted entry arrays) and re-joins,
+    // so ties at equal (g, v) break deterministically BY MAP CONTENT —
+    // the old window fallback left them unspecified.
     val df = Seq(
       ("a", 3L, Map("x" -> 1)), ("a", 7L, Map("y" -> 2)),
       ("a", 7L, Map("z" -> 3)), ("b", 1L, Map("w" -> 4)))
       .toDF("g", "v", "payload").repartition(5)
-    val mx = df.maxBy(Seq(col("g")), Seq(col("v")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(mx == Map("a" -> 7L, "b" -> 1L))
-    val mn = df.minBy(Seq(col("g")), Seq(col("v")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(mn == Map("a" -> 3L, "b" -> 1L))
-    assert(df.maxBy(Seq(col("g")), Seq(col("v"))).count() == 2)
+    def got(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getMap[String, Int](2).toMap))).toMap
+    val mx = got(df.maxBy(Seq(col("g")), Seq(col("v"))))
+    // ("a", 7) tie: sorted entries [(z,3)] > [(y,2)] → z wins, any partitioning
+    assert(mx == Map(
+      "a" -> ((7L, Map("z" -> 3))), "b" -> ((1L, Map("w" -> 4)))))
+    val mn = got(df.minBy(Seq(col("g")), Seq(col("v"))))
+    assert(mn == Map(
+      "a" -> ((3L, Map("x" -> 1))), "b" -> ((1L, Map("w" -> 4)))))
+    // still the aggregate shape: no global-sort window funnel
+    assert(!df.maxBy(Seq(col("g")), Seq(col("v")))
+      .queryExecution.executedPlan.toString.contains("Window"))
+    // rows indistinguishable up to the canonical identity collapse to one
+    val dup = Seq(("a", 1L, Map("x" -> 1)), ("a", 1L, Map("x" -> 1)))
+      .toDF("g", "v", "payload")
+    assert(dup.maxBy(Seq(col("g")), Seq(col("v"))).count() == 1)
   }
 
   test("groupConsecutive sessionizes runs") {
