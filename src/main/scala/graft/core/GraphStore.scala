@@ -41,6 +41,7 @@ object GraphStore {
       Fs.rm(new java.io.File(s"$path/atoms_log"))
       Fs.rm(new java.io.File(s"$path/_slices"))
       Fs.rm(new java.io.File(s"$path/_graft_meta.json"))
+      Fs.rm(new java.io.File(s"$path/_sync_snapshot_slice"))
       Fs.rm(new java.io.File(s"$path/index"))
       if (g.tags.isEmpty) Fs.rm(new java.io.File(s"$path/tags"))
     }
@@ -109,7 +110,13 @@ object GraphStore {
     * and committing its tx marker (txs is written LAST by appendTx and
     * appendBulk, so "no tx row for n" identifies the partial). Without
     * the purge, re-appending the slice would duplicate its atom/value
-    * rows. Rewrites via the same atomic staged swap as [[compact]]. */
+    * rows. Rewrites via the same atomic staged swap as [[compact]] —
+    * and therefore inherits compact's MAINTENANCE-WINDOW contract for
+    * live tails: the rewritten sub-tables land as all-new files, which a
+    * checkpointed file-source stream treats as fresh data, so any feed
+    * tailing this store across a recovery purge re-delivers history.
+    * Restart tails with fresh checkpoints after a recovery (rare: it
+    * only runs when a PREVIOUS writer crashed mid-append). */
   def purgeSlice(spark: SparkSession, path: String, n: Int): Unit = {
     healInterruptedSwap(path)
     val g = load(spark, path)

@@ -43,11 +43,14 @@ object StreamIngest {
   private val HwTs = "_ingest_ts"
   private val HwTie = "_ingest_tie"
 
-  /** Mutable-free ingest state threaded across ticks: the writer handle
-    * and the instance retired one tick ago (releasable now — see
-    * [[applyBatch]] release notes). */
+  /** Mutable-free ingest state threaded across ticks: the writer handle,
+    * the instance retired one tick ago (releasable now — see
+    * [[applyBatch]] release notes), and the newest committed TxRow
+    * timestamp (the monotone clamp below; None = derive from the store
+    * on first use). */
   private[graft] final case class IngestState(handle: SyncedGraph,
-      retiring: Option[Graph])
+      retiring: Option[Graph],
+      lastTxTs: Option[java.sql.Timestamp] = None)
 
   /** One ingest tick over a batch — the EXACT body the streaming query
     * runs, package-visible so probes (tools.IngestProbe) measure the
@@ -125,7 +128,21 @@ object StreamIngest {
       state.retiring.foreach(_.releaseDerived())
       state.copy(retiring = None)
     } else {
-      val txTs = stat.getTimestamp(1)
+      // MONOTONE tx axis: the tx's timestamp is the batch's max applied
+      // event time, clamped to never regress below the newest committed
+      // TxRow ts. Without the clamp, a batch of late-but-fresh events
+      // (first sight of a key whose events are older than earlier keys')
+      // stamped a LATER slice with an EARLIER ts, and Graph.at(t) — which
+      // resolves max(tx_id) where ts <= t — silently included newer
+      // slices in an older frame. Event-time truth stays queryable in the
+      // HwTs field rows; the tx axis is the frame order, like any
+      // database's commit timestamps.
+      val prevTs = state.lastTxTs.getOrElse {
+        g.txs.agg(max(col("ts"))).collect()(0).getTimestamp(0) // once per query start
+      }
+      val batchTs = stat.getTimestamp(1)
+      val txTs =
+        if (prevTs != null && batchTs.before(prevTs)) prevTs else batchTs
       // 4. claim-fenced durable apply: one tx, all fields, entities
       // upserted; the delta is materialized once and feeds both the
       // store append and the in-memory handle. The recovering claim
@@ -165,11 +182,11 @@ object StreamIngest {
         state.retiring.foreach(_.releaseDerived())
         gBase.releaseDerived(); g2.releaseDerived()
         if (recovered) g.releaseDerived()
-        IngestState(Sync.open(spark, dir), None)
+        IngestState(Sync.open(spark, dir), None, Some(txTs))
       } else {
         state.retiring.foreach(_.releaseDerived())
         if (recovered) g.releaseDerived()
-        IngestState(state.handle.copy(graph = g2), Some(gBase))
+        IngestState(state.handle.copy(graph = g2), Some(gBase), Some(txTs))
       }
     }
   }

@@ -52,6 +52,15 @@ object Sync {
     // first delta lands
     new java.io.File(s"$dir/closures").mkdirs()
     new java.io.File(s"$dir/atoms_log").mkdirs()
+    // snapshot boundary for the CHANGE-log contract: values live in ONE
+    // directory for both the snapshot and the appended deltas (unlike
+    // atoms, whose deltas mirror into atoms_log), so valueFeed needs the
+    // published slice to filter snapshot rows out of the live tail — a
+    // non-empty publish otherwise replays its whole value history as
+    // "assigned" events to every fresh subscription
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_sync_snapshot_slice"),
+      g.maxSlice.toString)
     SyncedGraph(g, dir)
   }
 
@@ -134,9 +143,25 @@ object Sync {
     spark.readStream.schema(Encoders.product[AtomRow].schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/atoms_log")
 
-  def valueFeed(spark: SparkSession, dir: String): DataFrame =
+  /** Change-log semantics like [[atomFeed]]: rows of the published
+    * snapshot (tx_slice ≤ the publish-time boundary) are filtered out —
+    * the predicate pushes to the parquet scan, so snapshot files are
+    * row-group-skipped, not read-and-dropped. Stores published before
+    * the marker existed fall back to replaying everything (boundary 0). */
+  def valueFeed(spark: SparkSession, dir: String): DataFrame = {
+    val snap = snapshotSlice(dir)
     spark.readStream.schema(Encoders.product[ValueRow].schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/values")
+      .filter(col("tx_slice") > snap)
+  }
+
+  /** The publish-time slice boundary (0 when the marker is absent). */
+  private def snapshotSlice(dir: String): Int = {
+    val p = java.nio.file.Paths.get(dir, "_sync_snapshot_slice")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toInt
+    else 0
+  }
 
   /** The atom's type from the deterministic id scheme. The type name ends
     * at the first `/`, `#`, or `[`: an instanced AE id `ae:rt#k/owner` and

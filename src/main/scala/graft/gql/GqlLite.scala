@@ -44,8 +44,12 @@ object GqlLite {
     case Cmp(field, op, _) => throw new IllegalArgumentException(s"op $op")
     case BetweenF(field, lo, hi) => col(field).between(lit(lo), lit(hi))
     case Contains(field, s) => col(field).contains(s)
-    case And(fs @ _*) => fs.map(compileFilter).reduce(_ && _)
-    case Or(fs @ _*) => fs.map(compileFilter).reduce(_ || _)
+    // empty And()/Or() are reachable from user input ({and: []} parses to
+    // And() in GqlApi) — conventional identities, not an empty.reduce crash
+    case And(fs @ _*) =>
+      fs.map(compileFilter).reduceOption(_ && _).getOrElse(lit(true))
+    case Or(fs @ _*) =>
+      fs.map(compileFilter).reduceOption(_ || _).getOrElse(lit(false))
     case Not(f0) => !compileFilter(f0)
     case Raw(c) => c
   }
@@ -256,6 +260,14 @@ object GqlLite {
       dstKey: String) extends Mutation
 
   def compileMutation(m: Mutation): Seq[graft.core.Wish] = m match {
+    case AddEntity(et, key, fields) if fields.values.exists(_ == null) =>
+      throw new IllegalArgumentException(
+        s"null field value in add of $et/$key — omit the field instead " +
+          "(a value row cannot hold null)")
+    case UpdateEntity(id, fields) if fields.values.exists(_ == null) =>
+      throw new IllegalArgumentException(
+        s"null field value in update of $id — use RemoveField to clear " +
+          "a field (a value row cannot hold null)")
     case AddEntity(et, key, fields) =>
       // fields reference the FULL type-scoped atom id, not the bare key:
       // one document may add entities of DIFFERENT types under the same
@@ -316,9 +328,16 @@ object GqlLite {
     // unique: no duplicate within the batch, none colliding with the store —
     // for ADDS and UPDATES both (an update setting a unique field to a value
     // another entity holds violates the declaration exactly as a create
-    // does; update-blind checking silently committed the collision). An
-    // updater re-setting its OWN current value is not a collision: the
-    // store probe excludes each updater's own row for its own new value.
+    // does; update-blind checking silently committed the collision).
+    // RELEASED rows don't collide: the store probe excludes every owner
+    // whose value for this rt is REPLACED by this transaction (any updater
+    // of the field, an add landing on an existing key — upsert overwrite —
+    // and any deleted entity), not merely each updater's own re-set value.
+    // Value-only exclusion falsely rejected legal MOVES: A updates
+    // "x" -> "y" while E adds "x" (A's old row matched the probe), swaps,
+    // and delete-then-reuse. Null values are not unique-constrained
+    // (SQL convention; a null-set clears the field) and are dropped from
+    // both the batch-dup check and the probe.
     // The store check reads the TYPED value column for each value's runtime
     // type (mirroring ValueRow.of) — a v_str-only compare would silently
     // pass long/double/bool/ts collisions (their v_str is null).
@@ -326,14 +345,28 @@ object GqlLite {
     // is tagged with its constraint and unioned, and a single take(1) finds
     // any violation — a multi-constraint schema pays one job, not one per
     // constraint.
+    val deletes = ms.collect { case DeleteEntity(id) => id }
     val probes = c.unique.toSeq.flatMap { case (et, rts) =>
       rts.flatMap { rt =>
-        val addVals = adds.filter(_.et == et).flatMap(_.fields.get(rt))
-        val updPairs = updates.collect {
-          case u if etOfId(u.atomId).contains(et) && u.fields.contains(rt) =>
-            u.atomId -> u.fields(rt)
+        // released PER rt: only owners whose value for THIS field is
+        // replaced by an UPDATE carrying rt, or whose whole row dies
+        // (deletes) — an updater not touching rt keeps its value and
+        // must still collide. Adds are deliberately NOT released: add is
+        // not the idempotent path (upfetch is, per the pinned
+        // GqlParserSpec contract), so replaying an add of an existing
+        // key + its own unique value still trips the check.
+        val releasedIds = (
+          updates.collect {
+            case u if etOfId(u.atomId).contains(et) &&
+                u.fields.contains(rt) => u.atomId } ++
+          deletes.filter(id => etOfId(id).contains(et))).distinct
+        val addVals = adds.filter(_.et == et)
+          .flatMap(_.fields.get(rt)).filter(_ != null)
+        val updVals = updates.collect {
+          case u if etOfId(u.atomId).contains(et) &&
+              u.fields.get(rt).exists(_ != null) => u.fields(rt)
         }
-        val batchVals = addVals ++ updPairs.map(_._2)
+        val batchVals = addVals ++ updVals
         if (batchVals.distinct.size != batchVals.size)
           throw new IllegalArgumentException(
             s"constraint violation: duplicate $et.$rt within transaction")
@@ -342,13 +375,12 @@ object GqlLite {
             case i: Int => lit(i.toLong) // v_long stores longs
             case x => lit(x)
           }
-          val ownRow = updPairs.filter(p => typedCol(p._2) == vcol)
-            .foldLeft(lit(false)) { case (acc, (id, v)) =>
-              acc || (col("atom_id") === id && col("__v") === asLit(v))
-            }
+          val released =
+            if (releasedIds.isEmpty) lit(false)
+            else col("atom_id").isin(releasedIds: _*)
           g.now.all(et)
             .fieldValue(rt, vcol, "__v")
-            .filter(col("__v").isin(vs.map(asLit): _*) && !ownRow)
+            .filter(col("__v").isin(vs.map(asLit): _*) && !released)
             .select(lit(et).as("__et"), lit(rt).as("__rt"))
         }
       }
@@ -365,6 +397,9 @@ object GqlLite {
   /** Typed values column holding a runtime value — mirrors
     * graft.core.ValueRow.of's dispatch. */
   private def typedCol(v: Any): String = v match {
+    case null => throw new IllegalArgumentException(
+      "null has no typed value column — unique-field nulls are filtered " +
+        "before probing (nulls are not unique-constrained)")
     case _: String => "v_str"
     case _: Int | _: Long => "v_long"
     case _: Double => "v_double"
@@ -388,31 +423,61 @@ object GqlLite {
   type AuthVet = graft.core.GraphSlice => org.apache.spark.sql.DataFrame
 
   /** Run mutations with an optional set-based auth vet ([[AuthVet]]):
-    * update/delete targets must be IN the vet's authorized set for the
-    * current frame or the whole transaction is rejected, before any
-    * write — one semi-join job for the whole batch, never a per-target
-    * driver loop. */
+    * every mutation of an EXISTING atom — update/delete/remove-field
+    * targets, an AddEntity whose key lands on an already-alive id
+    * (PutEntity is idempotent and PutField overwrites: an add on an
+    * existing key IS an update), and LinkEntities endpoints that resolve
+    * to alive atoms — must be IN the vet's authorized set for the
+    * current frame, or the whole transaction is rejected before any
+    * write. Ids created by this very batch are exempt (they don't exist
+    * to be authorized). One existence probe + one vet probe for the
+    * whole batch, never a per-target driver loop.
+    *
+    * Independent of auth, update/delete/remove-field targets that are
+    * NOT alive in the frame (and not created by this batch) reject
+    * loudly: PutField on a missing owner would otherwise append AE/
+    * value rows anchored to no entity — a transaction that "succeeds"
+    * while no read ever sees the value. */
   def mutate(g: graft.core.Graph, ms: Seq[Mutation],
       auth: Option[AuthVet] = None,
       constraints: Constraints = Constraints())
       : (graft.core.Graph, graft.core.Receipt) = {
-    auth.foreach { vet =>
-      val targets = ms.collect {
-        case UpdateEntity(id, _) => id
-        case DeleteEntity(id) => id
-        case RemoveField(id, _, _) => id
-      }.distinct
-      if (targets.nonEmpty) {
-        // targets are mutation-document ids (driver-sized by
-        // construction) — one isin-probed pass over the authorized set
-        val allowed = vet(g.now)
-          .filter(col("atom_id").isin(targets: _*))
-          .select(col("atom_id"))
-          .collect().map(_.getString(0)).toSet
-        val rejected = targets.filterNot(allowed)
-        if (rejected.nonEmpty)
-          throw new SecurityException(
-            s"auth vet rejected mutation of ${rejected.mkString(", ")}")
+    val addIds = ms.collect { case AddEntity(et, key, _) =>
+      graft.core.Transactor.atomId(graft.core.Kind.Entity, et, key) }.toSet
+    val updateTargets = ms.collect {
+      case UpdateEntity(id, _) => id
+      case DeleteEntity(id) => id
+      case RemoveField(id, _, _) => id
+    }.distinct.filterNot(addIds) // created-in-batch ids can't pre-exist
+    // atoms an add/link may MUTATE if they already exist: add keys land
+    // on their deterministic ids; link endpoints given as full scheme
+    // ids (tx-local bare keys of this batch carry no ':')
+    val overwriteCandidates = (addIds ++ ms.collect {
+      case LinkEntities(_, s, d) => Seq(s, d).filter(_.contains(":"))
+    }.flatten).toSeq.distinct.filterNot(updateTargets.contains)
+    val probeIds = (updateTargets ++ overwriteCandidates).distinct
+    if (probeIds.nonEmpty && (auth.nonEmpty || updateTargets.nonEmpty)) {
+      val alive = g.now.aliveAtoms
+        .filter(col("atom_id").isin(probeIds: _*))
+        .select(col("atom_id")).collect().map(_.getString(0)).toSet
+      val missing = updateTargets.filterNot(alive)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"mutation targets not alive in the current frame: " +
+            s"${missing.mkString(", ")}")
+      auth.foreach { vet =>
+        // everything this tx touches that EXISTS needs authorization
+        val toVet = updateTargets ++ overwriteCandidates.filter(alive)
+        if (toVet.nonEmpty) {
+          val allowed = vet(g.now)
+            .filter(col("atom_id").isin(toVet: _*))
+            .select(col("atom_id"))
+            .collect().map(_.getString(0)).toSet
+          val rejected = toVet.filterNot(allowed)
+          if (rejected.nonEmpty)
+            throw new SecurityException(
+              s"auth vet rejected mutation of ${rejected.mkString(", ")}")
+        }
       }
     }
     checkConstraints(g, ms, constraints)

@@ -80,6 +80,36 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(u1Vals == 1)
   }
 
+  test("tx timestamps stay monotone under late data: Graph.at(t) frames are consistent") {
+    import spark.implicits._
+    val dir = tmp("graft_ingest")
+    Sync.publish(Graph.empty(spark), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngEvent]
+    // batch 1 applies u1 at 10:00 (tx ts 10:00); batch 2 is a FIRST-SIGHT
+    // key whose events are older (09:00) — still fresh (no stored
+    // high-water for u2), so it commits a LATER slice. Unclamped, that
+    // slice carried ts 09:00 < slice 1's 10:00, and Graph.at(09:30) —
+    // max(tx_id) where ts <= t — picked slice 2, whose FRAME includes
+    // slice 1's 10:00 rows: an as-of-09:30 read returning 10:00 data.
+    ingestInto(dir, input, Seq(
+      Seq(IngEvent(ts("2024-01-01 10:00:00"), 10, 1, 1.0, "x")),
+      Seq(IngEvent(ts("2024-01-01 09:00:00"), 5, 2, 2.0, "y"))))
+    val g = Sync.open(spark, dir).graph
+    assert(g.maxSlice == 2)
+    // the tx axis never regresses
+    val txs = g.txs.orderBy(col("tx_id"))
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1)))
+    assert(txs.sliding(2).forall {
+      case Array((_, a), (_, b)) => !b.before(a); case _ => true },
+      s"non-monotone tx axis: ${txs.mkString(", ")}")
+    // an as-of read BEFORE slice 1's ts sees neither slice's data
+    assert(g.at(ts("2024-01-01 09:30:00")).all("User").count() == 0)
+    // event-time truth is still queryable per key in the HwTs field
+    assert(state(dir) == Map(
+      "e:User/1" -> (1.0, "x"), "e:User/2" -> (2.0, "y")))
+  }
+
   test("redelivery is idempotent: replayed batch appends no tx") {
     import spark.implicits._
     val dir = tmp("graft_ingest")

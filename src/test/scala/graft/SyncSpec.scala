@@ -37,6 +37,38 @@ class SyncSpec extends AnyFunSuite {
     assert(scores(w2.now) == scores(r.now))
   }
 
+  test("feeds are CHANGE logs: a non-empty publish's snapshot is not replayed") {
+    // the documented contract: tails replay transactions appended AFTER
+    // publish(), not the published snapshot. atomFeed gets this from the
+    // atoms_log mirror (starts empty); valueFeed shares the values
+    // directory with the snapshot and filters by the publish-time slice
+    // boundary — without it every fresh subscription received the whole
+    // value history as "assigned" events.
+    val (g0, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Sensor", "old"), PutField("old", "Temp", 1.0)))
+    val dir = tmp("graft_sync_snap")
+    var w = Sync.publish(g0, dir)
+    w = w.transact(Seq(
+      PutEntity("Sensor", "new"), PutField("new", "Temp", 2.0)))._1
+    def drain(df: org.apache.spark.sql.DataFrame, qn: String) = {
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(qn)
+    }
+    val vals = drain(Sync.valueFeed(spark, dir), "t_snap_vals")
+      .select(col("ae_id")).collect().map(_.getString(0)).toSet
+    assert(vals == Set("ae:Temp/e:Sensor/new"),
+      s"snapshot values replayed into the live tail: $vals")
+    val atoms = drain(Sync.atomFeed(spark, dir), "t_snap_atoms")
+      .select(col("atom_id")).collect().map(_.getString(0)).toSet
+    assert(!atoms.exists(_.contains("old")),
+      s"snapshot atoms replayed into the live tail: $atoms")
+    assert(atoms.contains("e:Sensor/new"))
+    // batch reads still see everything, snapshot included
+    assert(Sync.open(spark, dir).now.all("Sensor").count() == 2)
+  }
+
   test("atomFeed delivers a multi-atom tx all-or-nothing (per-tx-atomic)") {
     val dir = tmp("graft_sync_txa")
     var w = Sync.publish(Graph.empty(spark), dir)

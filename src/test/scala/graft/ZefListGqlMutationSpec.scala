@@ -185,5 +185,100 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("e:Doc/d2"), e.getMessage)
     assert(!e.getMessage.contains("e:Doc/d1"), e.getMessage)
     assert(g2.now.all("Doc").count() == 2)
+
+    // an ADD landing on an EXISTING key is an update in disguise
+    // (PutEntity is idempotent, PutField overwrites) — it must pass the
+    // same vet, or auth is bypassed by re-"adding" the victim's id
+    val e2 = intercept[SecurityException] {
+      mutate(g2, Seq(AddEntity("Doc", "d2", Map("Owner" -> "mallory"))),
+        Some(annOnly))
+    }
+    assert(e2.getMessage.contains("e:Doc/d2"), e2.getMessage)
+    // a genuinely NEW key needs no pre-existing authorization
+    val (g3, _) = mutate(g2,
+      Seq(AddEntity("Doc", "d9", Map("Owner" -> "ann"))), Some(annOnly))
+    assert(g3.now.all("Doc").count() == 3)
+    // linking two EXISTING atoms mutates them — vetted too (d2 not ann's)
+    intercept[SecurityException] {
+      mutate(g3, Seq(LinkEntities("Cites", "e:Doc/d1", "e:Doc/d2")),
+        Some(annOnly))
+    }
+  }
+
+  test("GqlLite update/delete of a missing or terminated id rejects loudly") {
+    import GqlLite._
+    val (g, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("Doc", "d1", Map("Owner" -> "ann"))))
+    // nonexistent target: PutField would append AE/value rows anchored to
+    // no entity — a "successful" write no read ever sees
+    val e = intercept[IllegalArgumentException] {
+      mutate(g, Seq(UpdateEntity("e:Doc/TYPO", Map("Owner" -> "x"))))
+    }
+    assert(e.getMessage.contains("e:Doc/TYPO"), e.getMessage)
+    // terminated target: same ghost-row class
+    val (g2, _) = mutate(g, Seq(DeleteEntity("e:Doc/d1")))
+    intercept[IllegalArgumentException] {
+      mutate(g2, Seq(UpdateEntity("e:Doc/d1", Map("Owner" -> "x"))))
+    }
+    // but an update of an id CREATED in the same batch is legal — the
+    // hook flow re-transacts adds + follow-up updates in one tx
+    val (g3, _) = mutate(g2, Seq(
+      AddEntity("Doc", "d5", Map("Owner" -> "ann")),
+      UpdateEntity("e:Doc/d5", Map("Owner" -> "ann2"))))
+    assert(AtomSet(g3.now, g3.now.all("Doc").df)
+      .fieldValue("Owner", "v_str", "o")
+      .collect().map(_.getString(1)).toSeq == Seq("ann2"))
+  }
+
+  test("unique constraint: value moves within one tx are legal; true collisions still reject") {
+    import GqlLite._
+    val uniq = Constraints(unique = Map("User" -> Seq("Email")))
+    val (g, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("User", "a", Map("Email" -> "x@z")),
+      AddEntity("User", "b", Map("Email" -> "y@z"))), constraints = uniq)
+    // move: a releases "x@z" and a new user takes it — one tx, legal
+    val (g2, _) = mutate(g, Seq(
+      UpdateEntity("e:User/a", Map("Email" -> "a2@z")),
+      AddEntity("User", "c", Map("Email" -> "x@z"))), constraints = uniq)
+    assert(g2.now.all("User").count() == 3)
+    // swap: a and b exchange values — legal
+    val (g3, _) = mutate(g2, Seq(
+      UpdateEntity("e:User/a", Map("Email" -> "y@z")),
+      UpdateEntity("e:User/b", Map("Email" -> "a2@z")))
+      , constraints = uniq)
+    assert(g3.now.all("User").count() == 3)
+    // delete-and-reuse in one tx — legal
+    val (g4, _) = mutate(g3, Seq(
+      DeleteEntity("e:User/c"),
+      AddEntity("User", "d", Map("Email" -> "x@z"))), constraints = uniq)
+    assert(g4.now.all("User").count() == 3)
+    // true collision: an UNTOUCHED holder's value is taken — rejects
+    intercept[IllegalArgumentException] {
+      mutate(g4, Seq(UpdateEntity("e:User/d", Map("Email" -> "y@z"))),
+        constraints = uniq)
+    }
+    // a null field value cannot ride a value row: the uniqueness probe
+    // skips it (nulls are not unique-constrained) and the compile step
+    // rejects with a pointer to RemoveField instead of NPE-ing in
+    // ValueRow.of
+    val e = intercept[IllegalArgumentException] {
+      mutate(g4, Seq(UpdateEntity("e:User/a", Map("Email" -> null))),
+        constraints = uniq)
+    }
+    assert(e.getMessage.contains("RemoveField"), e.getMessage)
+  }
+
+  test("compileFilter: empty And()/Or() are identities, not crashes") {
+    import GqlLite._
+    val (g, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("Doc", "d1", Map("Score" -> 1.0)),
+      AddEntity("Doc", "d2", Map("Score" -> 2.0))))
+    val base = g.now.all("Doc").fieldValue("Score", "v_double", "s")
+    // {and: []} parses to And() in GqlApi — identity true
+    assert(base.filter(compileFilter(And())).count() == 2)
+    // empty Or matches nothing
+    assert(base.filter(compileFilter(Or())).count() == 0)
+    assert(base.filter(compileFilter(
+      And(Or(), Eq("s", 1.0)))).count() == 0)
   }
 }
