@@ -18,16 +18,30 @@ import graft.Tables
   */
 object GraphEncoder {
 
-  private val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
-
   // Encoded graphs are deterministic functions of (session, sfDir): cache
   // them storage-deserialized so a batch of graph queries (Verify/Bench)
   // encodes once. At scale this materialization is the bulk-load job whose
   // output is the partitioned+bucketed atoms/values tables.
+  // Access is SERIALIZED (memoize below): TrieMap.getOrElseUpdate is not
+  // atomic in its by-name argument, so two concurrent cold calls would
+  // each build-and-markShared a Graph and the loser — already registered
+  // in TransientCaches.shared, an identity set nothing ever clears —
+  // leaked its persisted tables and CacheManager registrations for the
+  // process lifetime. Encoding is heavy and rare; one lock is correct.
   private val tpchCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Graph]
   private val eventCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Graph]
+
+  private def memoize(cache: scala.collection.concurrent.TrieMap[
+      (SparkSession, String), Graph], key: (SparkSession, String))(
+      build: => Graph): Graph =
+    cache.get(key) match {
+      case Some(g) => g
+      case None => cache.synchronized {
+        cache.getOrElseUpdate(key, cached(build))
+      }
+    }
 
   private def cached(g: Graph): Graph = {
     val c = Graph(
@@ -130,7 +144,7 @@ object GraphEncoder {
     * supplying real multi-slice history via [[encodeEventHistory]].
     */
   def encodeTpch(spark: SparkSession, sfDir: String): Graph =
-    tpchCache.getOrElseUpdate((spark, sfDir), cached(encodeTpchUncached(spark, sfDir)))
+    memoize(tpchCache, (spark, sfDir))(encodeTpchUncached(spark, sfDir))
 
   def encodeTpchUncached(spark: SparkSession, sfDir: String): Graph = {
     val cust = Tables.customer(spark, sfDir)
@@ -168,8 +182,8 @@ object GraphEncoder {
   def encodeEventHistory(spark: SparkSession, sfDir: String,
       baseSlice: Int = 1): Graph =
     if (baseSlice != 1) encodeEventHistoryUncached(spark, sfDir, baseSlice)
-    else eventCache.getOrElseUpdate((spark, sfDir),
-      cached(encodeEventHistoryUncached(spark, sfDir, 1)))
+    else memoize(eventCache, (spark, sfDir))(
+      encodeEventHistoryUncached(spark, sfDir, 1))
 
   def encodeEventHistoryUncached(spark: SparkSession, sfDir: String,
       baseSlice: Int = 1): Graph = {

@@ -11,18 +11,34 @@ import org.apache.spark.sql.functions._
   */
 object ZArr {
 
+  /** Plan-time index guard: negative indices are REJECTED loudly here —
+    * the reference's Python negative indexing is not implemented, and
+    * without the guard a negative idx either silently no-oped (updateAt:
+    * the non-negative lambda counter never equals it) or died at
+    * execution in slice() far from the call site. */
+  private def requireIndex(op: String, idx: Int): Unit =
+    require(idx >= 0,
+      s"$op: negative index $idx — Python-style negative indexing is not " +
+        "supported; compute size(arr)+idx at the call site")
+
   /** zef `insert_at[idx][el]` (impl.py:1037). */
-  def insertAt(arr: Column, idx: Int, el: Column): Column =
+  def insertAt(arr: Column, idx: Int, el: Column): Column = {
+    requireIndex("insertAt", idx)
     concat(slice(arr, 1, idx), array(el),
       slice(arr, idx + 1, Int.MaxValue - idx - 1))
+  }
 
   /** zef `remove_at[idx]` (impl.py:1156). */
-  def removeAt(arr: Column, idx: Int): Column =
+  def removeAt(arr: Column, idx: Int): Column = {
+    requireIndex("removeAt", idx)
     concat(slice(arr, 1, idx), slice(arr, idx + 2, Int.MaxValue - idx - 2))
+  }
 
   /** zef `update_at[idx][f]` (impl.py:964). */
-  def updateAt(arr: Column, idx: Int, f: Column => Column): Column =
+  def updateAt(arr: Column, idx: Int, f: Column => Column): Column = {
+    requireIndex("updateAt", idx)
     transform(arr, (el, i) => when(i === idx, f(el)).otherwise(el))
+  }
 
   /** zef `replace_at[idx][el]` (impl.py:8186). */
   def replaceAt(arr: Column, idx: Int, el: Column): Column =
@@ -30,24 +46,33 @@ object ZArr {
 
   /** zef `splice[start][n][repl]` (impl.py:9937): remove n elements at
     * start, insert repl there. */
-  def splice(arr: Column, start: Int, n: Int, repl: Column): Column =
+  def splice(arr: Column, start: Int, n: Int, repl: Column): Column = {
+    requireIndex("splice", start)
+    require(n >= 0, s"splice: negative removal count $n")
     concat(slice(arr, 1, start), repl,
       slice(arr, start + n + 1, Int.MaxValue - start - n - 1))
+  }
 
   /** zef `permute_to[indices]` (impl.py:8450): reorder by 0-based index
     * list. */
   def permuteTo(arr: Column, indices: Seq[Int]): Column =
     array(indices.map(i => element_at(arr, i + 1)): _*)
 
-  /** zef `indexes_of[el]` (impl.py:9777): 0-based positions of matches. */
+  /** zef `indexes_of[el]` (impl.py:9777): 0-based positions of matches.
+    * Null-SAFE equality (<=>): a null element matches a null probe and
+    * never matches a non-null one — the Python-list reference semantics
+    * (None == None); plain === made null elements unmatchable and a null
+    * probe match nothing. */
   def indexesOf(arr: Column, el: Column): Column =
-    filter(transform(arr, (x, i) => when(x === el, i).otherwise(lit(-1))),
+    filter(transform(arr, (x, i) => when(x <=> el, i).otherwise(lit(-1))),
       i => i >= 0)
 
   /** zef `trim/trim_left/trim_right[el]` list variants (impl.py:2199-2322):
-    * drop leading/trailing elements equal to el. */
+    * drop leading/trailing elements equal to el. Null-safe like
+    * [[indexesOf]]: a leading null is KEPT unless el is null (plain =!=
+    * evaluated to NULL on null elements and silently trimmed them). */
   def trimLeft(arr: Column, el: Column): Column = {
-    val firstKeep = array_position(transform(arr, x => x =!= el), true)
+    val firstKeep = array_position(transform(arr, x => !(x <=> el)), true)
     // length = size(arr) (clamps): a MaxValue literal overflows start+len
     // in the INTERPRETED Slice eval (raw iadd) and silently returns []
     when(firstKeep === 0, slice(arr, 1, 0)) // all-separator → empty, typed
@@ -118,9 +143,10 @@ object ZArr {
     * element AND the tagged array per segment: O(m²) per row, a real wall
     * on 10k-token arrays inside an interpreted HOF.) */
   def splitOn(arr: Column, el: Column): Column = {
-    // 0-based separator positions, framed by -1 and size(arr)
-    val seps = filter(transform(arr, (x, i) => when(x === el, i).otherwise(lit(-1))),
-      i => i >= 0)
+    // 0-based separator positions (null-safe, shared with indexesOf —
+    // this used to inline the same expression and would have diverged
+    // on the null-safety fix), framed by -1 and size(arr)
+    val seps = indexesOf(arr, el)
     val bounds = concat(array(lit(-1)), seps, array(size(arr)))
     transform(sequence(lit(0), size(seps)), s =>
       slice(arr, element_at(bounds, s + 1) + 2,

@@ -157,18 +157,26 @@ object ZOps {
 
     /** zef `take_while[pred]` (impl.py:3768): longest prefix satisfying
       * pred under a total order — global min violating index, then filter.
-      * Two distributed passes, no driver iteration. */
+      * Two distributed passes, no driver iteration. A NULL-evaluating
+      * predicate row is a VIOLATION (the row does not satisfy pred), not
+      * a pass: the violation scan coalesces unknown to false-satisfied,
+      * or a null row silently extended the prefix past itself —
+      * consistent with takeUntil/skipUntil, where an unknown is not a
+      * hit. */
     def takeWhile(pred: Column, order: Seq[Column]): DataFrame = {
       val idx = enumerate(order, "__i")
-      val firstBad = idx.filter(!pred).agg(min(col("__i"))).collect()(0)
+      val firstBad = idx.filter(!coalesce(pred, lit(false)))
+        .agg(min(col("__i"))).collect()(0)
       val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
       idx.filter(col("__i") < cut).drop("__i")
     }
 
-    /** zef `skip_while[pred]` (impl.py:3678). */
+    /** zef `skip_while[pred]` (impl.py:3678). NULL pred = violation, as
+      * in [[takeWhile]]. */
     def skipWhile(pred: Column, order: Seq[Column]): DataFrame = {
       val idx = enumerate(order, "__i")
-      val firstBad = idx.filter(!pred).agg(min(col("__i"))).collect()(0)
+      val firstBad = idx.filter(!coalesce(pred, lit(false)))
+        .agg(min(col("__i"))).collect()(0)
       val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
       idx.filter(col("__i") >= cut).drop("__i")
     }
@@ -202,7 +210,9 @@ object ZOps {
       val prev = idx.toDF(idx.columns
         .map(c => if (c == "__i") "__pi" else s"prev_$c"): _*)
       val pairs = idx.join(prev, col("__i") === col("__pi") + 1)
-      val firstBad = pairs.filter(!pred).agg(min(col("__i"))).collect()(0)
+      // NULL pred = violating pair, as in takeWhile
+      val firstBad = pairs.filter(!coalesce(pred, lit(false)))
+        .agg(min(col("__i"))).collect()(0)
       val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
       idx.filter(col("__i") < cut).drop("__i")
     }

@@ -109,6 +109,18 @@ class OpsSpec extends AnyFunSuite {
     assert(tw.count() + sw.count() == nums.count())
     // pred violated at the start → empty prefix
     assert(nums.takeWhile(col("id") > 5, Seq(col("id"))).count() == 0)
+    // a NULL-evaluating predicate row is a VIOLATION, not a pass: the
+    // prefix stops AT the null row (it does not satisfy pred) — the old
+    // scan skipped unknowns and extended the prefix past them
+    val s = spark; import s.implicits._
+    val withNull = Seq((1, java.lang.Integer.valueOf(1)),
+      (2, java.lang.Integer.valueOf(2)), (3, null.asInstanceOf[java.lang.Integer]),
+      (4, java.lang.Integer.valueOf(9))).toDF("i", "v")
+    val got = withNull.takeWhile(col("v") < 5, Seq(col("i")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2), s"prefix crossed a null predicate row: $got")
+    assert(withNull.skipWhile(col("v") < 5, Seq(col("i")))
+      .collect().map(_.getInt(0)).toSeq == Seq(3, 4))
   }
 
   test("distinctBy keeps first per key under order") {

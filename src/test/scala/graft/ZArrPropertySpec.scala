@@ -76,6 +76,33 @@ class ZArrPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("null elements: trim keeps them, indexesOf/splitOn match them null-safely") {
+    val s = spark; import s.implicits._
+    def row(xs: Seq[java.lang.Integer]) = Seq(Tuple1(xs)).toDF("a")
+    // leading null is NOT the separator — must survive trimLeft (the old
+    // =!= evaluated NULL on it and silently trimmed it)
+    val t = row(Seq(null, 0, 3)).select(
+      ZArr.trimLeft(ZArr.trimLeft(col("a"), lit(0)), lit(0)).as("r"))
+      .collect()(0).getSeq[Any](0)
+    assert(t == Seq(null, 0, 3), s"leading null trimmed: $t")
+    // a null probe matches null elements (None == None reference
+    // semantics); the old === made it match nothing
+    val idx = row(Seq(1, null, 2, null)).select(
+      ZArr.indexesOf(col("a"), lit(null).cast("int")).as("r"))
+      .collect()(0).getSeq[Int](0)
+    assert(idx == Seq(1, 3), s"null probe found: $idx")
+    // splitting on null splits AT the null elements
+    val sp = row(Seq(1, null, 2)).select(
+      ZArr.splitOn(col("a"), lit(null).cast("int")).as("r"))
+      .collect()(0).getSeq[scala.collection.Seq[Any]](0)
+    assert(sp.map(_.toSeq) == Seq(Seq(1), Seq(2)), s"split on null: $sp")
+    // negative indices reject at plan time, not silently no-op
+    intercept[IllegalArgumentException] {
+      ZArr.updateAt(col("a"), -1, identity)
+    }
+    intercept[IllegalArgumentException] { ZArr.insertAt(col("a"), -1, lit(9)) }
+  }
+
   test("trim family matches dropWhile/reverse-dropWhile") {
     cases(6).foreach { case (xs, _) =>
       assert(asVec(eval(xs, a => ZArr.trimLeft(a, lit(0))))
