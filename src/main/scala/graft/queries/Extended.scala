@@ -42,15 +42,16 @@ object Extended {
       org.apache.spark.sql.DataFrame]
   def tpchIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    indexCache.getOrElseUpdate((s, d), {
+    Registry.memoize(indexCache, (s, d)) {
       val g = GraphEncoder.encodeTpch(s, d)
       val schema = graft.gql.GqlParser.parseSchema(TpchGqlSchema)
-      val path =
-        s"/tmp/graft_fieldindex/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // pid+session-salted scratch path: writers in other JVMs/sessions
+      // can never overwrite the files this cached reader lazily scans
+      val path = Registry.scratchDir(s, "graft_fieldindex", d)
       graft.core.FieldIndex.save(
         graft.core.FieldIndex.build(g, schema.searchRts), path)
       graft.core.FieldIndex.load(s, path)
-    })
+    }
 
   /** Memoized TPC-H graph with the `custTier` @dynamic resolver registered
     * (register-once, serve-many — the server lifecycle; see
@@ -632,17 +633,19 @@ object Extended {
         // registered graph is memoized per (session, dir) so repeated
         // queries hit the same warm frame instead of re-transacting the
         // registry entity each call
-        val g = dynGraphCache.getOrElseUpdate((s, d), {
+        val g = Registry.memoize(dynGraphCache, (s, d)) {
           val g0 = GraphEncoder.encodeTpch(s, d)
           val reg = GqlHooks.registerDynamic(g0, "custTier",
             "CASE acctbal >= 5000 GOLD; >= 0 STD; else RISK",
             Seq("acctbal"),
             _ => when(col("acctbal") >= 5000.0, "GOLD")
               .when(col("acctbal") >= 0.0, "STD").otherwise("RISK"))._1
-          // memoized across queries → exempt from between-query release
+          // memoized across queries → exempt from between-query release;
+          // race-free memoize matters here exactly BECAUSE of this
+          // markShared (a losing concurrent build would leak forever)
           graft.core.TransientCaches.markShared(reg)
           reg
-        })
+        }
         GqlApi.query(g.now, schema,
           """{ queryCustomer(filter: {segment: {eq: "BUILDING"}},
             |                order: {asc: name}) {
@@ -680,8 +683,12 @@ object Extended {
           .select(col("atom_id"), lit("now").as("frame"),
             col("spend"), col("bonus"))
         // replica time travel: the pre-termination frame still sees every
-        // user — a misapplied closure (or a resurrected atom) diverges here
-        val pre = replica.at(5).all("User")
+        // user — a misapplied closure (or a resurrected atom) diverges
+        // here. The frame is DERIVED (maxSlice = W present weeks +
+        // termination + Bonus, so pre-termination = maxSlice - 2): a
+        // hard-coded at(5) re-coupled to the 5-week fixture this round's
+        // Streaming fixes decoupled everywhere else
+        val pre = replica.at(replica.graph.maxSlice - 2).all("User")
           .fieldValue("Spend", "v_double", "spend")
           .select(col("atom_id"), lit("pre").as("frame"),
             col("spend"), lit(null).cast("long").as("bonus"))
@@ -717,18 +724,16 @@ object Extended {
 
   /** Memoized per (session, sfDir): the sync store directory — the CDC
     * fixture graph published once through [[graft.fx.Sync]] plus one
-    * appended Bonus transaction via the synced writer handle. Pid-salted
-    * for the same clobber reasons as the feed dir. The wish list is
-    * bounded: one PutField per surviving user (≤ 31). */
+    * appended Bonus transaction via the synced writer handle.
+    * Pid+session-salted ([[Registry.scratchDir]]) to match the
+    * per-session memoization, built race-free ([[Registry.memoize]]).
+    * The wish list is bounded: one PutField per surviving user (≤ 31). */
   private val syncDirCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   private def syncDirFor(s: SparkSession, d: String): String =
-    syncDirCache.getOrElseUpdate((s, d), {
+    Registry.memoize(syncDirCache, (s, d)) {
       val (g, _) = Streaming.graphFeedFor(s, d)
-      val dir = s"/tmp/graft_sync/p${ProcessHandle.current().pid()}_" +
-        Registry.dirKey(d)
-      // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
-      graft.core.Fs.rm(new java.io.File(dir))
+      val dir = Registry.scratchDir(s, "graft_sync", d, freshRoot = true)
       val writer = graft.fx.Sync.publish(g, dir)
       val survivors = g.now.all("User")
         .fieldValue("Spend", "v_double", "v")
@@ -737,5 +742,5 @@ object Extended {
         PutField(id, "Bonus", math.floor(v).toLong)
       })
       dir
-    })
+    }
 }

@@ -213,16 +213,24 @@ object GraphQueries {
       // Window [2, N/10]: 'assigned' = 2 AEs × events in range; entities/AEs/
       // relations instantiate at the user's first event slice (3 atoms + 2
       // assignments land on the same first slice).
+      // each leg emits only when the window has rows (HAVING): Spark's
+      // groupBy yields ZERO rows over an empty slice window, while a bare
+      // ungrouped count emitted ('assigned', 0) — a tiny fixture (< ~19
+      // events, so maxSlice/10 < 2) would diverge on row count alone
       Some("""WITH ranked AS (
              |  SELECT user_id, row_number() OVER (ORDER BY ts, event_id) + 1 AS tx_slice
              |  FROM events),
              |hi AS (SELECT (count(*) + 1) // 10 AS m FROM events),
              |inrange AS (SELECT r.user_id, r.tx_slice FROM ranked r, hi WHERE r.tx_slice BETWEEN 2 AND hi.m),
              |firsts AS (SELECT user_id, min(tx_slice) AS fs FROM ranked GROUP BY user_id)
-             |SELECT 'assigned' AS event, 2 * count(*) AS n FROM inrange
-             |UNION ALL
-             |SELECT 'instantiated', 5 * count(*) FROM firsts, hi WHERE fs BETWEEN 2 AND hi.m
-             |ORDER BY event""".stripMargin),
+             |SELECT * FROM (
+             |  SELECT 'assigned' AS event, 2 * count(*) AS n FROM inrange
+             |  HAVING count(*) > 0
+             |  UNION ALL
+             |  SELECT 'instantiated', 5 * count(*)
+             |  FROM firsts, hi WHERE fs BETWEEN 2 AND hi.m
+             |  HAVING count(*) > 0
+             |) ORDER BY event""".stripMargin),
       Seq("events", "preceding_events", "instantiated", "assigned")),
 
     // Time-travel diff — zef pattern `g | at(t1) ... vs now`: users whose

@@ -52,6 +52,75 @@ object Registry {
   private[graft] def dirKey(d: String): String =
     d.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Scratch directory for a stateful query fixture (ingest stores, CDC
+    * feeds, incremental indexes), salted by BOTH pid and the session's
+    * UUID: two JVMs must not clobber each other's live trees, and two
+    * SESSIONS in one JVM share a pid while the fixture caches are
+    * memoized per (session, sfDir) — a pid-only path let a second
+    * session's builder Fs.rm the live directory the first session's
+    * cached entry still pointed at. The token is a counter-backed
+    * per-session value (not identityHashCode, which can silently
+    * collide), so the per-session guarantee is actual. `freshRoot`
+    * clears the whole tree, `fresh` clears named
+    * sub-dirs — centralized here so a stateful fixture cannot forget
+    * its wipe. Abandoned trees from DEAD pids under the same prefix
+    * are swept on first use (once per prefix per process): without the
+    * sweep, every run leaked its full parquet trees in /tmp forever. */
+  private[graft] def scratchDir(s: SparkSession, prefix: String,
+      d: String, fresh: Seq[String] = Nil,
+      freshRoot: Boolean = false): String = {
+    sweepDeadPids(prefix)
+    val dir = s"/tmp/$prefix/p${ProcessHandle.current().pid()}_s" +
+      s"${sessionToken(s)}_${dirKey(d)}"
+    if (freshRoot) graft.core.Fs.rm(new java.io.File(dir))
+    fresh.foreach(sub => graft.core.Fs.rm(new java.io.File(s"$dir/$sub")))
+    dir
+  }
+
+  // Per-session token that is UNIQUE by construction (an identityHashCode
+  // salt could silently collide two live sessions onto one scratch tree —
+  // the exact clobber the salt exists to prevent, just rarer). Weak keys:
+  // dead sessions don't pin.
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+  private val sessionCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def sessionToken(s: SparkSession): Long =
+    sessionTokens.synchronized {
+      Option(sessionTokens.get(s)).map(_.longValue()).getOrElse {
+        val t = sessionCounter.incrementAndGet()
+        sessionTokens.put(s, t)
+        t
+      }
+    }
+
+  private val sweptPrefixes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def sweepDeadPids(prefix: String): Unit =
+    if (sweptPrefixes.add(prefix)) {
+      val root = new java.io.File(s"/tmp/$prefix")
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val m = "^p(\\d+)_".r.findFirstMatchIn(f.getName)
+        val dead = m.exists(mm =>
+          scala.util.Try(mm.group(1).toLong).toOption.exists(pid =>
+            ProcessHandle.of(pid).isEmpty))
+        if (dead) graft.core.Fs.rm(f)
+      }
+    }
+
+  /** Race-free memoization for the fixture caches:
+    * TrieMap.getOrElseUpdate is NOT atomic in its by-name argument, so
+    * two concurrent first calls both ran a builder against the same
+    * scratch directory — one thread's wipe deleting the other's
+    * in-flight build. Fast-path read, then a serialized build (fixture
+    * builds are heavy and rare; one lock per cache is correct). */
+  private[queries] def memoize[K, V](
+      cache: scala.collection.concurrent.TrieMap[K, V], key: K)(
+      build: => V): V =
+    cache.get(key) match {
+      case Some(v) => v
+      case None => cache.synchronized(cache.getOrElseUpdate(key, build))
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(q => q.name -> q.fn).toMap
 

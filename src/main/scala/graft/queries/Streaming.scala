@@ -225,11 +225,21 @@ object Streaming {
         assigned.unionByName(terminated)
           .orderBy(col("event"), col("atom_id"), col("tx_slice"))
       },
+      // tx slices are the RANK of the week among weeks PRESENT in the
+      // data (the replay transacts one tx per present week, then one
+      // termination tx), not the calendar week number: the Spark side
+      // already derives weeks from the data (r11), and an oracle that
+      // hard-coded q-as-slice and termination-at-6 silently re-coupled
+      // the comparison to the fixture's exact date span (a gap week or a
+      // February spill-over would shift every slice)
       Some("""WITH p AS (
              |  SELECT user_id, ts, event_id, value,
              |    CAST(datediff('day', DATE '2024-01-01',
              |      CAST(date_trunc('week', ts) AS DATE)) // 7 + 1 AS INT) AS q
              |  FROM events WHERE event_type = 'purchase' AND user_id <= 30),
+             |wkid AS (
+             |  SELECT q, CAST(dense_rank() OVER (ORDER BY q) AS INT) AS slice
+             |  FROM (SELECT DISTINCT q FROM p)),
              |wk AS (
              |  SELECT user_id, q, value FROM (
              |    SELECT *, row_number() OVER (PARTITION BY user_id, q
@@ -243,11 +253,13 @@ object Streaming {
              |SELECT * FROM (
              |  SELECT 'assigned' AS event,
              |    'ae:Spend/e:User/' || CAST(user_id AS VARCHAR) AS atom_id,
-             |    q AS tx_slice, value
-             |  FROM wk
+             |    wkid.slice AS tx_slice, value
+             |  FROM wk JOIN wkid USING (q)
              |  UNION ALL
              |  SELECT 'terminated', 'e:User/' || CAST(user_id AS VARCHAR),
-             |    6, CAST(NULL AS DOUBLE)
+             |    (SELECT CAST(count(*) + 1 AS INT)
+             |       FROM (SELECT DISTINCT q FROM p)),
+             |    CAST(NULL AS DOUBLE)
              |  FROM fin WHERE value < 100.0
              |) ORDER BY event, atom_id, tx_slice""".stripMargin),
       Seq("on", "assigned", "terminated", "subscribe", "cdc", "transact")),
@@ -268,15 +280,11 @@ object Streaming {
       (s, d) => {
         import graft.fx.{StreamIngest, Sync}
         import graft.core.Graph
-        val base = s"/tmp/graft_ingest/p${ProcessHandle.current().pid()}_" +
-          Registry.dirKey(d)
         // fresh store/checkpoint per run (a re-run must not inherit prior
         // state); the 4-file source copy is input PREP, not the operator
-        // under test — memoized per (pid, sf) like graphFeedFor
-        for (sub <- Seq("store", "ckpt")) {
-          // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
-          graft.core.Fs.rm(new java.io.File(s"$base/$sub"))
-        }
+        // under test — memoized per (pid, session, sf) like graphFeedFor
+        val base = Registry.scratchDir(s, "graft_ingest", d,
+          fresh = Seq("store", "ckpt"))
         val srcDir = s"$base/src"; val storeDir = s"$base/store"
         val ev = Tables.events(s, d)
         if (!java.nio.file.Files.exists(
@@ -363,13 +371,13 @@ object Streaming {
     .empty[(org.apache.spark.sql.SparkSession, String), String]
   private[graft] def termStoreFor(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    termStoreCache.getOrElseUpdate((s, d), {
+    Registry.memoize(termStoreCache, (s, d)) {
       import graft.core._
       import graft.fx.Sync
-      val dir = s"/tmp/graft_termstore/p${ProcessHandle.current().pid()}_" +
-        Registry.dirKey(d)
-      // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
-      graft.core.Fs.rm(new java.io.File(dir))
+      // pid+session-salted fresh root (Registry.scratchDir): the builder
+      // rebuilds this directory, and the memoization is per-session
+      val dir = Registry.scratchDir(s, "graft_termstore", d,
+        freshRoot = true)
       val p = Tables.events(s, d)
         .filter(col("event_type") === "purchase" && col("user_id") <= 30)
         .withColumn("w", (datediff(date_trunc("week", col("ts")),
@@ -394,7 +402,7 @@ object Streaming {
         ut.filter(_._2 < 400.0).sortBy(_._1).map { case (uid, _) =>
           TerminateAtom(s"e:User/$uid") }.toSeq)
       dir
-    })
+    }
 
   /** Memoized per (session, sfDir): the CDC feed directory built by a
     * 6-tx replay of January's purchases (5 weekly Spend assignments +
@@ -405,16 +413,15 @@ object Streaming {
       (graft.core.Graph, String)]
   private[graft] def graphFeedFor(s: org.apache.spark.sql.SparkSession,
       d: String): (graft.core.Graph, String) =
-    graphFeedCache.getOrElseUpdate((s, d), {
+    Registry.memoize(graphFeedCache, (s, d)) {
       import graft.core._
       import graft.streaming.GraphFeed
-      // pid-salted: the builder deletes and rebuilds this directory, so
-      // two JVMs sharing a plain sfDir-keyed path (e.g. a driver Verify
-      // overlapping a bench) would clobber each other's live feed
-      val feedDir = s"/tmp/graft_feed/p${ProcessHandle.current().pid()}_" +
-        Registry.dirKey(d)
-      // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
-      graft.core.Fs.rm(new java.io.File(feedDir))
+      // pid+session-salted fresh root (Registry.scratchDir): the builder
+      // rebuilds this directory — two JVMs, or two SESSIONS in one JVM
+      // (each with its own memoized entry), must not clobber each
+      // other's live feed
+      val feedDir = Registry.scratchDir(s, "graft_feed", d,
+        freshRoot = true)
       val weekly = Tables.events(s, d)
         .filter(col("event_type") === "purchase" && col("user_id") <= 30)
         .withColumn("q", (datediff(date_trunc("week", col("ts")),
@@ -453,5 +460,5 @@ object Streaming {
           java.nio.file.Paths.get(feedDir, sub)))
       TransientCaches.markShared(g)
       (g, feedDir)
-    })
+    }
 }

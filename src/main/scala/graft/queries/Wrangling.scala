@@ -17,6 +17,13 @@ import graft.wrangling.{Dedup, Similarity, TextOps}
   */
 object Wrangling {
 
+  /** The whitespace class of Java's `\s` — [ \t\n\x0B\f\r] — spelled out
+    * for DuckDB's RE2, whose own `\s` EXCLUDES vertical tab U+000B: a
+    * document containing one would tokenize differently in the two
+    * engines (Spark splits on it, RE2 keeps it inside the token) and
+    * silently diverge every TOKS-derived oracle. */
+  private[queries] val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Expands `TOKS(expr)` placeholders in a DuckDB mirror to the exact
     * SQL analogue of [[TextOps.tokens]]: split on whitespace runs, drop
     * empty tokens. One definition, spliced everywhere — the two engines'
@@ -25,7 +32,7 @@ object Wrangling {
     "TOKS\\(((?:[^()]|\\([^()]*\\))+)\\)".r.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(
         "list_filter(regexp_split_to_array(" + m.group(1) +
-          ", '\\s+'), t -> t <> '')"))
+          s", '$WsClass+'), t -> t <> '')"))
 
   /** Shared DuckDB CTE chain (no leading WITH, pre-TOKS-expansion) for
     * the portable MinHash-LSH pipeline over `documents WHERE doc_id <
@@ -165,6 +172,11 @@ object Wrangling {
               javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
             MediaRow(id, bos.toByteArray, MediaMeta("audio", 0, 0, 8000, 125))
           }
+          // persisted: BOTH consumers below (window features + rms) read
+          // this frame, and synthesize+container-encode is the dominant
+          // per-row cost — unpersisted, every WAV was built twice per run
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.core.TransientCaches.trackTable(media.toDF())
         val feats = Multimodal.extractAudioFeatures(media,
           windowSize = 256, stride = 1)
         val rms = media.map { r =>
@@ -477,9 +489,11 @@ object Wrangling {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
              |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin),
-      Seq("fingerprint", "value_hash", "blake3")),
+      // tagged md5, not blake3: the operator hashes with md5 on both
+      // engines — claiming blake3 coverage here was a silent hole
+      Seq("fingerprint", "value_hash", "md5")),
 
     // Exact dedup on a simulated re-crawl (corpus unioned with itself):
     // survivors per language before/after — the hash-groupBy dedup op.
@@ -500,7 +514,7 @@ object Wrangling {
              |  SELECT doc_id, lang, text FROM documents
              |  UNION ALL
              |  SELECT doc_id + 1000000, lang, text FROM documents),
-             |keyed AS (SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |keyed AS (SELECT *, md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
              |          FROM recrawl),
              |surv AS (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY fp),
              |dedup AS (SELECT k.lang FROM keyed k JOIN surv s ON k.doc_id = s.doc_id)
@@ -545,14 +559,23 @@ object Wrangling {
           .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
       },
-      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-             |SELECT e.vec_id,
-             |  round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
-             |    (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ^ 2)) *
-             |     sqrt(sum(CAST(q.qe[i] AS DOUBLE) ^ 2))), 4) AS cos_sim
-             |FROM embeddings e, q, generate_series(1, 64) AS g(i)
-             |WHERE e.vec_id <> 0
-             |GROUP BY e.vec_id ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      // the top-10 CUT is taken on the RAW similarity (inner subquery),
+      // rounding only the projection — Spark's cosineTopK limits on the
+      // unrounded value, so an oracle that ordered by the rounded alias
+      // could pick a different 10th row whenever two candidates straddle
+      // the boundary within 1e-4 (the sibling wr_ann_* oracles already
+      // cut on raw cs for this reason)
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |raw AS (
+             |  SELECT e.vec_id,
+             |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) /
+             |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ^ 2)) *
+             |       sqrt(sum(CAST(q.qe[i] AS DOUBLE) ^ 2))) AS cs
+             |  FROM embeddings e, q, generate_series(1, 64) AS g(i)
+             |  WHERE e.vec_id <> 0
+             |  GROUP BY e.vec_id ORDER BY cs DESC, vec_id LIMIT 10)
+             |SELECT vec_id, round(cs, 4) AS cos_sim FROM raw
+             |ORDER BY cos_sim DESC, vec_id""".stripMargin),
       Seq("similarity_search", "cosine", "ann_topk", "sort", "take")),
 
     // Embedding stats per label: norms in double — proves vector math path.
@@ -763,22 +786,22 @@ object Wrangling {
         val emb = Tables.embeddings(s, d)
         val rest = emb.filter(col("vec_id") % 2 =!= 0)
           .select(col("vec_id"), col("embedding"))
-        val (base, cents) = annIngestCache.getOrElseUpdate((s, d), {
-          val b = s"/tmp/graft_ann/p${ProcessHandle.current().pid()}_" +
-            Registry.dirKey(d)
-          // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
-          graft.core.Fs.rm(new java.io.File(b))
+        val (base, cents) = Registry.memoize(annIngestCache, (s, d)) {
+          // pid+session-salted fresh root (Registry.scratchDir) to match
+          // the cache's per-session memoization — a second session in
+          // this JVM must not delete the live index the first session
+          // still probes
+          val b = Registry.scratchDir(s, "graft_ann", d, freshRoot = true)
           val cs = IncrementalAnn.bootstrap(
             emb.filter(col("vec_id") % 2 === 0), s"$b/index",
             "vec_id", "embedding", k = 8, iters = 2)
           rest.repartition(3, col("vec_id")).write
             .mode("overwrite").parquet(s"$b/src")
           (b, cs)
-        })
+        }
         // fresh checkpoint per invocation: the engine re-runs all three
         // ticks with batchIds 0..2, overwriting the same delta dirs —
         // every rerun IS a crash-window replay over the durable index
-        // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
         graft.core.Fs.rm(new java.io.File(s"$base/ckpt"))
         val srcDir = s"$base/src"
         val stream = s.readStream.schema(rest.schema)
@@ -841,6 +864,11 @@ object Wrangling {
               else MediaCodec.encodeVideoY4M(w, h, 25, 1, frames)
             MediaRow(id, payload, MediaMeta("video", w, h, 0, 200))
           }
+          // persisted: both consumers (frame features + descriptors) read
+          // this frame — unpersisted, every per-frame JPEG/Y4M encode ran
+          // twice per run (see the audio pipeline's matching note)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.core.TransientCaches.trackTable(media.toDF())
         val feats = Multimodal.extractVideoFeatures(media, frameStride = 1)
         val desc = media.map { r =>
           val frames = MediaCodec.decodeVideo(r.payload).get._4
@@ -969,12 +997,10 @@ object Wrangling {
       "stream_dedup_ingest",
       (s, d) => {
         import graft.wrangling.IncrementalDedup
-        val base = s"/tmp/graft_dedup/p${ProcessHandle.current().pid()}_" +
-          Registry.dirKey(d)
-        for (sub <- Seq("index", "ckpt")) {
-          // one shared recursive-delete helper (symlink-safe, no leaked walk stream)
-          graft.core.Fs.rm(new java.io.File(s"$base/$sub"))
-        }
+        // fresh index/checkpoint per run; pid+session-salted
+        // (Registry.scratchDir) like the other stateful fixtures
+        val base = Registry.scratchDir(s, "graft_dedup", d,
+          fresh = Seq("index", "ckpt"))
         val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
           .select(col("doc_id"), col("text"))
         val srcDir = s"$base/src"
