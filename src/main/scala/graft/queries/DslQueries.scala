@@ -21,11 +21,15 @@ object DslQueries {
         .takeWhile(col("value") < 480.0, evOrder)
         .select(col("event_id"), col("value"))
         .orderBy(col("event_id")),
+      // the violation scan uses IS NOT TRUE, not NOT(pred): a NULL value
+      // is a VIOLATION in ZOps.takeWhile's contract (the row does not
+      // satisfy pred), and NOT(NULL)=NULL would silently encode the
+      // OPPOSITE null semantics in the oracle that certifies the op
       Some("""WITH ranked AS (
              |  SELECT event_id, value, row_number() OVER (ORDER BY ts, event_id) AS rn
              |  FROM events),
              |cut AS (SELECT coalesce(min(rn), 9223372036854775807) AS c
-             |        FROM ranked WHERE NOT (value < 480.0))
+             |        FROM ranked WHERE (value < 480.0) IS NOT TRUE)
              |SELECT event_id, value FROM ranked, cut WHERE rn < c
              |ORDER BY event_id""".stripMargin),
       Seq("take_while", "skip_while", "enumerate")),
@@ -71,13 +75,18 @@ object DslQueries {
         .groupBy(col("event_type"), col("run_len"))
         .agg(count(lit(1)).as("n_runs"))
         .orderBy(col("event_type"), col("run_len")),
+      // the prefix-sum window carries its OWN ORDER BY: a frame with no
+      // ordering has engine-unspecified row order (it passed only while
+      // DuckDB happened to preserve the lag window's sort), so ts/event_id
+      // ride through `o` to anchor it
       Some("""WITH o AS (
-             |  SELECT event_type,
+             |  SELECT ts, event_id, event_type,
              |    CASE WHEN lag(event_type) OVER (ORDER BY ts, event_id) IS DISTINCT FROM event_type
              |         THEN 1 ELSE 0 END AS chg
              |  FROM events),
              |runs AS (
-             |  SELECT event_type, sum(chg) OVER (ROWS UNBOUNDED PRECEDING) AS run_id
+             |  SELECT event_type,
+             |    sum(chg) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
              |  FROM o),
              |sizes AS (SELECT event_type, run_id, count(*) AS run_len
              |          FROM runs GROUP BY 1, 2)
@@ -116,11 +125,12 @@ object DslQueries {
         "is_alpha_numeric")),
 
     // zef combinations[n] (implementation_typing_functions.py:2561): all
-    // 3-element subsequences of the 7-element (5 p_name words + type +
-    // brand) array per part — recursion depth 3, pure HOF Column algebra,
-    // map-side only (the explode multiplies rows C(7,3)=35× BEFORE any
-    // shuffle; the only shuffle is the output sort the oracle contract
-    // requires).
+    // 3-element subsequences of the 4-element (2 p_name words in THIS
+    // testdata + type + brand) array per part — recursion depth 3, pure
+    // HOF Column algebra, map-side only (the explode multiplies rows
+    // C(4,3)=4× here BEFORE any shuffle — real 5-word TPC-H p_name would
+    // make it C(7,3)=35×; the only shuffle is the output sort the oracle
+    // contract requires).
     QueryDef(
       "dsl_combinations",
       (s, d) => Tables.part(s, d)

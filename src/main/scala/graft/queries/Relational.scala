@@ -400,7 +400,16 @@ object Relational {
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
       Seq("min", "max", "variance", "percentile")),
 
-    // zef: product (impl.py:2743) — exact integer product per small group
+    // zef: product (impl.py:2743) — integer product per small group,
+    // lowered as round(exp(sum(log x))). EXACTNESS ENVELOPE, honestly:
+    // the exp/log roundtrip is a floating approximation whose relative
+    // error (~n·1e-16) is repaired by round(0) only while the true
+    // product stays well under ~1e15 — here l_linenumber ∈ [1,7] over
+    // ≤13 lines caps groups at 7!·… ≈ 3.6e7, far inside it, and DuckDB's
+    // product() is itself a double so both engines approximate the same
+    // way. A product that can exceed 2^53 needs a different lowering
+    // (aggregate() over collect_list with Long multiplication), not this
+    // one.
     QueryDef(
       "agg_product",
       (s, d) => {
