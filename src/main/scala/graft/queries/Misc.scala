@@ -102,9 +102,12 @@ object Misc {
     QueryDef(
       "wr_embedding_near_dups",
       (s, d) => {
+        // bits/chunkBits PINNED: annSigCtes inlines exactly these 16 planes
+        // and 4-bit chunks — the oracle replays the identical blocking.
+        // Unpinned callers get the corpus-sized default (chunkBitsFor).
         graft.wrangling.Similarity.cosineNearDupPairs(
           Tables.embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.35, dim = 64)
+          threshold = 0.35, dim = 64, bits = 16, chunkBits = 4)
           .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -128,6 +131,68 @@ object Misc {
            |SELECT id_a, id_b, round(cs, 4) AS cos_sim
            |FROM sims WHERE cs >= 0.35 ORDER BY id_a, id_b""".stripMargin),
       Seq("similarity_search", "near_dup", "lsh", "cosine")),
+
+    // The AUTO-SIZED near-dup path: blocking derived from a one-pass corpus
+    // count (Similarity.chunkBitsFor — expected bucket size stays constant
+    // as the corpus grows; the r12 scale probe measured exponent 1.11 under
+    // the old fixed 16/4 default). The oracle replays the SAME derivation
+    // end-to-end in SQL: integer-exact chunkBits from its own count(*),
+    // md5-parity planes regenerated per bit — so the corpus-sized blocking
+    // is hash-checked at whatever size the table has, not just the fixture.
+    QueryDef(
+      "wr_embedding_near_dups_auto",
+      (s, d) => {
+        graft.wrangling.Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.35, dim = 64)
+          .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        """WITH cbf AS (
+          |  SELECT LEAST(15, GREATEST(4, COALESCE(
+          |    (SELECT MIN(k) FROM range(0, 16) t(k)
+          |     WHERE (CAST(1 AS BIGINT) << CAST(k AS INT)) >=
+          |       ((SELECT count(*) FROM embeddings) + 63) // 64), 15))) AS cb),
+          |planes AS (
+          |  SELECT i, list(CASE WHEN substr(md5('p:' || i || ':' || j), 2, 1)
+          |                      IN ('1','3','5','7','9','b','d','f')
+          |                 THEN CAST(1.0 AS DOUBLE)
+          |                 ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j) AS arr
+          |  FROM range(0, 60) t1(i), range(0, 64) t2(j)
+          |  WHERE i < 4 * (SELECT cb FROM cbf)
+          |  GROUP BY i),
+          |proj AS (
+          |  SELECT e.vec_id, p.i,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(1, 65),
+          |        j -> CAST(e.embedding[j] AS DOUBLE) * p.arr[j])),
+          |      (acc, x) -> acc + x) AS pr
+          |  FROM embeddings e, planes p),
+          |chunks AS (
+          |  SELECT vec_id, i // (SELECT cb FROM cbf) AS ci,
+          |    sum(CASE WHEN pr > 0
+          |             THEN 1 << CAST(i % (SELECT cb FROM cbf) AS INT)
+          |             ELSE 0 END) AS cv
+          |  FROM proj GROUP BY 1, 2),
+          |cand AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM chunks a JOIN chunks b
+          |    ON a.ci = b.ci AND a.cv = b.cv AND a.vec_id < b.vec_id
+          |  GROUP BY 1, 2),
+          |sims AS (
+          |  SELECT c.id_a, c.id_b,
+          |    sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) /
+          |      (sqrt(sum(CAST(ea.embedding[i] AS DOUBLE) ^ 2)) *
+          |       sqrt(sum(CAST(eb.embedding[i] AS DOUBLE) ^ 2))) AS cs
+          |  FROM cand c
+          |  JOIN embeddings ea ON ea.vec_id = c.id_a
+          |  JOIN embeddings eb ON eb.vec_id = c.id_b,
+          |  generate_series(1, 64) AS g(i)
+          |  GROUP BY c.id_a, c.id_b)
+          |SELECT id_a, id_b, round(cs, 4) AS cos_sim
+          |FROM sims WHERE cs >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+      Seq("similarity_search", "near_dup", "lsh", "cosine", "auto_sizing")),
 
     // part/supplier coverage: brand-level stats with a size filter.
     QueryDef(

@@ -282,6 +282,41 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Number of signature bands [[cosineNearDupPairs]] blocks on when it
+    * sizes itself (a pair is a candidate if ANY band's chunk matches). */
+  val NearDupBands = 4
+
+  /** Corpus-size-derived band width for sign-LSH blocking: bits per band
+    * such that the EXPECTED bucket population n / 2^chunkBits stays near
+    * `targetBucket`. In-bucket candidate pairs grow quadratically with
+    * bucket size, so a FIXED chunkBits makes the blocked self-join
+    * quadratic as the corpus grows — the 2^chunkBits bucket keyspace is a
+    * ceiling the data outgrows (measured: 10× probe exponent 1.11 under
+    * the old fixed 16/4 default, BASELINE.md r12). Holding expected bucket
+    * size constant keeps the candidate stage ~linear in n.
+    *
+    * Clamped to [4, 15]: [[cosineNearDupPairs]] packs
+    * NearDupBands × chunkBits signature bits into one long (≤ 60). Above
+    * n ≈ targetBucket · 2^15 (~2M rows at the default target) the clamp
+    * saturates — at that scale raise `targetBucket` consciously (bucket
+    * cost grows linearly in it) or widen the signature. Wider bands also
+    * lower per-band recall for weakly similar pairs
+    * (P(band match) = p^chunkBits, p = 1 − θ/π); the exact verification
+    * stage keeps precision at 1 regardless, and callers chasing recall at
+    * a pinned blocking shape pass explicit bits/chunkBits. */
+  def chunkBitsFor(n: Long, targetBucket: Int = 64): Int = {
+    require(targetBucket > 0,
+      s"chunkBitsFor: targetBucket must be positive, got $targetBucket")
+    // ceil(log2(ceil(n / targetBucket))) in INTEGER arithmetic (smallest k
+    // with 2^k >= ceil(n/target) — equivalent because 2^k is integral):
+    // an independent engine (the wr_embedding_near_dups_auto oracle)
+    // replays this derivation, and float log2 could flip ceil at
+    // power-of-two boundaries between implementations
+    val buckets = (n + targetBucket - 1) / targetBucket
+    val raw = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.min(15, math.max(4, raw))
+  }
+
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked
     * (bucket join on signature chunks instead of a cross-join).
     *
@@ -290,12 +325,26 @@ object Similarity {
     * distinct-ing rows that carry two embedding arrays would shuffle ~65×
     * more bytes for the same result. Recall is governed by bits/chunkBits:
     * low thresholds (weakly similar pairs) need more probes; the exact
-    * verification stage keeps precision at 1 either way. */
+    * verification stage keeps precision at 1 either way.
+    *
+    * `bits = 0` / `chunkBits = 0` (the defaults) SIZE THE BLOCKING FROM
+    * THE CORPUS: one count() pass, then chunkBits = [[chunkBitsFor]](n)
+    * and bits = [[NearDupBands]] × chunkBits — expected bucket size stays
+    * constant as the corpus grows instead of the bucket keyspace being a
+    * fixed 2^chunkBits ceiling the data outgrows quadratically. Pin both
+    * explicitly when the blocking shape itself must be deterministic
+    * across corpora (the oracle fixtures do). */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, bits: Int = 16, chunkBits: Int = 4): DataFrame = {
-    val sigd = embeddings.withColumn("__sig", lshSignature(col(vecCol), dim, bits))
-    val chunks = bits / chunkBits
-    val mask = (1L << chunkBits) - 1
+      threshold: Double, dim: Int, bits: Int = 0, chunkBits: Int = 0): DataFrame = {
+    val cb = if (chunkBits > 0) chunkBits else chunkBitsFor(embeddings.count())
+    val nBits = if (bits > 0) bits else NearDupBands * cb
+    require(nBits % cb == 0 && nBits / cb >= 1,
+      s"cosineNearDupPairs: bits ($nBits) must be a positive multiple of chunkBits ($cb)")
+    require(nBits <= 60,
+      s"cosineNearDupPairs: bits ($nBits) exceed the 60-bit long signature")
+    val sigd = embeddings.withColumn("__sig", lshSignature(col(vecCol), dim, nBits))
+    val chunks = nBits / cb
+    val mask = (1L << cb) - 1
     // the signature table is MATERIALIZED (eager checkpoint) before the
     // self-join: both join sides reference it, and Spark shares no
     // subplans across branches — left lazy, the bits-x-dim projection
@@ -305,7 +354,7 @@ object Similarity {
     val exploded = sigd.select(col(idCol),
       explode(array((0 until chunks).map(i =>
         struct(lit(i).as("ci"),
-          shiftright(col("__sig"), i * chunkBits).bitwiseAND(lit(mask)).as("cv"))): _*))
+          shiftright(col("__sig"), i * cb).bitwiseAND(lit(mask)).as("cv"))): _*))
         .as("__c"))
       .localCheckpoint(true)
     val a = exploded.select(col(idCol).as("id_a"), col("__c"))

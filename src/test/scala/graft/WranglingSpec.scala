@@ -674,6 +674,43 @@ class WranglingSpec extends AnyFunSuite {
     assert(assigned(3L) == 0)
   }
 
+  test("chunkBitsFor holds expected bucket size; auto-sized near-dups match the pinned blocking") {
+    import spark.implicits._
+    import Similarity.chunkBitsFor
+    // the rule: smallest width with n / 2^chunkBits <= targetBucket,
+    // clamped to [4, 15] (NearDupBands x 15 = 60 bits fits one long)
+    assert(chunkBitsFor(0) == 4)
+    assert(chunkBitsFor(1024, 64) == 4) // 1024 / 2^4 = 64 exactly
+    assert(chunkBitsFor(1025, 64) == 5) // one row over -> one more bit
+    assert(chunkBitsFor(64L << 10, 64) == 10)
+    assert(chunkBitsFor(64L << 15, 64) == 15)
+    assert(chunkBitsFor(Long.MaxValue) == 15) // clamp: signature stays a long
+    assert((1 to 20).forall(k =>
+      chunkBitsFor(64L << k) == math.min(15, math.max(4, k))))
+    assert(chunkBitsFor(1L << 20, targetBucket = 1024) == 10) // dial is linear in bucket cost
+    intercept[IllegalArgumentException](chunkBitsFor(100, 0))
+    // auto path == explicit path with the derived values: 2000 rows ->
+    // cb = ceil(log2(2000/64)) = 5, bits = 4*5 = 20
+    val dim = 8
+    val emb = (0L until 2000L).map(i =>
+      (i, (0 until dim).map(j => (((i * 31 + j * 7) % 19) - 9).toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(chunkBitsFor(2000) == 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairs(Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.9, dim = dim))
+    val pinned = pairs(Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.9, dim = dim,
+      bits = 20, chunkBits = 5))
+    assert(auto == pinned && auto.nonEmpty, s"auto=${auto.size} pinned=${pinned.size}")
+    // malformed blocking shapes reject at plan time
+    intercept[IllegalArgumentException](Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", 0.9, dim, bits = 10, chunkBits = 4))
+    intercept[IllegalArgumentException](Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", 0.9, dim, bits = 64, chunkBits = 16))
+  }
+
   test("LSH banding rejects non-divisible bands; corpusDedup rejects string ids") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
