@@ -546,6 +546,46 @@ object Wrangling {
              |ORDER BY id_a, id_b""".stripMargin)),
       Seq("ngram_jaccard", "deduplicate", "near_dup")),
 
+    // Cross-document SUBSTRING-level dedup (Lee et al. "Deduplicating
+    // Training Data"): maximal duplicated token spans >= 8 tokens across
+    // doc pairs — shingle-hash equi-join blocking (never all-pairs) +
+    // diagonal-run merge. The oracle replays the IDENTICAL pipeline: same
+    // tokenization (TOKS), same md5 window hashes, same hot-shingle valve
+    // (df <= 50), same islands merge — spans are hash-checked end-to-end.
+    QueryDef(
+      "wr_span_dedup",
+      (s, d) => {
+        graft.wrangling.SpanDedup.duplicateSpans(
+          Tables.documents(s, d), "doc_id", "text",
+          spanTokens = 8, maxDocFreq = 50)
+          .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+      },
+      Some(sqlWithToks("""WITH toks AS (
+             |  SELECT doc_id, TOKS(text) AS tk FROM documents),
+             |sh AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    md5(array_to_string(tk[i:i+7], ' ')) AS h
+             |  FROM toks, unnest(range(1, len(tk) - 6)) u(i)
+             |  WHERE len(tk) >= 8),
+             |okh AS (SELECT h FROM sh GROUP BY h
+             |        HAVING count(DISTINCT doc_id) <= 50),
+             |shf AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN okh USING (h)),
+             |hits AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.pos AS pos_a, b.pos AS pos_b
+             |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id),
+             |runs AS (
+             |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+             |    pos_a - row_number() OVER (
+             |      PARTITION BY id_a, id_b, pos_a - pos_b
+             |      ORDER BY pos_a) AS grp
+             |  FROM hits)
+             |SELECT id_a, id_b, min(pos_a) AS start_a,
+             |  min(pos_a) - diag AS start_b, count(*) + 7 AS span_len
+             |FROM runs GROUP BY id_a, id_b, diag, grp
+             |ORDER BY id_a, id_b, start_a, start_b""".stripMargin)),
+      Seq("span_dedup", "deduplicate", "substring", "lee_et_al")),
+
     // Exact cosine top-k against a query vector (ANN brute-force baseline).
     QueryDef(
       "wr_cosine_topk",

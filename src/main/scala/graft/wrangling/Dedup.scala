@@ -302,7 +302,9 @@ object Dedup {
     * exact passes cut the corpus before the LSH machinery runs. */
   def corpusDedup(df: DataFrame, idCol: String, textCol: String,
       urlCol: Option[String] = None, threshold: Double = 0.8,
-      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      spanTokens: Option[Int] = None, spanMaxDocFreq: Long = Long.MaxValue,
+      spanCoverageDrop: Double = 0.5): DataFrame = {
     // the clustering stage (GraphX CC) needs long vertex ids; a string id
     // column would hit the long cast below — an ANSI CAST_INVALID_INPUT
     // abort mid-pipeline (or, ANSI off, silent nulls and a wrong survivor
@@ -332,6 +334,18 @@ object Dedup {
     val clusters = graft.analytics.GraphAlgos.dedupClusters(pairs)
     val drop = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").cast("long").as(idCol))
-    exact.join(drop, Seq(idCol), "left_anti")
+    val kept = exact.join(drop, Seq(idCol), "left_anti")
+    // optional SUBSTRING-level stage (Lee et al.): among the doc-level
+    // survivors, drop docs whose token mass is mostly cross-document
+    // duplicated spans — boilerplate-heavy pages that doc-level MinHash
+    // misses because the rest of the page differs. Single pass, higher-id
+    // copy is the prunable side (min-id-wins, consistent with exactDedup).
+    spanTokens.fold(kept) { w =>
+      val spans = SpanDedup.duplicateSpans(kept, idCol, textCol, w, spanMaxDocFreq)
+      val heavy = SpanDedup.spanCoverage(kept, idCol, textCol, spans)
+        .filter(col("covered_frac") >= spanCoverageDrop)
+        .select(col(idCol))
+      kept.join(heavy, Seq(idCol), "left_anti")
+    }
   }
 }

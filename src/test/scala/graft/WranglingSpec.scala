@@ -674,6 +674,39 @@ class WranglingSpec extends AnyFunSuite {
     assert(assigned(3L) == 0)
   }
 
+  test("span dedup finds maximal cross-doc spans, unions coverage, drops boilerplate-heavy docs") {
+    import spark.implicits._
+    val a = (0 until 20).map(i => s"a$i")
+    val doc1 = a.mkString(" ")                                  // a0..a19
+    val doc2 = ("b0 b1 " + a.slice(4, 14).mkString(" ") + " b2 b3") // a4..a13 at pos 2..11 of 14
+    val doc3 = ("c0 " + a.slice(4, 14).mkString(" ") + " c1 c2")    // a4..a13 at pos 1..10 of 13
+    val doc4 = "z0 z1 z2 z3 z4 z5 z6 z7"
+    val tiny = "t0 t1"                                          // shorter than one window
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4), (5L, tiny))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.duplicateSpans(docs, "doc_id", "text", spanTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    // the 10-token shared run merges into ONE maximal span per pair
+    assert(spans == Set((1L, 2L, 4, 2, 10L), (1L, 3L, 4, 1, 10L), (2L, 3L, 2, 1, 10L)),
+      s"spans $spans")
+    // hot-shingle valve: the shared windows appear in 3 docs > maxDocFreq=2
+    assert(SpanDedup.duplicateSpans(docs, "doc_id", "text",
+      spanTokens = 5, maxDocFreq = 2).count() == 0)
+    // coverage unions overlapping intervals from different partners
+    val cov = SpanDedup.spanCoverage(docs, "doc_id", "text",
+      SpanDedup.duplicateSpans(docs, "doc_id", "text", spanTokens = 5))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("covered_frac"))).toMap
+    assert(cov(2L)._1 == 10L && math.abs(cov(2L)._2 - 10.0 / 14) < 1e-12)
+    assert(cov(3L)._1 == 10L && math.abs(cov(3L)._2 - 10.0 / 13) < 1e-12) // union, not 20
+    assert(!cov.contains(1L)) // keeper side: no incoming spans
+    // corpusDedup optional stage drops the span-heavy docs, keeps the rest
+    val kept = Dedup.corpusDedup(docs, "doc_id", "text",
+      spanTokens = Some(5), spanCoverageDrop = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L), s"kept $kept")
+  }
+
   test("chunkBitsFor holds expected bucket size; auto-sized near-dups match the pinned blocking") {
     import spark.implicits._
     import Similarity.chunkBitsFor
