@@ -15,4 +15,18 @@ object Fs {
     f.delete()
     ()
   }
+
+  /** Empty a directory WITHOUT removing it. The rm()+mkdirs() idiom has a
+    * crash window in which the directory is MISSING — fatal when its
+    * existence is itself a protocol marker (GraphStore's atoms_log dir is
+    * the live-feed flag: appendTx stops mirroring silently and
+    * Sync.atomFeed throws if it disappears, and StagedSwap.heal
+    * deliberately never recreates optional dirs). Deleting only the
+    * children keeps the marker present at every crash point; a crash
+    * mid-clear leaves a subset of spent files, which the rerun clears. */
+  def clearDir(dir: java.io.File): Unit = {
+    if (dir.isDirectory && !java.nio.file.Files.isSymbolicLink(dir.toPath))
+      Option(dir.listFiles()).foreach(_.foreach(rm))
+    ()
+  }
 }

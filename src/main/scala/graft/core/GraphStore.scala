@@ -435,7 +435,6 @@ object GraphStore {
     * until the writer runs [[heal]] or re-runs the maintenance op. */
   def compact(spark: SparkSession, path: String): Unit = {
     healInterruptedSwap(path) // writer-side: adopt a crashed predecessor
-    import Fs.rm
     // atomic staged-swap rewrite of one sub-table — see StagedSwap's
     // protocol doc
     def swapIn(sub: String)(write: String => Unit): Unit =
@@ -459,13 +458,18 @@ object GraphStore {
     // EXISTS for schema'd stream readers, and the documented post-compact
     // flow is "restart tails with fresh checkpoints": leave the log
     // present and empty, not missing (a readStream on a missing dir
-    // throws before the tail can start)
-    if (closures.exists()) { rm(closures); closures.mkdirs(); () }
-    // the atoms CDC mirror is likewise spent (every row it carries is in
-    // the compacted tree) — and likewise left present-and-empty for
-    // schema'd stream readers restarting after the maintenance window
+    // throws before the tail can start). Contents-only clear, NOT
+    // rm+mkdirs: a crash between those two left the dir missing — for
+    // atoms_log that silently and PERMANENTLY ends the per-tx-atomic
+    // feed contract (the dir doubles as the live-feed marker: appendTx's
+    // exists-guard stops mirroring without error, heal never recreates
+    // optional dirs). A crash mid-clear leaves spent files the rerun
+    // clears; replaying them is idempotent (closure folds re-set the
+    // same term_slice, CDC rows are already in the compacted tree and
+    // post-compact tails restart with fresh checkpoints anyway).
+    Fs.clearDir(closures)
     val atomsLog = new java.io.File(s"$path/atoms_log")
-    if (atomsLog.exists()) { rm(atomsLog); atomsLog.mkdirs(); () }
+    Fs.clearDir(atomsLog)
   }
 
   /** Load with closure reconciliation (see [[appendTx]]). */

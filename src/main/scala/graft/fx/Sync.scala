@@ -139,9 +139,23 @@ object Sync {
   // observe across feeds).
   // ---------------------------------------------------------------------
 
-  def atomFeed(spark: SparkSession, dir: String): DataFrame =
+  def atomFeed(spark: SparkSession, dir: String): DataFrame = {
+    // loud migration guard, NOT a silent mkdirs fallback: mirroring into
+    // atoms_log starts at publish time, so fabricating the dir here would
+    // start an empty tail that silently skips every tx appended before
+    // this call — valueFeed's boundary-0 fallback can afford to be quiet
+    // because the values log always existed; there is no equivalent
+    // backfill for the mirror. (A missing dir also means a crash-window
+    // loss of the feed contract; GraphStore.compact clears contents-only
+    // for exactly that reason.)
+    if (!new java.io.File(s"$dir/atoms_log").isDirectory)
+      throw new IllegalStateException(
+        s"atomFeed: $dir has no atoms_log CDC mirror — the store predates " +
+          "per-tx-atomic atom feeds or was never published as a live feed. " +
+          "Re-run Sync.publish(store) to start the mirror, then tail it.")
     spark.readStream.schema(Encoders.product[AtomRow].schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/atoms_log")
+  }
 
   /** Change-log semantics like [[atomFeed]]: rows of the published
     * snapshot (tx_slice ≤ the publish-time boundary) are filtered out —

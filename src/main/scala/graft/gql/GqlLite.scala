@@ -330,9 +330,12 @@ object GqlLite {
     // another entity holds violates the declaration exactly as a create
     // does; update-blind checking silently committed the collision).
     // RELEASED rows don't collide: the store probe excludes every owner
-    // whose value for this rt is REPLACED by this transaction (any updater
-    // of the field, an add landing on an existing key — upsert overwrite —
-    // and any deleted entity), not merely each updater's own re-set value.
+    // whose value for this rt is REPLACED by this transaction (any UPDATE
+    // carrying the field, and any deleted entity), not merely each
+    // updater's own re-set value. Adds are deliberately NOT released —
+    // a re-add carrying an existing entity's own unchanged unique value
+    // is rejected, because add is not the idempotent path (upfetch is;
+    // pinned GqlParserSpec contract — see the per-probe comment below).
     // Value-only exclusion falsely rejected legal MOVES: A updates
     // "x" -> "y" while E adds "x" (A's old row matched the probe), swaps,
     // and delete-then-reuse. Null values are not unique-constrained

@@ -91,6 +91,25 @@ object PlanShape {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  /** Re-parse the committed TSV body for a named-refresh merge. Merge
+    * hygiene: a hand-mangled line without a tab used to throw
+    * (ArrayIndexOutOfBounds), and rows for queries since removed or
+    * renamed in the registry survived every named refresh as stale
+    * shapes — skip the former loudly, drop the latter. */
+  private[graft] def parseExistingRows(lines: Seq[String],
+      registryNames: Set[String]): Map[String, String] =
+    lines.drop(1).filter(_.nonEmpty).flatMap { l =>
+      l.split("\t", 2) match {
+        case Array(n, s) if registryNames.contains(n) => Some(n -> s)
+        case Array(n, _) =>
+          println(s"[plan-shape] dropping stale row for '$n' (not in registry)")
+          None
+        case _ =>
+          println(s"[plan-shape] skipping malformed line (no tab): ${l.take(60)}")
+          None
+      }
+    }.toMap
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val out = sys.env.getOrElse("SPARK_GRAFT_PLANSHAPES", "PLANSHAPES.tsv")
@@ -105,10 +124,9 @@ object PlanShape {
     val outPath = java.nio.file.Paths.get(out)
     val existing =
       if (args.nonEmpty && java.nio.file.Files.exists(outPath))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(outPath)).asScala
-          .drop(1).filter(_.nonEmpty)
-          .map(l => l.split("\t", 2)(0) -> l.split("\t", 2)(1)).toMap
+        parseExistingRows(scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(outPath)).asScala.toSeq,
+          graft.queries.Registry.entries.map(_.name).toSet)
       else Map.empty[String, String]
     val merged = existing ++ fresh
     val body = merged.toSeq.sortBy(_._1)

@@ -348,8 +348,11 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(after.count() == before)
   }
 
-  test("compact leaves an empty closures log for stream tails, not a missing one") {
+  test("compact leaves empty closures + atoms_log for stream tails, not missing ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cl_dir").toString
+    // the live-feed marker a Sync.publish would have created: appendTx
+    // mirrors atoms into it only while it exists
+    new java.io.File(s"$dir/atoms_log").mkdirs()
     val (g1, r1) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
       PutEntity("Person", "b")))
@@ -357,6 +360,8 @@ class GraphStoreSpec extends AnyFunSuite {
     val (_, r2) = Transactor.transact(g1, Seq(TerminateAtom("e:Person/a")))
     GraphStore.appendTx(spark, dir, r2)
     assert(new java.io.File(s"$dir/closures").exists())
+    assert(new java.io.File(s"$dir/atoms_log").listFiles().nonEmpty,
+      "appendTx did not mirror into the live-feed CDC log")
     GraphStore.compact(spark, dir)
     // the fold reconciled the log into term_slice, but the DIRECTORY is
     // Sync.publish's schema'd-reader invariant: a restarted closure tail
@@ -365,6 +370,20 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(cl.exists(), "compact removed the closures log directory")
     assert(spark.read.schema("atom_id STRING, term_slice INT")
       .parquet(s"$dir/closures").isEmpty)
+    // atoms_log's EXISTENCE is the live-feed marker (appendTx's mirror
+    // guard and Sync.atomFeed both key on it): compact must clear
+    // contents only — the old rm()+mkdirs() idiom had a crash window
+    // that dropped the dir, silently and permanently ending the
+    // per-tx-atomic feed contract
+    val al = new java.io.File(s"$dir/atoms_log")
+    assert(al.isDirectory, "compact removed the atoms_log live-feed marker")
+    assert(al.listFiles().forall(!_.getName.endsWith(".parquet")))
+    // mirroring resumes on the next append — the contract survived compact
+    val g2 = GraphStore.loadWithClosures(spark, dir)
+    val (_, r3) = Transactor.transact(g2, Seq(PutEntity("Person", "c")))
+    GraphStore.appendTx(spark, dir, r3)
+    assert(al.listFiles().exists(_.getName.endsWith(".parquet")),
+      "appendTx stopped mirroring after compact")
     assert(GraphStore.load(spark, dir).at(2).all("Person").count() == 1)
   }
 

@@ -56,4 +56,15 @@ class PlanShapeSpec extends AnyFunSuite {
           "scalar-cross-join set")
     }
   }
+
+  test("named-refresh merge skips malformed lines and drops de-registered rows") {
+    val parsed = PlanShape.parseExistingRows(
+      Seq("name\tshuffles…header",          // header, always dropped
+        "q_live\t1\t2\t3",
+        "q_gone\t9\t9\t9",                  // no longer in the registry
+        "mangled-line-without-a-tab",       // used to throw AIOOBE
+        ""),
+      registryNames = Set("q_live", "q_other"))
+    assert(parsed == Map("q_live" -> "1\t2\t3"))
+  }
 }

@@ -108,6 +108,18 @@ class SyncSpec extends AnyFunSuite {
     assert(nonEmpty.map(_.head._2).sorted == Seq(1, 2, 3))
   }
 
+  test("atomFeed on a store without the CDC mirror fails loudly, not as an empty tail") {
+    // a store saved directly (never published as a live feed) — or one
+    // published before atoms_log existed — has no mirror; a silent empty
+    // tail would skip the store's whole history, so the guard names the fix
+    val dir = tmp("graft_nofeed")
+    val (g, _) = Transactor.transact(Graph.empty(spark),
+      Seq(PutEntity("Person", "a")))
+    GraphStore.save(g, dir)
+    val ex = intercept[IllegalStateException](Sync.atomFeed(spark, dir))
+    assert(ex.getMessage.contains("Sync.publish"), ex.getMessage)
+  }
+
   test("terminations replicate: closures reconcile on open, cascade included") {
     val dir = tmp("graft_sync_t")
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
