@@ -34,6 +34,72 @@ object GqlLite {
     * filters reference count-join columns materialized by [[CondHop]]). */
   final case class Raw(c: Column) extends Filter
 
+  /** Above this many values an In probe stops compiling to a literal
+    * list: `isin(vs…)` builds an O(batch) Catalyst expression tree, and
+    * a 100k-row bulk mutation makes ANALYSIS the bottleneck long before
+    * data does. Past the cutoff the probe becomes a broadcast semi-join
+    * against a one-node local relation. Below it the literal list wins —
+    * the optimizer folds it to an InSet hash probe with no join
+    * machinery at all. */
+  private[graft] val InProbeCutoff = 1000
+
+  /** The batch-membership probe at any size: literal InSet below the
+    * cutoff, broadcast semi-join (`negate` → anti-join) above it.
+    * Same null semantics both ways (a null field value never matches;
+    * probe values are batch-derived and non-null). Falls back to the
+    * literal path for value types without a local-relation encoding. */
+  private[gql] def inFilter(df: DataFrame, field: String, vs: Seq[Any],
+      negate: Boolean = false): DataFrame = {
+    def literal: DataFrame = {
+      val c = col(field).isin(vs.map(lit(_)): _*)
+      df.filter(if (negate) !c else c)
+    }
+    if (vs.size <= InProbeCutoff) literal
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val probe: Option[DataFrame] =
+        if (vs.forall(_.isInstanceOf[String]))
+          Some(vs.asInstanceOf[Seq[String]].toDF(field))
+        else if (vs.forall(_.isInstanceOf[Int]))
+          Some(vs.asInstanceOf[Seq[Int]].map(_.toLong).toDF(field))
+        else if (vs.forall(_.isInstanceOf[Long]))
+          Some(vs.asInstanceOf[Seq[Long]].toDF(field))
+        else if (vs.forall(_.isInstanceOf[Double]))
+          Some(vs.asInstanceOf[Seq[Double]].toDF(field))
+        else None
+      probe.fold(literal)(p => df.join(broadcast(p.distinct()),
+        Seq(field), if (negate) "left_anti" else "left_semi"))
+    }
+  }
+
+  /** Apply a filter tree to a frame: large In probes at the TOP LEVEL
+    * (bare, or conjuncts directly under the root And) peel off into
+    * [[inFilter]] semi-joins — exactly the shapes batch-derived probes
+    * take (upfetch key resolution, post-mutation auth's
+    * And(In(atom_id…), authFilter)) — and the remainder compiles to one
+    * Column. An In nested deeper (under Or/Not) keeps the literal
+    * compilation: those come from hand-written query filters, not
+    * O(batch) machinery. */
+  private[gql] def applyFilter(df: DataFrame, f: Filter): DataFrame = {
+    def isBigIn(f0: Filter): Boolean = f0 match {
+      case In(_, vs) => vs.size > InProbeCutoff
+      case _ => false
+    }
+    f match {
+      case In(field, vs) if vs.size > InProbeCutoff => inFilter(df, field, vs)
+      case And(fs @ _*) if fs.exists(isBigIn) =>
+        val (big, rest) = fs.partition(isBigIn)
+        val probed = big.foldLeft(df) {
+          case (d, In(field, vs)) => inFilter(d, field, vs)
+          case (d, _) => d // unreachable: big is all In by partition
+        }
+        rest.map(compileFilter).reduceOption(_ && _)
+          .fold(probed)(probed.filter)
+      case other => df.filter(compileFilter(other))
+    }
+  }
+
   def compileFilter(f: Filter): Column = f match {
     case Eq(field, v) => col(field) === lit(v)
     case In(field, vs) => col(field).isin(vs.map(lit(_)): _*)
@@ -134,7 +200,7 @@ object GqlLite {
       if (q.fields.isEmpty) slice.all(q.et).df.select(col("atom_id"))
       else slice.all(q.et).fields(q.fields: _*)
     df = applyCountJoins(slice, df, q.hops, q.condHops)
-    q.filter.foreach(f => df = df.filter(compileFilter(f)))
+    q.filter.foreach(f => df = applyFilter(df, f))
     // nested arrays join after the filter: only surviving parents pay
     q.nested.foreach { n =>
       val parentEnd = if (n.incoming) "dst_id" else "src_id"
@@ -374,17 +440,18 @@ object GqlLite {
           throw new IllegalArgumentException(
             s"constraint violation: duplicate $et.$rt within transaction")
         batchVals.groupBy(typedCol).map { case (vcol, vs) =>
-          def asLit(v: Any): Column = v match {
-            case i: Int => lit(i.toLong) // v_long stores longs
-            case x => lit(x)
-          }
-          val released =
-            if (releasedIds.isEmpty) lit(false)
-            else col("atom_id").isin(releasedIds: _*)
-          g.now.all(et)
-            .fieldValue(rt, vcol, "__v")
-            .filter(col("__v").isin(vs.map(asLit): _*) && !released)
-            .select(lit(et).as("__et"), lit(rt).as("__rt"))
+          // v_long stores longs — widen Int batch values to match
+          // (inFilter's local-relation path does the same widening)
+          val asStored = vs.map { case i: Int => i.toLong; case x => x }
+          // value probe then released-owner exclusion, both batch-sized
+          // and both analysis-cheap at any size (inFilter: literal InSet
+          // small, broadcast semi/anti-join large)
+          val hit = inFilter(g.now.all(et).fieldValue(rt, vcol, "__v"),
+            "__v", asStored)
+          val unreleased =
+            if (releasedIds.isEmpty) hit
+            else inFilter(hit, "atom_id", releasedIds, negate = true)
+          unreleased.select(lit(et).as("__et"), lit(rt).as("__rt"))
         }
       }
     }
@@ -460,8 +527,7 @@ object GqlLite {
     }.flatten).toSeq.distinct.filterNot(updateTargets.contains)
     val probeIds = (updateTargets ++ overwriteCandidates).distinct
     if (probeIds.nonEmpty && (auth.nonEmpty || updateTargets.nonEmpty)) {
-      val alive = g.now.aliveAtoms
-        .filter(col("atom_id").isin(probeIds: _*))
+      val alive = inFilter(g.now.aliveAtoms, "atom_id", probeIds)
         .select(col("atom_id")).collect().map(_.getString(0)).toSet
       val missing = updateTargets.filterNot(alive)
       if (missing.nonEmpty)
@@ -472,8 +538,7 @@ object GqlLite {
         // everything this tx touches that EXISTS needs authorization
         val toVet = updateTargets ++ overwriteCandidates.filter(alive)
         if (toVet.nonEmpty) {
-          val allowed = vet(g.now)
-            .filter(col("atom_id").isin(toVet: _*))
+          val allowed = inFilter(vet(g.now), "atom_id", toVet)
             .select(col("atom_id"))
             .collect().map(_.getString(0)).toSet
           val rejected = toVet.filterNot(allowed)

@@ -205,6 +205,66 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
     }
   }
 
+  test("large-batch probes: semi-join path above the In cutoff matches the literal path") {
+    import GqlLite._
+    // 1,200 entities — past InProbeCutoff (1000), so the alive probe, the
+    // auth vet probe, the unique-value probe and run()'s In filter all
+    // take the broadcast local-relation join instead of building a
+    // 1,200-literal Catalyst tree (the shape where a 100k bulk mutation
+    // spends its time in ANALYSIS, not data)
+    val n = 1200
+    assert(n > GqlLite.InProbeCutoff)
+    val (g, _) = mutate(Graph.empty(spark),
+      (0 until n).map(i => AddEntity("Doc", s"d$i",
+        Map("Owner" -> s"ann$i", "Tag" -> s"t$i"))))
+    val ids = (0 until n).map(i => s"e:Doc/d$i")
+    // run() with a big In(atom_id): same result set as the frame itself
+    val hit = GqlLite.run(g.now, Query("Doc", Seq(("Tag", "v_str", "Tag")),
+      Some(In("atom_id", ids))))
+    assert(hit.count() == n)
+    // the plan carries NO giant literal In/InSet — the probe is a join
+    import org.apache.spark.sql.catalyst.expressions.{In => CatIn, InSet}
+    val bigLiterals = hit.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case i: CatIn if i.list.size > GqlLite.InProbeCutoff => i: Any
+        case s: InSet if s.hset.size > GqlLite.InProbeCutoff => s: Any
+      })
+    }.flatten
+    assert(bigLiterals.isEmpty,
+      "big In compiled to a literal list, not a local-relation join")
+    // And(big In, other predicate): the conjunct still applies
+    assert(GqlLite.run(g.now, Query("Doc", Seq(("Tag", "v_str", "Tag")),
+      Some(And(In("atom_id", ids), Eq("Tag", "t7"))))).count() == 1)
+    // bulk mutate across the whole batch: alive + vet probes at n ids
+    val allVet: AuthVet = slice => slice.all("Doc").df.select(col("atom_id"))
+    val (g2, _) = mutate(g,
+      (0 until n).map(i => UpdateEntity(s"e:Doc/d$i", Map("Owner" -> "x"))),
+      Some(allVet))
+    assert(g2.maxSlice == 2)
+    // a vet that misses ONE id still rejects loudly on the join path
+    val allButLast: AuthVet = slice =>
+      slice.all("Doc").df.select(col("atom_id"))
+        .filter(col("atom_id") =!= s"e:Doc/d${n - 1}")
+    val e = intercept[SecurityException] {
+      mutate(g2, (0 until n).map(i =>
+        UpdateEntity(s"e:Doc/d$i", Map("Owner" -> "y"))), Some(allButLast))
+    }
+    assert(e.getMessage.contains(s"e:Doc/d${n - 1}"), e.getMessage)
+    // a large-batch @unique ADD probes the store via the join path too:
+    // one colliding value among 1,200 still trips the constraint
+    val c = Constraints(unique = Map("Doc" -> Seq("Tag")))
+    val e2 = intercept[IllegalArgumentException] {
+      mutate(g2, (0 until n).map(i => AddEntity("Doc", s"x$i",
+        Map("Tag" -> (if (i == n - 1) "t7" else s"fresh$i")))),
+        constraints = c)
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // the non-colliding large batch passes
+    val (g3, _) = mutate(g2, (0 until n).map(i =>
+      AddEntity("Doc", s"y$i", Map("Tag" -> s"new$i"))), constraints = c)
+    assert(g3.now.all("Doc").count() == 2L * n)
+  }
+
   test("GqlLite update/delete of a missing or terminated id rejects loudly") {
     import GqlLite._
     val (g, _) = mutate(Graph.empty(spark), Seq(
