@@ -23,14 +23,16 @@ import org.apache.spark.sql.functions._
   * Tie contract: when several right rows share the winning (key, time),
   * the winner is the MAXIMUM over the payload's CANONICAL TIE KEYS —
   * lexicographic over the right value columns in column order, where an
-  * orderable column is its own key and a one-level map contributes its
+  * orderable column is its own key and a map contributes its recursively
   * sorted entry array ([[Orderables.canonicalKey]]) — in BOTH lowerings
   * ([[backwardSmallRight]]'s sorted history + `element_at(-1)` and the
   * union+window path's `__tie` in the window ordering), so results are
   * partitioning-independent and the two paths agree row-for-row,
   * map-carrying payloads included. Residual: right rows identical in
-  * every canonicalizable column (i.e. differing only inside deeper
-  * non-orderable nesting) keep an unspecified winner.
+  * every canonicalizable column (i.e. differing only inside a
+  * non-canonicalizable LEAF type — CalendarInterval-class; nested
+  * maps/structs/arrays all canonicalize since r13) keep an
+  * unspecified winner.
   */
 object AsOfJoin {
 
@@ -107,8 +109,8 @@ object AsOfJoin {
 
   /** Canonical tie-key struct over a right payload: the time column plus
     * each value column's canonical orderable key (itself when orderable,
-    * sorted map entries for one-level maps — [[Orderables.canonicalKey]]);
-    * deeper non-orderable nesting contributes nothing and keeps the
+    * recursively sorted map entries — [[Orderables.canonicalKey]]);
+    * a non-canonicalizable leaf contributes nothing and keeps the
     * documented unspecified-residual. Shared by both lowerings so their
     * tie winners agree. */
   private def tieStruct(right: DataFrame, rightTime: String,

@@ -449,13 +449,14 @@ object ZOps {
       * (extremum of the full packed row). A frame carrying a
       * non-orderable column (map) cannot pack the row itself into a
       * min/max struct; such frames aggregate the winner's CANONICAL
-      * IDENTITY instead (orderable columns as-is, one-level maps as
+      * IDENTITY instead (orderable columns as-is, maps as recursively
       * sorted entry arrays — [[Orderables.canonicalKey]]) and re-join it
       * to fetch the full rows: still one hash aggregate + one equi-join,
       * map-side combined and key-balanced — no global sort funnel — and
-      * deterministic unless two rows differ ONLY inside deeper
-      * non-orderable nesting. Mixed-direction sort expressions: use
-      * distinctBy. */
+      * deterministic unless two rows differ ONLY inside a
+      * non-canonicalizable LEAF type (CalendarInterval-class; nested
+      * maps/structs/arrays all canonicalize since r13). Mixed-direction
+      * sort expressions: use distinctBy. */
     def maxBy(partition: Seq[Column], order: Seq[Column]): DataFrame =
       topOnePerGroup(partition, order, asc = false)
     def minBy(partition: Seq[Column], order: Seq[Column]): DataFrame =

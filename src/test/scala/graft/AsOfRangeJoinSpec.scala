@@ -147,6 +147,35 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(m(("b", 9L)) == Some(Map("b1" -> 1)))
   }
 
+  test("asof NESTED-map payload ties canonicalize recursively, lowerings agree") {
+    import spark.implicits._
+    // rows that differ only INSIDE a nested map (map<string, map<string,
+    // int>>) — pre-r13 canonicalKey returned None one level down and the
+    // winner was unspecified; the recursion makes the inner entries the key
+    val l = Seq(("a", 20L, "l1")).toDF("k", "t", "lv")
+    val r = Seq(
+      ("a", 20L, Map("m" -> Map("x" -> 1))),
+      ("a", 20L, Map("m" -> Map("y" -> 2))),
+      ("a", 20L, Map("m" -> Map("x" -> 9))))
+      .toDF("k", "t", "mv").repartition(5)
+    def winner(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Map[String, Map[String, Int]]]("mv")).toSeq
+    val win = winner(AsOfJoin.backward(l, r, Seq("k"), "t", "t"))
+    val small = winner(AsOfJoin.backwardSmallRight(l, r, Seq("k"), "t", "t"))
+    assert(win == small, s"lowerings diverged: $win vs $small")
+    // inner sorted entries: [(y,2)] > [(x,9)] > [(x,1)] — key first
+    assert(win == Seq(Map("m" -> Map("y" -> 2))))
+    // maxBy over the same frame takes the identical winner (ZOps shares
+    // the canonical-key contract), and a null map sorts below non-null
+    import graft.ops.ZOps._
+    val withNull = r.unionByName(Seq(("a", 20L))
+      .toDF("k", "t").withColumn("mv",
+        lit(null).cast(r.schema("mv").dataType)))
+    val top = withNull.maxBy(Seq(col("k")), Seq(col("t")))
+      .collect().map(_.getAs[Map[String, Map[String, Int]]]("mv")).toSeq
+    assert(top == Seq(Map("m" -> Map("y" -> 2))), s"maxBy got $top")
+  }
+
   test("asof keeps every left row (left-join semantics)") {
     import spark.implicits._
     val out = AsOfJoin.backward(leftRows.toDF("k", "t", "lv"),
