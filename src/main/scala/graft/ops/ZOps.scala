@@ -165,38 +165,44 @@ object ZOps {
       * hit. */
     def takeWhile(pred: Column, order: Seq[Column]): DataFrame = {
       val idx = enumerate(order, "__i")
-      val firstBad = idx.filter(!coalesce(pred, lit(false)))
-        .agg(min(col("__i"))).collect()(0)
-      val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
-      idx.filter(col("__i") < cut).drop("__i")
+      boundaryFilter(idx, idx.filter(!coalesce(pred, lit(false))), _ < _)
+    }
+
+    /** The boundary index (min `__i` over `marks`; MaxValue when none)
+      * applied IN-PLAN: a one-row aggregate broadcast into a nested-loop
+      * filter — the sanctioned scalar cross-join idiom — instead of an
+      * eager collect(). Constructing the DataFrame is then side-effect
+      * free (plan tooling shapes it without running jobs); the probe job
+      * runs when the RESULT runs, inside any timing window. enumerate's
+      * lazy checkpoint keeps the probe branch and the main read on one
+      * partitioning (its doc). */
+    private def boundaryFilter(idx: DataFrame, marks: DataFrame,
+        keep: (Column, Column) => Column): DataFrame = {
+      val cut = marks.agg(
+        coalesce(min(col("__i")), lit(Long.MaxValue)).as("__cut"))
+      idx.join(broadcast(cut), keep(col("__i"), col("__cut")))
+        .drop("__i", "__cut")
     }
 
     /** zef `skip_while[pred]` (impl.py:3678). NULL pred = violation, as
       * in [[takeWhile]]. */
     def skipWhile(pred: Column, order: Seq[Column]): DataFrame = {
       val idx = enumerate(order, "__i")
-      val firstBad = idx.filter(!coalesce(pred, lit(false)))
-        .agg(min(col("__i"))).collect()(0)
-      val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
-      idx.filter(col("__i") >= cut).drop("__i")
+      boundaryFilter(idx, idx.filter(!coalesce(pred, lit(false))), _ >= _)
     }
 
     /** zef `take_until[pred]` (impl.py:3807): take_while with the predicate
       * negated AND the bounding element included. */
     def takeUntil(pred: Column, order: Seq[Column]): DataFrame = {
       val idx = enumerate(order, "__i")
-      val firstHit = idx.filter(pred).agg(min(col("__i"))).collect()(0)
-      val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
-      idx.filter(col("__i") <= cut).drop("__i")
+      boundaryFilter(idx, idx.filter(pred), _ <= _)
     }
 
     /** zef `skip_until[pred]`: drop elements before the first satisfying
       * one; the bounding element is kept. */
     def skipUntil(pred: Column, order: Seq[Column]): DataFrame = {
       val idx = enumerate(order, "__i")
-      val firstHit = idx.filter(pred).agg(min(col("__i"))).collect()(0)
-      val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
-      idx.filter(col("__i") >= cut).drop("__i")
+      boundaryFilter(idx, idx.filter(pred), _ >= _)
     }
 
     /** zef `take_while_pair[pred]` (impl.py:3885): termination depends on
@@ -211,10 +217,7 @@ object ZOps {
         .map(c => if (c == "__i") "__pi" else s"prev_$c"): _*)
       val pairs = idx.join(prev, col("__i") === col("__pi") + 1)
       // NULL pred = violating pair, as in takeWhile
-      val firstBad = pairs.filter(!coalesce(pred, lit(false)))
-        .agg(min(col("__i"))).collect()(0)
-      val cut = if (firstBad.isNullAt(0)) Long.MaxValue else firstBad.getLong(0)
-      idx.filter(col("__i") < cut).drop("__i")
+      boundaryFilter(idx, pairs.filter(!coalesce(pred, lit(false))), _ < _)
     }
 
     /** zef `split_at[n]` (impl.py:10227): ([first n], [rest]) under the

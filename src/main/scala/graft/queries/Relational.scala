@@ -115,7 +115,10 @@ object Relational {
       "frequencies",
       (s, d) => {
         import s.implicits._
-        ord(s, d).groupBy($"o_orderpriority").agg(count(lit(1)).as("freq"))
+        import graft.ops.ZOps._
+        // the DSL op itself, not a re-implementation — the query certifies
+        // ZOps.frequencies' lowering under the oracle
+        ord(s, d).frequencies($"o_orderpriority")
           .orderBy($"o_orderpriority")
       },
       Some("""SELECT o_orderpriority, count(*) AS freq FROM orders
@@ -127,13 +130,14 @@ object Relational {
       "scan_running_sum",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"o_custkey")
-          .orderBy($"o_orderdate", $"o_orderkey")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        import graft.ops.ZOps._
+        // ZOps.scan is the op this query certifies (same window it builds)
         ord(s, d)
           .filter($"o_custkey" <= 200)
+          .scan(sum($"o_totalprice"), Seq($"o_custkey"),
+            Seq($"o_orderdate", $"o_orderkey"), as = "__rt")
           .select($"o_custkey", $"o_orderkey",
-            round(sum($"o_totalprice").over(w), 2).as("running_total"))
+            round($"__rt", 2).as("running_total"))
           .orderBy($"o_custkey", $"o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
@@ -182,6 +186,12 @@ object Relational {
       (s, d) => {
         import s.implicits._
         import graft.ops.ZOps._
+        // NOTE (TESTDATA quirk, as in sliding_moving_avg): lineitem has
+        // ~24% duplicate (l_orderkey, l_linenumber) keys, so rows can TIE
+        // on all three order keys. ZOps.maxBy then breaks the tie on the
+        // remaining packed columns while the oracle's row_number picks
+        // arbitrarily — the projection below must stay WITHIN the order
+        // keys + partition key, or a tied winner diverges cross-engine.
         li(s, d)
           .maxBy(Seq($"l_returnflag"),
             Seq($"l_extendedprice", -$"l_orderkey", -$"l_linenumber"))
@@ -362,11 +372,15 @@ object Relational {
       "chunk_blocks",
       (s, d) => {
         import s.implicits._
-        val w = Window.orderBy($"o_orderkey")
+        import graft.ops.ZOps._
+        // ZOps.chunk, not a hand-rolled unpartitioned window: the op's
+        // enumerate lowering range-partitions the total order (adaptive:
+        // tiny inputs take the single-task window), so the file-header
+        // scale note holds for this query at any filter width
         ord(s, d)
           .filter($"o_custkey" <= 100)
           .select($"o_orderkey", $"o_totalprice")
-          .withColumn("chunk_id", floor((row_number().over(w) - 1) / 50))
+          .chunk(50, Seq($"o_orderkey"))
           .groupBy($"chunk_id")
           .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("chunk_total"))
           .orderBy($"chunk_id")

@@ -19,7 +19,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   // scalar cross-joins (a 1-row aggregate broadcast against the data) are
   // the ONLY sanctioned nested-loop joins; anything else is a plan bug
-  private val bnljSanctioned = Set("graph_bulk_rescore", "wr_tfidf_topk")
+  private val bnljSanctioned = Set("graph_bulk_rescore", "wr_tfidf_topk",
+    // takeWhile's cut probe is a 1-row aggregate broadcast into a
+    // nested-loop filter (in-plan since r13 — fn construction is
+    // side-effect-free); the scalar cross-join idiom, not a data² join
+    "dsl_take_while")
 
   test("no query's plan regresses vs the committed snapshot") {
     val committed = scala.io.Source.fromFile("PLANSHAPES.tsv").getLines()
