@@ -41,6 +41,34 @@ object Wrangling {
     * in `j(id_a, id_b, jac)`. Spliced into wr_minhash_lsh,
     * stream_dedup_ingest, and wr_dedup_clusters so the three oracles'
     * pair sets can never drift apart. */
+  /** Shared DuckDB CTE chain (no leading WITH, pre-TOKS expansion) for
+    * the span-dedup pipeline over `documents`: tokens → 8-token md5
+    * window hashes → df≤50 hot-shingle valve → cross-document hits →
+    * diagonal runs, ending in `runs(id_a, id_b, diag, pos_a, grp)`.
+    * Spliced into wr_span_dedup and wr_span_excise so the two oracles'
+    * span sets cannot drift apart (the minhashPairsCtes policy). */
+  private[queries] val spanRunCtes: String =
+    """toks AS (
+      |  SELECT doc_id, TOKS(text) AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    md5(array_to_string(tk[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(range(1, len(tk) - 6)) u(i)
+      |  WHERE len(tk) >= 8),
+      |okh AS (SELECT h FROM sh GROUP BY h
+      |        HAVING count(DISTINCT doc_id) <= 50),
+      |shf AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN okh USING (h)),
+      |hits AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.pos AS pos_a, b.pos AS pos_b
+      |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+      |    pos_a - row_number() OVER (
+      |      PARTITION BY id_a, id_b, pos_a - pos_b
+      |      ORDER BY pos_a) AS grp
+      |  FROM hits)""".stripMargin
+
   private[queries] def minhashPairsCtes: String = {
     val sigCols = (0 until 16)
       .map(i => s"min(md5('s$i:' || s)) AS m$i").mkString(", ")
@@ -560,31 +588,68 @@ object Wrangling {
           spanTokens = 8, maxDocFreq = 50)
           .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
       },
-      Some(sqlWithToks("""WITH toks AS (
-             |  SELECT doc_id, TOKS(text) AS tk FROM documents),
-             |sh AS (
-             |  SELECT doc_id, i - 1 AS pos,
-             |    md5(array_to_string(tk[i:i+7], ' ')) AS h
-             |  FROM toks, unnest(range(1, len(tk) - 6)) u(i)
-             |  WHERE len(tk) >= 8),
-             |okh AS (SELECT h FROM sh GROUP BY h
-             |        HAVING count(DISTINCT doc_id) <= 50),
-             |shf AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN okh USING (h)),
-             |hits AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |    a.pos AS pos_a, b.pos AS pos_b
-             |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id),
-             |runs AS (
-             |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
-             |    pos_a - row_number() OVER (
-             |      PARTITION BY id_a, id_b, pos_a - pos_b
-             |      ORDER BY pos_a) AS grp
-             |  FROM hits)
+      Some(sqlWithToks(s"""WITH $spanRunCtes
              |SELECT id_a, id_b, min(pos_a) AS start_a,
              |  min(pos_a) - diag AS start_b, count(*) + 7 AS span_len
              |FROM runs GROUP BY id_a, id_b, diag, grp
              |ORDER BY id_a, id_b, start_a, start_b""".stripMargin)),
       Seq("span_dedup", "deduplicate", "substring", "lee_et_al")),
+
+    // The excision step of the same pipeline (Lee et al.): rewrite each
+    // doc with the tokens under its incoming duplicated spans REMOVED
+    // (lower-id copy kept). Oracle replays the identical span set
+    // (shared spanRunCtes), the same interval-union sweep, and the same
+    // index-filtered token rebuild.
+    QueryDef(
+      "wr_span_excise",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val spans = graft.wrangling.SpanDedup.duplicateSpans(
+          docs, "doc_id", "text", spanTokens = 8, maxDocFreq = 50)
+        graft.wrangling.SpanDedup.exciseSpans(docs, "doc_id", "text", spans)
+          .select(col("doc_id"), col("text"), col("removed_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sqlWithToks(s"""WITH $spanRunCtes,
+             |spans AS (
+             |  SELECT id_b, min(pos_a) - diag AS start_b,
+             |    count(*) + 7 AS span_len
+             |  FROM runs GROUP BY id_a, id_b, diag, grp),
+             |iv AS (SELECT id_b AS doc_id, start_b AS st,
+             |       start_b + span_len AS en FROM spans),
+             |marked AS (
+             |  SELECT doc_id, st, en,
+             |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM iv),
+             |isl AS (
+             |  SELECT doc_id, st, en,
+             |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st, en) AS island
+             |  FROM marked),
+             |cuts AS (SELECT doc_id, island, min(st) AS cs, max(en) AS ce
+             |         FROM isl GROUP BY 1, 2),
+             |cutlist AS (
+             |  SELECT doc_id, list(struct_pack(cs := cs, ce := ce)) AS cl,
+             |    sum(ce - cs) AS removed
+             |  FROM cuts GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CASE WHEN c.cl IS NULL THEN d.text
+             |       -- COALESCE: a FULLY excised doc is '' on both engines
+             |       -- (DuckDB's array_to_string([]) is NULL, Spark's
+             |       -- concat_ws never is)
+             |       ELSE COALESCE(array_to_string(list_filter(t.tk,
+             |         (x, i) -> len(list_filter(c.cl,
+             |           s -> i - 1 >= s.cs AND i - 1 < s.ce)) = 0), ' '), '')
+             |  END AS text,
+             |  CAST(COALESCE(c.removed, 0) AS BIGINT) AS removed_tokens
+             |FROM documents d
+             |JOIN toks t ON t.doc_id = d.doc_id
+             |LEFT JOIN cutlist c ON c.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+      Seq("span_dedup", "excise", "rewrite", "lee_et_al")),
 
     // Exact cosine top-k against a query vector (ANN brute-force baseline).
     QueryDef(

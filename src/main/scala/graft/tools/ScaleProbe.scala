@@ -25,7 +25,7 @@ object ScaleProbe {
 
   private val DefaultProbes = Seq(
     "wr_embedding_near_dups", "wr_embedding_near_dups_auto",
-    "gql_hook_mutation", "er_infer_nested",
+    "wr_span_dedup", "gql_hook_mutation", "er_infer_nested",
     "gql_dynamic_field", "graph_gather_2step", "wr_minhash_lsh", "wr_simhash")
 
   /** Deterministic ±1 sign mask for copy `c` (dimension `dim`) — same

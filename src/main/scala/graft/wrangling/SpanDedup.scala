@@ -106,17 +106,7 @@ object SpanDedup {
     * per doc). Docs with no incoming span are absent (coverage 0). */
   def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
       spans: DataFrame): DataFrame = {
-    val iv = spans.select(col("id_b").as(idCol), col("start_b").as("__s"),
-      (col("start_b") + col("span_len")).as("__e"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
-    val prevMaxEnd = max(col("__e"))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = iv
-      .withColumn("__new",
-        when(prevMaxEnd.isNull || col("__s") > prevMaxEnd, 1).otherwise(0))
-      .withColumn("__island", sum(col("__new")).over(byDoc))
-      .groupBy(col(idCol), col("__island"))
-      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+    val islands = mergedIntervals(spans, idCol)
       .groupBy(col(idCol))
       .agg(sum(col("__ie") - col("__is")).as("__covered"))
     docs.select(col(idCol), size(TextOps.tokens(col(textCol))).as("__ntok"))
@@ -125,5 +115,56 @@ object SpanDedup {
         col("__ntok").as("doc_tokens"),
         (col("__covered") / nullif(col("__ntok").cast("double"), lit(0.0)))
           .as("covered_frac"))
+  }
+
+  /** Union of each doc's incoming span intervals on the id_b side:
+    * `(idCol, __is, __ie)` — disjoint merged [start, end) token ranges.
+    * The classic interval sweep as two windows + a groupBy, partitioned
+    * per doc (no global sort): a row opens a new island when its start
+    * clears every earlier end; the island id is the running count of
+    * openers. */
+  private def mergedIntervals(spans: DataFrame, idCol: String): DataFrame = {
+    val iv = spans.select(col("id_b").as(idCol), col("start_b").as("__s"),
+      (col("start_b") + col("span_len")).as("__e"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+    val prevMaxEnd = max(col("__e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("__new",
+        when(prevMaxEnd.isNull || col("__s") > prevMaxEnd, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+      .select(col(idCol), col("__is"), col("__ie"))
+  }
+
+  /** The Lee et al. EXCISION step: rewrite each doc's text with the
+    * tokens under its incoming duplicated spans REMOVED (the lower-id
+    * occurrence keeps its copy — min-id-wins, as in [[spanCoverage]]).
+    * Returns every doc with `textCol` rewritten (unchanged when no span
+    * lands on it) plus `removed_tokens`. Whitespace is normalized to
+    * single spaces by the rebuild — the token sequence, not the original
+    * separators, is the preserved content (the tokenizer already treats
+    * all whitespace runs as one).
+    *
+    * Scale shape: the cut list rides per doc as a collected array of
+    * merged intervals (bounded by the doc's own token count), the
+    * rewrite is a map-only higher-order filter over the token array —
+    * no per-token shuffle, no driver loop. */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val cuts = mergedIntervals(spans, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__is"), col("__ie"))).as("__cuts"))
+    val others = docs.columns.filterNot(c => c == idCol || c == textCol)
+    docs.join(cuts, Seq(idCol), "left")
+      .select(Seq(col(idCol)) ++ others.map(col) ++ Seq(
+        when(col("__cuts").isNull, col(textCol)).otherwise(
+          concat_ws(" ", filter(TextOps.tokens(col(textCol)),
+            (t, i) => !exists(col("__cuts"),
+              c => i >= c.getField("__is") && i < c.getField("__ie")))))
+          .as(textCol),
+        coalesce(aggregate(col("__cuts"), lit(0L),
+          (acc, c) => acc + (c.getField("__ie") - c.getField("__is"))),
+          lit(0L)).as("removed_tokens")): _*)
   }
 }

@@ -705,6 +705,17 @@ class WranglingSpec extends AnyFunSuite {
       spanTokens = Some(5), spanCoverageDrop = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 5L), s"kept $kept")
+    // excision: the higher-id copies lose exactly the covered tokens
+    // (overlapping spans once), the keeper and untouched docs pass
+    // through byte-identical (original whitespace preserved)
+    val ex = SpanDedup.exciseSpans(docs, "doc_id", "text",
+      SpanDedup.duplicateSpans(docs, "doc_id", "text", spanTokens = 5))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("removed_tokens"))).toMap
+    assert(ex(1L) == (doc1, 0L))
+    assert(ex(5L) == (tiny, 0L))
+    assert(ex(2L) == ("b0 b1 b2 b3", 10L), s"got ${ex(2L)}")
+    assert(ex(3L) == ("c0 c1 c2", 10L), s"got ${ex(3L)}")
   }
 
   test("chunkBitsFor holds expected bucket size; auto-sized near-dups match the pinned blocking") {
