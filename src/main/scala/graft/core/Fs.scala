@@ -23,9 +23,16 @@ object Fs {
     * Sync.atomFeed throws if it disappears, and StagedSwap.heal
     * deliberately never recreates optional dirs). Deleting only the
     * children keeps the marker present at every crash point; a crash
-    * mid-clear leaves a subset of spent files, which the rerun clears. */
+    * mid-clear leaves a subset of spent files, which the rerun clears.
+    *
+    * A SYMLINKED dir is cleared THROUGH the link (unlike [[rm]], which
+    * must not follow): the link is the marker and survives; the target's
+    * files are the spent log and must go — skipping them would leave the
+    * whole pre-compact history for a restarted tail to replay as live
+    * transactions. Nested entries still delete via [[rm]], which never
+    * follows deeper links. */
   def clearDir(dir: java.io.File): Unit = {
-    if (dir.isDirectory && !java.nio.file.Files.isSymbolicLink(dir.toPath))
+    if (dir.isDirectory)
       Option(dir.listFiles()).foreach(_.foreach(rm))
     ()
   }

@@ -44,11 +44,15 @@ object GqlLite {
   private[graft] val InProbeCutoff = 1000
 
   /** The batch-membership probe at any size: literal InSet below the
-    * cutoff, broadcast semi-join (`negate` → anti-join) above it.
-    * Same null semantics both ways (a null field value never matches;
-    * probe values are batch-derived and non-null). Falls back to the
-    * literal path for value types without a local-relation encoding. */
-  private[gql] def inFilter(df: DataFrame, field: String, vs: Seq[Any],
+    * cutoff, broadcast semi-join (`negate` → anti-join) above it. Null
+    * semantics match the literal path ON BOTH SIDES of the cutoff: a
+    * null field value never matches AND never survives a negated probe
+    * (SQL NOT IN drops unknowns; a bare anti-join would KEEP null rows,
+    * so the join path filters them explicitly — without that, the same
+    * call returned different row sets at 1000 vs 1001 values). Falls
+    * back to the literal path for value types without a local-relation
+    * encoding. */
+  private[graft] def inFilter(df: DataFrame, field: String, vs: Seq[Any],
       negate: Boolean = false): DataFrame = {
     def literal: DataFrame = {
       val c = col(field).isin(vs.map(lit(_)): _*)
@@ -68,8 +72,11 @@ object GqlLite {
         else if (vs.forall(_.isInstanceOf[Double]))
           Some(vs.asInstanceOf[Seq[Double]].toDF(field))
         else None
-      probe.fold(literal)(p => df.join(broadcast(p.distinct()),
-        Seq(field), if (negate) "left_anti" else "left_semi"))
+      probe.fold(literal) { p =>
+        val base = if (negate) df.filter(col(field).isNotNull) else df
+        base.join(broadcast(p.distinct()),
+          Seq(field), if (negate) "left_anti" else "left_semi")
+      }
     }
   }
 

@@ -311,8 +311,9 @@ object Similarity {
     // with 2^k >= ceil(n/target) — equivalent because 2^k is integral):
     // an independent engine (the wr_embedding_near_dups_auto oracle)
     // replays this derivation, and float log2 could flip ceil at
-    // power-of-two boundaries between implementations
-    val buckets = (n + targetBucket - 1) / targetBucket
+    // power-of-two boundaries between implementations. Division-based
+    // ceiling: the add-then-divide form overflows at n near Long.MaxValue
+    val buckets = n / targetBucket + (if (n % targetBucket > 0) 1 else 0)
     val raw = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
     math.min(15, math.max(4, raw))
   }
@@ -336,7 +337,13 @@ object Similarity {
     * across corpora (the oracle fixtures do). */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bits: Int = 0, chunkBits: Int = 0): DataFrame = {
-    val cb = if (chunkBits > 0) chunkBits else chunkBitsFor(embeddings.count())
+    // corpus-sizing ONLY when both knobs are unset: a caller pinning
+    // bits alone keeps the historical band width (4) — deriving cb from
+    // the corpus under a pinned bits made `bits = 32` crash the moment
+    // the corpus grew past a power-of-two boundary (32 % 5 != 0)
+    val cb = if (chunkBits > 0) chunkBits
+             else if (bits > 0) 4
+             else chunkBitsFor(embeddings.count())
     val nBits = if (bits > 0) bits else NearDupBands * cb
     require(nBits % cb == 0 && nBits / cb >= 1,
       s"cosineNearDupPairs: bits ($nBits) must be a positive multiple of chunkBits ($cb)")

@@ -64,12 +64,16 @@ object SpanDedup {
         s"duplicateSpans: maxDocFreq must be >= 2 (a span needs two docs), got $maxDocFreq")
       // the hot-shingle valve: document frequency per window hash, windows
       // above the cap dropped BEFORE the self-join (the join's fan-out per
-      // hash is df², so the cap bounds the worst bucket explicitly)
-      val ok = sh0.groupBy(col("__h"))
+      // hash is df², so the cap bounds the worst bucket explicitly). The
+      // valve reads the shingle frame TWICE (the df counts and the probe
+      // side), so it is frozen first — tokenize + window + md5 is the
+      // dominant per-row cost and would otherwise derive twice
+      val base = sh0.localCheckpoint(true)
+      val ok = base.groupBy(col("__h"))
         .agg(countDistinct(col(idCol)).as("__df"))
         .filter(col("__df") <= maxDocFreq)
         .select(col("__h"))
-      sh0.join(ok, "__h")
+      base.join(ok, "__h")
     }
     // materialized before the self-join: both sides reference it and Spark
     // shares no subplans across branches — left lazy, the tokenize + window

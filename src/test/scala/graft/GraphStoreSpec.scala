@@ -387,6 +387,21 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(GraphStore.load(spark, dir).at(2).all("Person").count() == 1)
   }
 
+  test("Fs.clearDir empties a SYMLINKED log through the link, keeping the link") {
+    // a user-symlinked atoms_log (spent-log dir on another volume): the
+    // clear must go THROUGH the link — skipping it would leave the whole
+    // pre-compact history for a restarted tail to replay — while the
+    // link itself (the live-feed marker) survives
+    val real = java.nio.file.Files.createTempDirectory("graft_clr_real")
+    java.nio.file.Files.writeString(real.resolve("spent.parquet"), "x")
+    val parent = java.nio.file.Files.createTempDirectory("graft_clr_link")
+    val link = parent.resolve("atoms_log")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    Fs.clearDir(link.toFile)
+    assert(java.nio.file.Files.isSymbolicLink(link), "clear removed the marker link")
+    assert(Option(real.toFile.listFiles()).get.isEmpty, "spent files survived the clear")
+  }
+
   test("SaveMode.Ignore on an existing store leaves provenance meta untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_meta_ig").toString
     // g1: multi-assignment (same field assigned twice) → NO meta file,

@@ -753,6 +753,13 @@ class WranglingSpec extends AnyFunSuite {
       emb, "vec_id", "embedding", 0.9, dim, bits = 10, chunkBits = 4))
     intercept[IllegalArgumentException](Similarity.cosineNearDupPairs(
       emb, "vec_id", "embedding", 0.9, dim, bits = 64, chunkBits = 16))
+    // pinning bits ALONE keeps the historical band width (cb=4), it does
+    // NOT derive cb from the corpus — on this 2000-row frame a derived
+    // cb=5 would make bits=32 crash corpus-dependently (32 % 5 != 0)
+    assert(pairs(Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", 0.9, dim, bits = 32)) ==
+      pairs(Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", 0.9, dim, bits = 32, chunkBits = 4)))
   }
 
   test("LSH banding rejects non-divisible bands; corpusDedup rejects string ids") {

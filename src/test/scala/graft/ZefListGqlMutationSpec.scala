@@ -263,6 +263,20 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
     val (g3, _) = mutate(g2, (0 until n).map(i =>
       AddEntity("Doc", s"y$i", Map("Tag" -> s"new$i"))), constraints = c)
     assert(g3.now.all("Doc").count() == 2L * n)
+    // negate parity across the cutoff: NOT IN drops null field values on
+    // BOTH paths (a bare anti-join would keep them — cutoff-dependent
+    // row sets); the null row survives neither probe size
+    import spark.implicits._
+    val withNull = Seq(Some("keep"), None, Some("v0"))
+      .toDF("f").union((1 until n).map(i => Some(s"v$i")).toDF("f"))
+    def negKeep(k: Int) = GqlLite.inFilter(withNull, "f",
+      (0 until k).map(i => s"v$i"), negate = true)
+      .collect().map(_.getString(0)).toSet
+    assert(negKeep(n) == Set("keep"), s"got ${negKeep(n)}")     // join path
+    val literal = negKeep(GqlLite.InProbeCutoff - 1)            // literal path
+    assert(literal == Set("keep") ++
+      (GqlLite.InProbeCutoff - 1 until n).map(i => s"v$i"),
+      "null semantics diverged across the In cutoff")
   }
 
   test("GqlLite update/delete of a missing or terminated id rejects loudly") {
