@@ -9,8 +9,9 @@ import GqlParser._
 /** Executable SimpleGQL API over a graft graph: GraphQL TEXT in, ONE
   * Catalyst plan (queries) or a staged transaction (mutations) out —
   * the reference's `generate_api2.py:80-293` resolver factory re-expressed
-  * as a compiler onto [[GqlLite]]'s verified ASTs. HTTP serving stays a
-  * non-goal (SURVEY §7.5); this is everything beneath it.
+  * as a compiler onto [[GqlLite]]'s verified ASTs. HTTP/WS serving lives
+  * in [[GqlServer]]/[[GqlHttp]]/[[GqlWs]] (since r8); this is everything
+  * beneath it.
   *
   * Root-field dispatch mirrors the generated API surface exactly
   * (`generate_api2.py:225-266`): `get{T}(id:)`, `query{T}(filter:, order:,
