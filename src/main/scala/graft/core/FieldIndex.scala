@@ -26,19 +26,61 @@ import org.apache.spark.sql.functions._
   */
 object FieldIndex {
 
+  /** THE typed value-column list — the one declaration (Graph's as-of
+    * resolution, fields(), yo, Transact's caches and FieldIndex all read
+    * this; a hand-maintained copy that missed a new typed column would
+    * silently drop that type from as-of resolution). */
   val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+
+  /** Store-root marker naming the indexed rts — the auto-maintenance
+    * contract: while it exists, [[GraphStore.appendTx]] AND
+    * [[GraphStore.appendBulk]] keep the index current (the same
+    * existence-is-the-protocol pattern as the atoms_log live-feed
+    * marker). Without it, only the receipt path maintained the index:
+    * a bulk ingest tick against an indexed store silently skipped index
+    * rows, and MISSING entries are false negatives the probe's as-of
+    * re-check cannot repair (stale/collision entries only ever ADD
+    * candidates — absence is the one unrecoverable class). Lives at the
+    * store ROOT, not inside index/: purgeSlice swaps the index tree
+    * wholesale and saveWithIndex rebuilds it, and the marker must
+    * survive both. */
+  val RtsMarker = "_index_rts"
+
+  def saveRts(storePath: String, rts: Seq[String]): Unit = {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$storePath/$RtsMarker"),
+      rts.mkString("\n"))
+    ()
+  }
+
+  def loadRts(storePath: String): Option[Seq[String]] = {
+    val p = java.nio.file.Paths.get(s"$storePath/$RtsMarker")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+    else None
+  }
 
   /** Canonical 64-bit value hash: one expression over the typed value
     * columns, used identically at build time (over columns) and probe time
     * (over a typed literal) — same expression, same result, so a probe can
-    * never miss its bucket. */
+    * never miss its bucket. Doubles normalize −0.0 to 0.0 before
+    * rendering: the probe's `===` re-check treats them equal (Spark
+    * normalizes signed zero in comparisons), so a stored −0.0 probed
+    * with 0.0 must land in the same bucket — string-rendering the raw
+    * value ("-0.0" vs "0.0") silently returned fewer rows than
+    * selectByField. (NaN needs no care: one canonical "NaN" rendering.)
+    * Indexes persisted before this normalization re-bucket −0.0 on the
+    * next save/rebuild. */
   def vhashExpr(vstr: Column, vlong: Column, vdouble: Column, vbool: Column,
       vts: Column): Column =
     xxhash64(
       coalesce(
         when(vstr.isNotNull, concat(lit("s:"), vstr)),
         when(vlong.isNotNull, concat(lit("l:"), vlong.cast("string"))),
-        when(vdouble.isNotNull, concat(lit("d:"), vdouble.cast("string"))),
+        when(vdouble.isNotNull, concat(lit("d:"),
+          when(vdouble === lit(0.0), lit(0.0)).otherwise(vdouble)
+            .cast("string"))),
         when(vbool.isNotNull, concat(lit("b:"), vbool.cast("string"))),
         when(vts.isNotNull, concat(lit("t:"), vts.cast("long").cast("string"))),
         lit("")))
@@ -46,20 +88,11 @@ object FieldIndex {
   private def vhashOfCols: Column = vhashExpr(col("v_str"), col("v_long"),
     col("v_double"), col("v_bool"), col("v_ts"))
 
-  /** Probe-side hash of a runtime value (mirrors ValueRow.of's type
-    * dispatch; constant-folded by Catalyst into a pushable literal). */
-  def vhashOf(value: Any): Column = {
-    val vcol = value match {
-      case _: String => "v_str"
-      case _: Int | _: Long => "v_long"
-      case _: Double => "v_double"
-      case _: Boolean => "v_bool"
-      case _: java.sql.Timestamp => "v_ts"
-      case other => throw new IllegalArgumentException(
-        s"unsupported index probe type: ${other.getClass}")
-    }
-    vhashOf(vcol, value)
-  }
+  // (the former runtime-type-dispatch vhashOf(value) overload is GONE:
+  // it embodied exactly the bucket-miss its sibling's doc below warns
+  // about — an Int probe against a v_double field hashed "l:9", not
+  // "d:9.0" — and had no callers; probes go through the column-typed
+  // overload only)
 
   /** Probe hash keyed by the PROBED COLUMN's type, not the probe value's
     * runtime type: the build hashed what the column stores, so an Int
@@ -97,10 +130,15 @@ object FieldIndex {
     * to the rts) joined to values — one shuffle at build, map-only probes
     * forever after. */
   def build(g: Graph, rts: Seq[String]): DataFrame = {
+    // distinct: a terminated-and-re-instantiated field relation carries
+    // one atoms row per validity interval, identical under this
+    // projection — without it every assignment indexes once per interval
+    // (bloat + double-width candidate sets; appendTx dedups identically)
     val rels = g.atoms.filter(
       col("kind") === Kind.Relation && col("atype").isInCollection(rts))
       .select(col("atype").as("rt"), col("src_id").as("owner_id"),
         col("dst_id").as("ae_id"))
+      .distinct()
     g.values.join(rels, "ae_id")
       .select(col("rt"), vhashOfCols.as("vhash"), col("ae_id"),
         col("owner_id"), col("tx_slice"))
@@ -146,7 +184,41 @@ object FieldIndex {
       .select(col("rt"), vhashOfCols.as("vhash"), col("ae_id"),
         col("owner_id"), col("tx_slice"))
       .localCheckpoint(true)
-    if (!delta.isEmpty)
-      delta.write.mode(SaveMode.Append).partitionBy("rt").parquet(indexPath)
+    if (!delta.isEmpty) writeDelta(delta, indexPath)
   }
+
+  /** Append an index delta sorted by vhash within files — save()'s
+    * row-group min/max pruning is the index's whole mechanism, and an
+    * unsorted appended file quietly degrades every probe over it to a
+    * full-file scan. */
+  private def writeDelta(delta: DataFrame, indexPath: String): Unit =
+    delta.sortWithinPartitions(col("vhash"))
+      .write.mode(SaveMode.Append).partitionBy("rt").parquet(indexPath)
+
+  /** Bulk-delta analogue of [[appendTx]]: index rows for a distributed
+    * delta's values, owners resolved from the delta's own new field
+    * relations plus the stored atoms. Returns the EAGERLY MATERIALIZED
+    * delta (or None when empty) — it reads the PRE-append store, so the
+    * caller must obtain it BEFORE appending the delta's atoms, then
+    * write it via [[writeBulkDelta]] (concurrently with its other
+    * writes, before the tx marker). */
+  def bulkDelta(spark: SparkSession, storePath: String,
+      atoms: DataFrame, values: DataFrame, rts: Seq[String]): Option[DataFrame] = {
+    val fromTx = atoms
+      .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
+      .select(col("atype").as("rt"), col("src_id").as("owner_id"),
+        col("dst_id").as("ae_id"))
+    val stored = spark.read.parquet(s"$storePath/atoms")
+      .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
+      .select(col("atype").as("rt"), col("src_id").as("owner_id"),
+        col("dst_id").as("ae_id"))
+    val delta = values.join(fromTx.unionByName(stored).distinct(), "ae_id")
+      .select(col("rt"), vhashOfCols.as("vhash"), col("ae_id"),
+        col("owner_id"), col("tx_slice"))
+      .localCheckpoint(true)
+    if (delta.isEmpty) None else Some(delta)
+  }
+
+  def writeBulkDelta(delta: DataFrame, indexPath: String): Unit =
+    writeDelta(delta, indexPath)
 }

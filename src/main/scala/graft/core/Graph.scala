@@ -38,7 +38,7 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
     val hit = latestValuesCache.get(slice) // LinkedHashMap access refreshes LRU order
     if (hit != null) hit
     else {
-      val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+      val vcols = FieldIndex.vcols // ONE typed-column list, declared once
       val plan =
         if (slice <= uniqueValuesThrough)
           // Single-assignment fast path: a bulk-encoded graph carries AT
@@ -223,12 +223,20 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
         col("k").as("src_kind")), Seq("src_id"), "left")
       .join(ends.select(col("atom_id").as("dst_id"), col("t").as("dst_type"),
         col("k").as("dst_kind")), Seq("dst_id"), "left")
-    rels
+    val grouped = rels
       .groupBy(col("atype"), col("src_type"), col("dst_type"), col("dst_kind"))
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("src_id")).as("n_sources"))
-      .withColumn("unique_out", col("n") === col("n_sources"))
+    // unique_out answers "is Out[rt] safe from this src type" — the
+    // degree counts EVERY rt edge a source has, ACROSS target types: a
+    // Person with Knows→Person and Knows→Company edges has out-degree 2
+    // even though each per-target group reads one-edge-per-source, and
+    // the per-group flag would misreport Out as safe (assertUnique then
+    // throws at traversal time)
+    val perSrc = rels.groupBy(col("atype"), col("src_type"))
+      .agg((count(lit(1)) === countDistinct(col("src_id"))).as("unique_out"))
+    grouped.join(perSrc, Seq("atype", "src_type"))
       .withColumn("is_field", col("dst_kind") === Kind.AttributeEntity)
       .drop("dst_kind")
   }
@@ -291,10 +299,16 @@ object Graph {
     * graphs don't double-count assignment events in events(). */
   def merge(a: Graph, b: Graph): Graph = {
     val atomCols = a.atoms.columns.map(col)
+    // full-row tiebreak behind the closure rank: two graphs carrying the
+    // same open interval with DIVERGENT payloads (same atom_id +
+    // inst_slice, different src/dst — fabricated histories) tied on the
+    // bare coalesce() and kept a partition-order-dependent survivor, the
+    // exact defect dedupBy below exists to prevent for the other tables
     val mergedAtoms = a.atoms.unionByName(b.atoms)
       .groupBy(col("atom_id"), col("inst_slice"))
       .agg(min_by(struct(atomCols: _*),
-        coalesce(col("term_slice"), lit(Int.MaxValue))).as("__r"))
+        struct(coalesce(col("term_slice"), lit(Int.MaxValue)).as("__t"),
+          struct(atomCols: _*).as("__row"))).as("__r"))
       .select("__r.*")
     // DETERMINISTIC dedup for the other three tables: dropDuplicates on a
     // key subset keeps a partition-order-dependent survivor, so two
@@ -453,10 +467,20 @@ final case class GraphSlice(graph: Graph, slice: Int) {
     * blobs.h:314-330): latest binding ≤ slice; tombstoned or never-bound →
     * empty set. */
   def byTag(tag: String): AtomSet = {
+    // tie key beyond tx_slice: the WRITER dedups tag wishes per tx
+    // (Transactor's last-wish-wins, as for values), so same-slice
+    // duplicates shouldn't exist — but a merged/hand-built graph can
+    // carry them, and a bare max_by(_, tx_slice) then picks a
+    // partition-order-dependent winner on every cold read. Canonical
+    // rule for such rows: the tombstone outranks a binding (the tag
+    // reads unbound — conservative), two bindings break on max atom_id.
     val latest = graph.tags
       .filter(col("tag") === tag && col("tx_slice") <= slice)
       .groupBy(col("tag"))
-      .agg(max_by(col("atom_id"), col("tx_slice")).as("atom_id"))
+      .agg(max_by(col("atom_id"),
+        struct(col("tx_slice"),
+          when(col("atom_id").isNull, 1).otherwise(0).as("__tomb"),
+          coalesce(col("atom_id"), lit("")).as("__id"))).as("atom_id"))
       .filter(col("atom_id").isNotNull)
       .select("atom_id")
     AtomSet(this, graph.atoms.filter(Graph.aliveAt(slice)).join(latest, "atom_id"))
@@ -697,7 +721,7 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     * the difference between 1 shuffle and N. */
   def fields(rts: (String, String, String)*): DataFrame = {
     val rtNames = rts.map(_._1)
-    val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+    val vcols = FieldIndex.vcols // ONE typed-column list, declared once
     val rels = frame.graph.atoms.filter(
       col("kind") === Kind.Relation && col("atype").isInCollection(rtNames) &&
         Graph.aliveAt(frame.slice))
@@ -756,8 +780,16 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     // ContextCleaner-freed — gather's pattern), so the full-table work is
     // exactly three cached scans (own rows, incident relations, touched
     // endpoint kinds) plus one values scan, each reused by every section.
+    // distinct: a provenance-carrying set (outsWithSource) holds one row
+    // per (atom, provenance) — identical under this projection once the
+    // provenance column drops — and each duplicate would emit duplicate
+    // identity/endpoint/history rows while the field/relation sections
+    // (which dedup via myIds) stayed single: an internally inconsistent
+    // report. Legitimate re-instantiation rows differ in inst_slice and
+    // survive the distinct.
     val me = df.select(col("atom_id"), col("kind"), col("atype"),
       col("src_id"), col("dst_id"), col("inst_slice"), col("term_slice"))
+      .distinct()
       .localCheckpoint(true)
 
     val kindName = when(col("kind") === Kind.AttributeEntity,
@@ -833,7 +865,7 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     // field section: AE-target relations, as-of value + assignment count.
     // Values are joined down to the set's own AEs BEFORE aggregating —
     // yo of a small set never scan-aggregates the full values table.
-    val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+    val vcols = FieldIndex.vcols // ONE typed-column list, declared once
     val myAes = out.filter(col("__k") === Kind.AttributeEntity)
       .select(col("atom_id"), col("__rt"), col("dst_id").as("ae_id"))
     val assigns = myAes.join(

@@ -43,6 +43,7 @@ object GraphStore {
       Fs.rm(new java.io.File(s"$path/_graft_meta.json"))
       Fs.rm(new java.io.File(s"$path/_sync_snapshot_slice"))
       Fs.rm(new java.io.File(s"$path/index"))
+      Fs.rm(new java.io.File(s"$path/${FieldIndex.RtsMarker}"))
       if (g.tags.isEmpty) Fs.rm(new java.io.File(s"$path/tags"))
     }
     // store-level provenance: the single-assignment guarantee survives the
@@ -282,6 +283,15 @@ object GraphStore {
     * closed atom close with it. */
   def appendTx(spark: SparkSession, path: String, r: Receipt): Unit = {
     import spark.implicits._
+    // index auto-maintenance, keyed on the store-root _index_rts marker
+    // (the atoms_log pattern): EVERY append path keeps an indexed store's
+    // index current — missing index entries are false negatives the
+    // probe's as-of re-check cannot repair, unlike stale ones. FIRST,
+    // before the atom writes below: the delta reads the STORED atoms for
+    // existing-AE owners and the receipt for this-tx relations —
+    // appending atoms first would double-count the new relations.
+    FieldIndex.loadRts(path).filter(_.nonEmpty).foreach(rts =>
+      FieldIndex.appendTx(spark, path, s"$path/index", r, rts))
     // coalesce(1): a receipt is driver-sized by construction, and one
     // file per sub-table per tx is what lets a micro-batch tail of the
     // store (maxFilesPerTrigger=1) treat file ≈ transaction within each
@@ -370,11 +380,20 @@ object GraphStore {
         Seq(Future(d.atoms.coalesce(filesPerTable).write
           .mode(SaveMode.Append).parquet(s"$path/atoms_log")))
       else Nil
+    // index auto-maintenance (see appendTx): the delta is MATERIALIZED
+    // here, before the concurrent atom append below mutates the stored
+    // atoms it reads — the bulk path used to skip the index entirely,
+    // leaving indexed probes with silent false negatives for every
+    // bulk-assigned value
+    val indexDelta = FieldIndex.loadRts(path).filter(_.nonEmpty)
+      .flatMap(rts => FieldIndex.bulkDelta(spark, path, d.atoms, d.values, rts))
+    val indexWrite = indexDelta.toSeq.map(delta =>
+      Future(FieldIndex.writeBulkDelta(delta, s"$path/index")))
     val settled = Await.result(Future.sequence((Seq(
       Future(d.atoms.coalesce(filesPerTable).write.mode(SaveMode.Append)
         .partitionBy("kind", "atype").parquet(s"$path/atoms")),
       Future(d.values.coalesce(filesPerTable).write.mode(SaveMode.Append)
-        .parquet(s"$path/values"))) ++ mirror)
+        .parquet(s"$path/values"))) ++ mirror ++ indexWrite)
       .map(_.transform(scala.util.Success(_)))), Duration.Inf)
     settled.collectFirst { case scala.util.Failure(t) => throw t }
     spark.createDataset(Seq(TxRow(d.slice, d.ts))).toDF()
@@ -387,8 +406,12 @@ object GraphStore {
   def saveWithIndex(g: Graph, path: String, indexRts: Seq[String],
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     save(g, path, mode)
-    if (indexRts.nonEmpty)
+    if (indexRts.nonEmpty) {
       FieldIndex.save(FieldIndex.build(g, indexRts), s"$path/index")
+      // the auto-maintenance marker: appendTx AND appendBulk keep this
+      // index current from here on (FieldIndex.RtsMarker doc)
+      FieldIndex.saveRts(path, indexRts)
+    }
   }
 
   def loadIndex(spark: SparkSession, path: String): Option[
@@ -398,14 +421,15 @@ object GraphStore {
   }
 
   /** [[appendTx]] plus index maintenance for the given rts (pure append —
-    * see FieldIndex's staleness note). */
+    * see FieldIndex's staleness note). Since the `_index_rts` marker,
+    * this is a thin shim: it ADOPTS a pre-marker store (writes the
+    * marker when absent) and delegates — appendTx itself maintains any
+    * marked index, so maintaining here too would double every delta.
+    * New code can call plain appendTx on a saveWithIndex store. */
   def appendTxIndexed(spark: SparkSession, path: String, r: Receipt,
       indexRts: Seq[String]): Unit = {
-    // index delta first: it reads the STORED atoms for existing-AE owners
-    // and the receipt for this-tx relations — appending atoms first would
-    // double-count the new relations
-    if (indexRts.nonEmpty)
-      FieldIndex.appendTx(spark, path, s"$path/index", r, indexRts)
+    if (indexRts.nonEmpty && FieldIndex.loadRts(path).isEmpty)
+      FieldIndex.saveRts(path, indexRts)
     appendTx(spark, path, r)
   }
 

@@ -266,6 +266,15 @@ object Transactor {
       newValues.foreach(v => m(v.ae_id) = v)
       m.values.toSeq
     }
+    // ONE tag row per tag per tx, same last-wish-wins rule: tag-then-untag
+    // (or re-tag) in one mutation list used to append BOTH rows at the
+    // same tx_slice, leaving byTag's max_by a durable same-slice tie —
+    // a partition-order-dependent binding on every cold read
+    val tagWinners: Seq[TagRow] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, TagRow]()
+      newTags.foreach(t => m(t.tag) = t)
+      m.values.toSeq
+    }
 
     val atomsAppended =
       if (newAtoms.isEmpty) g.atoms
@@ -305,8 +314,8 @@ object Transactor {
     val txsFinal = g.txs.unionByName(
       spark.createDataset(Seq(TxRow(slice, ts))).toDF())
     val tagsFinal =
-      if (newTags.isEmpty) g.tags
-      else g.tags.unionByName(spark.createDataset(newTags.toSeq).toDF())
+      if (tagWinners.isEmpty) g.tags
+      else g.tags.unionByName(spark.createDataset(tagWinners).toDF())
 
     // values are append-only at a strictly later slice, so the bulk
     // encoder's single-assignment guarantee (unique ae_id through its
@@ -332,7 +341,7 @@ object Transactor {
       if (valueWinners.isEmpty)
         g2.seedLatestValues(slice, base, priorDepth, owned = false)
       else {
-        val vcols = Seq("tx_slice", "v_str", "v_long", "v_double", "v_bool", "v_ts")
+        val vcols = "tx_slice" +: FieldIndex.vcols
         // valueWinners already holds one row per AE (last wish wins)
         val deltaIds = valueWinners.map(_.ae_id).toSet
         val delta = spark.createDataset(valueWinners).toDF()
@@ -346,7 +355,7 @@ object Transactor {
     }
     (g2,
       Receipt(receipt.toMap, slice, newAtoms.toSeq, valueWinners,
-        terminated.toSeq, newTags.toSeq, ts, cascadedIds))
+        terminated.toSeq, tagWinners, ts, cascadedIds))
   }
 
   /** Distributed BULK field assignment — set-level `set_field` whose delta
@@ -421,7 +430,7 @@ object Transactor {
       trustedUniqueOwners: Boolean = false): (Graph, BulkDelta) = {
     val spark = g.spark
     val slice = g.maxSlice + 1
-    val vcols = Seq("v_str", "v_long", "v_double", "v_bool", "v_ts")
+    val vcols = FieldIndex.vcols
     require(fields.nonEmpty, "assignFieldsBulk: at least one field")
     require(fields.map(_.rt).distinct.size == fields.size,
       "assignFieldsBulk: duplicate field rts")

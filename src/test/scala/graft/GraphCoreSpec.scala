@@ -409,6 +409,67 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(hp.getAs[String]("dst_type") == "Pet")
   }
 
+  test("same-tx tag churn: last wish wins durably; reads tie-break canonically") {
+    // tag-then-untag in ONE tx used to append BOTH rows at the same
+    // tx_slice — byTag's max_by tied and the binding was
+    // partition-order-dependent on every cold read
+    val (g0, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutEntity("Person", "b")))
+    val (g1, r1) = Transactor.transact(g0, Seq(
+      TagAtom("e:Person/a", "boss"), UntagAtom("boss")))
+    assert(r1.newTags.size == 1 && r1.newTags.head.atom_id.isEmpty,
+      "tag wishes not deduped last-wish-wins")
+    assert(g1.now.byTag("boss").count() == 0)
+    // untag-then-retag: the re-tag wins
+    val (g2, r2) = Transactor.transact(g1, Seq(
+      UntagAtom("boss"), TagAtom("e:Person/b", "boss")))
+    assert(r2.newTags.size == 1)
+    assert(g2.now.byTag("boss").df.select("atom_id").collect()
+      .map(_.getString(0)).toSeq == Seq("e:Person/b"))
+    // legacy same-slice duplicates (merged/hand-built graphs): the read
+    // is deterministic — tombstone outranks a binding
+    import spark.implicits._
+    val dupTags = Seq(("boss", Some("e:Person/a"), 9), ("boss", None, 9))
+      .toDF("tag", "atom_id", "tx_slice")
+    val gDup = g2.copy(tags = g2.tags.unionByName(dupTags).repartition(7))
+    assert(gDup.at(9).byTag("boss").count() == 0,
+      "same-slice tag tie did not resolve to the tombstone")
+  }
+
+  test("merge picks a deterministic survivor for payload-divergent atom rows") {
+    import spark.implicits._
+    val (base, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "x"), PutEntity("Person", "y"), PutEntity("Person", "z")))
+    // two graphs claim the SAME open interval with DIFFERENT payloads
+    // (fabricated divergent histories): the survivor must be the same on
+    // every run and both merge orders — the bare closure-rank min_by tied
+    def withRel(dst: String) = base.copy(atoms = base.atoms.unionByName(
+      Seq(("r:Knows/k", Kind.Relation, "Knows", "e:Person/x", dst, 1,
+        None: Option[Int], None: Option[String]))
+        .toDF("atom_id", "kind", "atype", "src_id", "dst_id", "inst_slice",
+          "term_slice", "origin_uid"))
+        .repartition(5))
+    val ab = Graph.merge(withRel("e:Person/y"), withRel("e:Person/z"))
+    val ba = Graph.merge(withRel("e:Person/z"), withRel("e:Person/y"))
+    def rel(g: Graph) = g.atoms.filter(col("atom_id") === "r:Knows/k")
+      .select("dst_id").collect().map(_.getString(0)).toSeq
+    assert(rel(ab) == rel(ba) && rel(ab).size == 1)
+    assert(rel(ab) == Seq("e:Person/y")) // min full-row payload, pinned
+  }
+
+  test("unique_out spans target types: one source, one rt, two dst types is NOT unique") {
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "p1"), PutEntity("Person", "p2"),
+      PutEntity("Company", "c1"),
+      PutRelation("Knows", "p1", "p2", "k1"),
+      PutRelation("Knows", "p1", "c1", "k2")))
+    val reg = g.schemaRegistry.filter(col("atype") === "Knows").collect()
+      .map(r => r.getAs[String]("dst_type") -> r.getAs[Boolean]("unique_out")).toMap
+    // each per-target group reads one-edge-per-source, but Out[Knows]
+    // from Person has degree 2 — the flag must say so on BOTH rows
+    assert(reg == Map("Person" -> false, "Company" -> false), s"got $reg")
+  }
+
   test("merge unions graphs idempotently on atom_id") {
     val g = fixture
     val merged = Graph.merge(g, g)

@@ -155,6 +155,60 @@ class GraphStoreSpec extends AnyFunSuite {
       == Seq("e:Person/c"))
   }
 
+  test("appendBulk maintains a marked index: bulk-assigned values are probe-visible") {
+    import spark.implicits._
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Score", 1.0),
+      PutEntity("Person", "b"), PutField("b", "Score", 2.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_blkidx").toString
+    GraphStore.saveWithIndex(g1, dir, Seq("Score"))
+    assert(new java.io.File(s"$dir/${FieldIndex.RtsMarker}").exists(),
+      "saveWithIndex did not write the auto-maintenance marker")
+    // a bulk ingest tick (the StreamIngest shape) — the path that used to
+    // skip index maintenance entirely, leaving indexed probes with FALSE
+    // NEGATIVES for every bulk-assigned value (the one class the as-of
+    // re-check cannot repair)
+    val gBase = GraphStore.loadWithClosures(spark, dir)
+    val (_, delta) = Transactor.assignFieldsBulkDelta(gBase,
+      Seq(("e:Person/a", 7.5), ("e:Person/b", 9.0)).toDF("owner_id", "Score"),
+      Seq(Transactor.BulkField("Score", "double")), materializeDelta = true)
+    GraphStore.appendBulk(spark, dir, delta)
+    val l2 = GraphStore.loadWithClosures(spark, dir)
+    val idx = GraphStore.loadIndex(spark, dir).get
+    def ids(as: AtomSet) = as.df.select("atom_id").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(ids(l2.now.selectByFieldIndexed(idx, "Person", "Score", "v_double", 7.5))
+      == Seq("e:Person/a"))
+    assert(ids(l2.now.selectByFieldIndexed(idx, "Person", "Score", "v_double", 9.0))
+      == ids(l2.now.selectByField("Person", "Score", "v_double", 9.0)))
+    // plain appendTx auto-maintains too (the marker, not the caller,
+    // decides) — and appendTxIndexed no longer double-appends
+    val (g3, r3) = Transactor.transact(l2, Seq(
+      PutEntity("Person", "c"), PutField("c", "Score", 4.25)))
+    GraphStore.appendTx(spark, dir, r3)
+    val l3 = GraphStore.loadWithClosures(spark, dir)
+    val idx3 = GraphStore.loadIndex(spark, dir).get
+    assert(ids(l3.now.selectByFieldIndexed(idx3, "Person", "Score", "v_double", 4.25))
+      == Seq("e:Person/c"))
+    val (_, r4) = Transactor.transact(g3, Seq(
+      AssignField("e:Person/c", "Score", 5.5)))
+    GraphStore.appendTxIndexed(spark, dir, r4, Seq("Score"))
+    val idx4 = GraphStore.loadIndex(spark, dir).get
+    assert(idx4.filter(col("tx_slice") === r4.slice).count() == 1,
+      "appendTxIndexed double-appended the index delta on a marked store")
+    // a stored -0.0 is probe-visible with 0.0 (=== treats them equal, so
+    // the hash must too; string-rendering the raw double missed the bucket)
+    val (_, r5) = Transactor.transact(GraphStore.loadWithClosures(spark, dir),
+      Seq(PutEntity("Person", "z"), PutField("z", "Score", -0.0)))
+    GraphStore.appendTx(spark, dir, r5)
+    val l5 = GraphStore.loadWithClosures(spark, dir)
+    val idx5 = GraphStore.loadIndex(spark, dir).get
+    assert(ids(l5.now.selectByFieldIndexed(idx5, "Person", "Score", "v_double", 0.0))
+      == ids(l5.now.selectByField("Person", "Score", "v_double", 0.0)))
+    assert(ids(l5.now.selectByFieldIndexed(idx5, "Person", "Score", "v_double", 0.0))
+      == Seq("e:Person/z"))
+  }
+
   test("bucketCountFor: one bucket per ~target bytes, never zero") {
     val GiB = 1L << 30
     assert(GraphStore.bucketCountFor(0) == 1)
