@@ -198,10 +198,37 @@ object GraphAlgos {
   def dedupClusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // plan-time type check, task-time null check: a string atom-id column
+    // (the graph's native id type) or an outer-join null used to surface
+    // as an opaque executor NPE from Row.getLong deep inside a GraphX
+    // task, with no hint the INPUT was wrong (corpusDedup rejects string
+    // ids at its own boundary with this same message shape)
+    Seq("id_a", "id_b").foreach { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"dedupClusters: pair column '$c' is $other; the GraphX stage " +
+            "requires integral ids — map string ids to a surrogate first")
+      }
+    }
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val verts = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct().rdd.map(r => (r.getLong(0), r.getLong(0)))
+      .rdd.map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "dedupClusters: null id in candidate pair — filter join misses " +
+            "before clustering")
+        Edge(r.getLong(0), r.getLong(1), ())
+      }
+    val verts = pairs.select(explode(array(col("id_a").cast("long"),
+        col("id_b").cast("long"))).as("id"))
+      .distinct().rdd.map { r =>
+        require(!r.isNullAt(0),
+          "dedupClusters: null id in candidate pair — filter join misses " +
+            "before clustering")
+        (r.getLong(0), r.getLong(0))
+      }
     val g = XGraph(verts, edges)
     // GraphX connectedComponents labels each vertex with the min VertexId
     g.connectedComponents().vertices.toDF("id", "cluster_id")

@@ -62,14 +62,29 @@ object GraphSubscriptions {
     * atype-only replay reported a "terminated Spend" for the relation row
     * while the live path (kind="ae") correctly suppressed it: the two
     * documented-equivalent paths returned different event sets. */
+  /** Valid kind prefixes of the id scheme (Transactor.atomId +
+    * the field-relation form). A TYPO — or the natural-but-wrong
+    * Kind.Entity constant, which is "entity", not "e" — used to
+    * prefix-match nothing and deliver an empty event stream forever,
+    * silently. */
+  private val KindPrefixes = Set("any", "e", "r", "ae", "rel")
+
+  private def requireKind(kind: String): Unit =
+    require(KindPrefixes.contains(kind),
+      s"unknown kind '$kind' — expected one of ${KindPrefixes.mkString(", ")} " +
+        "(the id-scheme prefixes; note Kind.Entity is the STORAGE name " +
+        "'entity', not the id prefix 'e')")
+
   def onTerminated(atomFeed: DataFrame, atype: String,
-      kind: String = "any"): DataFrame =
+      kind: String = "any"): DataFrame = {
+    requireKind(kind)
     atomFeed
       .filter(col("atype") === atype && col("term_slice").isNotNull &&
         (if (kind == "any") lit(true)
          else col("atom_id").startsWith(s"$kind:")))
       .select(col("atom_id"), col("term_slice").as("tx_slice"),
         lit("terminated").as("event"))
+  }
 
   /** Terminations over the DURABLE feed: transactions record closures as
     * `(atom_id, atype, term_slice)` rows in the closure sub-feed
@@ -91,7 +106,8 @@ object GraphSubscriptions {
     * twice: its own `ae:` row plus the `rel:` cascade sharing the
     * atype). */
   def onTerminatedClosures(closureFeed: DataFrame, atype: String,
-      kind: String = "any", includeCascades: Boolean = true): DataFrame =
+      kind: String = "any", includeCascades: Boolean = true): DataFrame = {
+    requireKind(kind)
     closureFeed
       .filter(col("atype") === atype &&
         (if (kind == "any") lit(true)
@@ -100,4 +116,5 @@ object GraphSubscriptions {
          else !coalesce(col("cascaded"), lit(false))))
       .select(col("atom_id"), col("term_slice").as("tx_slice"),
         lit("terminated").as("event"))
+  }
 }

@@ -67,14 +67,22 @@ object Streams {
   def dedupById(events: DataFrame, idCol: String = "event_id"): DataFrame =
     events.dropDuplicates(idCol)
 
-  final case class KeyedEvent(user_id: Long, event_type: String, value: Double)
+  final case class KeyedEvent(user_id: Long, event_type: String, value: Double,
+      ts: Double)
   final case class CountWindow(user_id: Long, window_idx: Long, n: Int,
       sum_value: Double)
 
   /** Count-based windows (zef `chunk[n]` on a stream, impl.py:1306): every
-    * `n` events per key emit one window — arrival-order state via
-    * flatMapGroupsWithState, the Spark home for Rx-style count semantics. */
+    * `n` events per key emit one window — keyed state via
+    * flatMapGroupsWithState, the Spark home for Rx-style count semantics.
+    * WITHIN a micro-batch events process in (ts, type, value) order — the
+    * file's batch==stream design rule: the grouped iterator's raw order
+    * is partitioning-dependent, so an unsorted fold made window membership
+    * and sums nondeterministic on multi-partition input (the hazard every
+    * other stateful op here sorts away). Across batches, arrival order. */
   def countWindows(events: Dataset[KeyedEvent], n: Int): Dataset[CountWindow] = {
+    require(n >= 1, s"countWindows: n must be >= 1, got $n — a non-positive" +
+      " width never fills a window and accumulates state forever")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -83,7 +91,7 @@ object Streams {
         case (uid, evs, state: GroupState[(Long, Int, Double)]) =>
           var (widx, cnt, acc) = state.getOption.getOrElse((0L, 0, 0.0))
           val out = scala.collection.mutable.ArrayBuffer[CountWindow]()
-          evs.foreach { e =>
+          evs.toVector.sortBy(e => (e.ts, e.event_type, e.value)).foreach { e =>
             cnt += 1; acc += e.value
             if (cnt == n) { out += CountWindow(uid, widx, cnt, acc)
               widx += 1; cnt = 0; acc = 0.0 }
@@ -106,10 +114,16 @@ object Streams {
     *
     * Semantics note, honestly: WITHIN a micro-batch events process in event-
     * time order (per-group sort), so batch mode — one "batch" = everything —
-    * reproduces the exact batch as-of join (spec-asserted parity). Across
-    * micro-batches, a right row arriving AFTER a left row was already
-    * emitted does not retro-update it — standard streaming enrichment
-    * semantics; bound staleness with source ordering or a larger trigger.
+    * reproduces the batch as-of join (spec-asserted parity) with ONE scoped
+    * exception: duplicate-(key, ts) right-row ties break on the
+    * JSON-RENDERED payload string here (payloads ride packed — the typed
+    * columns are gone by the time state compares them), while the batch op
+    * breaks them on canonical TYPED keys; a numeric tie whose string order
+    * differs (v=9 vs v=10) picks a different — still deterministic —
+    * winner. Across micro-batches, a right row arriving AFTER a left row
+    * was already emitted does not retro-update it — standard streaming
+    * enrichment semantics; bound staleness with source ordering or a
+    * larger trigger.
     *
     * Payloads ride as JSON (`to_json` of the non-key/non-ts columns); the
     * time axis rides as double (epoch seconds for timestamps — cast before
@@ -137,9 +151,10 @@ object Streams {
           // per-batch event-time order, rights before lefts on ties; the
           // payload joins the sort key so duplicate (key, ts) right rows
           // have a deterministic winner — history keeps (ts, payload)
-          // order and the reverse scan picks the max payload among equal
-          // timestamps, the same tie contract the batch AsOfJoin pins
-          // (grouped-iterator order alone is partitioning-dependent)
+          // order and the reverse scan picks the max PAYLOAD STRING among
+          // equal timestamps (the scoped divergence from the batch op's
+          // typed tie keys — scaladoc above); grouped-iterator order
+          // alone is partitioning-dependent
           evs.toVector.sortBy(e => (e.ts, e.side, e.payload)).foreach { e =>
             if (e.side == 0)
               hist = (hist :+ (e.ts, e.payload)).sorted.takeRight(historySize)
@@ -165,6 +180,14 @@ object Streams {
     * null-filled. Narrow — no shuffle, no state — so it streams as-is. */
   def merge(streams: Seq[DataFrame], tagCol: String = "source"): DataFrame = {
     require(streams.nonEmpty, "merge of zero streams")
+    // loud, not silent: withColumn REPLACES an existing column, so a
+    // business column named like tagCol would be overwritten with source
+    // indices in every row
+    streams.zipWithIndex.foreach { case (df, i) =>
+      require(!df.columns.contains(tagCol),
+        s"merge: input $i already carries a '$tagCol' column — pass a " +
+          "different tagCol or rename the input column")
+    }
     streams.zipWithIndex
       .map { case (df, i) => df.withColumn(tagCol, lit(i)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -238,17 +261,25 @@ object Streams {
   final case class Debounced(key: String, ts: java.sql.Timestamp, payload: String)
 
   /** Streaming-native debounce: keyed state holds the newest pending
-    * event; an arriving event either supersedes it (gap ≤ quiet) or
-    * flushes it (gap > quiet), and an EVENT-TIME TIMER at
-    * pending.ts + quiet flushes it when the watermark passes with nothing
-    * newer — so a quiet key's last event emits without waiting for the
-    * next one. Caller sets the watermark (`withWatermark(tsCol, ...)`);
-    * ms precision (timer API granularity). In batch mode timers never
-    * fire, so each key's trailing pending stays unflushed — batch output
-    * is exactly [[debounce]] minus the per-key final event
-    * (spec-asserted); use [[debounce]] for completed sources. */
+    * event plus a bounded log of recent event TIMESTAMPS; an arriving
+    * in-order event supersedes the pending (gap ≤ quiet) or flushes it
+    * (gap > quiet), and an EVENT-TIME TIMER at pending.ts + quiet flushes
+    * it when the watermark passes with nothing newer — so a quiet key's
+    * last event emits without waiting for the next one. A LATE
+    * in-watermark event is judged against its TRUE event-time successor
+    * from the ts log — judging it against the pending alone emitted
+    * events whose real successor was within quiet (a spurious emission
+    * whenever a late event's neighbor had already flushed through).
+    * The log keeps the newest `logSize` timestamps (the asofEnrich
+    * history bound); an event later than the watermark but older than
+    * the whole log falls back to the nearest LOGGED successor. Caller
+    * sets the watermark (`withWatermark(tsCol, ...)`); ms precision
+    * (timer API granularity). In batch mode timers never fire, so each
+    * key's trailing pending stays unflushed — batch output is exactly
+    * [[debounce]] minus the per-key final event (spec-asserted); use
+    * [[debounce]] for completed sources. */
   def debounceStream(events: DataFrame, keyCol: String, tsCol: String,
-      quietMs: Long): Dataset[Debounced] = {
+      quietMs: Long, logSize: Int = 64): Dataset[Debounced] = {
     val spark = events.sparkSession
     import spark.implicits._
     require(events.schema(tsCol).dataType ==
@@ -262,41 +293,50 @@ object Streams {
       .as[DebEvent]
     packed
       .groupByKey(_.key)
-      .flatMapGroupsWithState[(Long, String), Debounced](
+      .flatMapGroupsWithState[(Seq[Long], Long, String), Debounced](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (k, evs, state: GroupState[(Long, String)]) =>
+        case (k, evs, state: GroupState[(Seq[Long], Long, String)]) =>
           if (state.hasTimedOut) {
-            val (pts, pp) = state.get
+            val (_, pts, pp) = state.get
+            // the log dies with the pending: any future event's ts is
+            // >= the watermark > pending + quiet, so nothing older than
+            // the flushed pending can ever probe for a successor again
             state.remove()
             Iterator.single(Debounced(k, new java.sql.Timestamp(pts), pp))
           } else {
-            var pending = state.getOption
+            var (tsLog, pending) = state.getOption
+              .map { case (log, pts, pp) => (log, Some((pts, pp))) }
+              .getOrElse((Seq.empty[Long], Option.empty[(Long, String)]))
             val out = Vector.newBuilder[Debounced]
             evs.toVector.sortBy(e => (e.ts.getTime, e.payload)).foreach { e =>
+              val ets = e.ts.getTime
               pending match {
-                case Some((pts, pp)) if e.ts.getTime >= pts =>
-                  // in-order: flush the pending if the gap exceeded quiet,
-                  // then the new event becomes pending
-                  if (e.ts.getTime - pts > quietMs)
+                case Some((pts, pp)) if ets >= pts =>
+                  // in-order: e IS the pending's event-time successor
+                  // among seen events (every logged ts <= the pending) —
+                  // flush iff the gap exceeds quiet, then e takes over
+                  if (ets - pts > quietMs)
                     out += Debounced(k, new java.sql.Timestamp(pts), pp)
-                  pending = Some((e.ts.getTime, e.payload))
+                  tsLog = (tsLog :+ pts).sorted.takeRight(logSize)
+                  pending = Some((ets, e.payload))
                 case Some((pts, _)) =>
-                  // out-of-order (an in-watermark event OLDER than the
-                  // pending arrived in a later micro-batch): in event-time
-                  // order it PRECEDES the pending, so it emits iff the
-                  // pending is more than quiet after it, and the pending —
-                  // the newer event — stays pending. (Replacing the pending
-                  // here would silently drop it: the negative gap never
-                  // exceeds quiet, inverting the debounce.)
-                  if (pts - e.ts.getTime > quietMs)
+                  // late (in-watermark, older than the pending): judge it
+                  // against its TRUE event-time successor — the smallest
+                  // logged/pending ts after it. Comparing to the pending
+                  // alone emitted events whose real successor (an already
+                  // flushed or suppressed neighbor) was within quiet.
+                  // The pending — the newest event — stays pending.
+                  val succ = (tsLog.filter(_ > ets) :+ pts).min
+                  if (succ - ets > quietMs)
                     out += Debounced(k, e.ts, e.payload)
+                  tsLog = (tsLog :+ ets).sorted.takeRight(logSize)
                 case None =>
-                  pending = Some((e.ts.getTime, e.payload))
+                  pending = Some((ets, e.payload))
               }
             }
-            pending.foreach { p =>
-              state.update(p)
-              state.setTimeoutTimestamp(p._1 + quietMs)
+            pending.foreach { case (pts, pp) =>
+              state.update((tsLog, pts, pp))
+              state.setTimeoutTimestamp(pts + quietMs)
             }
             out.result().iterator
           }
@@ -314,24 +354,29 @@ object Streams {
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     // The file-stream source wants a directory; stage the single parquet
     // into a temp dir (in production the feed IS a directory/CDF).
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema(graft.Tables.table(spark, sfDir, "events").schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-    // same canonicalization as the batch loader (Tables.events) so the
-    // batch == stream parity specs compare like-typed frames whatever the
-    // parquet time encoding (ns-long / µs NTZ / µs LTZ)
-    val events = graft.ops.TimeAxis.normalize(raw, "ts")
-    val q = transform(events).writeStream
-      .outputMode(mode)
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("events.parquet"))
+      val raw = spark.readStream
+        .schema(graft.Tables.table(spark, sfDir, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      // same canonicalization as the batch loader (Tables.events) so the
+      // batch == stream parity specs compare like-typed frames whatever the
+      // parquet time encoding (ns-long / µs NTZ / µs LTZ)
+      val events = graft.ops.TimeAxis.normalize(raw, "ts")
+      val q = transform(events).writeStream
+        .outputMode(mode)
+        .format("memory").queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // the memory sink holds the result ROWS (not a view over the staged
+      // file), so the copy can be deleted immediately — every invocation
+      // used to leak a full events.parquet copy in /tmp, forever
+      spark.table(queryName)
+    } finally graft.core.Fs.rm(dir.toFile)
   }
 }

@@ -59,21 +59,24 @@ class StreamingSpec extends AnyFunSuite {
     val q = Streams.countWindows(input.toDS(), 3).writeStream
       .outputMode("append").format("memory").queryName("t_countwin").start()
     // push 7 events for user 1 → two complete windows of 3, 1 leftover
+    // values deliberately DESCEND while ts ascends: the per-batch sort is
+    // by event time, so windows fill as (7,6,5),(4,3,2) — an
+    // arrival/value-ordered fold would group (1,2,3),(4,5,6)
     input.addData((1 to 7).map(i =>
-      Streams.KeyedEvent(1L, "click", i.toDouble)): _*)
+      Streams.KeyedEvent(1L, "click", (8 - i).toDouble, i.toDouble)): _*)
     q.processAllAvailable()
     val out = spark.table("t_countwin").orderBy("window_idx").collect()
     assert(out.length == 2)
-    assert(out(0).getAs[Int]("n") == 3 && out(0).getAs[Double]("sum_value") == 6.0)
-    assert(out(1).getAs[Double]("sum_value") == 15.0)
+    assert(out(0).getAs[Int]("n") == 3 && out(0).getAs[Double]("sum_value") == 18.0)
+    assert(out(1).getAs[Double]("sum_value") == 9.0) // 4+3+2 in ts order
     // push 2 more → third window completes with state carried across batches
-    input.addData(Streams.KeyedEvent(1L, "click", 8.0),
-      Streams.KeyedEvent(1L, "click", 9.0))
+    input.addData(Streams.KeyedEvent(1L, "click", 8.0, 8.0),
+      Streams.KeyedEvent(1L, "click", 9.0, 9.0))
     q.processAllAvailable()
     q.stop()
     val out2 = spark.table("t_countwin").orderBy("window_idx").collect()
     assert(out2.length == 3)
-    assert(out2(2).getAs[Double]("sum_value") == 7.0 + 8.0 + 9.0)
+    assert(out2(2).getAs[Double]("sum_value") == 1.0 + 8.0 + 9.0)
   }
 
   test("asof enrichment: batch mode reproduces the batch as-of join") {
@@ -418,12 +421,42 @@ class StreamingSpec extends AnyFunSuite {
       == Set(10L, 20L))
   }
 
+  test("debounceStream: a late event is judged by its TRUE successor, not the pending") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    def ev(sec: Int, u: Long) = TsEvent(
+      java.sql.Timestamp.valueOf(
+        f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d"), u, sec.toDouble)
+    val q = Streams.debounceStream(
+        input.toDF().withWatermark("ts", "1 minute"),
+        "user_id", "ts", quietMs = 5000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_deb_succ").start()
+    input.addData(ev(10, 1), ev(50, 1)) // flush 10s (gap 40 > 5), pending 50s
+    q.processAllAvailable()
+    // TWO late in-watermark events: 8s's true successor is the LOGGED 10s
+    // (gap 2 <= quiet -> suppressed; judging against the pending read a
+    // spurious 42s gap and emitted it), 30s's true successor is the
+    // pending 50s (gap 20 > quiet -> emits)
+    input.addData(ev(8, 1), ev(30, 1))
+    q.processAllAvailable()
+    // an in-order event flushes the pending 50s (gap 70 > quiet)
+    input.addData(ev(120, 1))
+    q.processAllAvailable(); q.stop()
+    val secs = spark.table("t_deb_succ").as[Streams.Debounced].collect()
+      .map(d => (d.ts.getTime / 1000) % 3600).toSet
+    assert(secs == Set(10L, 30L, 50L), s"got $secs")
+  }
+
   test("asofEnrich: duplicate (key, ts) right rows have a deterministic winner") {
     import spark.implicits._
     val left = Seq(("a", 10.0, "l1")).toDF("k", "t", "lv")
     val right = Seq(("a", 10.0, "rB"), ("a", 10.0, "rA"), ("a", 10.0, "rC"))
       .toDF("k", "t", "rv")
-    // max payload wins — the same tie contract the batch AsOfJoin pins
+    // max payload STRING wins — deterministic; diverges from the batch
+    // op's typed tie keys only when string and typed order differ
+    // (scoped in asofEnrich's scaladoc)
     val enriched = Streams.asofEnrich(left, right, "k", "t").collect()
     assert(enriched.length == 1)
     assert(enriched(0).matched_payload.exists(_.contains("\"rC\"")),
