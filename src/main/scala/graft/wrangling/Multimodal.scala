@@ -79,13 +79,17 @@ object Multimodal {
           }
         }
         if (w <= 0 || h <= 0) return None
-        val lumaSize = w * h
+        // LONG frame geometry: a 32k x 32k C444 header overflows Int in
+        // lumaSize + chromaSize, the bounds guard passes on the wrapped
+        // negative, and copyOfRange zero-pads a bogus multi-GB frame
+        val lumaSize = w.toLong * h
         val chromaSize =
-          if (chroma.startsWith("mono")) 0
+          if (chroma.startsWith("mono")) 0L
           else if (chroma.startsWith("420")) lumaSize / 2
           else if (chroma.startsWith("422")) lumaSize
           else if (chroma.startsWith("444")) 2 * lumaSize
           else return None
+        if (lumaSize > Int.MaxValue) return None
         val frames = Vector.newBuilder[Array[Byte]]
         var pos = hdrEnd + 1
         while (pos < payload.length) {
@@ -93,11 +97,14 @@ object Multimodal {
           if (pos + 5 > payload.length ||
               new String(payload, pos, 5, "US-ASCII") != "FRAME") return None
           val fEnd = payload.indexOf('\n'.toByte, pos)
-          if (fEnd < 0 || fEnd + lumaSize + chromaSize > payload.length)
+          // the +1 for the FRAME header's newline belongs in the bound: a
+          // stream truncated by exactly ONE byte used to pass and
+          // copyOfRange fabricated a zero pixel — corrupt frame, not None
+          if (fEnd < 0 || fEnd + 1 + lumaSize + chromaSize > payload.length)
             return None
           frames += java.util.Arrays.copyOfRange(payload, fEnd + 1,
-            fEnd + 1 + lumaSize)
-          pos = fEnd + 1 + lumaSize + chromaSize
+            fEnd + 1 + lumaSize.toInt)
+          pos = (fEnd + 1 + lumaSize + chromaSize).toInt
         }
         Some((w, h, fps, frames.result()))
       } catch { case _: Exception => None }
@@ -226,7 +233,11 @@ object Multimodal {
             val id = fourcc(payload, pos)
             val size = rdLe32(payload, pos + 4)
             val body = pos + 8
-            if (body + size > payload.length) return
+            // negative size (corrupt/hostile chunk) must bail: it passes
+            // the bounds check below (body + size < pos) and makes the
+            // loop-advance `body + size + pad` NOT advance — one corrupt
+            // row used to hang the executor thread forever
+            if (size < 0 || body + size > payload.length) return
             id match {
               case "LIST" =>
                 walk(body + 4, body + size) // recurse past the list kind
@@ -238,7 +249,13 @@ object Multimodal {
               case "00dc" | "00db" =>
                 val img = javax.imageio.ImageIO.read(
                   new java.io.ByteArrayInputStream(payload, body, size))
-                if (img != null) frames += lumaOf(img)
+                // only frames matching the avih geometry: a stream whose
+                // embedded JPEGs disagree in size would hand
+                // videoDescriptors planes of different lengths — an
+                // ArrayIndexOutOfBounds OUTSIDE this decoder's catch,
+                // a job crash where the contract promises a drop
+                if (img != null && (w <= 0 || (img.getWidth == w &&
+                    img.getHeight == h))) frames += lumaOf(img)
               case _ => ()
             }
             pos = body + size + (size % 2) // chunks are word-aligned
@@ -283,62 +300,53 @@ object Multimodal {
       Array(mean, std, if (dn == 0) 0.0 else diff / dn)
     }
 
+    /** Guarded ImageIO read — the single decode boundary both image ops
+      * share (one copy of the drop-on-undecodable rule). */
+    private def readImage(payload: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
+      Option(try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null })
+
+    /** Row-major packed RGB bytes of an image — the single getRGB→pack
+      * loop both image ops share. */
+    private def toRgbBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** REAL image decode via javax.imageio: encoded bytes → (width, height,
       * row-major packed RGB buffer). None = payload is not a decodable
       * image (the pipeline drops it rather than poisoning the batch). */
-    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-      val img = try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload)) catch { case _: Exception => null }
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val out = new Array[Byte](w * h * 3)
-        var y = 0; var i = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            out(i) = ((rgb >> 16) & 0xff).toByte
-            out(i + 1) = ((rgb >> 8) & 0xff).toByte
-            out(i + 2) = (rgb & 0xff).toByte
-            i += 3; x += 1
-          }
-          y += 1
-        }
-        Some((w, h, out))
-      }
-    }
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      readImage(payload).map(img => (img.getWidth, img.getHeight, toRgbBytes(img)))
 
     /** REAL image resize (AWT smooth-scaled thumbnail) → RGB buffer of the
       * target geometry. */
     def resizeImage(payload: Array[Byte], w: Int, h: Int)
-        : Option[Array[Byte]] = {
-      val img = try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload)) catch { case _: Exception => null }
-      if (img == null) None
-      else {
+        : Option[Array[Byte]] =
+      readImage(payload).map { img =>
         val dst = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = dst.createGraphics()
         g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING),
           0, 0, null)
         g.dispose()
-        val out = new Array[Byte](w * h * 3)
-        var y = 0; var i = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = dst.getRGB(x, y)
-            out(i) = ((rgb >> 16) & 0xff).toByte
-            out(i + 1) = ((rgb >> 8) & 0xff).toByte
-            out(i + 2) = (rgb & 0xff).toByte
-            i += 3; x += 1
-          }
-          y += 1
-        }
-        Some(out)
+        toRgbBytes(dst)
       }
-    }
 
     /** REAL audio decode via javax.sound.sampled (WAV/AIFF/AU, shipped
       * with the JDK): encoded bytes → (sampleRate, channels, mono PCM
@@ -414,8 +422,10 @@ object Multimodal {
     /** Frame sampling: every `stride`-th fixed-size window of the decoded
       * buffer (the video-frame-sampling access pattern). */
     def sampleFrames(buf: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+      // stride clamped like the sibling extractors: 0 threw Range's
+      // "step cannot be 0" on executors, negative silently sampled nothing
       if (frameSize <= 0 || buf.length < frameSize) Seq.empty
-      else (0 to (buf.length - frameSize) by (frameSize * stride))
+      else (0 to (buf.length - frameSize) by (frameSize * math.max(1, stride)))
         .map(off => buf.slice(off, off + frameSize))
 
     /** Resize = mean-pool the feature vector to a smaller dimension. */

@@ -26,18 +26,30 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Deterministic hash of a key column (+ optional seed), as a lowercase
-    * hex string. Changing the seed yields an independent shuffle/sample. */
+    * hex string. Changing the seed yields an independent shuffle/sample.
+    * A NULL key hashes as one sentinel value, not to NULL: md5(null) made
+    * every null-keyed row's keep-predicate NULL → silently dropped at any
+    * rate below 1.0 but kept at exactly 1.0 (the lit(true) shortcut of
+    * the old sampleKeep) — a discontinuous bias cliff. With the sentinel,
+    * all null-key rows decide together, like any other duplicated key. */
   def hashKey(key: Column, seed: String = ""): Column =
-    md5(concat(lit(seed), key.cast("string")))
+    md5(concat(lit(seed),
+      coalesce(key.cast("string"), lit("\u0000graft-null-key"))))
+
+  /** The 16-bit hex keep-threshold for a rate (granularity 1/65536).
+    * ONE encoding for both samplers — they had drifted once already. */
+  private def thrHex(r: Double): Column = {
+    require(r >= 0.0 && r <= 1.0, s"rate $r out of [0,1]")
+    // 'g' sorts above every hex digit: rate 1.0 keeps ALL rows (a 5-char
+    // "10000" threshold would string-compare below "2***" and drop them)
+    if (r >= 1.0) lit("g") else lit(f"${(r * 65536).toInt}%04x")
+  }
 
   /** Keep-predicate for a deterministic sample at `rate`: the row's md5
     * prefix (16 bits ⇒ rate granularity 1/65536) falls under the
     * threshold. Engine-portable: hex-string comparison, no int parsing. */
-  def sampleKeep(key: Column, rate: Double, seed: String = ""): Column = {
-    require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0,1]")
-    if (rate >= 1.0) lit(true)
-    else substring(hashKey(key, seed), 1, 4) < lit(f"${(rate * 65536).toInt}%04x")
-  }
+  def sampleKeep(key: Column, rate: Double, seed: String = ""): Column =
+    substring(hashKey(key, seed), 1, 4) < thrHex(rate)
 
   /** Domain-mixing keep-predicate: per-domain sampling rates (CASE over
     * the domain column), unknown domains get `default`. The standard
@@ -47,15 +59,9 @@ object Sampling {
       rates: Map[String, Double], default: Double = 1.0,
       seed: String = ""): Column = {
     val hex = substring(hashKey(key, seed), 1, 4)
-    def thr(r: Double): Column = {
-      require(r >= 0.0 && r <= 1.0, s"rate $r out of [0,1]")
-      // 'g' sorts above every hex digit: rate 1.0 keeps ALL rows (a 5-char
-      // "10000" threshold would string-compare below "2***" and drop them)
-      if (r >= 1.0) lit("g") else lit(f"${(r * 65536).toInt}%04x")
-    }
     val keep = rates.foldLeft(when(lit(false), lit("")): Column) {
-      case (acc, (dom, r)) => acc.when(domain === dom, thr(r))
-    }.otherwise(thr(default))
+      case (acc, (dom, r)) => acc.when(domain === dom, thrHex(r))
+    }.otherwise(thrHex(default))
     hex < keep
   }
 
@@ -67,9 +73,15 @@ object Sampling {
     * boundary stays with the bin it starts in). The window is PARTITIONED
     * by shard: no global sort at any scale. */
   def packBins(tokens: Column, shard: Column, order: Column,
-      budget: Long): Column = {
+      budget: Long, tieBreak: Seq[Column] = Nil): Column = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(shard).orderBy(order)
+    // the module contract is reproducible BY CONSTRUCTION, and a running
+    // cumsum over a NON-TOTAL order is not: two docs sharing an order key
+    // (crawl timestamp, say) get partitioning-dependent start offsets —
+    // a backfilled shard would reassemble different bins than the
+    // original run. Pass tieBreak columns whenever `order` alone is not
+    // unique within a shard (a unique doc id is the natural choice).
+    val w = Window.partitionBy(shard).orderBy(order +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     floor((sum(tokens).over(w) - tokens) / budget)
   }
@@ -95,8 +107,8 @@ object Sampling {
   /** Per-shard manifest of a packed corpus: doc/token counts per (shard,
     * bin) — the summary a training job reads to plan epochs. */
   def packManifest(df: DataFrame, tokens: Column, shard: Column,
-      order: Column, budget: Long): DataFrame =
-    df.withColumn("bin", packBins(tokens, shard, order, budget))
+      order: Column, budget: Long, tieBreak: Seq[Column] = Nil): DataFrame =
+    df.withColumn("bin", packBins(tokens, shard, order, budget, tieBreak))
       .groupBy(shard.as("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
 }

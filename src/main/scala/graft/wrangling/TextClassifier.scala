@@ -30,7 +30,10 @@ object TextClassifier {
     * occurrence, exactly the signal the char grams exist to carry. */
   def featureGrams(text: Column): Column = {
     val t = lower(coalesce(text, lit("")))
-    concat(split(t, "\\s+"),
+    // empties dropped: split on leading whitespace (and on empty/null
+    // text) emits "" — HashingTF hashed it into a real bucket, leaking
+    // "starts with whitespace / is empty" as a learned class signal
+    concat(filter(split(t, "\\s+"), w => w =!= ""),
       regexp_extract_all(t, lit("(?s)(?=(.{3}))"), lit(1)))
   }
 

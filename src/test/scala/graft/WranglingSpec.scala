@@ -395,9 +395,12 @@ class WranglingSpec extends AnyFunSuite {
     val Some((_, _, _, dec444)) = MediaCodec.decodeVideoY4M(hdr444 ++ f444)
     assert(dec444.size == 1 && dec444.head.length == 4)
 
-    // junk and truncated payloads rejected, not mangled
+    // junk and truncated payloads rejected, not mangled — including the
+    // ONE-byte truncation (the old bound omitted the FRAME newline's +1
+    // and zero-padded a fabricated pixel instead of returning None)
     assert(MediaCodec.decodeVideoY4M("not video".getBytes).isEmpty)
     assert(MediaCodec.decodeVideoY4M(y4m.dropRight(5)).isEmpty)
+    assert(MediaCodec.decodeVideoY4M(y4m.dropRight(1)).isEmpty)
 
     // descriptors: uniform frames stepping +10 -> mean/std/motion analytic
     val d = MediaCodec.videoDescriptors(dec)
@@ -438,6 +441,37 @@ class WranglingSpec extends AnyFunSuite {
     val maxErr = texDec.head.zip(tex).map { case (a, b) =>
       math.abs((a & 0xff) - (b & 0xff)) }.max
     assert(maxErr <= 8, s"JPEG error bound blown: $maxErr")
+
+    // a corrupt chunk with a NEGATIVE size field must decode as a drop,
+    // not loop forever (the loop-advance pos = body + size - pad used to
+    // re-read the same chunk for the life of the executor thread)
+    val corrupt = avi.clone()
+    // first chunk after the RIFF header starts at offset 12; poison its size
+    corrupt(16) = -8; corrupt(17) = -1; corrupt(18) = -1; corrupt(19) = -1
+    val done = new java.util.concurrent.CompletableFuture[Boolean]()
+    val t = new Thread(() => {
+      MediaCodec.decodeVideoAviMjpeg(corrupt); done.complete(true); ()
+    })
+    t.setDaemon(true); t.start()
+    assert(done.get(10, java.util.concurrent.TimeUnit.SECONDS),
+      "negative-size AVI chunk hung the decoder")
+
+    // frames whose embedded JPEG geometry disagrees with avih are DROPPED
+    // (mixed plane lengths crashed videoDescriptors with an AIOOBE outside
+    // the decoder's catch): splice a real 4x4 JPEG as an extra 00dc chunk
+    // onto the 8x8 stream — the walk reads appended chunks
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "jpg", baos)
+    val jp = baos.toByteArray
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val spliced = avi ++ "00dc".getBytes("US-ASCII") ++ le32(jp.length) ++
+      jp ++ (if (jp.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val Some((_, _, _, mixed)) = MediaCodec.decodeVideoAviMjpeg(spliced)
+    assert(mixed.size == 5 && mixed.forall(_.length == 64),
+      s"mismatched-geometry frame not dropped: ${mixed.map(_.length)}")
     // junk and truncation rejected; dispatching decode picks the container
     assert(MediaCodec.decodeVideoAviMjpeg("RIFFxxxxJUNK".getBytes).isEmpty)
     assert(MediaCodec.decodeVideo(avi).map(_._4.size).contains(5))
@@ -477,6 +511,16 @@ class WranglingSpec extends AnyFunSuite {
     // rate bounds: 0 keeps none, 1 keeps all
     assert(df.filter(Sampling.sampleKeep(col("id"), 0.0)).count() == 0)
     assert(df.filter(Sampling.sampleKeep(col("id"), 1.0)).count() == n)
+    // null keys: no discontinuity cliff — md5(null) used to NULL the
+    // predicate, silently dropping every null-key row at any rate < 1.0
+    // while rate 1.0 (a lit(true) shortcut) kept them; they now hash as
+    // one sentinel key and decide together, at every rate
+    val withNull = Seq(Some(7L), None).toDF("id")
+    assert(withNull.filter(Sampling.sampleKeep(col("id"), 1.0)).count() == 2)
+    assert(withNull.filter(Sampling.sampleKeep(col("id"), 0.9999, "s"))
+      .count() >= 1) // deterministic, not silently zero for the null row
+    assert(withNull.filter(Sampling.domainMixKeep(col("id"), lit("en"),
+      Map.empty, default = 1.0)).count() == 2) // agrees with sampleKeep(1.0)
 
     // domainMixKeep: en halved, de kept in full (the 'g' sentinel — a
     // naive "10000" threshold would drop ~15/16 of de)
