@@ -286,7 +286,7 @@ object Wrangling {
              |      || ' ip 10.0.0.' || CAST(c_custkey % 200 AS VARCHAR),
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g'),
-             |    '\+?\d{2,3}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g')
+             |    '(\+?\d{1,3}[-. ])?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g')
              |    AS scrubbed
              |FROM customer WHERE c_custkey <= 150 ORDER BY c_custkey""".stripMargin),
       Seq("pii_redaction", "scrubbing", "regexp")),

@@ -28,7 +28,9 @@ object TextOps {
     * groups counted as separate tokens (a cheap deterministic proxy for a
     * real tokenizer's token count). */
   def tokenCountBpeIsh(text: Column): Column =
-    size(split(text, "\\s+")) +
+    // the GUARDED tokenizer: a raw size(split(...)) counted the phantom
+    // "" token leading whitespace produces (and 1 for empty text)
+    tokenCount(text) +
       length(regexp_replace(text, "[^.,;:!?()\\[\\]{}\"']", "")) +
       size(filter(split(regexp_replace(text, "[^0-9 ]", ""), " "),
         w => length(w) > lit(0)))
@@ -107,7 +109,11 @@ object TextOps {
     val order = Seq("en", "de", "es", "fr", "zh")
     val scored = order.zipWithIndex.map { case (l, i) =>
       struct(langScore(text, l).as("s"), lit(-i).as("p"), lit(l).as("l")) }
-    array_max(array(scored: _*)).getField("l")
+    // NULL text is NULL, not "zh": the stopword scores go null on null
+    // input while zh's rlike-count branch yields 0, and struct ordering
+    // ranks nulls lowest — argmax silently labeled every null row Chinese
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(array_max(array(scored: _*)).getField("l"))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
@@ -121,7 +127,10 @@ object TextOps {
     * Scale shape: one explode, two keyed aggregations (term frequency per
     * doc, then document frequency per term — both partial-aggregable), the
     * corpus size N enters as a ONE-ROW broadcast (never a driver constant
-    * folded into the plan, never a second scan), and top-k is a per-doc
+    * folded into the plan). Counting N is one extra pass over the raw
+    * docs source — deliberate: deriving it from the cached tf side would
+    * miss zero-token documents, and the count scan is cheap next to the
+    * tokenize+shuffle the persist exists to dedup. Top-k is a per-doc
     * row_number window — keyed by doc_id, so no global sort and no skew
     * (a document's term set is bounded). tfidf is rounded BEFORE the
     * window order so cross-engine float ulps can't flip tie order; exact
@@ -156,10 +165,15 @@ object TextOps {
 
   /** Rolling polynomial hash over the token stream (document
     * fingerprinting with locality: equal prefixes → equal prefix hashes).
-    * aggregate() left-fold is order-preserving and codegen'd. */
+    * aggregate() left-fold is order-preserving and codegen'd. The fold is
+    * MODULAR (mod 1e9+7 each step, so acc*31 + h stays far from Long
+    * range): the unguarded acc*31 overflowed after ~10 tokens, and the
+    * session's ANSI mode turns long overflow into a job-aborting
+    * SparkArithmeticException — every real document threw. */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, w) => acc * lit(31L) + xxhash64(w) % lit(1000003L))
+      (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), lit(1000003L)),
+        lit(1000000007L)))
 
   /** Word n-gram shingles (distinct) — the unit of Jaccard similarity.
     * A document with fewer than n tokens has NO n-gram shingles: the empty
@@ -253,10 +267,19 @@ object TextOps {
     * converts; vanishingly rare in natural text. */
   val fixMojibake: Column => Column = {
     val f = udf((s: String) => if (s == null) null else {
-      val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-      catch { case _: java.nio.charset.CharacterCodingException => s }
+      // ONLY losslessly Latin-1-encodable strings round-trip: getBytes
+      // (ISO_8859_1) silently maps every char above U+00FF to '?', which
+      // IS valid UTF-8 — the decode-succeeds guard passed and CJK /
+      // Cyrillic / Greek / emoji text came back as '?' runs (silent,
+      // irreversible destruction of every non-Latin document). Genuine
+      // UTF-8-read-as-Latin-1 mojibake is <= U+00FF by construction.
+      if (!s.forall(_ <= '\u00ff')) s
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        catch { case _: java.nio.charset.CharacterCodingException => s }
+      }
     })
     c => f(c)
   }
@@ -311,7 +334,11 @@ object TextOps {
     * matters: emails first (their digits must not half-match as phones). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipPattern = "(\\d{1,3}\\.){3}\\d{1,3}"
-  val phonePattern = "\\+?\\d{2,3}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  /** Phone shapes: an OPTIONAL 1-3 digit lead (country/area prefix) then
+    * 3-3-4 — the mandatory 2-3 digit lead of the first cut never matched
+    * plain NANP numbers ("555-123-4567") or "+1 ..." (one-digit country
+    * code), leaving the dominant US/Canada phone shapes unredacted. */
+  val phonePattern = "(\\+?\\d{1,3}[-. ])?\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
 
   def redactPii(text: Column): Column =
     regexp_replace(

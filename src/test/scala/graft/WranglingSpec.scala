@@ -582,6 +582,11 @@ class WranglingSpec extends AnyFunSuite {
     assert(r(3).getAs[String]("red") ==
       "mail me <EMAIL> or <IP> tel <PHONE> ok")
     assert(r(4).getAs[String]("red") == "clean text with no pii at all")
+    // the dominant NANP shapes: plain 3-3-4 and a one-digit country code —
+    // the old mandatory 2-3 digit lead left BOTH unredacted
+    val nanp = Seq("call 555-123-4567 or +1 212.555.0199 now").toDF("text")
+      .select(TextOps.redactPii(col("text"))).collect()(0).getString(0)
+    assert(nanp == "call <PHONE> or <PHONE> now", nanp)
   }
 
   test("unicode hygiene: NFC/NFKC folding, mojibake repair is conservative") {
@@ -605,6 +610,17 @@ class WranglingSpec extends AnyFunSuite {
     assert(out("mojibake")._3 == "caf\u00e9")  // repaired
     assert(out("clean")._3 == "caf\u00e9")     // lone e-acute invalid UTF-8 -> kept
     assert(out("ascii")._3 == "plain text")     // ASCII round-trips untouched
+    // text above U+00FF passes through UNTOUCHED: the Latin-1 re-encode is
+    // lossy there ('?' for every such char, which IS valid UTF-8) — the
+    // old guard passed and destroyed every CJK/Cyrillic/emoji document
+    val intl = Seq(("zh", "\u65e5\u672c\u8a9e text"),
+      ("ru", "\u043f\u0440\u0438\u0432\u0435\u0442"),
+      ("emoji", "ok \ud83d\ude00")).toDF("k", "t")
+      .select(col("k"), graft.wrangling.TextOps.fixMojibake(col("t")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(intl("zh") == "\u65e5\u672c\u8a9e text", intl("zh"))
+    assert(intl("ru") == "\u043f\u0440\u0438\u0432\u0435\u0442")
+    assert(intl("emoji") == "ok \ud83d\ude00")
     // null safety
     val n = Seq((1, null: String)).toDF("k", "t")
       .select(graft.wrangling.TextOps.normalizeNfc(col("t"))).collect()(0)
@@ -829,6 +845,21 @@ class WranglingSpec extends AnyFunSuite {
       (TextOps.rollingHash(col("t1")) === TextOps.rollingHash(col("t2"))).as("eq"))
       .collect().map(_.getBoolean(0))
     assert(r(0) && !r(1))
+    // LONG documents hash instead of aborting: the unguarded acc*31 fold
+    // overflowed Long after ~10 tokens, which ANSI mode turns into a
+    // job-killing SparkArithmeticException — every real doc threw
+    val long1 = (1 to 200).map(i => s"w$i").mkString(" ")
+    val long2 = (1 to 200).map(i => s"w$i").mkString(" ") + " tail"
+    val lr = Seq((long1, long1), (long1, long2)).toDF("t1", "t2")
+      .select((TextOps.rollingHash(col("t1")) ===
+        TextOps.rollingHash(col("t2"))).as("eq"))
+      .collect().map(_.getBoolean(0))
+    assert(lr(0) && !lr(1))
+    // null text labels NULL, not "zh" (struct argmax ranked null scores
+    // below zh's 0-coalescing branch)
+    val nullLang = Seq((1, null: String)).toDF("k", "t")
+      .select(TextOps.langId(col("t"))).collect()(0)
+    assert(nullLang.isNullAt(0))
   }
 
   test("tokens: whitespace runs / tabs / newlines yield no empty tokens") {
