@@ -144,31 +144,50 @@ object AsOfJoin {
 
     // right rows pack their payload into one struct; left rows carry null.
     // side 0 = right sorts BEFORE side 1 = left at equal time in both
-    // directions, which is what makes the match inclusive.
-    val rPre = right.select(
+    // directions, which is what makes the match inclusive. NULL-time
+    // right rows are dropped up front: under SQL semantics (null <= t is
+    // null) they can match nothing, but asc ordering sorts nulls FIRST,
+    // so an unfiltered null-time right row was picked up by last() for
+    // every left row older than all real rights — a fabricated match the
+    // smallRight lowering (whose history filter drops null __rt) never
+    // produced.
+    val payload = struct(col(rightTime).as("__rt") +: rightVals.map(col): _*)
+    // the common case — an orderable payload struct IS its own canonical
+    // tie key (field-for-field what tieStruct would build), so shipping a
+    // separate __tie column through the key shuffle doubled right-row
+    // width for nothing; only map-carrying payloads need the canonical
+    // key column (same branch smallRight takes)
+    val payloadOrderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.select(payload).schema.head.dataType)
+    val rPre = right.filter(col(rightTime).isNotNull).select(
       on.map(col) ++ Seq(
         col(rightTime).as("__t"),
-        struct(col(rightTime).as("__rt") +: rightVals.map(col): _*).as("__r"),
-        tieStruct(right, rightTime, rightVals).as("__tie"),
-        lit(0).as("__side")): _*)
+        payload.as("__r"),
+        lit(0).as("__side")) ++
+        (if (payloadOrderable) Nil
+         else Seq(tieStruct(right, rightTime, rightVals).as("__tie"))): _*)
     val rType = rPre.schema("__r").dataType
-    val tieType = rPre.schema("__tie").dataType
-    val lPre = left
+    val lPre0 = left
       .withColumn("__t", col(leftTime))
       .withColumn("__r", lit(null).cast(rType))
-      .withColumn("__tie", lit(null).cast(tieType))
       .withColumn("__side", lit(1))
+    val lPre =
+      if (payloadOrderable) lPre0
+      else lPre0.withColumn("__tie",
+        lit(null).cast(rPre.schema("__tie").dataType))
 
     val ord = if (fwd) col("__t").desc else col("__t").asc
-    // `__tie asc` breaks duplicate-(key, time) right rows by max CANONICAL
-    // tie key — the row sorting LAST wins under last() — mirroring
+    // the tie order breaks duplicate-(key, time) right rows by max
+    // CANONICAL key — the row sorting LAST wins under last() — mirroring
     // backwardSmallRight's element_at(-1) over its sorted history, so the
     // winner is partitioning-independent, map-carrying payloads included
     // (canonical keys are orderable by construction; the payload struct
-    // itself may not be). Left rows carry a null __tie and always sort by
-    // (__t, __side) alone.
+    // itself may not be). Left rows carry a null tie column and always
+    // sort by (__t, __side) alone.
+    val tieOrd = if (payloadOrderable) col("__r").asc else col("__tie").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(ord, col("__side").asc, col("__tie").asc)
+      .orderBy(ord, col("__side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lPre.unionByName(rPre, allowMissingColumns = true)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -177,7 +196,11 @@ object AsOfJoin {
     val lSec = TimeAxis.seconds(left.schema(leftTime).dataType, col("__t"))
     val rSec = TimeAxis.seconds(right.schema(rightTime).dataType, col("__m.__rt"))
     val dist = if (fwd) rSec - lSec else lSec - rSec
-    val ok = toleranceSec.foldLeft(col("__m").isNotNull)(
+    // `__t.isNotNull`: a NULL-time LEFT row matches nothing (null <= t is
+    // null in SQL) — under desc ordering nulls sort LAST, so the forward
+    // lowering's window otherwise handed such rows the earliest right row
+    val ok = toleranceSec.foldLeft(
+      col("__m").isNotNull && col("__t").isNotNull)(
       (acc, tol) => acc && dist <= lit(tol))
     matched.select(
       left.columns.map(col) ++

@@ -27,6 +27,7 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Double, on: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    requireNoBin(points, intervals)
     val clash = intervals.columns.diff(on).intersect(points.columns.diff(on))
     require(clash.isEmpty,
       s"interval columns clash with point columns: ${clash.mkString(", ")} — alias them first")
@@ -52,13 +53,22 @@ object RangeJoin {
       b: DataFrame, bLo: String, bHi: String,
       binWidth: Double, on: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    requireNoBin(a, b)
     val clash = a.columns.diff(on).intersect(b.columns.diff(on))
     require(clash.isEmpty,
       s"left/right columns clash: ${clash.mkString(", ")} — alias them first")
     def bin(df: DataFrame, c: String) =
       floor(TimeAxis.seconds(df, c) / binWidth).cast("long")
-    val ax = a.withColumn("__bin", explode(sequence(bin(a, aLo), bin(a, aHi))))
-    val bx = b.withColumn("__bin", explode(sequence(bin(b, bLo), bin(b, bHi))))
+    // WELL-FORMED intervals only (lo <= hi): an inverted interval is
+    // empty and overlaps nothing, but the symmetric aLo<=bHi && bLo<=aHi
+    // test is only a valid overlap predicate for well-formed inputs —
+    // [10,0] against [0,10] passed it (and its DESCENDING bin sequence
+    // still covered the canonical bin), emitting a pair whose
+    // intersection is empty per the doc contract
+    val aw = a.filter(col(aLo) <= col(aHi))
+    val bw = b.filter(col(bLo) <= col(bHi))
+    val ax = aw.withColumn("__bin", explode(sequence(bin(aw, aLo), bin(aw, aHi))))
+    val bx = bw.withColumn("__bin", explode(sequence(bin(bw, bLo), bin(bw, bHi))))
     // canonical bin of the overlap start — greatest() is computed on the
     // joined frame, so lower each side's type individually
     val aLoSec = TimeAxis.seconds(a.schema(aLo).dataType, col(aLo))
@@ -69,4 +79,13 @@ object RangeJoin {
           greatest(aLoSec, bLoSec) / binWidth).cast("long"))
       .drop("__bin")
   }
+
+  /** `__bin` is this module's reserved name — withColumn would silently
+    * OVERWRITE a caller column of that name, key the join on the synthetic
+    * value, and drop() would erase it from the output (AsOfJoin's
+    * reserved-name rule applied here). */
+  private def requireNoBin(dfs: DataFrame*): Unit =
+    dfs.foreach(df => require(!df.columns.contains("__bin"),
+      "range join: an input already carries a '__bin' column — rename it " +
+        "first (reserved by the binning lowering)"))
 }

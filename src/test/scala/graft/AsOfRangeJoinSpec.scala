@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{AsOfJoin, RangeJoin}
+import graft.ops.{AsOfJoin, RangeJoin, SkewJoin}
 
 class AsOfRangeJoinSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -174,6 +174,60 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     val top = withNull.maxBy(Seq(col("k")), Seq(col("t")))
       .collect().map(_.getAs[Map[String, Map[String, Int]]]("mv")).toSeq
     assert(top == Seq(Map("m" -> Map("y" -> 2))), s"maxBy got $top")
+  }
+
+  test("asof NULL times match nothing, in both lowerings and directions") {
+    import spark.implicits._
+    // null-time RIGHT rows sort FIRST under asc (Spark nulls-first) and
+    // used to be picked up by last() for any left row older than every
+    // real right; null-time LEFT rows sort LAST under desc and grabbed
+    // the earliest right in the forward lowering
+    val l = Seq(("a", Some(5L), "early"), ("a", None: Option[Long], "null-t"))
+      .toDF("k", "t", "lv")
+    val r = Seq(("a", Some(20L), "r20"), ("a", None: Option[Long], "rNull"))
+      .toDF("k", "t", "rv")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => row.getAs[String]("lv") ->
+        Option(row.getAs[String]("rv"))).toMap
+    val back = m(AsOfJoin.backward(l, r, Seq("k"), "t", "t"))
+    assert(back == Map("early" -> None, "null-t" -> None), s"backward $back")
+    assert(back == m(AsOfJoin.backwardSmallRight(l, r, Seq("k"), "t", "t")))
+    val fwd = m(AsOfJoin.forward(l, r, Seq("k"), "t", "t"))
+    assert(fwd == Map("early" -> Some("r20"), "null-t" -> None), s"forward $fwd")
+  }
+
+  test("salted join guards: outer alias, reserved __salt, constant-salt no-op") {
+    import spark.implicits._
+    val skewed = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val other = Seq((1L, 9.0)).toDF("k", "w")
+    // "outer" normalizes to FULL OUTER in Spark — the alias must reject
+    // like the spelled-out forms (it used to slip through and duplicate
+    // every unmatched replicated row salt times)
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedJoin(skewed, other, Seq("k"), 4, joinType = "outer"))
+    // a caller __salt column would be silently overwritten and dropped
+    intercept[IllegalArgumentException](SkewJoin.saltedJoin(
+      skewed.withColumn("__salt", lit(1)), other, Seq("k"), 4))
+    // all hashable columns being join keys makes the salt constant per
+    // key — a silent no-op with salt-times replication cost: loud reject
+    val keyOnly = Seq((1L, Map("a" -> 1)), (1L, Map("b" -> 2))).toDF("k", "m")
+    val e = intercept[IllegalArgumentException](
+      SkewJoin.saltedJoin(keyOnly, other, Seq("k"), 4))
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
+
+  test("interval overlap: inverted (empty) intervals match nothing; __bin reserved") {
+    import spark.implicits._
+    val a = Seq(("i1", 10.0, 0.0), ("i2", 0.0, 5.0)).toDF("aid", "alo", "ahi")
+    val b = Seq(("j1", 0.0, 10.0)).toDF("bid", "blo", "bhi")
+    // [10,0] is EMPTY — the symmetric overlap test alone passed it
+    val got = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi",
+      binWidth = 5.0).select("aid", "bid").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("i2", "j1")), s"got $got")
+    intercept[IllegalArgumentException](RangeJoin.pointInInterval(
+      Seq((1.0, 2L)).toDF("x", "__bin"), "x",
+      b, "blo", "bhi", binWidth = 5.0))
   }
 
   test("asof keeps every left row (left-join semantics)") {
