@@ -66,9 +66,18 @@ object Zascii {
         i = j
       } else if (c == ' ' || c == '\t' || lineArt(c)) i += 1
       else {
+        // bracket-aware: '-' is shaft art OUTSIDE a key bracket but a
+        // legal key character INSIDE one (EtPat's key class allows it) —
+        // the blanket lineArt stop split "ET.User[bob-1]" at the hyphen
+        // into two junk tokens neither of which matched the grammar
         var j = i
-        while (j < line.length && !line(j).isWhitespace &&
-          line(j) != '"' && !lineArt(line(j))) j += 1
+        var inBracket = false
+        while (j < line.length && !line(j).isWhitespace && line(j) != '"' &&
+          (!lineArt(line(j)) || (inBracket && line(j) == '-'))) {
+          if (line(j) == '[') inBracket = true
+          else if (line(j) == ']') inBracket = false
+          j += 1
+        }
         out += Tok(lineNo, i, j, line.substring(i, j))
         i = j
       }

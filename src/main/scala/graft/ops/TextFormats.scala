@@ -25,17 +25,41 @@ object TextFormats {
     val raw = raw0.trim
     if (raw.length >= 2 && ((raw.head == '"' && raw.last == '"') ||
         (raw.head == '\'' && raw.last == '\'')))
-      return raw.substring(1, raw.length - 1)
-        .replace("\\n", "\n").replace("\\t", "\t").replace("\\\"", "\"")
+      return unescape(raw.substring(1, raw.length - 1))
     raw match {
       case "" | "~" | "null" => null
       case "true" => true
       case "false" => false
-      case IntRe() => raw.toLong
+      // beyond-Long integers degrade to Double (then string) instead of
+      // one NumberFormatException killing the whole UDF task
+      case IntRe() => scala.util.Try(raw.toLong)
+        .orElse(scala.util.Try(raw.toDouble)).getOrElse(raw)
       case s if FloatRe.matches(s) && (s.contains('.') || s.contains('e') ||
         s.contains('E')) => s.toDouble
       case s => s
     }
+  }
+
+  /** Left-to-right unescape of a quoted scalar — sequential replace()
+    * calls corrupted adjacent escapes ("a\\nb" became a,\,NEWLINE,b:
+    * the \n replace consumed the second backslash) and never collapsed
+    * \\ at all (Windows paths kept doubled backslashes). */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => out += '\n'; i += 2
+          case 't' => out += '\t'; i += 2
+          case '"' => out += '"'; i += 2
+          case '\\' => out += '\\'; i += 2
+          case other => out += c; out += other; i += 2
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   // ------------------------------------------------------------------
@@ -68,13 +92,16 @@ object TextFormats {
           } else { items += null; i += 1 } // trailing/blank '-' = null item
         } else if (body.contains(": ") || body.endsWith(":")) {
           // inline first key of a mapping item: re-parse as a mini map by
-          // treating the dash position as extra indentation
-          val itemIndent = indent + 2
+          // treating the dash position as extra indentation. The item's
+          // indent is the key's TRUE column ("-" + the actual run of
+          // spaces) — a hardcoded +2 lost every sibling key of a
+          // "-  a: 1" item (two spaces after the dash is valid YAML)
+          val afterDash = lines(i)._2.drop(1)
+          val itemIndent = indent + 1 + afterDash.indexWhere(_ != ' ')
           var j = i + 1
           val sub = Vector.newBuilder[(Int, String)]
           sub += ((itemIndent, body))
-          while (j < lines.length && lines(j)._1 >= itemIndent &&
-              !(lines(j)._1 == indent && lines(j)._2.startsWith("-"))) {
+          while (j < lines.length && lines(j)._1 >= itemIndent) {
             sub += lines(j); j = j + 1
           }
           items += parseLines(sub.result())
@@ -105,7 +132,15 @@ object TextFormats {
     // dash position acts as the extra indentation level)
     def parseLines(ls: Vector[(Int, String)]): Any =
       fromYaml(ls.map { case (ind, s) => (" " * ind) + s }.mkString("\n"))
-    if (lines.isEmpty) null else parseBlock(0, lines(0)._1)._1
+    if (lines.isEmpty) null
+    else {
+      val (v, next) = parseBlock(0, lines(0)._1)
+      // loud, not lossy: the top-level block must consume the document —
+      // a malformed/mixed-structure tail used to be silently discarded
+      require(next >= lines.length,
+        s"YAML: unparsed content at '${lines(next)._2}' — check indentation")
+      v
+    }
   }
 
   /** Quote-aware YAML comment strip: '#' starts a comment only OUTSIDE
@@ -117,7 +152,12 @@ object TextFormats {
     var i = 0
     while (i < line.length) {
       val c = line(i)
-      if (inQ) { if (c == q) inQ = false }
+      // escape-aware inside double quotes: \" used to flip the in-quote
+      // state and a later '#' truncated the quoted value as a comment
+      if (inQ) {
+        if (c == '\\' && q == '"' && i + 1 < line.length) i += 1
+        else if (c == q) inQ = false
+      }
       else if (c == '"' || c == '\'') { inQ = true; q = c }
       else if (c == '#' &&
         (i == 0 || line(i - 1) == ' ' || line(i - 1) == '\t'))
@@ -132,7 +172,10 @@ object TextFormats {
     var i = 0
     while (i < line.length) {
       val c = line(i)
-      if (inQ) { if (c == q) inQ = false }
+      if (inQ) {
+        if (c == '\\' && q == '"' && i + 1 < line.length) i += 1
+        else if (c == q) inQ = false
+      }
       else if (c == '"' || c == '\'') { inQ = true; q = c }
       else if (c == ':' && (i + 1 >= line.length || line(i + 1) == ' ')) return i
       i += 1
@@ -204,8 +247,15 @@ object TextFormats {
   }
   private def scalarOut(x: Any): String = x match {
     case null => "null"
-    case s: String => if (s.matches("[A-Za-z0-9_ .-]*") && s.nonEmpty) s
-      else "\"" + s.replace("\"", "\\\"") + "\""
+    case s: String =>
+      // plain ONLY if it re-parses as the same string: "true"/"null"/
+      // "123"/"1.5" emitted bare silently changed TYPE on the round-trip,
+      // and leading/trailing spaces were trimmed away on re-parse
+      val plain = s.nonEmpty && s.trim == s &&
+        s.matches("[A-Za-z0-9_ .-]*") &&
+        (scalar(s) match { case _: String => true; case _ => false })
+      if (plain) s
+      else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // empty collections fall through the nonEmptyColl block branches —
     // emit YAML flow forms, not Scala debris ("Vector()")
     case m: Map[_, _] if m.isEmpty => "{}"
@@ -249,7 +299,10 @@ object TextFormats {
     var i = 0
     while (i < line.length) {
       val c = line(i)
-      if (inQ) { if (c == q) inQ = false }
+      if (inQ) {
+        if (c == '\\' && q == '"' && i + 1 < line.length) i += 1
+        else if (c == q) inQ = false
+      }
       else if (c == '"' || c == '\'') { inQ = true; q = c }
       else if (c == '#') return line.take(i)
       i += 1
@@ -273,6 +326,9 @@ object TextFormats {
     case m: Map[_, _] => m.map { case (k, x) =>
       toJson(k.toString) + ":" + toJson(x) }.mkString("{", ",", "}")
     case xs: Seq[_] => xs.map(toJson).mkString("[", ",", "]")
+    // non-finite doubles are not JSON ("Infinity"/"NaN" poison every
+    // downstream from_json) — null, loudly documented, is the JSON answer
+    case d: Double if d.isNaN || d.isInfinite => "null"
     case n => n.toString
   }
 

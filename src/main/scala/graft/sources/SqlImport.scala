@@ -74,6 +74,23 @@ object SqlImport {
       GraphEncoder.encodeEntities(t, e.et, e.keyCol, e.fieldCols, instSlice)
     }
     val rels = mapping.relations.map { r =>
+      // relations get the same loud validation entities get: a NULL FK
+      // (concat() nulls the whole id — atoms with null atom_id/src/dst
+      // flowed straight into the graph) and a duplicated (src, dst) pair
+      // (two atoms under ONE scheme id) were both silent
+      import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+      val t = tables(r.table)
+      val nulls = t.filter(col(r.srcKeyCol).isNull || col(r.dstKeyCol).isNull)
+        .limit(1).count()
+      require(nulls == 0,
+        s"SqlImport: ${r.table} carries NULL ${r.srcKeyCol}/${r.dstKeyCol} " +
+          "values — filter orphan FK rows before importing")
+      val rc = t.agg(count(lit(1)),
+        count_distinct(col(r.srcKeyCol), col(r.dstKeyCol))).collect()(0)
+      require(rc.getLong(0) == rc.getLong(1),
+        s"SqlImport: ${r.table} repeats (${r.srcKeyCol}, ${r.dstKeyCol}) " +
+          s"pairs (${rc.getLong(0)} rows, ${rc.getLong(1)} distinct) — " +
+          "each pair becomes ONE relation atom id; dedupe the link table")
       GraphEncoder.encodeRelations(tables(r.table), r.rt,
         r.srcEt, r.srcKeyCol, r.dstEt, r.dstKeyCol, instSlice)
     }
@@ -90,13 +107,19 @@ object SqlImport {
     // single-assignment stamp below would then make latestValues' filter-
     // only fast path return both rows. One distinct count over the union
     // closes that loudly (import-time only).
-    if (encoded.size > 1) {
+    if (encoded.nonEmpty) {
+      // runs for ONE entry too: a single EntityMap with a duplicated
+      // fieldCol emits two identical value rows per entity — the
+      // per-table key check passes, and skipping this for size==1 let
+      // the single-assignment stamp put latestValues' filter-only fast
+      // path on a graph with duplicate rows (the exact silent corruption
+      // this check exists to prevent)
       import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
       val vc = values.agg(count(lit(1)), count_distinct(col("ae_id"))).collect()(0)
       require(vc.getLong(0) == vc.getLong(1),
-        s"SqlImport: ${vc.getLong(0) - vc.getLong(1)} colliding ae_ids across " +
-          "mapping entries — two entries map the same entity type with " +
-          "overlapping keys")
+        s"SqlImport: ${vc.getLong(0) - vc.getLong(1)} colliding ae_ids — " +
+          "either two entries map the same entity type with overlapping " +
+          "keys, or one entry repeats a fieldCol")
     }
     // one value row per AE at one slice via the encoder's scheme ids —
     // as-of reads take Graph.latestValues' single-assignment fast path

@@ -289,6 +289,15 @@ class GraphCoreSpec extends AnyFunSuite {
         |ET.A[a] --------> ET.B[b]
         |""".stripMargin)
     assert(ascii.contains(PutRelation("Likes", "a", "b", "a>b:Likes")))
+    // HYPHENATED keys: EtPat's key class allows '-', but the tokenizer
+    // treated it as shaft art and split "ET.User[bob-1]" into junk —
+    // bracket-aware scanning keeps the key whole
+    val hyph = Zascii.parse(
+      """            RT.Likes
+        |ET.A[bob-1] --------> ET.B[x-2]
+        |""".stripMargin)
+    assert(hyph.contains(PutRelation("Likes", "bob-1", "x-2", "bob-1>x-2:Likes")),
+      hyph.toString)
     // malformed figures fail loudly, not silently
     assertThrows[IllegalArgumentException] {
       Zascii.parse("ET.A[a] ────► ET.B[b]") // no label

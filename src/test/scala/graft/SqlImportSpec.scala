@@ -91,6 +91,16 @@ class SqlImportSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SqlImport.importGraph(spark, dbUrl, Mapping(Nil, Nil), props)
     }
+    // a SINGLE entry with a duplicated fieldCol also rejects: the ae_id
+    // check used to run only for size > 1, so one EntityMap emitting two
+    // identical value rows per entity was stamped single-assignment and
+    // latestValues' filter-only fast path returned both
+    val dupField = Mapping(entities = Seq(
+      EntityMap("PERSON", "Person", "ID", Seq("NAME", "NAME"))))
+    val exDup = intercept[IllegalArgumentException] {
+      SqlImport.importGraph(spark, dbUrl, dupField, props)
+    }
+    assert(exDup.getMessage.contains("colliding ae_ids"), exDup.getMessage)
   }
 
   test("partitioned JDBC read produces the same graph") {

@@ -65,6 +65,33 @@ class TextFormatsSpec extends AnyFunSuite {
     assert(TextFormats.fromYaml(TextFormats.toYaml(tree)) == tree)
   }
 
+  test("YAML: type-faithful round-trips, escapes, loud tails, deep dash items") {
+    import graft.ops.TextFormats._
+    // type-ambiguous STRINGS survive the round-trip quoted: emitted bare,
+    // "true"/"123"/"1.5"/"null"/" x" all came back as different TYPES
+    val tricky = Map("a" -> "true", "b" -> "123", "c" -> "1.5",
+      "d" -> "null", "e" -> " padded ", "f" -> true, "g" -> 123L)
+    assert(fromYaml(toYaml(tricky)) == tricky)
+    // left-to-right unescape: "a\\nb" is a,BACKSLASH,n,b (the old chained
+    // replace turned it into a newline); Windows paths keep single slashes
+    assert(scalar("\"a\\\\nb\"") == "a\\nb")
+    assert(scalar("\"C:\\\\dir\"") == "C:\\dir")
+    // a backslash-escaped quote does not flip comment/colon tracking
+    assert(fromYaml("k: \"a\\\" # b\"").asInstanceOf[Map[String, Any]]("k")
+      == "a\" # b")
+    // beyond-Long integers degrade instead of NumberFormatException
+    assert(scalar("123456789012345678901234567890") ==
+      1.2345678901234568e29)
+    // non-finite doubles bridge to JSON null, not invalid 'Infinity'
+    assert(yamlToJson("a: 1e999") == "{\"a\":null}")
+    // a '- ' item with EXTRA spaces keeps its sibling keys (the hardcoded
+    // +2 item indent dropped every key after the first)
+    assert(fromYaml("-  a: 1\n   b: 2") ==
+      Vector(Map("a" -> 1L, "b" -> 2L)))
+    // unconsumed tails are LOUD, not silently discarded
+    intercept[IllegalArgumentException](fromYaml("a: 1\n - x"))
+  }
+
   test("TOML: tables, dotted headers, arrays, comments") {
     val doc =
       """title = "graft" # inline comment
