@@ -66,18 +66,35 @@ final case class FlatGraph(atoms: Vector[AtomRow], values: Vector[ValueRow]) {
     * no tag table). */
   def insert(wishes: Seq[Wish], slice: Int = nextSlice): FlatGraph = {
     import Transactor.{atomId, aeId, fieldRelId}
-    val entityIds = wishes.collect {
-      case PutEntity(et, key) => key -> atomId(Kind.Entity, et, key) }.toMap
-    val relationIds = wishes.collect {
+    val entityPairs = wishes.collect {
+      case PutEntity(et, key) => key -> atomId(Kind.Entity, et, key) }
+    val entityIds = entityPairs.toMap
+    val relationPairs = wishes.collect {
       case PutRelation(rt, s0, d0, key) =>
         val k = Option(key).getOrElse(s"$s0-$d0")
         k -> atomId(Kind.Relation, rt, k)
-    }.toMap
-    def ref(key: String): String =
+    }
+    val relationIds = relationPairs.toMap
+    // the SAME rejections Transactor applies — the parity contract is
+    // "transact the same wish list and land on identical rows", so a
+    // list the cluster path rejects must reject here too, not silently
+    // resolve a bare key to a different atom than the publish would
+    val ambiguous = (entityPairs ++ relationPairs).groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size > 1).keySet
+    locally {
+      val dup = entityIds.keySet.intersect(relationIds.keySet)
+      require(dup.isEmpty,
+        s"insert: keys name both an entity and a relation: $dup")
+    }
+    def ref(key: String): String = {
+      require(!ambiguous.contains(key),
+        s"insert: key '$key' names atoms of DIFFERENT types in this " +
+          "wish list — reference it by full atom_id")
       entityIds.getOrElse(key, relationIds.getOrElse(key,
         if (key.contains(":")) key
         else throw new IllegalArgumentException(
           s"unknown key '$key' — pass a full atom_id for existing atoms")))
+    }
 
     val out = scala.collection.mutable.ArrayBuffer[AtomRow](atoms: _*)
     def alive(id: String): Boolean =
@@ -166,7 +183,14 @@ object FlatGraph {
     val aeIds = fieldRels.select(col("dst_id").as("atom_id"))
     val allIds = ids.unionByName(fieldRels.select("atom_id"))
       .unionByName(aeIds).distinct()
+    // terminations in the frame's FUTURE are nulled: every surviving row
+    // is alive AT the snapshot slice by construction, but FlatGraph's
+    // alive-views filter term_slice.isEmpty — an atom terminated at
+    // slice+1 read as DEAD in the collected snapshot (empty all(),
+    // field() None, and insert() appending a duplicate open interval)
     val atoms = g.atoms.filter(Graph.aliveAt(slice))
+      .withColumn("term_slice",
+        when(col("term_slice") > slice, lit(null)).otherwise(col("term_slice")))
       .join(allIds, "atom_id")
       .as[AtomRow].collect().toVector.sortBy(_.atom_id)
     // values filtered DISTRIBUTED by joining the collected AE id set (small

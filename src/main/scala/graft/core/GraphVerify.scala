@@ -91,7 +91,14 @@ object GraphVerify {
       .filter(col(s"e.__ei") <= col("r.inst_slice") &&
         col("r.inst_slice") < col("e.__et"))
       .select(col("r.atom_id"), col("r.inst_slice")).distinct()
-    val uncovered = resolvedRels.select(col("atom_id"), col("inst_slice"))
+    // born-dead relations (term_slice == inst_slice) are EXEMPT: the
+    // write path legitimately creates them when one tx both terminates an
+    // endpoint and PutFields it (the cascade closes the new field relation
+    // in the same slice), and such rows are visible in NO frame — flagging
+    // them failed isHealthy on graphs the Transactor itself produced
+    val visibleRels = resolvedRels.filter(
+      col("term_slice").isNull || col("term_slice") =!= col("inst_slice"))
+    val uncovered = visibleRels.select(col("atom_id"), col("inst_slice"))
       .except(coveredAtOpen("src_id").intersect(coveredAtOpen("dst_id")))
       .select(col("atom_id"),
         concat(lit("endpoint dead at open slice "), col("inst_slice")).as("detail"))

@@ -75,11 +75,19 @@ object FnRegistry {
   }
 
   private def lookupUncached(slice: GraphSlice, name: String): Option[ZefFunction] = {
-    import org.apache.spark.sql.functions.{col, lit, max_by}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max_by, struct, when}
     val g = slice.graph
+    // the SAME canonical tie key byTag uses (tombstone outranks a
+    // binding, then max atom_id): a bare max_by(_, tx_slice) resolved a
+    // same-slice duplicate (merged/hand-built graphs) to a
+    // partition-order-dependent winner — invoke() could dispatch to a
+    // different persisted hash across identical reads of one frame
     val bound = g.tags
       .filter(col("tag") === lit(s"fn:$name") && col("tx_slice") <= slice.slice)
-      .agg(max_by(col("atom_id"), col("tx_slice")).as("atom_id"))
+      .agg(max_by(col("atom_id"),
+        struct(col("tx_slice"),
+          when(col("atom_id").isNull, 1).otherwise(0).as("__tomb"),
+          coalesce(col("atom_id"), lit("")).as("__id"))).as("atom_id"))
       .collect().headOption.flatMap(r => Option(r.getString(0)))
     bound.flatMap { atomId =>
       val srcAe = Transactor.aeId(atomId, "Source", "")

@@ -19,11 +19,24 @@ object StructOps {
         val path = prefix :+ f.name
         f.dataType match {
           case s: StructType => fieldPaths(s, path)
-          case _ => Seq(path -> col(path.mkString(".")))
+          // backtick-quoted per segment: a field (or column) name
+          // containing '.' otherwise parses as extra nesting levels and
+          // fails analysis (legal in StructType, common from JSON)
+          case _ => Seq(path ->
+            col(path.map(seg => "`" + seg.replace("`", "``") + "`")
+              .mkString(".")))
         }
       }
-    val cols = fieldPaths(df.schema, Nil).map { case (p, c) => c.as(p.mkString(sep)) }
-    df.select(cols: _*)
+    val paths = fieldPaths(df.schema, Nil)
+    val names = paths.map(_._1.mkString(sep))
+    // loud, not ambiguous: a flattened path colliding with another (a_b
+    // beside struct a{b}) emitted two same-named columns, and every later
+    // reference died with AMBIGUOUS_REFERENCE far from the cause
+    val dup = names.groupBy(identity).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"flattenStruct: flattened names collide: ${dup.mkString(", ")} — " +
+        "pick a different sep or rename before flattening")
+    df.select(paths.zip(names).map { case ((_, c), n) => c.as(n) }: _*)
   }
 
   /** zef `unflatten_dict`: rebuild nested structs from `sep`-joined column
@@ -39,12 +52,22 @@ object StructOps {
     require(clash.isEmpty,
       s"unflattenStruct: bare column(s) ${clash.mkString(", ")} collide with " +
         s"group prefixes of the same name — rename before unflattening")
-    val cols: Seq[Column] = groups.toSeq.sortBy(_._1).flatMap {
-      case ("", flat) => flat.toSeq.sorted.map(col)
-      case (prefix, members) =>
-        Seq(struct(members.toSeq.sorted.map { m =>
-          col(m).as(m.split(java.util.regex.Pattern.quote(sep), 2)(1))
+    // ORDER-FAITHFUL inverse: emit columns in their original positions
+    // (each struct at its first member's position, members in column
+    // order) — the old alphabetical sort reordered fields and top-level
+    // columns, silently breaking positional consumers of the declared
+    // "inverse of flattenStruct" (union by position, parquet
+    // schema-compat, Row index access)
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val emitted = scala.collection.mutable.Set.empty[String]
+    val cols: Seq[Column] = df.columns.toSeq.flatMap { c =>
+      val prefix = if (c.contains(sep)) c.split(qsep, 2)(0) else ""
+      if (prefix == "") Seq(col(c))
+      else if (emitted.add(prefix))
+        Seq(struct(groups(prefix).toSeq.map { m =>
+          col(m).as(m.split(qsep, 2)(1))
         }: _*).as(prefix))
+      else Nil
     }
     df.select(cols: _*)
   }

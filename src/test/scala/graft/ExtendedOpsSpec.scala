@@ -195,5 +195,26 @@ class ExtendedOpsSpec extends AnyFunSuite {
       StructOps.unflattenStruct(clash)
     }
     assert(ex.getMessage.contains("collide"))
+    // flatten is loud on its mirror-image collision too (a_b beside
+    // struct a{b} emitted two same-named columns — AMBIGUOUS_REFERENCE
+    // far from the cause)
+    val fc = Seq((1, 2)).toDF("a_b", "x")
+      .withColumn("a", struct(lit(9).as("b")))
+    val exF = intercept[IllegalArgumentException](StructOps.flattenStruct(fc))
+    assert(exF.getMessage.contains("collide"))
+    // dotted FIELD names resolve (backtick-quoted segments; a field named
+    // "a.b" used to parse as extra nesting and fail analysis)
+    val dotted = Seq((1, 2)).toDF("id", "v")
+      .select(col("id"), struct(col("v").as("a.b")).as("s"))
+    val df2 = StructOps.flattenStruct(dotted)
+    assert(df2.columns.toSeq == Seq("id", "s_a.b"))
+    // unflatten is ORDER-FAITHFUL: struct field order and column
+    // positions come back as flattened (alphabetical sorting silently
+    // reordered positional consumers)
+    val ordered = Seq((1, 9, 8, 7)).toDF("z", "m_b", "m_a", "tail")
+    val uf = StructOps.unflattenStruct(ordered)
+    assert(uf.columns.toSeq == Seq("z", "m", "tail"))
+    assert(uf.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("b", "a"))
   }
 }

@@ -74,6 +74,45 @@ class FxSpec extends AnyFunSuite {
     assert(flat.field("e:Q/c", "Name").isEmpty)
   }
 
+  test("FlatGraph snapshot of a HISTORICAL frame reads future-terminated atoms as alive") {
+    // fixture data deliberately DISTINCT from every other suite's (same
+    // wish list => same LocalRelation => canonically EQUAL plans => ONE
+    // CacheManager entry shared across concurrent suites, and a release
+    // in either suite drops the other's cache — the test-collision class
+    // NestedInfer's AE-collision guard documents)
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("FgSnap", "fgs1"), PutField("fgs1", "FgName", "SnapAnn")))
+    val (g2, _) = Transactor.transact(g1, Seq(TerminateAtom("e:FgSnap/fgs1")))
+    // snapshot AT slice 1, where the atom is alive — its term_slice=2 is
+    // in the frame's FUTURE and used to leak into the flat rows, where
+    // every alive-view filters term_slice.isEmpty: all(...) read empty
+    val flat = FlatGraph.fromAtomSet(
+      AtomSet(g2.at(1), g2.at(1).all("FgSnap").df))
+    assert(flat.all("FgSnap").map(_.atom_id) == Vector("e:FgSnap/fgs1"))
+    assert(flat.field("e:FgSnap/fgs1", "FgName").exists(_.v_str.contains("SnapAnn")))
+    // and insert() applies Transactor's parity rejections: a key naming
+    // both an entity and a relation resolved entity-first locally while
+    // the cluster path rejects the same list loudly
+    intercept[IllegalArgumentException] {
+      FlatGraph(Vector.empty, Vector.empty).insert(Seq(
+        PutEntity("P", "x"), PutRelation("R", "a", "b", "x"),
+        PutField("x", "Name", "v")))
+    }
+  }
+
+  test("GraphVerify accepts born-dead relations the write path creates") {
+    // one tx terminates an endpoint AND PutFields it: the cascade closes
+    // the new field relation in the same slice (inst == term — visible in
+    // no frame). Check 6 used to flag it and fail isHealthy on a graph
+    // the Transactor itself produced.
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("GvBd", "gvb1"), PutField("gvb1", "GvName", "BdAnn")))
+    val (g2, _) = Transactor.transact(g1, Seq(
+      TerminateAtom("e:GvBd/gvb1"), PutField("e:GvBd/gvb1", "GvAge", 7L)))
+    assert(GraphVerify.isHealthy(g2),
+      GraphVerify.verify(g2).collect().mkString("; "))
+  }
+
   test("FlatGraph insert/extend: local Wish mutation, then transact the delta — frames agree") {
     val (g0, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("P", "a"), PutField("a", "Name", "Ann"),
