@@ -236,7 +236,14 @@ final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
     // throws at traversal time)
     val perSrc = rels.groupBy(col("atype"), col("src_type"))
       .agg((count(lit(1)) === countDistinct(col("src_id"))).as("unique_out"))
-    grouped.join(perSrc, Seq("atype", "src_type"))
+    // null-SAFE join on src_type: a relation whose source endpoint is
+    // missing from atoms (merged/hand-built graphs — hardened elsewhere)
+    // groups under src_type null on BOTH sides; an equi-join would
+    // silently drop those rows from the report
+    grouped.join(perSrc.withColumnRenamed("atype", "__pt")
+        .withColumnRenamed("src_type", "__ps"),
+        col("atype") === col("__pt") && col("src_type") <=> col("__ps"))
+      .drop("__pt", "__ps")
       .withColumn("is_field", col("dst_kind") === Kind.AttributeEntity)
       .drop("dst_kind")
   }

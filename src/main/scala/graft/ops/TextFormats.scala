@@ -30,10 +30,11 @@ object TextFormats {
       case "" | "~" | "null" => null
       case "true" => true
       case "false" => false
-      // beyond-Long integers degrade to Double (then string) instead of
-      // one NumberFormatException killing the whole UDF task
-      case IntRe() => scala.util.Try(raw.toLong)
-        .orElse(scala.util.Try(raw.toDouble)).getOrElse(raw)
+      // beyond-Long integers stay STRINGS: a toDouble fallback always
+      // succeeds on digit runs, so 19+ digit numeric ids silently lost
+      // precision (1.2345678901234568E19) — the original text is the only
+      // lossless round-trip for them
+      case IntRe() => scala.util.Try(raw.toLong).getOrElse(raw)
       case s if FloatRe.matches(s) && (s.contains('.') || s.contains('e') ||
         s.contains('E')) => s.toDouble
       case s => s

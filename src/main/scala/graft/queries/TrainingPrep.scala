@@ -31,7 +31,7 @@ object TrainingPrep {
       Some("""SELECT lang, count(*) AS n_kept,
              |  CAST(sum(n_chars) AS BIGINT) AS tokens
              |FROM documents
-             |WHERE substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 4) <
+             |WHERE substring(md5('mix1' || 'v:' || CAST(doc_id AS VARCHAR)), 1, 4) <
              |  CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN 'c000'
              |            WHEN 'fr' THEN '4000' ELSE 'g' END
              |GROUP BY lang ORDER BY lang""".stripMargin),
@@ -78,7 +78,7 @@ object TrainingPrep {
       },
       Some("""SELECT pos, doc_id FROM (
              |  SELECT doc_id, row_number() OVER (
-             |    ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+             |    ORDER BY md5('epoch0' || 'v:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |  FROM documents)
              |WHERE pos <= 40 ORDER BY pos""".stripMargin),
       Seq("global_shuffle", "deterministic_ordering", "epoch_permutation")),
@@ -95,7 +95,7 @@ object TrainingPrep {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_tokens"))
           .orderBy(col("shard"))
       },
-      Some("""SELECT CAST(CAST('0x' || substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 4)
+      Some("""SELECT CAST(CAST('0x' || substring(md5('v1' || 'v:' || CAST(doc_id AS VARCHAR)), 1, 4)
              |         AS INT) % 8 AS INT) AS shard,
              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_tokens
              |FROM documents GROUP BY shard ORDER BY shard""".stripMargin),

@@ -30,11 +30,16 @@ object Sampling {
     * A NULL key hashes as one sentinel value, not to NULL: md5(null) made
     * every null-keyed row's keep-predicate NULL → silently dropped at any
     * rate below 1.0 but kept at exactly 1.0 (the lit(true) shortcut of
-    * the old sampleKeep) — a discontinuous bias cliff. With the sentinel,
-    * all null-key rows decide together, like any other duplicated key. */
+    * the old sampleKeep) — a discontinuous bias cliff. The null flag is
+    * a DISCRIMINATED prefix ("n:" vs "v:" + casted value), never a
+    * sentinel value in the key's own namespace: a string key equal to the
+    * old "\u0000graft-null-key" sentinel collided with the null rows and
+    * shared their keep decision. Oracles mirror the prefix ('v:' before
+    * the casted key — their fixtures never carry null keys). */
   def hashKey(key: Column, seed: String = ""): Column =
     md5(concat(lit(seed),
-      coalesce(key.cast("string"), lit("\u0000graft-null-key"))))
+      when(key.isNull, lit("n:"))
+        .otherwise(concat(lit("v:"), key.cast("string")))))
 
   /** The 16-bit hex keep-threshold for a rate (granularity 1/65536).
     * ONE encoding for both samplers — they had drifted once already. */

@@ -479,6 +479,25 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(reg == Map("Person" -> false, "Company" -> false), s"got $reg")
   }
 
+  test("schemaRegistry keeps relation groups with a dangling source endpoint") {
+    import spark.implicits._
+    val (base, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "p1"), PutEntity("Person", "p2"),
+      PutRelation("Knows", "p1", "p2", "k1")))
+    // hand-built row whose src endpoint is absent from atoms: src_type is
+    // null after the endpoint left-join; the per-src unique_out join must
+    // be null-safe or the whole group vanishes from the report
+    val g = base.copy(atoms = base.atoms.unionByName(
+      Seq(("r:Likes/l1", Kind.Relation, "Likes", "e:Person/ghost",
+        "e:Person/p2", 1, None: Option[Int], None: Option[String]))
+        .toDF("atom_id", "kind", "atype", "src_id", "dst_id", "inst_slice",
+          "term_slice", "origin_uid")))
+    val rows = g.schemaRegistry.filter(col("atype") === "Likes").collect()
+    assert(rows.length == 1, "dangling-src relation group dropped from the registry")
+    assert(rows.head.getAs[String]("src_type") == null)
+    assert(rows.head.getAs[Boolean]("unique_out"))
+  }
+
   test("merge unions graphs idempotently on atom_id") {
     val g = fixture
     val merged = Graph.merge(g, g)

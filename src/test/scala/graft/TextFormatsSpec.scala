@@ -79,9 +79,14 @@ class TextFormatsSpec extends AnyFunSuite {
     // a backslash-escaped quote does not flip comment/colon tracking
     assert(fromYaml("k: \"a\\\" # b\"").asInstanceOf[Map[String, Any]]("k")
       == "a\" # b")
-    // beyond-Long integers degrade instead of NumberFormatException
+    // beyond-Long integers stay the ORIGINAL STRING (a Double fallback
+    // always succeeds on digit runs and silently lost precision on 19+
+    // digit numeric ids: 12345678901234567890 read back as
+    // 1.2345678901234568E19) — lossless round-trip, no exception
     assert(scalar("123456789012345678901234567890") ==
-      1.2345678901234568e29)
+      "123456789012345678901234567890")
+    assert(scalar("12345678901234567890") == "12345678901234567890")
+    assert(scalar("9223372036854775807") == Long.MaxValue) // still Long
     // non-finite doubles bridge to JSON null, not invalid 'Infinity'
     assert(yamlToJson("a: 1e999") == "{\"a\":null}")
     // a '- ' item with EXTRA spaces keeps its sibling keys (the hardcoded

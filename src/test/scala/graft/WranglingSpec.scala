@@ -521,6 +521,13 @@ class WranglingSpec extends AnyFunSuite {
       .count() >= 1) // deterministic, not silently zero for the null row
     assert(withNull.filter(Sampling.domainMixKeep(col("id"), lit("en"),
       Map.empty, default = 1.0)).count() == 2) // agrees with sampleKeep(1.0)
+    // discriminated null flag: a STRING key equal to the old in-namespace
+    // sentinel must NOT share the null rows' hash (it collided before and
+    // inherited their keep decision)
+    val collide = Seq(Some("\u0000graft-null-key"), None).toDF("id")
+    val hs = collide.select(Sampling.hashKey(col("id"), "s").as("h"))
+      .collect().map(_.getString(0))
+    assert(hs(0) != hs(1), "sentinel-valued key shares the null-key hash")
 
     // domainMixKeep: en halved, de kept in full (the 'g' sentinel — a
     // naive "10000" threshold would drop ~15/16 of de)
