@@ -150,16 +150,16 @@ object Misc {
       },
       Some(
         """WITH cbf AS (
-          |  SELECT LEAST(15, GREATEST(4, COALESCE(
-          |    (SELECT MIN(k) FROM range(0, 16) t(k)
+          |  SELECT LEAST(30, GREATEST(4, COALESCE(
+          |    (SELECT MIN(k) FROM range(0, 31) t(k)
           |     WHERE (CAST(1 AS BIGINT) << CAST(k AS INT)) >=
-          |       ((SELECT count(*) FROM embeddings) + 63) // 64), 15))) AS cb),
+          |       ((SELECT count(*) FROM embeddings) + 63) // 64), 30))) AS cb),
           |planes AS (
           |  SELECT i, list(CASE WHEN substr(md5('p:' || i || ':' || j), 2, 1)
           |                      IN ('1','3','5','7','9','b','d','f')
           |                 THEN CAST(1.0 AS DOUBLE)
           |                 ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j) AS arr
-          |  FROM range(0, 60) t1(i), range(0, 64) t2(j)
+          |  FROM range(0, 120) t1(i), range(0, 64) t2(j)
           |  WHERE i < 4 * (SELECT cb FROM cbf)
           |  GROUP BY i),
           |proj AS (

@@ -41,43 +41,69 @@ object Wrangling {
     * in `j(id_a, id_b, jac)`. Spliced into wr_minhash_lsh,
     * stream_dedup_ingest, and wr_dedup_clusters so the three oracles'
     * pair sets can never drift apart. */
-  /** Shared DuckDB CTE chain (no leading WITH, pre-TOKS expansion) for
-    * the span-dedup pipeline over `documents`: tokens → 8-token md5
-    * window hashes → df≤50 hot-shingle valve → cross-document hits →
-    * diagonal runs, ending in `runs(id_a, id_b, diag, pos_a, grp)`.
-    * Spliced into wr_span_dedup and wr_span_excise so the two oracles'
-    * span sets cannot drift apart (the minhashPairsCtes policy). */
-  private[queries] val spanRunCtes: String =
-    """toks AS (
-      |  SELECT doc_id, TOKS(text) AS tk FROM documents),
-      |sh AS (
+  /** Shared DuckDB CTE prefix (no leading WITH, pre-TOKS expansion) for
+    * the span-shingle derivation over `source`: tokens → 8-token md5
+    * window hashes, ending in `{p}sh(doc_id, pos, h)`. `p` prefixes every
+    * CTE name so the chain composes into queries that already use `sh`
+    * (wr_corpus_dedup splices it next to minhashPairsCtes). */
+  private[queries] def spanShingleCtes(source: String = "documents",
+      p: String = ""): String =
+    s"""${p}toks AS (
+      |  SELECT doc_id, TOKS(text) AS tk FROM $source),
+      |${p}sh AS (
       |  SELECT doc_id, i - 1 AS pos,
       |    md5(array_to_string(tk[i:i+7], ' ')) AS h
-      |  FROM toks, unnest(range(1, len(tk) - 6)) u(i)
-      |  WHERE len(tk) >= 8),
-      |okh AS (SELECT h FROM sh GROUP BY h
-      |        HAVING count(DISTINCT doc_id) <= 50),
-      |shf AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN okh USING (h)),
-      |hits AS (
+      |  FROM ${p}toks, unnest(range(1, len(tk) - 6)) u(i)
+      |  WHERE len(tk) >= 8)""".stripMargin
+
+  /** Shared DuckDB CTE chain (no leading WITH, pre-TOKS expansion) for
+    * the span-dedup pipeline over `source`: [[spanShingleCtes]] →
+    * df≤maxDf hot-shingle valve → cross-document hits → diagonal runs,
+    * ending in `{p}runs(id_a, id_b, diag, pos_a, grp)`. Spliced into
+    * wr_span_dedup, wr_span_excise, and wr_corpus_dedup so the three
+    * oracles' span sets cannot drift apart (the minhashPairsCtes
+    * policy). */
+  private[queries] def spanRunCtes(source: String = "documents",
+      maxDf: Long = 50, p: String = ""): String =
+    spanShingleCtes(source, p) + s""",
+      |${p}okh AS (SELECT h FROM ${p}sh GROUP BY h
+      |        HAVING count(DISTINCT doc_id) <= $maxDf),
+      |${p}shf AS (SELECT s.doc_id, s.pos, s.h
+      |        FROM ${p}sh s JOIN ${p}okh USING (h)),
+      |${p}hits AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    a.pos AS pos_a, b.pos AS pos_b
-      |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id),
-      |runs AS (
+      |  FROM ${p}shf a JOIN ${p}shf b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |${p}runs AS (
       |  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
       |    pos_a - row_number() OVER (
       |      PARTITION BY id_a, id_b, pos_a - pos_b
       |      ORDER BY pos_a) AS grp
-      |  FROM hits)""".stripMargin
+      |  FROM ${p}hits)""".stripMargin
 
-  private[queries] def minhashPairsCtes: String = {
+  private[queries] def minhashPairsCtes(
+      source: String = "documents WHERE doc_id < 200",
+      shingleN: Int = 1): String = {
     val sigCols = (0 until 16)
       .map(i => s"min(md5('s$i:' || s)) AS m$i").mkString(", ")
     val bandVals = (0 until 8)
       .map(b => s"WHEN $b THEN m${2 * b} || '|' || m${2 * b + 1}")
       .mkString(" ")
+    // distinct word n-gram shingles, mirroring TextOps.wordShingles: for
+    // n > 1 a doc shorter than n tokens contributes NO shingle rows (and
+    // therefore no signature), exactly like the empty-array Spark guard
+    val shingleSel =
+      if (shingleN == 1)
+        s"""SELECT doc_id, unnest(list_distinct(TOKS(text))) AS s
+           |  FROM $source""".stripMargin
+      else
+        s"""SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(tk) - ${shingleN - 2}),
+           |    i -> array_to_string(tk[i:i+${shingleN - 1}], ' ')))) AS s
+           |  FROM (SELECT doc_id, TOKS(text) AS tk FROM $source)
+           |  WHERE len(tk) >= $shingleN""".stripMargin
     s"""sh AS (
-       |  SELECT doc_id, unnest(list_distinct(TOKS(text))) AS s
-       |  FROM documents WHERE doc_id < 200),
+       |  $shingleSel),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |bands AS (
@@ -588,7 +614,7 @@ object Wrangling {
           spanTokens = 8, maxDocFreq = 50)
           .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
       },
-      Some(sqlWithToks(s"""WITH $spanRunCtes
+      Some(sqlWithToks(s"""WITH ${spanRunCtes()}
              |SELECT id_a, id_b, min(pos_a) AS start_a,
              |  min(pos_a) - diag AS start_b, count(*) + 7 AS span_len
              |FROM runs GROUP BY id_a, id_b, diag, grp
@@ -610,7 +636,7 @@ object Wrangling {
           .select(col("doc_id"), col("text"), col("removed_tokens"))
           .orderBy(col("doc_id"))
       },
-      Some(sqlWithToks(s"""WITH $spanRunCtes,
+      Some(sqlWithToks(s"""WITH ${spanRunCtes()},
              |spans AS (
              |  SELECT id_b, min(pos_a) - diag AS start_b,
              |    count(*) + 7 AS span_len
@@ -650,6 +676,97 @@ object Wrangling {
              |LEFT JOIN cutlist c ON c.doc_id = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
       Seq("span_dedup", "excise", "rewrite", "lee_et_al")),
+
+    // The hot-shingle valve's audit surface: which window hashes exceed a
+    // doc-frequency cap, with their df and window mass — what
+    // SpanDedup.duplicateSpans' valve drops (loudly) at that cap. Oracle
+    // replays the identical tokenize → 8-token md5 window derivation
+    // (shared spanShingleCtes) and the same df threshold.
+    QueryDef(
+      "wr_span_hot_windows",
+      (s, d) => {
+        graft.wrangling.SpanDedup.hotWindows(
+          Tables.documents(s, d), "doc_id", "text",
+          spanTokens = 8, maxDocFreq = 2)
+          .orderBy(col("span_hash"))
+      },
+      Some(sqlWithToks(s"""WITH ${spanShingleCtes()}
+             |SELECT h AS span_hash, count(DISTINCT doc_id) AS doc_freq,
+             |  count(*) AS window_count
+             |FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 2
+             |ORDER BY span_hash""".stripMargin)),
+      Seq("span_dedup", "hot_shingle", "valve", "observability")),
+
+    // The PACKAGED corpus-dedup pipeline END-TO-END (Dedup.corpusDedup,
+    // portable variant): exact fingerprint dedup → portable MinHash-LSH
+    // pairs → connected-components clustering with min-id survivors →
+    // span-coverage drop (valve armed at its 1000 default — no window at
+    // this scale is near it, so the oracle replays the cap as a no-op
+    // HAVING bound rather than omitting it). The composition — stage
+    // ordering, survivor-set handoff between stages, the span stage
+    // reading CC survivors not raw docs — is exactly where a silent
+    // regression would hide while every stage's own query stays green;
+    // this replays all four stages in DuckDB and hash-checks the final
+    // survivor rows.
+    QueryDef(
+      "wr_corpus_dedup",
+      (s, d) => {
+        Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8, numHashes = 16, bands = 8, shingleN = 3,
+          spanTokens = Some(8), portable = true)
+          .orderBy(col("doc_id"))
+      },
+      Some(sqlWithToks(s"""WITH RECURSIVE
+             |keyed AS (
+             |  SELECT doc_id, md5(trim(regexp_replace(lower(text),
+             |    '$WsClass+', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |exact_surv AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY fp),
+             |exact_docs AS (
+             |  SELECT d.doc_id, d.text FROM documents d JOIN exact_surv USING (doc_id)),
+             |${minhashPairsCtes("exact_docs", shingleN = 3)},
+             |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT u AS id, u AS lbl FROM edges
+             |  UNION
+             |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+             |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+             |kept AS (
+             |  SELECT e.doc_id, e.text FROM exact_docs e
+             |  WHERE e.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)),
+             |${spanRunCtes("kept", 1000, "sp_")},
+             |spans AS (
+             |  SELECT id_b, min(pos_a) - diag AS start_b,
+             |    count(*) + 7 AS span_len
+             |  FROM sp_runs GROUP BY id_a, id_b, diag, grp),
+             |iv AS (SELECT id_b AS doc_id, start_b AS st,
+             |       start_b + span_len AS en FROM spans),
+             |marked AS (
+             |  SELECT doc_id, st, en,
+             |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM iv),
+             |isl AS (
+             |  SELECT doc_id, st, en,
+             |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st, en) AS island
+             |  FROM marked),
+             |cuts AS (SELECT doc_id, island, min(st) AS cs, max(en) AS ce
+             |         FROM isl GROUP BY 1, 2),
+             |heavy AS (
+             |  SELECT c.doc_id FROM cuts c JOIN sp_toks t USING (doc_id)
+             |  GROUP BY c.doc_id, len(t.tk)
+             |  HAVING CAST(sum(ce - cs) AS DOUBLE) / len(t.tk) >= 0.5)
+             |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+             |FROM documents d JOIN kept USING (doc_id)
+             |WHERE d.doc_id NOT IN (SELECT doc_id FROM heavy)
+             |ORDER BY d.doc_id""".stripMargin)),
+      Seq("corpus_dedup", "deduplicate", "pipeline", "composition",
+        "lee_et_al", "minhash_lsh", "connected_components")),
 
     // Exact cosine top-k against a query vector (ANN brute-force baseline).
     QueryDef(
@@ -715,7 +832,7 @@ object Wrangling {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(sqlWithToks(s"""WITH $minhashPairsCtes
+      Some(sqlWithToks(s"""WITH ${minhashPairsCtes()}
            |SELECT id_a, id_b, round(jac, 6) AS jaccard
            |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
       Seq("minhash", "lsh", "deduplicate", "near_dup")),
@@ -746,7 +863,7 @@ object Wrangling {
             col("cluster_size"))
           .orderBy(col("doc_id"))
       },
-      Some(sqlWithToks(s"""WITH RECURSIVE $minhashPairsCtes,
+      Some(sqlWithToks(s"""WITH RECURSIVE ${minhashPairsCtes()},
            |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
            |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
            |          UNION SELECT id_b, id_a FROM pairs),
@@ -1122,7 +1239,7 @@ object Wrangling {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(sqlWithToks(s"""WITH $minhashPairsCtes
+      Some(sqlWithToks(s"""WITH ${minhashPairsCtes()}
            |SELECT id_a, id_b, round(jac, 6) AS jaccard
            |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
       Seq("deduplicate", "minhash", "lsh", "stream_ingest", "incremental_index"))

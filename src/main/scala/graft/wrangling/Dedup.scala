@@ -61,9 +61,11 @@ object Dedup {
       struct(lit(b).as("band"), hash(slice(col("sig"), b * rows + 1, rows)).as("sig_h"))
     }
     val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
-    val a = banded.select(col(idCol).as("id_a"), col("__b"))
-    val b = banded.select(col(idCol).as("id_b"), col("__b"))
-    a.join(b, a("__b") === b("__b") && col("id_a") < col("id_b"))
+    // per-side aliases — see cosineNearDupPairs: a shared column name in a
+    // self-join condition leans on the ambiguous-self-join heuristic
+    val a = banded.select(col(idCol).as("id_a"), col("__b").as("__ba"))
+    val b = banded.select(col(idCol).as("id_b"), col("__b").as("__bb"))
+    a.join(b, col("__ba") === col("__bb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -81,9 +83,9 @@ object Dedup {
         hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("sig"))
     }
     val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
-    val a = banded.select(col(idCol).as("id_a"), col("__b"))
-    val b = banded.select(col(idCol).as("id_b"), col("__b"))
-    a.join(b, a("__b") === b("__b") && col("id_a") < col("id_b"))
+    val a = banded.select(col(idCol).as("id_a"), col("__b").as("__ba"))
+    val b = banded.select(col(idCol).as("id_b"), col("__b").as("__bb"))
+    a.join(b, col("__ba") === col("__bb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
 
@@ -216,9 +218,11 @@ object Dedup {
         struct(lit(i).as("ci"),
           shiftright(col("simhash"), i * 8).bitwiseAND(lit(0xffL)).as("cv"))): _*))
         .as("__c"))
-    val a = chunks.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("__c"))
-    val b = chunks.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("__c"))
-    a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
+    val a = chunks.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("__c").as("__ca"))
+    val b = chunks.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("__c").as("__cb"))
+    a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
@@ -278,15 +282,15 @@ object Dedup {
           substring(col("simhash_bits"), i * 8 + 1, 8).as("cv"))): _*))
         .as("__c"))
     val a = chunks.select(col(idCol).as("id_a"),
-      col("__h1").as("a1"), col("__h2").as("a2"), col("__c"))
+      col("__h1").as("a1"), col("__h2").as("a2"), col("__c").as("__ca"))
     val b = chunks.select(col(idCol).as("id_b"),
-      col("__h1").as("b1"), col("__h2").as("b2"), col("__c"))
+      col("__h1").as("b1"), col("__h2").as("b2"), col("__c").as("__cb"))
     val hamming =
       bit_count(col("a1").bitwiseXOR(col("b1"))) +
         bit_count(col("a2").bitwiseXOR(col("b2")))
     // hamming BEFORE the distinct: cheaper than shuffling two fingerprints
     // through the distinct (measured both ways at sf0.1)
-    a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
+    a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
@@ -299,12 +303,28 @@ object Dedup {
     * pairs clustered by connected components, min-id survivor per cluster.
     * Returns the surviving rows of `df`. Each stage only shrinks the
     * input, so stage order is also the cost order at 100 TB: the cheap
-    * exact passes cut the corpus before the LSH machinery runs. */
+    * exact passes cut the corpus before the LSH machinery runs.
+    *
+    * The optional span stage runs with the hot-shingle valve ARMED by
+    * default ([[SpanDedup.DefaultSpanMaxDocFreq]] = 1000): in a web-scale
+    * corpus a site-wide footer present in millions of pages is a
+    * certainty, and one hot window hash at df = 10⁶ is 10¹² self-join
+    * rows — the packaged pipeline must not have that cliff in its default
+    * path. The drop is loud, not silent (logged + auditable via
+    * [[SpanDedup.hotWindows]]); pass `spanMaxDocFreq = Long.MaxValue` to
+    * disarm when exact span parity matters more than the bound.
+    *
+    * `portable = true` swaps the near-dup stage to the md5-based
+    * [[minhashDedupPairsPortable]] (numHashes/bands/shingleN apply to it
+    * unchanged) so an independent engine with md5 can replay the WHOLE
+    * composition bit-for-bit — the wr_corpus_dedup oracle does; the
+    * default xxhash64/MinHashAgg path stays the throughput variant. */
   def corpusDedup(df: DataFrame, idCol: String, textCol: String,
       urlCol: Option[String] = None, threshold: Double = 0.8,
       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      spanTokens: Option[Int] = None, spanMaxDocFreq: Long = Long.MaxValue,
-      spanCoverageDrop: Double = 0.5): DataFrame = {
+      spanTokens: Option[Int] = None,
+      spanMaxDocFreq: Long = SpanDedup.DefaultSpanMaxDocFreq,
+      spanCoverageDrop: Double = 0.5, portable: Boolean = false): DataFrame = {
     // the clustering stage (GraphX CC) needs long vertex ids; a string id
     // column would hit the long cast below — an ANSI CAST_INVALID_INPUT
     // abort mid-pipeline (or, ANSI off, silent nulls and a wrong survivor
@@ -328,8 +348,12 @@ object Dedup {
       df.join(survivors, idCol)
     }
     val exact = exactDedup(byUrl, idCol, textCol)
-    val pairs = minhashDedupPairs(exact, idCol, textCol, threshold,
-      numHashes, bands, shingleN)
+    val pairs = (if (portable)
+        minhashDedupPairsPortable(exact, idCol, textCol, threshold,
+          numHashes, bands, shingleN)
+      else
+        minhashDedupPairs(exact, idCol, textCol, threshold,
+          numHashes, bands, shingleN))
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
     val clusters = graft.analytics.GraphAlgos.dedupClusters(pairs)
     val drop = clusters.filter(col("id") =!= col("cluster_id"))

@@ -79,7 +79,9 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(v · r_i) over the
-    * [[lshPlanes]] matrix; one codegen'd aggregate pass per bit. */
+    * [[lshPlanes]] matrix; one codegen'd aggregate pass per bit. One
+    * packed long — callers needing more than 60 bits use
+    * [[lshBandSignature]] (array-of-longs, unbounded width). */
   def lshSignature(vecCol: Column, dim: Int, bits: Int): Column = {
     val planes = lshPlanes(dim, bits)
     val bitCols = (0 until bits).map { i =>
@@ -90,6 +92,35 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Banded LSH signature as `array<long>`: element b packs chunkBits
+    * sign bits from planes b·chunkBits … (b+1)·chunkBits − 1 (bit j of
+    * band b = sign(v · r_{b·chunkBits+j}) << j). Bit-for-bit the chunk
+    * values [[lshSignature]]-based extraction produced —
+    * `(sig >> b·cb) & mask` over one packed long — but with NO 60-bit
+    * width ceiling: bands × chunkBits is bounded only by the per-row
+    * projection cost (one aggregate pass per bit, linear), not by a
+    * packed representation the corpus outgrows quadratically. Same
+    * md5-parity planes, so an independent engine still reproduces every
+    * band value exactly. */
+  def lshBandSignature(vecCol: Column, dim: Int, bands: Int,
+      chunkBits: Int): Column = {
+    require(bands >= 1 && chunkBits >= 1 && chunkBits <= 62,
+      s"lshBandSignature: need bands >= 1 and chunkBits in [1,62], " +
+        s"got bands=$bands chunkBits=$chunkBits")
+    val planes = lshPlanes(dim, bands * chunkBits)
+    val bandCols = (0 until bands).map { b =>
+      (0 until chunkBits).map { j =>
+        val i = b * chunkBits + j
+        val proj = aggregate(
+          zip_with(vecCol, array(planes(i).map(r => lit(r.toDouble)): _*),
+            (x, r) => x.cast("double") * r),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    array(bandCols: _*)
   }
 
   /** Signature of a LITERAL vector, computed once on the driver with the
@@ -120,6 +151,11 @@ object Similarity {
       chunkBits: Int = 4): DataFrame = {
     require(queryNorm(query) > 0.0,
       "lshTopK: query vector has zero norm — cosine is undefined")
+    // same loud rule as the minhash banders: a floor division would
+    // silently ignore the trailing bits % chunkBits signature bits in the
+    // chunk match, quietly widening recall away from the configured shape
+    require(chunkBits >= 1 && bits % chunkBits == 0,
+      s"lshTopK: chunkBits ($chunkBits) must divide bits ($bits)")
     val qsig = lshSignatureOf(query, dim, bits)
     val chunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
@@ -295,12 +331,17 @@ object Similarity {
     * the old fixed 16/4 default, BASELINE.md r12). Holding expected bucket
     * size constant keeps the candidate stage ~linear in n.
     *
-    * Clamped to [4, 15]: [[cosineNearDupPairs]] packs
-    * NearDupBands × chunkBits signature bits into one long (≤ 60). Above
-    * n ≈ targetBucket · 2^15 (~2M rows at the default target) the clamp
-    * saturates — at that scale raise `targetBucket` consciously (bucket
-    * cost grows linearly in it) or widen the signature. Wider bands also
-    * lower per-band recall for weakly similar pairs
+    * Clamped to [4, 30]. The ceiling is COST-driven, not
+    * representation-driven: [[cosineNearDupPairs]] signatures are
+    * array-of-longs bands ([[lshBandSignature]]), so any width fits —
+    * but each signature bit is one projection pass per row, so the
+    * derived width is capped where the per-row cost stops being worth it.
+    * 30 bits/band supports n ≈ targetBucket · 2^30 (~68 billion vectors
+    * at the default target) before expected bucket size grows with n
+    * again — past any single embedding table; the r13 ceiling was 15
+    * (60-bit one-long packing, saturating at ~2M vectors, the same
+    * fixed-ceiling defect class one decade out). Wider bands also lower
+    * per-band recall for weakly similar pairs
     * (P(band match) = p^chunkBits, p = 1 − θ/π); the exact verification
     * stage keeps precision at 1 regardless, and callers chasing recall at
     * a pinned blocking shape pass explicit bits/chunkBits. */
@@ -315,7 +356,7 @@ object Similarity {
     // ceiling: the add-then-divide form overflows at n near Long.MaxValue
     val buckets = n / targetBucket + (if (n % targetBucket > 0) 1 else 0)
     val raw = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
-    math.min(15, math.max(4, raw))
+    math.min(30, math.max(4, raw))
   }
 
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked
@@ -329,44 +370,58 @@ object Similarity {
     * verification stage keeps precision at 1 either way.
     *
     * `bits = 0` / `chunkBits = 0` (the defaults) SIZE THE BLOCKING FROM
-    * THE CORPUS: one count() pass, then chunkBits = [[chunkBitsFor]](n)
-    * and bits = [[NearDupBands]] × chunkBits — expected bucket size stays
-    * constant as the corpus grows instead of the bucket keyspace being a
-    * fixed 2^chunkBits ceiling the data outgrows quadratically. Pin both
+    * THE CORPUS: chunkBits = [[chunkBitsFor]](n) and bits =
+    * [[NearDupBands]] × chunkBits — expected bucket size stays constant
+    * as the corpus grows instead of the bucket keyspace being a fixed
+    * 2^chunkBits ceiling the data outgrows quadratically. Pin both
     * explicitly when the blocking shape itself must be deterministic
-    * across corpora (the oracle fixtures do). */
+    * across corpora (the oracle fixtures do).
+    *
+    * NOTE — auto-sizing is EAGER: with both knobs unset and no
+    * `corpusCount`, plan CONSTRUCTION runs one count() job over
+    * `embeddings` to derive n (the construction-time checkpoint below is
+    * eager for the same reason). Callers that must keep plan building
+    * side-effect free — plan tooling, speculative composition — pass
+    * `corpusCount` (their own count, possibly stale by a few rows: the
+    * derivation only needs the order of magnitude) or pin the knobs. */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, bits: Int = 0, chunkBits: Int = 0): DataFrame = {
+      threshold: Double, dim: Int, bits: Int = 0, chunkBits: Int = 0,
+      corpusCount: Long = -1L): DataFrame = {
     // corpus-sizing ONLY when both knobs are unset: a caller pinning
     // bits alone keeps the historical band width (4) — deriving cb from
     // the corpus under a pinned bits made `bits = 32` crash the moment
     // the corpus grew past a power-of-two boundary (32 % 5 != 0)
     val cb = if (chunkBits > 0) chunkBits
              else if (bits > 0) 4
-             else chunkBitsFor(embeddings.count())
+             else chunkBitsFor(
+               if (corpusCount >= 0) corpusCount else embeddings.count())
     val nBits = if (bits > 0) bits else NearDupBands * cb
     require(nBits % cb == 0 && nBits / cb >= 1,
       s"cosineNearDupPairs: bits ($nBits) must be a positive multiple of chunkBits ($cb)")
-    require(nBits <= 60,
-      s"cosineNearDupPairs: bits ($nBits) exceed the 60-bit long signature")
-    val sigd = embeddings.withColumn("__sig", lshSignature(col(vecCol), dim, nBits))
     val chunks = nBits / cb
-    val mask = (1L << cb) - 1
+    // array-of-longs band signature: one long PER BAND, so bands × cb is
+    // not capped by a packed-long width (the r13 60-bit ceiling made
+    // chunkBitsFor saturate at 15 ≈ 2M vectors and in-bucket pairs go
+    // quadratic one decade out); band values are bit-identical to the
+    // old single-long chunk extraction, so oracles are unchanged
+    val sigd = embeddings.withColumn("__sig",
+      lshBandSignature(col(vecCol), dim, chunks, cb))
     // the signature table is MATERIALIZED (eager checkpoint) before the
     // self-join: both join sides reference it, and Spark shares no
     // subplans across branches — left lazy, the bits-x-dim projection
     // expression (the dominant per-row cost) would run twice over the
     // full table. The materialized form is id + 4 chunk rows per vector,
     // a few bytes/row — the standard persisted-signature-table shape.
-    val exploded = sigd.select(col(idCol),
-      explode(array((0 until chunks).map(i =>
-        struct(lit(i).as("ci"),
-          shiftright(col("__sig"), i * cb).bitwiseAND(lit(mask)).as("cv"))): _*))
-        .as("__c"))
+    val exploded = sigd.select(col(idCol), posexplode(col("__sig")))
+      .select(col(idCol),
+        struct(col("pos").as("ci"), col("col").as("cv")).as("__c"))
       .localCheckpoint(true)
-    val a = exploded.select(col(idCol).as("id_a"), col("__c"))
-    val b = exploded.select(col(idCol).as("id_b"), col("__c"))
-    val pairIds = a.join(b, a("__c") === b("__c") && col("id_a") < col("id_b"))
+    // per-side aliases: both sides derive from one parent, and a shared
+    // column name in the join condition leans on Spark's ambiguous-self-
+    // join heuristic (and warns "trivially true equals predicate")
+    val a = exploded.select(col(idCol).as("id_a"), col("__c").as("__ca"))
+    val b = exploded.select(col(idCol).as("id_b"), col("__c").as("__cb"))
+    val pairIds = a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // norms precomputed ONCE per vector (same accumulation order as
     // cosine(), so values are bitwise identical): each candidate pair then

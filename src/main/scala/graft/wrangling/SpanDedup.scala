@@ -25,12 +25,37 @@ import org.apache.spark.sql.functions._
   * The one adversarial shape is a HOT shingle (site-wide boilerplate
   * shorter than a doc but present in millions): its bucket join is
   * quadratic in document frequency. `maxDocFreq` is the explicit valve —
-  * windows seen in more than that many documents are dropped LOUDLY (the
-  * spans they'd anchor are bounded-df by construction; the paper's suffix
-  * automaton has the same practical cap). Default off: no silent coverage
-  * loss.
+  * windows seen in more than that many documents are dropped LOUDLY: every
+  * valved run logs (and, via [[duplicateSpansReported]], RETURNS) the
+  * dropped hash / window-occurrence counts, and [[hotWindows]] lists the
+  * offending hashes queryably. The spans a kept window anchors are
+  * bounded-df by construction; the paper's suffix automaton has the same
+  * practical cap. [[duplicateSpans]]' own default is off (the oracle
+  * fixtures pin exact span sets), but the PACKAGED pipeline
+  * ([[Dedup.corpusDedup]]) arms the valve at [[DefaultSpanMaxDocFreq]]:
+  * a site-wide footer in millions of pages is a certainty in a web
+  * corpus, and one hot md5 at df = 10⁶ is 10¹² join rows.
   */
 object SpanDedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default hot-shingle cap for the PACKAGED pipeline
+    * ([[Dedup.corpusDedup]]'s span stage): a window shared verbatim by
+    * more than 1000 documents is boilerplate under any corpus size — its
+    * spans carry no pair-level signal (the coverage stage only needs the
+    * fact that boilerplate text is duplicated, which df ≤ 1000 partners
+    * already witness 1000-fold), while its join fan-out (df²) is the one
+    * super-linear term in the pipeline. The bound is ABSOLUTE, not
+    * relative to corpus size, because the cost it caps is absolute:
+    * ≤ 10⁶ hit rows per hash regardless of corpus scale. */
+  val DefaultSpanMaxDocFreq: Long = 1000L
+
+  /** What the hot-shingle valve dropped (or would drop) in one
+    * [[duplicateSpansReported]] run: hashes over the cap, their total
+    * window occurrences, and the distinct-hash denominator. */
+  final case class ValveReport(maxDocFreq: Long, droppedHashes: Long,
+      droppedWindows: Long, distinctHashes: Long)
 
   /** One row per (doc, window start): the md5 of the space-joined
     * `spanTokens`-token window. Tokens are [[TextOps.tokens]] (whitespace
@@ -55,11 +80,25 @@ object SpanDedup {
     * `id_a < id_b`, starts 0-based in token offsets, one row per maximal
     * run. A window repeated at several positions yields one span per
     * alignment diagonal — each occurrence pair is reported, as the
-    * excision stage needs every copy's coordinates. */
+    * excision stage needs every copy's coordinates.
+    * [[duplicateSpansReported]] with the report discarded. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 50, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+      spanTokens: Int = 50, maxDocFreq: Long = Long.MaxValue): DataFrame =
+    duplicateSpansReported(docs, idCol, textCol, spanTokens, maxDocFreq)._1
+
+  /** [[duplicateSpans]] plus the valve's [[ValveReport]] (`Some` iff the
+    * valve is armed, i.e. `maxDocFreq < Long.MaxValue`): how many window
+    * hashes exceeded the cap and how many window occurrences they carried —
+    * the coverage mass the cap excluded, surfaced instead of silently
+    * vanishing. The report is computed (and logged at INFO) EAGERLY: this
+    * function already materializes the shingle table before the self-join
+    * (both sides reference it), so the report is one cheap aggregate job
+    * over the frozen shingles, not a new scan of the corpus. */
+  def duplicateSpansReported(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 50, maxDocFreq: Long = Long.MaxValue)
+      : (DataFrame, Option[ValveReport]) = {
     val sh0 = spanShingles(docs, idCol, textCol, spanTokens)
-    val sh1 = if (maxDocFreq == Long.MaxValue) sh0 else {
+    val (sh1, report) = if (maxDocFreq == Long.MaxValue) (sh0, None) else {
       require(maxDocFreq >= 2,
         s"duplicateSpans: maxDocFreq must be >= 2 (a span needs two docs), got $maxDocFreq")
       // the hot-shingle valve: document frequency per window hash, windows
@@ -67,13 +106,27 @@ object SpanDedup {
       // hash is df², so the cap bounds the worst bucket explicitly). The
       // valve reads the shingle frame TWICE (the df counts and the probe
       // side), so it is frozen first — tokenize + window + md5 is the
-      // dominant per-row cost and would otherwise derive twice
+      // dominant per-row cost and would otherwise derive twice. The drop
+      // REPORT is its own 1-row aggregate job over the frozen base (NOT a
+      // checkpoint of the per-hash stats shared with the keep-filter: a
+      // checkpointed stats frame loses its size estimate and flipped the
+      // keep-join from broadcast to sort-merge — PLANSHAPES regression)
       val base = sh0.localCheckpoint(true)
-      val ok = base.groupBy(col("__h"))
-        .agg(countDistinct(col(idCol)).as("__df"))
-        .filter(col("__df") <= maxDocFreq)
-        .select(col("__h"))
-      base.join(ok, "__h")
+      def stats = base.groupBy(col("__h"))
+        .agg(countDistinct(col(idCol)).as("__df"), count(lit(1)).as("__wins"))
+      val r = stats.agg(
+        coalesce(sum(when(col("__df") > maxDocFreq, lit(1L))), lit(0L)),
+        coalesce(sum(when(col("__df") > maxDocFreq, col("__wins"))), lit(0L)),
+        count(lit(1))).collect()(0) // 1-row scalar over the frozen base
+      val rep = ValveReport(maxDocFreq, r.getLong(0), r.getLong(1), r.getLong(2))
+      if (rep.droppedHashes > 0)
+        log.info(s"spanDedup valve(maxDocFreq=$maxDocFreq): dropped " +
+          s"${rep.droppedHashes} hot window hashes " +
+          s"(${rep.droppedWindows} window occurrences) of " +
+          s"${rep.distinctHashes} distinct — spans anchored only on kept " +
+          "windows; see SpanDedup.hotWindows for the offending hashes")
+      val ok = stats.filter(col("__df") <= maxDocFreq).select(col("__h"))
+      (base.join(ok, "__h"), Some(rep))
     }
     // materialized before the self-join: both sides reference it and Spark
     // shares no subplans across branches — left lazy, the tokenize + window
@@ -93,12 +146,33 @@ object SpanDedup {
     // islands trick; partitions are per doc-pair — no global sort)
     val win = Window.partitionBy(col("id_a"), col("id_b"), col("__diag"))
       .orderBy(col("pos_a"))
-    hits.withColumn("__grp", col("pos_a") - row_number().over(win))
+    val spans = hits.withColumn("__grp", col("pos_a") - row_number().over(win))
       .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__grp"))
       .agg(min(col("pos_a")).as("start_a"), count(lit(1)).as("__n"))
       .select(col("id_a"), col("id_b"), col("start_a"),
         (col("start_a") - col("__diag")).as("start_b"),
         (col("__n") + spanTokens - 1).as("span_len"))
+    (spans, report)
+  }
+
+  /** The hot windows the valve at `maxDocFreq` drops (or would drop):
+    * `(span_hash, doc_freq, window_count)`, one row per window hash whose
+    * document frequency exceeds the cap — the queryable face of the
+    * [[ValveReport]] counters, for auditing WHAT boilerplate a corpus run
+    * excluded (the report says how much; this says which). Same
+    * tokenization/window/md5 derivation as [[duplicateSpans]], so a hash
+    * here is exactly a hash the valve filters there. One groupBy, no
+    * self-join — safe to run unvalved on any corpus. */
+  def hotWindows(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 2,
+      s"hotWindows: maxDocFreq must be >= 2 (a span needs two docs), got $maxDocFreq")
+    spanShingles(docs, idCol, textCol, spanTokens)
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"),
+        count(lit(1)).as("window_count"))
+      .filter(col("doc_freq") > maxDocFreq)
+      .select(col("__h").as("span_hash"), col("doc_freq"), col("window_count"))
   }
 
   /** Per-document duplicated-token coverage on the HIGHER-id side of each

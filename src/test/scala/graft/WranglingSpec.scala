@@ -175,6 +175,30 @@ class WranglingSpec extends AnyFunSuite {
       assert(Similarity.lshSignatureOf(v.toArray, 64, 16) == r.getLong(17),
         s"vec ${r.getLong(0)}: driver-side signature diverges from in-plan")
     }
+
+    // banded form PAST the one-long 60-bit ceiling: 5 bands x 13 bits =
+    // 65 signature bits; band b must pack sign(v . plane(b*13+j)) << j
+    // over the SAME plane sequence a one-long signature would use
+    val wide = Similarity.lshPlanes(64, 65)
+    val bandRows = emb.limit(20).select(col("vec_id"),
+      Similarity.lshBandSignature(col("embedding"), 64, 5, 13).as("bands"))
+      .collect()
+    assert(bandRows.nonEmpty)
+    bandRows.foreach { r =>
+      val v = vecs(r.getLong(0))
+      val got = r.getSeq[Long](1)
+      assert(got.length == 5)
+      (0 until 5).foreach { b =>
+        var bv = 0L
+        (0 until 13).foreach { j =>
+          var acc = 0.0; var k = 0
+          while (k < 64) { acc += v(k).toDouble * wide(b * 13 + j)(k); k += 1 }
+          if (acc > 0) bv |= 1L << j
+        }
+        assert(bv == got(b),
+          s"vec ${r.getLong(0)} band $b: array-banded signature mismatch")
+      }
+    }
   }
 
   test("ivf ANN: nprobe=k is exact; pruned probes keep high recall") {
@@ -785,19 +809,70 @@ class WranglingSpec extends AnyFunSuite {
     assert(ex(3L) == ("c0 c1 c2", 10L), s"got ${ex(3L)}")
   }
 
+  test("span-dedup hot-shingle valve bounds the join, reports drops, and is armed in corpusDedup") {
+    import spark.implicits._
+    // 12 docs sharing one verbatim 4-token footer (the hot shingle: one
+    // window hash at df=12 -> C(12,2)=66 pair hits unvalved) + one genuine
+    // low-df duplicated span between docs 100 and 101
+    val footer = "alpha beta gamma delta"
+    val hot = (0L until 12L).map(i => (i, s"u${i}x u${i}y u${i}z $footer"))
+    val genuine = Seq(
+      (100L, "p0 p1 p2 zeta eta theta iota"),
+      (101L, "zeta eta theta iota q0"))
+    val docs = (hot ++ genuine).toDF("doc_id", "text")
+    // unvalved: the footer's 66 pair spans + 1 genuine span
+    val (open, noRep) = SpanDedup.duplicateSpansReported(
+      docs, "doc_id", "text", spanTokens = 4)
+    assert(noRep.isEmpty) // valve off -> nothing dropped, nothing to report
+    assert(open.count() == 67)
+    // valved at 5: the footer window (df=12 > 5) is excluded BEFORE the
+    // self-join, only the genuine pair survives — and the drop is VISIBLE
+    val (valved, Some(rep)) = SpanDedup.duplicateSpansReported(
+      docs, "doc_id", "text", spanTokens = 4, maxDocFreq = 5)
+    val vr = valved.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(vr.toSeq == Seq((100L, 101L, 3, 0, 4L)), s"got ${vr.toSeq}")
+    assert(rep == SpanDedup.ValveReport(maxDocFreq = 5, droppedHashes = 1,
+      droppedWindows = 12, distinctHashes = rep.distinctHashes))
+    assert(rep.distinctHashes > 1) // footer hash + the per-doc unique ones
+    // the queryable face: WHICH hash was hot, with its df and window mass
+    val hw = SpanDedup.hotWindows(docs, "doc_id", "text",
+      spanTokens = 4, maxDocFreq = 5).collect()
+    assert(hw.length == 1)
+    assert(hw(0).getAs[Long]("doc_freq") == 12 &&
+      hw(0).getAs[Long]("window_count") == 12)
+    // the PACKAGED pipeline arms the valve by default (1000): a footer in
+    // 1005 docs is over the cap, so its would-be 1005² hit rows never
+    // materialize and no doc is dropped for footer coverage alone; the
+    // genuine high-coverage copy (doc 2101, 4 of 5 tokens duplicated)
+    // still goes. Unvalved, every non-min footer doc (4 of 7 tokens
+    // >= 0.5) would have been dropped too.
+    assert(SpanDedup.DefaultSpanMaxDocFreq == 1000L)
+    val big = (0L until 1005L).map(i => (i, s"u${i}x u${i}y u${i}z $footer")) ++
+      Seq((2100L, "p0 p1 p2 zeta eta theta iota"),
+        (2101L, "zeta eta theta iota q0"))
+    val kept = Dedup.corpusDedup(big.toDF("doc_id", "text"), "doc_id", "text",
+      spanTokens = Some(4)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2101L))
+    assert(kept.size == 1006, s"kept ${kept.size}") // 1005 footer docs + 2100
+  }
+
   test("chunkBitsFor holds expected bucket size; auto-sized near-dups match the pinned blocking") {
     import spark.implicits._
     import Similarity.chunkBitsFor
     // the rule: smallest width with n / 2^chunkBits <= targetBucket,
-    // clamped to [4, 15] (NearDupBands x 15 = 60 bits fits one long)
+    // clamped to [4, 30] — the r13 one-long packing capped this at 15
+    // (saturating at ~2M vectors); bands are array<long> now, so the
+    // width keeps tracking the corpus another 15 doublings
     assert(chunkBitsFor(0) == 4)
     assert(chunkBitsFor(1024, 64) == 4) // 1024 / 2^4 = 64 exactly
     assert(chunkBitsFor(1025, 64) == 5) // one row over -> one more bit
     assert(chunkBitsFor(64L << 10, 64) == 10)
-    assert(chunkBitsFor(64L << 15, 64) == 15)
-    assert(chunkBitsFor(Long.MaxValue) == 15) // clamp: signature stays a long
-    assert((1 to 20).forall(k =>
-      chunkBitsFor(64L << k) == math.min(15, math.max(4, k))))
+    assert(chunkBitsFor(64L << 15, 64) == 15) // the OLD clamp point...
+    assert(chunkBitsFor(64L << 20, 64) == 20) // ...now passed through
+    assert(chunkBitsFor(Long.MaxValue) == 30) // cost-driven ceiling
+    assert((1 to 35).forall(k =>
+      chunkBitsFor(64L << k) == math.min(30, math.max(4, k))))
     assert(chunkBitsFor(1L << 20, targetBucket = 1024) == 10) // dial is linear in bucket cost
     intercept[IllegalArgumentException](chunkBitsFor(100, 0))
     // auto path == explicit path with the derived values: 2000 rows ->
@@ -818,8 +893,17 @@ class WranglingSpec extends AnyFunSuite {
     // malformed blocking shapes reject at plan time
     intercept[IllegalArgumentException](Similarity.cosineNearDupPairs(
       emb, "vec_id", "embedding", 0.9, dim, bits = 10, chunkBits = 4))
-    intercept[IllegalArgumentException](Similarity.cosineNearDupPairs(
-      emb, "vec_id", "embedding", 0.9, dim, bits = 64, chunkBits = 16))
+    // blocking WIDER than the old 60-bit one-long ceiling works now
+    // (array-of-longs bands): 4 bands x 16 bits = 64 signature bits;
+    // precision stays exact (every returned pair re-verified >= 0.9),
+    // and passing corpusCount skips the plan-construction count() job
+    val wide = Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", 0.9, dim, bits = 64, chunkBits = 16)
+      .collect()
+    assert(wide.forall(_.getAs[Double]("cos_sim") >= 0.9))
+    assert(pairs(Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.9, dim = dim,
+      corpusCount = 2000L)) == auto) // explicit n == derived n
     // pinning bits ALONE keeps the historical band width (cb=4), it does
     // NOT derive cb from the corpus — on this 2000-row frame a derived
     // cb=5 would make bits=32 crash corpus-dependently (32 % 5 != 0)
@@ -842,6 +926,14 @@ class WranglingSpec extends AnyFunSuite {
       Dedup.corpusDedup(strDocs, "doc_id", "text")
     }
     assert(ex2.getMessage.contains("integral"))
+    // lshTopK holds the same rule: a floor division would silently drop
+    // the trailing bits % chunkBits signature bits from the chunk match
+    val emb = Seq((1L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val ex3 = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        Array.fill(8)(1.0f), k = 1, dim = 8, bits = 16, chunkBits = 5)
+    }
+    assert(ex3.getMessage.contains("divide"))
   }
 
   test("rollingHash: equal texts equal, different texts differ") {
