@@ -222,6 +222,18 @@ object GqlApi {
     case other => throw new IllegalArgumentException(s"expected an object, got $other")
   }
 
+  /** Loud unknown-argument rejection for a root field. Silently ignoring
+    * stray args turned a typo'd `queryUser(fliter: {...})` into the FULL
+    * unfiltered result set (and a typo'd mutation arg into a mutation of
+    * everything the filter-less path allowed) — the worst failure shape a
+    * query API has. GraphQL validation rejects unknown arguments; so do we. */
+  private def requireArgs(root: Sel, allowed: String*): Unit =
+    root.args.fields.foreach { case (k, _) =>
+      require(allowed.contains(k),
+        s"unknown argument '$k' for ${root.name} " +
+          s"(accepts: ${allowed.mkString(", ")})")
+    }
+
   /** order: {asc: f} / {desc: f} with `then` chaining
     * (maybe_sort_result, generate_api2.py:871-898). */
   private def compileSort(o: VObj): Seq[GqlLite.SortKey] = {
@@ -297,9 +309,11 @@ object GqlApi {
     val root = op.roots.head
     root.name match {
       case n if n.startsWith("query") =>
+        requireArgs(root, "filter", "order", "first", "offset")
         runQuery(slice, schema, schema.tpe(n.stripPrefix("query")), root,
           authClaims)
       case n if n.startsWith("get") =>
+        requireArgs(root, "id")
         val tpe = schema.tpe(n.stripPrefix("get"))
         val id = root.args.get("id") match {
           case Some(VStr(s)) => s
@@ -308,6 +322,7 @@ object GqlApi {
         runQuery(slice, schema, tpe, root.copy(args =
           VObj(Seq("filter" -> VObj(Seq("id" -> VStr(id)))))), authClaims)
       case n if n.startsWith("aggregate") =>
+        requireArgs(root, "filter")
         runAggregate(slice, schema, schema.tpe(n.stripPrefix("aggregate")),
           root, authClaims)
       case other => throw new IllegalArgumentException(s"unknown root field $other")
@@ -340,7 +355,13 @@ object GqlApi {
           dynSelected :+= s.name
           outs :+= ((s.name, s.alias))
         } else if (schema.isEntity(fd.tpe)) {
-          if (s.sels.map(_.name) == Seq("count")) {
+          // `{count}` is the relation-count form ONLY when the child type
+          // doesn't itself declare a field named `count` — a declared
+          // field always wins, or selecting it would silently return the
+          // aggregate instead of the stored values (the declared schema
+          // outranks the generated convenience surface)
+          if (s.sels.map(_.name) == Seq("count") &&
+              !schema.tpe(fd.tpe).fields.exists(_.name == "count")) {
             // per-parent related count (aggregate resolution over the
             // filtered list, generate_api2.py:442-481). A filter:
             // argument and/or the child type's @auth(query:) fold into a
@@ -531,6 +552,7 @@ object GqlApi {
     val muts = op.roots.flatMap { root =>
       root.name match {
         case n if n.startsWith("add") =>
+          requireArgs(root, "input")
           val tpe = schema.tpe(n.stripPrefix("add"))
           val inputs = root.args.get("input") match {
             case Some(VList(vs)) => vs.map(asObj)
@@ -539,6 +561,7 @@ object GqlApi {
           }
           inputs.flatMap(in => compileAddInput(schema, tpe, in)._2)
         case n if n.startsWith("upfetch") =>
+          requireArgs(root, "input")
           // resolve_upfetch (generate_api2.py:580-628): upsert keyed on the
           // type's @upfetch field — existing holder updated in place, value
           // unseen in the frame becomes a fresh entity. All input rows
@@ -623,6 +646,7 @@ object GqlApi {
             }
           }
         case n if n.startsWith("update") =>
+          requireArgs(root, "input")
           val tpe = schema.tpe(n.stripPrefix("update"))
           val input = asObj(root.args.get("input").getOrElse(
             throw new IllegalArgumentException("update needs input:")))
@@ -658,6 +682,7 @@ object GqlApi {
              else Nil) ++ removeRts.map(rt => GqlLite.RemoveField(id, rt))
           }
         case n if n.startsWith("delete") =>
+          requireArgs(root, "filter")
           val tpe = schema.tpe(n.stripPrefix("delete"))
           resolveIds(g, schema, tpe, root.args.get("filter"),
             authFilterChain(schema, tpe, Seq("delete", "update", "query"),
@@ -834,7 +859,16 @@ object GqlApi {
           s"add: '$fname' is single-valued, got ${items.size} inputs")
         items.foreach { child =>
           val childKey = child.fields match {
-            case Seq(("id", VStr(s))) => s // pure ref: link, don't create
+            case Seq(("id", VStr(s))) => // pure ref: link, don't create
+              // the scheme id carries its type — vet it HERE, driver-side:
+              // unvetted, `author: {id: "e:Post/1"}` silently linked a
+              // Post where a Person belongs (and a malformed id linked a
+              // dangling edge; existence is vetted batch-wide in
+              // GqlLite.mutate, type membership is free right here)
+              require(s.startsWith(s"e:${childTpe.name}/"),
+                s"add: '$fname' ref id '$s' is not a ${childTpe.name} id " +
+                  s"(want e:${childTpe.name}/<key>)")
+              s
             case _ =>
               val (k, childMuts) = compileAddInput(schema, childTpe, child)
               extra ++= childMuts

@@ -528,12 +528,23 @@ object GqlLite {
     }.distinct.filterNot(addIds) // created-in-batch ids can't pre-exist
     // atoms an add/link may MUTATE if they already exist: add keys land
     // on their deterministic ids; link endpoints given as full scheme
-    // ids (tx-local bare keys of this batch carry no ':')
-    val overwriteCandidates = (addIds ++ ms.collect {
-      case LinkEntities(_, s, d) => Seq(s, d).filter(_.contains(":"))
-    }.flatten).toSeq.distinct.filterNot(updateTargets.contains)
+    // ids (a tx-local bare key normally carries no ':' — and one that
+    // does is excluded below by matching the batch's own add keys)
+    val batchKeys = ms.collect { case AddEntity(_, key, _) => key }.toSet
+    // relation ids THIS batch's links create (compileMutation's PutRelation
+    // key scheme) — a meta-link endpoint naming one is in-batch, not a ref
+    val linkRelIds = ms.collect { case LinkEntities(rt, s, d) =>
+      graft.core.Transactor.atomId(graft.core.Kind.Relation, rt, s"$s>$d:$rt")
+    }.toSet
+    val linkRefs = ms.collect {
+      case LinkEntities(_, s, d) =>
+        Seq(s, d).filter(k => k.contains(":") && !batchKeys(k))
+    }.flatten.distinct.filterNot(k => addIds(k) || linkRelIds(k))
+    val overwriteCandidates = (addIds ++ linkRefs)
+      .toSeq.distinct.filterNot(updateTargets.contains)
     val probeIds = (updateTargets ++ overwriteCandidates).distinct
-    if (probeIds.nonEmpty && (auth.nonEmpty || updateTargets.nonEmpty)) {
+    if (probeIds.nonEmpty &&
+        (auth.nonEmpty || updateTargets.nonEmpty || linkRefs.nonEmpty)) {
       val alive = inFilter(g.now.aliveAtoms, "atom_id", probeIds)
         .select(col("atom_id")).collect().map(_.getString(0)).toSet
       val missing = updateTargets.filterNot(alive)
@@ -541,6 +552,15 @@ object GqlLite {
         throw new IllegalArgumentException(
           s"mutation targets not alive in the current frame: " +
             s"${missing.mkString(", ")}")
+      // a full-scheme-id link endpoint REFERS to an existing atom by
+      // contract ("{T}Ref": link, don't create) — unvetted, a typo'd or
+      // stale ref silently created a DANGLING relation no traversal
+      // could follow (src/dst resolve to no atom in any frame)
+      val dangling = linkRefs.filterNot(alive)
+      if (dangling.nonEmpty)
+        throw new IllegalArgumentException(
+          s"link endpoints not alive in the current frame: " +
+            s"${dangling.mkString(", ")}")
       auth.foreach { vet =>
         // everything this tx touches that EXISTS needs authorization
         val toVet = updateTargets ++ overwriteCandidates.filter(alive)

@@ -222,7 +222,12 @@ object GqlParser {
         sels += Sel(alias, name, args, subs)
       }
       expectPunct("}")
-      sels.result()
+      val r = sels.result()
+      // GraphQL grammar: a selection set is non-empty. Accepting `{}`
+      // pushed the failure downstream to an empty-projection plan error
+      // (or, on a mutation root, silently did nothing).
+      require(r.nonEmpty, "GraphQL parse error: empty selection set {}")
+      r
     }
 
     def parseOperation(): Operation = {

@@ -1239,4 +1239,93 @@ class GqlParserSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("trailing"))
   }
+
+  test("review pass 15: loud args, count shadow, ref vetting, empty sels") {
+    import org.apache.spark.sql.Row
+    val schema = GqlParser.parseSchema(sdl)
+    val g = seeded
+    // (1) unknown root-field arguments reject LOUDLY on every root — a
+    // typo'd filter: used to return the FULL unfiltered set (and a typo'd
+    // mutation arg mutated everything the filterless path allowed)
+    val e1 = intercept[IllegalArgumentException] {
+      GqlApi.query(g.now, schema,
+        """{ queryUser(fliter: {givenName: {eq: "Ann"}}) { givenName } }""")
+    }
+    assert(e1.getMessage.contains("unknown argument 'fliter'"))
+    intercept[IllegalArgumentException] { // get takes only id:
+      GqlApi.query(g.now, schema, """{ getUser(id: "e:User/u1", first: 1) { id } }""")
+    }
+    intercept[IllegalArgumentException] { // aggregate takes only filter:
+      GqlApi.query(g.now, schema, """{ aggregateUser(order: {asc: score}) { count } }""")
+    }
+    intercept[IllegalArgumentException] { // mutations too
+      GqlApi.mutate(g, schema,
+        """mutation { deleteUser(fitler: {id: "e:User/u1"}) }""")
+    }
+    intercept[IllegalArgumentException] {
+      GqlApi.mutate(g, schema,
+        """mutation { addUser(input: [{id: "u7", email: "g@x.com"}], upsert: true) }""")
+    }
+    // known args still pass through untouched
+    assert(GqlApi.query(g.now, schema,
+      """{ queryUser(filter: {givenName: {eq: "Ann"}}, first: 1) { givenName } }""")
+      .collect().map(_.getString(0)).toSeq == Seq("Ann"))
+
+    // (2) a child type DECLARING a field named `count` wins over the
+    // relation-count form (the aggregate used to shadow the stored values)
+    val sdl2 =
+      """type Shelf { label: String
+        |  books: [Book] @incoming @relation(rt: "On") }
+        |type Book { title: String
+        |  count: Int
+        |  on: Shelf @relation(rt: "On") }""".stripMargin
+    val schema2 = GqlParser.parseSchema(sdl2)
+    val (g2, _) = GqlApi.mutate(Graph.empty(spark), schema2,
+      """mutation { addShelf(input: [
+        |  {id: "s1", label: "A",
+        |   books: [{id: "b1", title: "X", count: 7},
+        |           {id: "b2", title: "Y", count: 9}]}]) }""".stripMargin)
+    val shelves = GqlApi.query(g2.now, schema2,
+      """{ queryShelf { label books(order: {asc: count}) { count } } }""").collect()
+    // declared Book.count values, sorted — NOT the relation count 2
+    assert(shelves.length == 1)
+    val counts = shelves(0).getSeq[Row](1).map(_.getAs[Long]("count"))
+    assert(counts == Seq(7L, 9L), s"got $counts")
+
+    // (3) a pure-ref nested input carrying a WRONG-TYPE scheme id rejects
+    // at compile time (it used to silently link a Book where a Shelf
+    // belongs), and (4) a ref to a NONEXISTENT atom rejects at the
+    // batch-wide alive probe instead of creating a dangling relation
+    val e3 = intercept[IllegalArgumentException] {
+      GqlApi.mutate(g2, schema2,
+        """mutation { addBook(input: [
+          |  {id: "b9", title: "Z", on: {id: "e:Book/b1"}}]) }""".stripMargin)
+    }
+    assert(e3.getMessage.contains("not a Shelf id"))
+    val e4 = intercept[IllegalArgumentException] {
+      GqlApi.mutate(g2, schema2,
+        """mutation { addBook(input: [
+          |  {id: "b9", title: "Z", on: {id: "e:Shelf/ghost"}}]) }""".stripMargin)
+    }
+    assert(e4.getMessage.contains("not alive"), e4.getMessage)
+    // a ref to an atom CREATED IN THE SAME DOCUMENT still links fine
+    // (in-batch ids are recognized by their deterministic scheme ids)
+    val (g3, _) = GqlApi.mutate(g2, schema2,
+      """mutation {
+        |  addShelf(input: [{id: "s2", label: "B"}])
+        |  addBook(input: [{id: "b9", title: "Z", on: {id: "e:Shelf/s2"}}])
+        |}""".stripMargin)
+    assert(GqlApi.query(g3.now, schema2,
+      """{ queryShelf(filter: {label: {eq: "B"}}) { books { title } } }""")
+      .collect()(0).getSeq[Row](0).map(_.getString(0)) == Seq("Z"))
+
+    // (5) empty selection sets reject at PARSE time (GraphQL grammar)
+    val e5 = intercept[IllegalArgumentException] {
+      GqlParser.parseOperation("{ queryUser { } }")
+    }
+    assert(e5.getMessage.contains("empty selection set"))
+    intercept[IllegalArgumentException] {
+      GqlParser.parseOperation("{ }")
+    }
+  }
 }
