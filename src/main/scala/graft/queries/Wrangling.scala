@@ -707,23 +707,29 @@ object Wrangling {
     // reading CC survivors not raw docs — is exactly where a silent
     // regression would hide while every stage's own query stays green;
     // this replays all four stages in DuckDB and hash-checks the final
-    // survivor rows.
+    // survivor rows. Fixture bounded to doc_id < 300 (the
+    // wr_dedup_clusters policy: the COMPOSITION is the thing under test —
+    // each stage's scale shape is probed by its own query; the portable
+    // 16-salt md5 minhash exists for oracle replay, not throughput).
     QueryDef(
       "wr_corpus_dedup",
       (s, d) => {
-        Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text",
+        Dedup.corpusDedup(
+          Tables.documents(s, d).filter(col("doc_id") < 300),
+          "doc_id", "text",
           threshold = 0.8, numHashes = 16, bands = 8, shingleN = 3,
           spanTokens = Some(8), portable = true)
           .orderBy(col("doc_id"))
       },
       Some(sqlWithToks(s"""WITH RECURSIVE
+             |docs300 AS (SELECT * FROM documents WHERE doc_id < 300),
              |keyed AS (
              |  SELECT doc_id, md5(trim(regexp_replace(lower(text),
              |    '$WsClass+', ' ', 'g'))) AS fp
-             |  FROM documents),
+             |  FROM docs300),
              |exact_surv AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY fp),
              |exact_docs AS (
-             |  SELECT d.doc_id, d.text FROM documents d JOIN exact_surv USING (doc_id)),
+             |  SELECT d.doc_id, d.text FROM docs300 d JOIN exact_surv USING (doc_id)),
              |${minhashPairsCtes("exact_docs", shingleN = 3)},
              |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
              |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -762,7 +768,7 @@ object Wrangling {
              |  GROUP BY c.doc_id, len(t.tk)
              |  HAVING CAST(sum(ce - cs) AS DOUBLE) / len(t.tk) >= 0.5)
              |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-             |FROM documents d JOIN kept USING (doc_id)
+             |FROM docs300 d JOIN kept USING (doc_id)
              |WHERE d.doc_id NOT IN (SELECT doc_id FROM heavy)
              |ORDER BY d.doc_id""".stripMargin)),
       Seq("corpus_dedup", "deduplicate", "pipeline", "composition",

@@ -121,8 +121,20 @@ object ScaleProbe {
             // executor storage (the growing-times signature CacheProbe
             // documents), distorting the very exponents this tool reports
             graft.core.TransientCaches.releaseAll()
+            // construction-eager queries (the span/dedup family) leak one
+            // localCheckpoint RDD set per fn() call; those blocks are
+            // reclaimed by the ContextCleaner only after their weak refs
+            // GC. Left alone, storage fills across the warm-up + timed
+            // repetitions and evictions churn the very runs being timed —
+            // measured as a 4× spread on wr_span_dedup's t10 (5.7–31.6 s
+            // across four otherwise-identical probe batches). Nudge the
+            // cleaner between runs so each timing starts storage-clean.
+            def gcSettle(): Unit = { System.gc(); Thread.sleep(200) }
+            gcSettle()
             q.fn(spark, dir).count() // warm-up (primes graph caches)
-            median((1 to runs).map(_ => time(q.fn(spark, dir).count())))
+            median((1 to runs).map { _ =>
+              gcSettle(); time(q.fn(spark, dir).count())
+            })
           }
           val t1 = run(baseDir)
           val tk = run(scaledDir)

@@ -51,11 +51,11 @@ object SpanDedup {
     * ≤ 10⁶ hit rows per hash regardless of corpus scale. */
   val DefaultSpanMaxDocFreq: Long = 1000L
 
-  /** What the hot-shingle valve dropped (or would drop) in one
-    * [[duplicateSpansReported]] run: hashes over the cap, their total
-    * window occurrences, and the distinct-hash denominator. */
+  /** What the hot-shingle valve dropped in one [[duplicateSpansReported]]
+    * run: window hashes over the cap and their total window occurrences
+    * (the coverage mass the cap excluded). */
   final case class ValveReport(maxDocFreq: Long, droppedHashes: Long,
-      droppedWindows: Long, distinctHashes: Long)
+      droppedWindows: Long)
 
   /** One row per (doc, window start): the md5 of the space-joined
     * `spanTokens`-token window. Tokens are [[TextOps.tokens]] (whitespace
@@ -90,10 +90,10 @@ object SpanDedup {
     * valve is armed, i.e. `maxDocFreq < Long.MaxValue`): how many window
     * hashes exceeded the cap and how many window occurrences they carried —
     * the coverage mass the cap excluded, surfaced instead of silently
-    * vanishing. The report is computed (and logged at INFO) EAGERLY: this
-    * function already materializes the shingle table before the self-join
-    * (both sides reference it), so the report is one cheap aggregate job
-    * over the frozen shingles, not a new scan of the corpus. */
+    * vanishing. The report is available (and logged at INFO) EAGERLY but
+    * adds no pass over the corpus: the one df-grouping this function runs
+    * anyway now materializes the (tiny) HOT list, and the report is a
+    * 1-row aggregate over that. */
   def duplicateSpansReported(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 50, maxDocFreq: Long = Long.MaxValue)
       : (DataFrame, Option[ValveReport]) = {
@@ -104,29 +104,45 @@ object SpanDedup {
       // the hot-shingle valve: document frequency per window hash, windows
       // above the cap dropped BEFORE the self-join (the join's fan-out per
       // hash is df², so the cap bounds the worst bucket explicitly). The
-      // valve reads the shingle frame TWICE (the df counts and the probe
-      // side), so it is frozen first — tokenize + window + md5 is the
-      // dominant per-row cost and would otherwise derive twice. The drop
-      // REPORT is its own 1-row aggregate job over the frozen base (NOT a
-      // checkpoint of the per-hash stats shared with the keep-filter: a
-      // checkpointed stats frame loses its size estimate and flipped the
-      // keep-join from broadcast to sort-merge — PLANSHAPES regression)
+      // shingle frame is read twice (the df grouping and the probe side),
+      // so it is frozen first — tokenize + window + md5 is the dominant
+      // per-row cost and would otherwise derive twice. What the grouping
+      // MATERIALIZES is the HOT list — the hashes over the cap, tiny BY
+      // CONSTRUCTION (the valve's whole premise) — so (a) the drop report
+      // reads off it for free, and (b) the keep-side becomes a broadcast
+      // ANTI-join against the tiny hot set instead of an equi-join against
+      // the corpus-sized keep set (strictly better at 100 TB, where the
+      // kept-hash list is as big as the corpus). One groupBy pass total,
+      // same as the unreported r13 form. (A separate report aggregate
+      // re-grouped the table per call — 10× exponent 0.40 → 0.78; an
+      // observe() CollectMetrics rode the job for free but registering an
+      // Observation instantiates the session's non-serializable
+      // ObservationManager and every LATER MLlib task serialization in
+      // the JVM dies on it — both measured, both rejected.)
       val base = sh0.localCheckpoint(true)
-      def stats = base.groupBy(col("__h"))
+      val hot = base.groupBy(col("__h"))
         .agg(countDistinct(col(idCol)).as("__df"), count(lit(1)).as("__wins"))
-      val r = stats.agg(
-        coalesce(sum(when(col("__df") > maxDocFreq, lit(1L))), lit(0L)),
-        coalesce(sum(when(col("__df") > maxDocFreq, col("__wins"))), lit(0L)),
-        count(lit(1))).collect()(0) // 1-row scalar over the frozen base
-      val rep = ValveReport(maxDocFreq, r.getLong(0), r.getLong(1), r.getLong(2))
+        .filter(col("__df") > maxDocFreq)
+        .localCheckpoint(true)
+      val r = hot.agg(count(lit(1)), coalesce(sum(col("__wins")), lit(0L)))
+        .collect()(0) // 1-row scalar over the frozen (tiny) hot list
+      val rep = ValveReport(maxDocFreq, r.getLong(0), r.getLong(1))
       if (rep.droppedHashes > 0)
         log.info(s"spanDedup valve(maxDocFreq=$maxDocFreq): dropped " +
           s"${rep.droppedHashes} hot window hashes " +
-          s"(${rep.droppedWindows} window occurrences) of " +
-          s"${rep.distinctHashes} distinct — spans anchored only on kept " +
-          "windows; see SpanDedup.hotWindows for the offending hashes")
-      val ok = stats.filter(col("__df") <= maxDocFreq).select(col("__h"))
-      (base.join(ok, "__h"), Some(rep))
+          s"(${rep.droppedWindows} window occurrences) — spans anchored " +
+          "only on kept windows; see SpanDedup.hotWindows for the hashes")
+      // broadcast is HINTED off the exact count just measured (a
+      // checkpointed frame has no size estimate, so unhinted the planner
+      // falls to sort-merge): ≤ 1M hot hashes ≈ 50 MB, comfortably
+      // executor-broadcastable; a pathological low cap on a shingly
+      // corpus past that falls back to the shuffled anti-join
+      val hotKeys = hot.select(col("__h"))
+      val keep =
+        if (rep.droppedHashes <= 1000000L)
+          base.join(broadcast(hotKeys), Seq("__h"), "left_anti")
+        else base.join(hotKeys, Seq("__h"), "left_anti")
+      (keep, Some(rep))
     }
     // materialized before the self-join: both sides reference it and Spark
     // shares no subplans across branches — left lazy, the tokenize + window
