@@ -64,10 +64,28 @@ object GraphEncoder {
   def entityId(et: String, key: Column): Column =
     concat(lit(s"e:$et/"), key.cast("string"))
 
-  /** Entities + their field AEs/relations/values, all at inst_slice. */
+  /** [[entityId]] with a LOUD null-key abort riding the encode job itself
+    * (raise_error inside the id expression — no extra validation scan): a
+    * null business key would otherwise concat to a null atom_id, and the
+    * row would vanish from every id-keyed read while its value rows
+    * anchored to nothing — the silent-identity-corruption class
+    * IncrementalDedup/SqlImport reject at their own boundaries. */
+  private def entityIdStrict(et: String, key: Column): Column =
+    concat(lit(s"e:$et/"),
+      when(key.isNull, raise_error(lit(
+        s"GraphEncoder: null business key encoding $et — every row needs " +
+          "a non-null key (filter or surrogate first)")))
+        .otherwise(key.cast("string")))
+
+  /** Entities + their field AEs/relations/values, all at inst_slice.
+    * A NULL field value encodes as NO field — no AE, no field relation,
+    * no value row (the write path's "omit the field instead" contract,
+    * [[graft.gql.GqlLite.compileMutation]]); a null-valued row otherwise
+    * landed a vtype'd all-null value row plus a born-empty AE that no
+    * transact could ever produce. */
   def encodeEntities(df: DataFrame, et: String, keyCol: String,
       fieldCols: Seq[String], instSlice: Int = 1): (DataFrame, DataFrame) = {
-    val id = entityId(et, col(keyCol))
+    val id = entityIdStrict(et, col(keyCol))
     val entity = df.select(
       id.as("atom_id"), lit(Kind.Entity).as("kind"), lit(et).as("atype"),
       lit(null).cast("string").as("src_id"), lit(null).cast("string").as("dst_id"),
@@ -75,15 +93,16 @@ object GraphEncoder {
       id.as("origin_uid"))
 
     val perField = fieldCols.map { f =>
+      val present = df.filter(col(f).isNotNull)
       val aeId = concat(lit(s"ae:$f/"), id)
       val relId = concat(lit(s"rel:$f/"), id)
-      val ae = df.select(
+      val ae = present.select(
         aeId.as("atom_id"), lit(Kind.AttributeEntity).as("kind"),
         lit(f).as("atype"),
         lit(null).cast("string").as("src_id"), lit(null).cast("string").as("dst_id"),
         lit(instSlice).as("inst_slice"), lit(null).cast("int").as("term_slice"),
         aeId.as("origin_uid"))
-      val rel = df.select(
+      val rel = present.select(
         relId.as("atom_id"), lit(Kind.Relation).as("kind"), lit(f).as("atype"),
         id.as("src_id"), aeId.as("dst_id"),
         lit(instSlice).as("inst_slice"), lit(null).cast("int").as("term_slice"),
@@ -108,8 +127,9 @@ object GraphEncoder {
           ("ts", nullV.take(4) :+ col(f).cast("timestamp").as("v_ts"))
         case other => throw new IllegalArgumentException(s"field $f: $other")
       }
-      df.select(Seq(aeId.as("ae_id"), lit(instSlice).as("tx_slice"),
-        lit(vtype).as("vtype")) ++ typed: _*)
+      df.filter(col(f).isNotNull)
+        .select(Seq(aeId.as("ae_id"), lit(instSlice).as("tx_slice"),
+          lit(vtype).as("vtype")) ++ typed: _*)
     }.reduceOption(_ unionByName _).getOrElse {
       // empty VALUES must still carry the ValueRow schema: a zero-column
       // emptyDataFrame constructs a Graph fine but throws on the first
@@ -122,14 +142,25 @@ object GraphEncoder {
     (atoms, values)
   }
 
-  /** FK column → entity-entity relation atoms. */
+  /** FK column → entity-entity relation atoms. A NULL FK on either side
+    * encodes as NO relation (standard optional-FK semantics) — unfiltered,
+    * the row landed a relation atom with a null endpoint, the exact
+    * missing-endpoint shape downstream readers must then defend against
+    * (schemaRegistry's null-safe grouping found it the hard way).
+    *
+    * Identity note: the relation id is `r:rt/src>dst`, so a source with
+    * DUPLICATE (src, dst) pairs lands duplicate open-interval rows for one
+    * atom id — pre-`dropDuplicates` such inputs (TPC-H-shaped FKs are
+    * per-row unique; a distinct here would tax every clean bulk load with
+    * a shuffle for the dirty exception). */
   def encodeRelations(df: DataFrame, rt: String,
       srcEt: String, srcKeyCol: String, dstEt: String, dstKeyCol: String,
       instSlice: Int = 1): DataFrame = {
     val src = entityId(srcEt, col(srcKeyCol))
     val dst = entityId(dstEt, col(dstKeyCol))
     val relId = concat(lit(s"r:$rt/"), src, lit(">"), dst)
-    df.select(
+    df.filter(col(srcKeyCol).isNotNull && col(dstKeyCol).isNotNull)
+      .select(
       relId.as("atom_id"), lit(Kind.Relation).as("kind"), lit(rt).as("atype"),
       src.as("src_id"), dst.as("dst_id"),
       lit(instSlice).as("inst_slice"), lit(null).cast("int").as("term_slice"),
@@ -196,12 +227,12 @@ object GraphEncoder {
       .withColumn("tx_slice", (col("__rank") + 1 + baseSlice).cast("int"))
       .drop("__rank")
 
-    val userId = entityId("User", col("user_id"))
+    val userId = entityIdStrict("User", col("user_id"))
     // User entities appear at the slice of their first event.
     val users = ranked.groupBy(col("user_id"))
       .agg(min(col("tx_slice")).as("first_slice"))
       .select(
-        entityId("User", col("user_id")).as("atom_id"),
+        entityIdStrict("User", col("user_id")).as("atom_id"),
         lit(Kind.Entity).as("kind"), lit("User").as("atype"),
         lit(null).cast("string").as("src_id"), lit(null).cast("string").as("dst_id"),
         col("first_slice").cast("int").as("inst_slice"),

@@ -947,4 +947,42 @@ class GraphCoreSpec extends AnyFunSuite {
     assert(boom.get() == null, s"concurrent path threw: ${boom.get()}")
     g.latestValues(slice) // leave a valid cache entry behind
   }
+
+  test("bulk encode: null field = no field, null FK = no relation, null key = loud") {
+    import spark.implicits._
+    import graft.core.GraphEncoder
+    // null field value: the OLTP write path rejects null values ("omit the
+    // field instead") — the bulk encoder must agree: no AE, no field
+    // relation, no value row (it used to land a vtype'd all-null value row
+    // plus a born-empty AE no transact could produce)
+    val src = Seq((1L, Some("a"), Some(2.5)), (2L, None, Some(1.0)),
+      (3L, Some("c"), None)).toDF("k", "name", "score")
+    val (atoms, values) = GraphEncoder.encodeEntities(
+      src, "T", "k", Seq("name", "score"))
+    assert(atoms.filter(col("kind") === graft.core.Kind.Entity).count() == 3)
+    assert(atoms.filter(col("atom_id") === "ae:name/e:T/2").count() == 0)
+    assert(atoms.filter(col("atom_id") === "rel:name/e:T/2").count() == 0)
+    assert(atoms.filter(col("atom_id") === "ae:score/e:T/3").count() == 0)
+    assert(values.filter(col("ae_id") === "ae:name/e:T/2").count() == 0)
+    assert(values.filter(col("ae_id") === "ae:score/e:T/3").count() == 0)
+    assert(values.count() == 4) // 2 names + 2 scores actually present
+    // null FK on either side: no relation row (optional-FK semantics) —
+    // it used to encode a relation atom with a null endpoint, the exact
+    // missing-endpoint shape schemaRegistry defends against downstream
+    val fks = Seq((Some(1L), Some(10L)), (None, Some(11L)),
+      (Some(3L), None)).toDF("a", "b")
+    val rels = GraphEncoder.encodeRelations(fks, "Link", "A", "a", "B", "b")
+    assert(rels.count() == 1)
+    assert(rels.filter(col("src_id").isNull || col("dst_id").isNull).count() == 0)
+    // null business key: loud abort riding the encode job itself, never a
+    // null atom_id whose value rows anchor to nothing
+    val badKeys = Seq((Some(1L), "x"), (None, "y")).toDF("k", "name")
+    val (badAtoms, _) = GraphEncoder.encodeEntities(
+      badKeys, "T", "k", Seq("name"))
+    val e = intercept[Exception] { badAtoms.count() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("null business key"), rootMsg(e))
+  }
 }
