@@ -78,15 +78,33 @@ object Similarity {
     }
   }
 
+  /** The [[lshPlanes]] matrix as ONE nested-array literal. The first cut
+    * inlined bits × dim `lit()` nodes (one `array(lit, lit, …)` per bit);
+    * at real embedding dims (768–4096) and the auto-derived widths (up to
+    * 4 × 30 bits) that is a ~10⁵-node expression tree, and Catalyst
+    * ANALYSIS over it costs seconds per plan — the exact defect class
+    * [[ivfAssign]] measured and fixed with `typedLit` one function down.
+    * One literal node rides the whole matrix; `element_at(P, i+1)` pulls
+    * plane i. Values are identical doubles in identical order, so every
+    * projection — and therefore every signature bit and every oracle — is
+    * unchanged. */
+  private def planesLit(planes: IndexedSeq[Array[Int]]): Column =
+    typedLit(planes.map(_.map(_.toDouble).toSeq))
+
   /** Random-hyperplane LSH signature: bit i = sign(v · r_i) over the
     * [[lshPlanes]] matrix; one codegen'd aggregate pass per bit. One
-    * packed long — callers needing more than 60 bits use
-    * [[lshBandSignature]] (array-of-longs, unbounded width). */
+    * packed long — bits is capped at 62 (shiftleft wraps its shift count
+    * mod 64, so planes 64+ would silently alias onto low bits); callers
+    * needing more use [[lshBandSignature]] (array-of-longs, unbounded
+    * width). */
   def lshSignature(vecCol: Column, dim: Int, bits: Int): Column = {
-    val planes = lshPlanes(dim, bits)
+    require(bits >= 1 && bits <= 62,
+      s"lshSignature: bits must be in [1,62] (one packed long; wider " +
+        s"widths go through lshBandSignature), got $bits")
+    val planes = planesLit(lshPlanes(dim, bits))
     val bitCols = (0 until bits).map { i =>
       val proj = aggregate(
-        zip_with(vecCol, array(planes(i).map(r => lit(r.toDouble)): _*),
+        zip_with(vecCol, element_at(planes, i + 1),
           (x, r) => x.cast("double") * r),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -109,12 +127,12 @@ object Similarity {
     require(bands >= 1 && chunkBits >= 1 && chunkBits <= 62,
       s"lshBandSignature: need bands >= 1 and chunkBits in [1,62], " +
         s"got bands=$bands chunkBits=$chunkBits")
-    val planes = lshPlanes(dim, bands * chunkBits)
+    val planes = planesLit(lshPlanes(dim, bands * chunkBits))
     val bandCols = (0 until bands).map { b =>
       (0 until chunkBits).map { j =>
         val i = b * chunkBits + j
         val proj = aggregate(
-          zip_with(vecCol, array(planes(i).map(r => lit(r.toDouble)): _*),
+          zip_with(vecCol, element_at(planes, i + 1),
             (x, r) => x.cast("double") * r),
           lit(0.0), (acc, v) => acc + v)
         when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
@@ -128,6 +146,9 @@ object Similarity {
     * as the in-plan [[lshSignature]] — bitwise-identical, so a driver-side
     * query signature probes exactly the buckets the in-plan one would. */
   def lshSignatureOf(query: Array[Float], dim: Int, bits: Int): Long = {
+    require(bits >= 1 && bits <= 62,
+      s"lshSignatureOf: bits must be in [1,62] (1L << i wraps mod 64 past " +
+        s"that, silently aliasing planes onto low bits), got $bits")
     val planes = lshPlanes(dim, bits)
     (0 until bits).foldLeft(0L) { (sig, i) =>
       var proj = 0.0; var j = 0

@@ -201,6 +201,38 @@ class WranglingSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh plane matrix rides ONE literal: wide configs stay analyzable; >62-bit packing rejected") {
+    // the packed-long forms wrap their shift count mod 64 past bit 62 —
+    // planes would silently alias onto low bits, so the width is loud
+    intercept[IllegalArgumentException] {
+      Similarity.lshSignature(col("embedding"), 64, 63)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshSignatureOf(Array.fill(64)(1.0f), 64, 63)
+    }
+    // plan-cost posture at a REAL shape (dim=768, auto-clamp ceiling
+    // 4 bands x 30 bits): the first cut inlined bits x dim lit() nodes
+    // (~92k for this config) and Catalyst analysis over that tree costs
+    // seconds per plan; with the matrix in one typedLit the analyzed
+    // tree must stay orders of magnitude smaller and analyze fast
+    import spark.implicits._
+    val wide = Seq((1L, Array.fill(768)(0.5f))).toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val df = wide.select(col("vec_id"),
+      Similarity.lshBandSignature(col("embedding"), 768, 4, 30).as("bands"))
+    val analyzed = df.queryExecution.analyzed // force analysis
+    val ms = (System.nanoTime() - t0) / 1e6
+    var nodes = 0
+    analyzed.foreach(p => p.expressions.foreach(_.foreach(_ => nodes += 1)))
+    assert(nodes < 20000,
+      s"wide LSH plan blew up to $nodes expression nodes — plane matrix " +
+        "is being inlined per-element again")
+    assert(ms < 5000.0, s"wide LSH plan analysis took ${ms}ms")
+    // and it actually runs: 4 bands of 30-bit values
+    val out = df.collect()(0).getSeq[Long](1)
+    assert(out.length == 4 && out.forall(b => b >= 0L && b < (1L << 30)))
+  }
+
   test("ivf ANN: nprobe=k is exact; pruned probes keep high recall") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 1)
