@@ -222,16 +222,18 @@ object GqlApi {
     case other => throw new IllegalArgumentException(s"expected an object, got $other")
   }
 
-  /** Loud unknown-argument rejection for a root field. Silently ignoring
-    * stray args turned a typo'd `queryUser(fliter: {...})` into the FULL
-    * unfiltered result set (and a typo'd mutation arg into a mutation of
-    * everything the filter-less path allowed) — the worst failure shape a
-    * query API has. GraphQL validation rejects unknown arguments; so do we. */
-  private def requireArgs(root: Sel, allowed: String*): Unit =
-    root.args.fields.foreach { case (k, _) =>
+  /** Loud unknown-argument rejection for a field (root or nested).
+    * Silently ignoring stray args turned a typo'd `queryUser(fliter:
+    * {...})` into the FULL unfiltered result set (and a typo'd mutation
+    * arg into a mutation of everything the filter-less path allowed) —
+    * the worst failure shape a query API has. GraphQL validation rejects
+    * unknown arguments; so do we, at every selection depth. */
+  private def requireArgs(sel: Sel, allowed: String*): Unit =
+    sel.args.fields.foreach { case (k, _) =>
       require(allowed.contains(k),
-        s"unknown argument '$k' for ${root.name} " +
-          s"(accepts: ${allowed.mkString(", ")})")
+        s"unknown argument '$k' for ${sel.name} " +
+          (if (allowed.isEmpty) "(accepts no arguments)"
+           else s"(accepts: ${allowed.mkString(", ")})"))
     }
 
   /** order: {asc: f} / {desc: f} with `then` chaining
@@ -348,10 +350,14 @@ object GqlApi {
     var scalarFields = Vector.empty[String]
     var dynSelected = Vector.empty[String] // @dynamic fields to compute
     sels.foreach { s =>
-      if (s.name == "id") outs :+= (("atom_id", s.alias))
+      if (s.name == "id") {
+        requireArgs(s)
+        outs :+= (("atom_id", s.alias))
+      }
       else {
         val fd = tpe.field(s.name)
         if (fd.dynamic.isDefined) {
+          requireArgs(s)
           dynSelected :+= s.name
           outs :+= ((s.name, s.alias))
         } else if (schema.isEntity(fd.tpe)) {
@@ -392,6 +398,12 @@ object GqlApi {
           } else {
             require(s.sels.nonEmpty,
               s"relation field '${s.name}' needs a sub-selection")
+            // same loud unknown-argument rule as root fields — a typo'd
+            // nested `fliter:` previously returned the FULL unfiltered
+            // child list, the exact failure class requireArgs exists for,
+            // surviving one level down
+            if (fd.list) requireArgs(s, "filter", "order", "first", "offset")
+            else requireArgs(s, "filter")
             val childTpe = schema.tpe(fd.tpe)
             // nested list-params (handle_list_params per parent,
             // generate_api2.py:880-906): order/first/offset inside the block
@@ -419,6 +431,7 @@ object GqlApi {
             outs :+= ((s.alias, s.alias))
           }
         } else {
+          requireArgs(s)
           scalarFields :+= s.name
           outs :+= ((s.name, s.alias))
         }

@@ -532,10 +532,16 @@ object GqlLite {
     // does is excluded below by matching the batch's own add keys)
     val batchKeys = ms.collect { case AddEntity(_, key, _) => key }.toSet
     // relation ids THIS batch's links create (compileMutation's PutRelation
-    // key scheme) — a meta-link endpoint naming one is in-batch, not a ref
+    // key scheme) — a meta-link endpoint naming one is in-batch, not a
+    // ref. Both spellings Transactor.ref accepts are excluded: the full
+    // relation atom-id AND the tx-local key itself ("s>d:rt"), which ref
+    // resolves via relationIds BEFORE the ':' passthrough — treating it
+    // as a ref here falsely tripped the liveness rejection on a form the
+    // transactor happily resolves in-batch.
     val linkRelIds = ms.collect { case LinkEntities(rt, s, d) =>
-      graft.core.Transactor.atomId(graft.core.Kind.Relation, rt, s"$s>$d:$rt")
-    }.toSet
+      val k = s"$s>$d:$rt"
+      Seq(k, graft.core.Transactor.atomId(graft.core.Kind.Relation, rt, k))
+    }.flatten.toSet
     val linkRefs = ms.collect {
       case LinkEntities(_, s, d) =>
         Seq(s, d).filter(k => k.contains(":") && !batchKeys(k))

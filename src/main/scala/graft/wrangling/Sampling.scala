@@ -35,7 +35,13 @@ object Sampling {
     * sentinel value in the key's own namespace: a string key equal to the
     * old "\u0000graft-null-key" sentinel collided with the null rows and
     * shared their keep decision. Oracles mirror the prefix ('v:' before
-    * the casted key — their fixtures never carry null keys). */
+    * the casted key — their fixtures never carry null keys).
+    *
+    * MIGRATION (README "Migration notes"): the prefix changed the hash
+    * domain for ALL keys, so every persisted decision keyed on the old
+    * hash (keeps, shards, epoch permutations, domain mixes) reshuffles
+    * on upgrade — rebuild derived artifacts once; never mix old and new
+    * decisions in one corpus. */
   def hashKey(key: Column, seed: String = ""): Column =
     md5(concat(lit(seed),
       when(key.isNull, lit("n:"))

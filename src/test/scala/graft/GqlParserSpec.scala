@@ -1328,4 +1328,54 @@ class GqlParserSpec extends AnyFunSuite {
       GqlParser.parseOperation("{ }")
     }
   }
+
+  test("review pass 19: nested selections vet their args like roots") {
+    import org.apache.spark.sql.Row
+    val sdl3 =
+      """type Shelf { label: String
+        |  books: [Book] @incoming @relation(rt: "On") }
+        |type Book { title: String
+        |  on: Shelf @relation(rt: "On") }""".stripMargin
+    val schema3 = GqlParser.parseSchema(sdl3)
+    val (g, _) = GqlApi.mutate(Graph.empty(spark), schema3,
+      """mutation { addShelf(input: [
+        |  {id: "s1", label: "A",
+        |   books: [{id: "b1", title: "X"}, {id: "b2", title: "Y"}]}]) }""".stripMargin)
+    // a typo'd NESTED filter: used to silently return the FULL child list
+    // — the failure class requireArgs killed at the root, one level down
+    val e = intercept[IllegalArgumentException] {
+      GqlApi.query(g.now, schema3,
+        """{ queryShelf { label books(fliter: {title: {eq: "X"}}) { title } } }""")
+    }
+    assert(e.getMessage.contains("unknown argument 'fliter'"), e.getMessage)
+    // single-entity nested fields take filter: only
+    intercept[IllegalArgumentException] {
+      GqlApi.query(g.now, schema3,
+        """{ queryBook { title on(first: 1) { label } } }""")
+    }
+    // scalar fields and id take no arguments at all
+    intercept[IllegalArgumentException] {
+      GqlApi.query(g.now, schema3, """{ queryBook { title(first: 1) } }""")
+    }
+    intercept[IllegalArgumentException] {
+      GqlApi.query(g.now, schema3, """{ queryBook { id(first: 1) } }""")
+    }
+    // the relation-count form keeps its filter-only vetting
+    intercept[IllegalArgumentException] {
+      GqlApi.query(g.now, schema3,
+        """{ queryShelf { books(order: {asc: title}) { count } } }""")
+    }
+    // the KNOWN nested list-params still pass through untouched
+    val rows = GqlApi.query(g.now, schema3,
+      """{ queryShelf { label
+        |  books(filter: {title: {in: ["X", "Y"]}}, order: {desc: title}, first: 1)
+        |  { title } } }""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getSeq[Row](1).map(_.getString(0)) == Seq("Y"))
+    // and a nested single-entity filter: still works
+    val one = GqlApi.query(g.now, schema3,
+      """{ queryBook(filter: {title: {eq: "X"}}) { title on(filter: {label: {eq: "A"}}) { label } } }""")
+      .collect()
+    assert(one.length == 1 && one(0).getStruct(1).getString(0) == "A")
+  }
 }

@@ -355,4 +355,34 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
     assert(base.filter(compileFilter(
       And(Or(), Eq("s", 1.0)))).count() == 0)
   }
+
+  test("meta-link endpoint given as the batch's tx-local relation key is in-batch, not a ref") {
+    import GqlLite._
+    // Transactor.ref resolves "a>b:Cites" via relationIds BEFORE the ':'
+    // passthrough, so a meta-link endpoint in that (documented) form names
+    // the batch's OWN relation — the liveness probe must not treat it as a
+    // full-atom-id ref and reject it as "not alive" (it can't be alive:
+    // the batch is creating it)
+    val (g, _) = mutate(Graph.empty(spark), Seq(
+      AddEntity("Doc", "a", Map("Title" -> "A")),
+      AddEntity("Doc", "b", Map("Title" -> "B")),
+      AddEntity("Topic", "t", Map("Name" -> "T")),
+      LinkEntities("Cites", "a", "b"),
+      LinkEntities("About", "a>b:Cites", "t")))
+    val citesId = Transactor.atomId(Kind.Relation, "Cites", "a>b:Cites")
+    val topicId = Transactor.atomId(Kind.Entity, "Topic", "t")
+    val metas = g.now.aliveAtoms.filter(col("atype") === "About")
+      .select("src_id", "dst_id").collect()
+    assert(metas.length == 1)
+    assert(metas(0).getString(0) == citesId,
+      s"meta-link src should be the in-batch Cites relation, got ${metas(0)}")
+    assert(metas(0).getString(1) == topicId)
+    // an endpoint in the same shape NOT created by this batch still
+    // rejects loudly at the liveness probe (typo'd/stale ref)
+    val e = intercept[IllegalArgumentException] {
+      mutate(g, Seq(LinkEntities("About", "x>y:Cites", topicId)))
+    }
+    assert(e.getMessage.contains("unknown key") ||
+      e.getMessage.contains("not alive"), e.getMessage)
+  }
 }
