@@ -23,17 +23,26 @@ object EntityResolution {
 
   /** Classify JSON objects into entity types by shape rules. Adds
     * `inferred_type`; unmatched rows get ZEF_Unknown (the reference's
-    * sentinel). jsonCol is a JSON string column. */
+    * sentinel). jsonCol is a JSON string column.
+    *
+    * The parsed map rides INLINE in the type expression (Catalyst's
+    * subexpression elimination shares the from_json across rules) — the
+    * previous temp-column form silently destroyed any input column that
+    * happened to be named `__m`. A `where` predicate that evaluates to
+    * NULL (e.g. a comparison against a missing key) counts as no-match
+    * and falls through to the next rule, the natural three-valued
+    * reading; invalid JSON parses to a null map, fails every shape
+    * check, and lands on the sentinel. */
   def inferTypes(df: DataFrame, jsonCol: String,
       rules: Seq[TypeRule]): DataFrame = {
-    val m = from_json(col(jsonCol), MapType(StringType, StringType)).as("__m")
+    val m = from_json(col(jsonCol), MapType(StringType, StringType))
     val typed = rules.foldRight(lit(UnknownType): Column) { (r, acc) =>
       val shapeOk = r.requiredFields
-        .map(f => element_at(col("__m"), f).isNotNull)
+        .map(f => element_at(m, f).isNotNull)
         .reduceOption(_ && _).getOrElse(lit(true))
-      when(shapeOk && r.where(col("__m")), lit(r.et)).otherwise(acc)
+      when(shapeOk && r.where(m), lit(r.et)).otherwise(acc)
     }
-    df.withColumn("__m", m).withColumn("inferred_type", typed).drop("__m")
+    df.withColumn("inferred_type", typed)
   }
 
   /** Match incoming records to EXISTING graph entities by a field value —
@@ -51,6 +60,14 @@ object EntityResolution {
     * store side is pre-bucketed by value hash. */
   def identifyEntities(incoming: DataFrame, slice: GraphSlice, et: String,
       fieldRt: String, valueCol: String, vcol: String = "v_str"): DataFrame = {
+    // drop("__field_value") after the join removes EVERY column of that
+    // name — an incoming column spelled like either working name would
+    // silently vanish (or shadow matched_atom_id); reject it loudly
+    Seq("__field_value", "matched_atom_id").foreach { reserved =>
+      require(!incoming.columns.contains(reserved),
+        s"identifyEntities: incoming carries reserved column '$reserved'" +
+          " — rename it before matching")
+    }
     val store = slice.all(et).fieldValue(fieldRt, vcol, "__field_value")
       .groupBy(col("__field_value"))
       .agg(min(col("atom_id")).as("matched_atom_id"))

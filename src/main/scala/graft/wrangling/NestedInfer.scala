@@ -214,6 +214,17 @@ object NestedInfer {
     // unguarded, the per-rule union below would throw empty.reduce
     if (rules.isEmpty) return flat.objects
     val base = flat.objects.localCheckpoint(true)
+    // duplicate ROOT document ids collide whole object subtrees onto the
+    // same obj_id paths ("id:$", "id:$/field", …): the types-view join
+    // then multiplies rows and every downstream consumer silently
+    // double-counts. toGraph's atom-id check is one stage too late to
+    // protect fixpoint-only callers, and base is already materialized
+    // here, so the distinct-count is one cheap aggregate over cached rows.
+    val idc = base.agg(count(lit(1)), count_distinct(col("obj_id"))).collect()(0)
+    require(idc.getLong(0) == idc.getLong(1),
+      s"NestedInfer.fixpoint: ${idc.getLong(0) - idc.getLong(1)} duplicate " +
+        "object ids — the flattened documents share root id values; " +
+        "dedupe or re-key the id column before flatten")
     // Checkpointed RDD stats are too weak for Catalyst to pick broadcast
     // joins on its own, and a shuffle join per rule-scan turns each round
     // into ~15 AQE stage-jobs of pure scheduling overhead. The object table
@@ -296,6 +307,17 @@ object NestedInfer {
       }
       iter += 1
     }
+    // maxIters is a rail against pathological rule lists, but exhaustion
+    // is DATA-reachable: a dependency chain through a deep object path
+    // (rule (Z, "next", T("Node")) over a 30-deep linked list) needs one
+    // round per link. Returning the half-typed table silently would be a
+    // wrong answer that no downstream check can attribute — same loud
+    // contract as flatten's maxDepth.
+    if (!converged)
+      throw new IllegalStateException(
+        s"NestedInfer.fixpoint: not converged after maxIters=$maxIters " +
+          "rounds (the last round still assigned types) — raise maxIters; " +
+          "rounds are bounded by the longest type-dependency chain")
     typesView
   }
 

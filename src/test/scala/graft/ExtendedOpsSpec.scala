@@ -162,6 +162,37 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(again(0).getAs[String]("matched_atom_id") == matched)
   }
 
+  test("review pass 19: inferTypes keeps user columns; identifyEntities rejects reserved names") {
+    import spark.implicits._
+    import EntityResolution._
+    // the old temp-column form silently destroyed an input column named
+    // __m; the map now rides inline in the type expression
+    val df = Seq(("""{"name":"joe","age":"3"}""", "keepme")).toDF("j", "__m")
+    val out = inferTypes(df, "j", Seq(TypeRule("Person", Seq("name")))).collect()
+    assert(out(0).getAs[String]("__m") == "keepme")
+    assert(out(0).getAs[String]("inferred_type") == "Person")
+    // a where predicate that evaluates to NULL (missing key) is a
+    // no-match that falls through to the next rule, not a crash/match
+    val out2 = inferTypes(Seq("""{"name":"x"}""").toDF("j"), "j", Seq(
+      TypeRule("Adult", Seq("name"),
+        m => element_at(m, "age").cast("int") >= 18),
+      TypeRule("Person", Seq("name")))).collect()
+    assert(out2(0).getAs[String]("inferred_type") == "Person")
+    // reserved working names reject loudly instead of silently dropping
+    // the user's column in the post-join drop("__field_value")
+    val g = GraphEncoder.encodeTpch(spark, sf)
+    intercept[IllegalArgumentException] {
+      EntityResolution.identifyEntities(
+        Seq(("a", "b")).toDF("cname", "__field_value"),
+        g.now, "Customer", "c_name", "cname")
+    }
+    intercept[IllegalArgumentException] {
+      EntityResolution.identifyEntities(
+        Seq(("a", "b")).toDF("cname", "matched_atom_id"),
+        g.now, "Customer", "c_name", "cname")
+    }
+  }
+
   test("StructOps: flatten/unflatten round-trip, nested edits, transpose") {
     import spark.implicits._
     val df = Seq((1, ("x", (2.5, true)))).toDF("id", "s")

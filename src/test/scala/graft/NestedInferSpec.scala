@@ -177,4 +177,32 @@ class NestedInferSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("colliding atom ids"))
   }
+
+  test("fixpoint: duplicate root ids and maxIters exhaustion reject loudly") {
+    // duplicate ROOT doc ids collide whole obj_id subtrees — the
+    // types-view join would silently multiply rows; fixpoint rejects at
+    // its own boundary (toGraph's atom check is one stage too late)
+    val dup = NestedInfer.flatten(
+      docs(1 -> """{"a":"x"}""", 1 -> """{"b":"y"}"""), "doc_id", "doc")
+    val e = intercept[IllegalArgumentException] {
+      NestedInfer.fixpoint(dup, Seq(TripleRule(ZP, V("a"), AnyP, "T")))
+    }
+    assert(e.getMessage.contains("duplicate object ids"), e.getMessage)
+
+    // a type-dependency chain through a deep object path needs one round
+    // per link — exhausting maxIters mid-chain must throw, not return the
+    // half-typed table (a silent wrong answer no downstream check can
+    // attribute)
+    val chain = (1 to 5).foldLeft("""{"type":"Node","v":"leaf"}""") {
+      (inner, _) => s"""{"next":$inner,"v":"n"}"""
+    }
+    val flat = NestedInfer.flatten(docs(9 -> chain), "doc_id", "doc")
+    val rules = Seq(TripleRule(ZP, V("next"), T("Node"), "Node"))
+    val ok = NestedInfer.fixpoint(flat, rules).collect()
+    assert(ok.count(_.getString(1) == "Node") == 6, ok.mkString(", "))
+    val e2 = intercept[IllegalStateException] {
+      NestedInfer.fixpoint(flat, rules, maxIters = 3)
+    }
+    assert(e2.getMessage.contains("not converged"), e2.getMessage)
+  }
 }
