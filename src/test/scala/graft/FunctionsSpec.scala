@@ -124,6 +124,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(lh == Map(1L -> 9L, 2L -> 1L))
   }
 
+  test("review pass 20: empty-input evals and deterministic HH output order") {
+    import spark.implicits._
+    import graft.functions.{BottomKAgg, HeavyHittersAgg, MinHashAgg}
+    // a GLOBAL aggregate over an empty frame evaluates the fresh buffer:
+    // minhash yields the identity signature (all Long.MaxValue — the
+    // merge identity, so an empty partition merged into any group is a
+    // no-op), bottom-k and heavy-hitters yield empty arrays
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val row = empty.agg(
+      MinHashAgg.minhash(col("s"), 4).as("mh"),
+      BottomKAgg.sampleK(col("id"), 3).as("bk"),
+      HeavyHittersAgg.heavyHitters(col("s"), 3).as("hh")).collect()(0)
+    assert(row.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+    assert(row.getSeq[Long](1).isEmpty)
+    assert(row.getSeq[org.apache.spark.sql.Row](2).isEmpty)
+    // all-null input behaves like empty input (nulls are skipped)
+    val nulls = Seq((Option.empty[Long], Option.empty[String]),
+      (Option.empty[Long], Option.empty[String])).toDF("id", "s")
+    val nrow = nulls.agg(
+      BottomKAgg.sampleK(col("id"), 3).as("bk"),
+      HeavyHittersAgg.heavyHitters(col("s"), 3).as("hh")).collect()(0)
+    assert(nrow.getSeq[Long](0).isEmpty)
+    assert(nrow.getSeq[org.apache.spark.sql.Row](1).isEmpty)
+    // heavy-hitters output order is pinned: est_count desc, item ASC on
+    // ties — partitioning must not reorder equal-count items
+    val tied = Seq("b", "a", "c", "a", "c", "b").map((_, "g")).toDF("v", "g")
+    for (parts <- Seq(1, 5)) {
+      val arr = tied.repartition(parts).groupBy("g")
+        .agg(HeavyHittersAgg.heavyHitters(col("v"), 10).as("h"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(arr == Seq(("a", 2L), ("b", 2L), ("c", 2L)), arr.toString)
+    }
+  }
+
   test("MinHashAgg: similarity estimate tracks exact jaccard") {
     import spark.implicits._
     val base = (1 to 50).map(i => s"w$i").mkString(" ")
