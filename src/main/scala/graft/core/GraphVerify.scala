@@ -124,4 +124,47 @@ object GraphVerify {
 
   /** Boolean form, `verify_graph(g)` (verification.h:60). */
   def isHealthy(g: Graph): Boolean = verify(g).isEmpty
+
+  /** Advisory lint for the ACCEPTED one-level termination-cascade
+    * residual. Transact culls a terminated atom's incident relations one
+    * level deep — matching the reference's single PleaseTerminate pass
+    * (graph.cpp's termination cull) — so a META-relation attached to a
+    * cascaded relation survives with a terminated endpoint: alive in
+    * frames where its endpoint resolves to nothing. That is contract, not
+    * corruption, which is why it is NOT part of [[verify]]/[[isHealthy]]
+    * (the Transactor itself produces the shape); this face makes the
+    * contract AUDITABLE in data instead of invisible.
+    *
+    * Reports relations whose endpoint is dead in the relation's LAST
+    * visible frame (`term_slice - 1`, or the current frame for open
+    * relations) — the cascade-residual shape. Mid-lifetime gaps where an
+    * endpoint is terminated and later re-instantiated under the same id
+    * while the relation stays open are out of scope (Transact's cascade
+    * closes the relation at the first termination, so that shape cannot
+    * arise from the write path). Returns `(atom_id, last_visible_slice,
+    * detail)`; empty means no relation outlives an endpoint. Same
+    * distributed join shape as verify's check 6 — nothing collects. */
+  def danglingEndpointRelations(g: Graph): DataFrame = {
+    val atoms = g.atoms
+    val maxSlice = g.maxSlice
+    val endpoints = atoms.select(col("atom_id"),
+      col("inst_slice").as("__ei"),
+      coalesce(col("term_slice"), lit(Int.MaxValue)).as("__et"))
+    val rels = atoms.filter(col("kind") === Kind.Relation)
+      .withColumn("__last", least(
+        coalesce(col("term_slice") - 1, lit(maxSlice)), lit(maxSlice)))
+      // born-dead rows are visible in no frame; pre-inst rows can't dangle
+      .filter(col("inst_slice") <= col("__last"))
+      .select(col("atom_id"), col("src_id"), col("dst_id"), col("__last"))
+    def coveredAtLast(endCol: String): DataFrame = rels.alias("r")
+      .join(endpoints.withColumnRenamed("atom_id", endCol).alias("e"), endCol)
+      .filter(col("e.__ei") <= col("r.__last") &&
+        col("r.__last") < col("e.__et"))
+      .select(col("r.atom_id"), col("r.__last")).distinct()
+    rels.select(col("atom_id"), col("__last")).distinct()
+      .except(coveredAtLast("src_id").intersect(coveredAtLast("dst_id")))
+      .select(col("atom_id"), col("__last").as("last_visible_slice"),
+        concat(lit("endpoint dead at last visible slice "),
+          col("__last")).as("detail"))
+  }
 }

@@ -625,6 +625,37 @@ class GraphCoreSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet.contains("relation_endpoint_dead"))
   }
 
+  test("danglingEndpointRelations: audits the one-level cascade residual") {
+    val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutEntity("Person", "b"),
+      PutEntity("Topic", "c"),
+      PutRelation("Likes", "a", "b", "ab"),
+      // meta-relation one level out: its src IS the Likes relation
+      PutRelation("About", "ab", "c", "abc")))
+    assert(GraphVerify.danglingEndpointRelations(g1).isEmpty)
+    // terminating `a` cascades ONE level (closes Likes) — the
+    // meta-relation survives with a terminated endpoint, per the
+    // reference's own single-pass cull
+    val (g2, _) = Transactor.transact(g1, Seq(TerminateAtom("e:Person/a")))
+    // accepted contract: the graph is still HEALTHY...
+    assert(GraphVerify.isHealthy(g2))
+    // ...but the residual is now AUDITABLE instead of invisible
+    val aboutId = Transactor.atomId(Kind.Relation, "About", "abc")
+    val hits = GraphVerify.danglingEndpointRelations(g2).collect()
+    assert(hits.map(_.getString(0)).toSeq == Seq(aboutId), hits.mkString(", "))
+    assert(hits(0).getInt(1) == 2) // open relation, dead endpoint NOW
+    // the report is HISTORICAL: terminating About later (slice 3) leaves
+    // frame 2 — where About was alive over a dead endpoint — in history,
+    // so the lint still reports it (time travel to slice 2 shows it)
+    val (g3, _) = Transactor.transact(g2, Seq(TerminateAtom(aboutId)))
+    assert(GraphVerify.danglingEndpointRelations(g3).count() == 1)
+    // whereas closing the meta-relation IN the cascading tx leaves no
+    // frame with a dangling window — the lint stays empty
+    val (clean, _) = Transactor.transact(g1, Seq(
+      TerminateAtom("e:Person/a"), TerminateAtom(aboutId)))
+    assert(GraphVerify.danglingEndpointRelations(clean).isEmpty)
+  }
+
   test("transact seeds the next frame's latestValues from the prior cache") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("P", "a"), PutField("a", "X", 1.0),
