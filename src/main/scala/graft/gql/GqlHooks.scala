@@ -52,14 +52,15 @@ object GqlHooks {
     }
 
     /** Affected objects with the requested `(rt, value column, alias)`
-      * fields resolved from [[frame]] — one plan for the whole set. */
-    def affected(fields: (String, String, String)*): DataFrame = {
-      import org.apache.spark.sql.functions.col
-      val set = frame.all(et)
+      * fields resolved from [[frame]] — one plan for the whole set. The
+      * id probe goes through [[GqlLite.inFilter]]: a batch hook exists
+      * precisely for 10k+-row bulk mutations, where an isInCollection
+      * literal is a 10k-node Catalyst tree (the analysis blowup the
+      * InProbeCutoff semi-join path was built for). */
+    def affected(fields: (String, String, String)*): DataFrame =
       graft.core.AtomSet(frame,
-        set.df.filter(col("atom_id").isInCollection(atomIds.toSet)))
+        GqlLite.inFilter(frame.all(et).df, "atom_id", atomIds.distinct))
         .fields(fields: _*)
-    }
   }
 
   /** A registered mutation hook implementation (either granularity). */

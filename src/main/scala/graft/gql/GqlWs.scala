@@ -107,8 +107,19 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
           case Some((0x8, _)) => // close
             writeFrame(out, 0x8, Array.emptyByteArray, writeLock); open = false
           case Some((0x1, payload)) =>
-            val q = subscribe(new String(payload, UTF_8), out, writeLock)
-            queries.add(q); mine ::= q
+            // a BAD subscribe frame (malformed JSON, unknown kind, missing
+            // atype) answers with an error frame and keeps the connection
+            // open — propagating tore the WHOLE connection down silently,
+            // killing the client's other live subscriptions over a typo
+            try {
+              val q = subscribe(new String(payload, UTF_8), out, writeLock)
+              queries.add(q); mine ::= q
+            } catch {
+              case e: Exception =>
+                val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                writeFrame(out, 0x1,
+                  s"""{"error":"${jsonEsc(msg)}"}""".getBytes(UTF_8), writeLock)
+            }
           case Some(_) => () // ignore pong/unknown
         }
       }
@@ -133,6 +144,12 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
       val b = in.read()
       if (b < 0) throw new java.io.EOFException("closed during handshake")
       req.append(b.toChar)
+      // a real upgrade request is <1 KiB of headers; a client streaming
+      // endless header bytes without the blank line grew this buffer
+      // without bound (the frame path caps at 1 MiB — the handshake must
+      // not be the one unbounded read on the socket)
+      if (req.length > (1 << 14))
+        throw new IllegalArgumentException("handshake headers exceed 16 KiB")
       if (b == '\n' && prev == '\n') done = true
       if (b != '\r') prev = b
     }
@@ -224,6 +241,16 @@ final class WsServer(spark: SparkSession, storeDir: String, port: Int = 0) {
     if (masked) payload.indices.foreach(i =>
       payload(i) = (payload(i) ^ mask(i % 4)).toByte)
     Some((fin, opcode, payload))
+  }
+
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   private def writeFrame(out: OutputStream, opcode: Int,

@@ -162,4 +162,42 @@ class GqlWsSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("WS: a bad subscribe answers an error frame and keeps the connection alive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ws_err").toString
+    var w = Sync.publish(Graph.empty(spark), dir)
+    val server = new WsServer(spark, dir)
+    val port = server.start()
+    val sock = new Socket("127.0.0.1", port)
+    sock.setSoTimeout(120000)
+    try {
+      wsHandshake(sock)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      // malformed JSON, then an unknown kind, then a missing atype — each
+      // used to tear the WHOLE connection down silently (review pass 21)
+      sendText(out, """{"on":"assigned","atype":""") // truncated JSON
+      assert(readText(in).contains("\"error\""))
+      sendText(out, """{"on":"resurrected","atype":"X"}""")
+      assert(readText(in).contains("unknown subscription"))
+      sendText(out, """{"on":"assigned"}""")
+      assert(readText(in).contains("atype"))
+      assert(server.activeSubscriptions == 0)
+      // the SAME connection still subscribes and receives events
+      sendText(out, """{"on":"assigned","atype":"Temp"}""")
+      val deadline = System.currentTimeMillis() + 60000
+      while (server.activeSubscriptions < 1 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(server.activeSubscriptions == 1, "good subscribe after errors did not start")
+      w = w.transact(Seq(
+        PutEntity("Sensor", "s1"), PutField("s1", "Temp", 4.25)))._1
+      server.drain()
+      val frame = readText(in)
+      assert(frame.contains("\"event\":\"assigned\"") &&
+        frame.contains("\"v_double\":4.25"), frame)
+    } finally {
+      try sock.close() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
 }
