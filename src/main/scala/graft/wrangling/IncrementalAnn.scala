@@ -59,13 +59,22 @@ object IncrementalAnn {
     Similarity.ivfLoadCentroids(spark, dir)
 
   /** One tick: assign the batch against the frozen centroids and land it
-    * in the tick's own delta directory (idempotent under replay). */
+    * in the tick's own delta directory (idempotent under replay). An
+    * EMPTY tick writes nothing: a data-less `batch=N` directory poisons
+    * [[postings]]' delta read when no other delta exists (parquet schema
+    * inference has no file to read), and skipping is replay-safe — a
+    * batchId's content is checkpoint-deterministic, so an empty batch
+    * can only ever replay as empty. */
   def ingestTick(batch: DataFrame, dir: String, idCol: String,
-      vecCol: String, cents: Seq[Array[Double]], batchId: Long): Unit =
+      vecCol: String, cents: Seq[Array[Double]], batchId: Long): Unit = {
+    // the emptiness probe is a limit-1 job over the source — cheaper than
+    // the assignment+write it skips, and free relative to a real tick
+    if (batch.isEmpty) return
     batch.select(col(idCol), col(vecCol))
       .withColumn("__ci", Similarity.ivfAssign(col(vecCol), cents))
       .write.mode(SaveMode.Overwrite).partitionBy("__ci")
       .parquet(s"$dir/postings_delta/batch=$batchId")
+  }
 
   /** Streaming entry: each micro-batch is one tick. Bounded by default
     * (AvailableNow); pass a processing-time trigger for a live feed. */

@@ -96,6 +96,10 @@ object IncrementalDedup {
     require(fresh.filter(col("doc_id").isNull).isEmpty,
       s"IncrementalDedup: batch contains null '$idCol' ids — every " +
         "document needs a stable non-null id for the durable index")
+    // an empty tick (idle stream, or a fully-replayed batch) must be a
+    // true no-op: without this it still paid the stored-index probe scan
+    // and appended three empty parquet files per tick, forever
+    if (fresh.isEmpty) return 0L
     // banding (the dominant per-row cost) and shingle derivation are
     // materialized in ONE job: the two row shapes ride a tagged union
     // (each in its own struct column), checkpoint once, split by tag —
@@ -163,8 +167,13 @@ object IncrementalDedup {
       .join(allSh.select(col("doc_id").as("id_a"), col("sh").as("__sha")), "id_a")
       .join(allSh.select(col("doc_id").as("id_b"), col("sh").as("__shb")), "id_b")
       .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
+      // zero-union guard mirrors Dedup.jaccardForPairs exactly: the LSH
+      // gate makes an empty-vs-empty candidate unreachable (shingle-less
+      // docs band to nothing), but the verify formula must stay
+      // IDENTICAL to the batch path's — streamed == batch is the contract
       .withColumn("jaccard", col("__inter").cast("double") /
-        (size(col("__sha")) + size(col("__shb")) - col("__inter")).cast("double"))
+        nullif((size(col("__sha")) + size(col("__shb")) - col("__inter"))
+          .cast("double"), lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"),
         lit(tick).as("tick"))

@@ -110,6 +110,53 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.bands(spark, dir).count() == bands0)
   }
 
+  test("empty ticks are true no-ops: no index files, no probe cost, flags stable") {
+    import spark.implicits._
+    val dir = tmp("graft_dedup_empty")
+    IncrementalDedup.publish(dir)
+    def files(sub: String) =
+      Option(new java.io.File(s"$dir/$sub").listFiles()).fold(0)(_.length)
+    // an EMPTY first tick appends nothing anywhere (it used to land one
+    // empty parquet file per tree per tick, forever on an idle stream)
+    val empty = Seq.empty[Doc].toDF("doc_id", "text")
+    assert(IncrementalDedup.ingestTick(spark, dir, empty, "doc_id", "text", 0.5) == 0L)
+    assert(files("bands") == 0 && files("shingles") == 0 && files("flags") == 0)
+    // a real tick, then a FULLY-REPLAYED tick (all ids already indexed —
+    // fresh is empty after the anti-join): also a no-op
+    val docs = corpus.take(3).toDF()
+    IncrementalDedup.ingestTick(spark, dir, docs, "doc_id", "text", 0.5)
+    val (b1, s1, f1) = (files("bands"), files("shingles"), files("flags"))
+    val flagsBefore = flagSet(dir)
+    assert(IncrementalDedup.ingestTick(spark, dir, docs, "doc_id", "text", 0.5) == 0L)
+    assert((files("bands"), files("shingles"), files("flags")) == ((b1, s1, f1)))
+    assert(flagSet(dir) == flagsBefore)
+  }
+
+  test("threshold boundary is inclusive and identical to the batch path") {
+    import spark.implicits._
+    // docs 1,2 share exactly half their shingle union: jaccard == 0.5
+    // ({a,b,c} vs {a,b,c,d,e,f}: inter 3, union 6)
+    val pair = Seq(Doc(1, "a b c"), Doc(2, "a b c d e f"))
+    // sanity: the batch path flags at >= (inclusive boundary)
+    val batch = Dedup.minhashDedupPairsPortable(pair.toDF(), "doc_id",
+      "text", threshold = 0.5, shingleN = 1).collect()
+    val dirIn = tmp("graft_dedup_thr_in")
+    IncrementalDedup.publish(dirIn)
+    val nIn = IncrementalDedup.ingestTick(spark, dirIn, pair.toDF(),
+      "doc_id", "text", threshold = 0.5, shingleN = 1)
+    assert(nIn == batch.length.toLong) // streamed == batch at the boundary
+    // non-vacuous: the fixture pair must actually collide in some band
+    // (deterministic md5 banding — this is a fixture property, not luck)
+    assert(nIn == 1L, "fixture pair missed the LSH gate; adjust the words")
+    val j = flagSet(dirIn).head._3
+    assert(j == 0.5, s"expected boundary jaccard 0.5, got $j")
+    // just past the boundary: neither path flags
+    val dirOut = tmp("graft_dedup_thr_out")
+    IncrementalDedup.publish(dirOut)
+    assert(IncrementalDedup.ingestTick(spark, dirOut, pair.toDF(),
+      "doc_id", "text", threshold = math.nextUp(0.5), shingleN = 1) == 0L)
+  }
+
   test("non-numeric and null ids fail loudly, never silently mis-dedup") {
     import spark.implicits._
     val dir = tmp("dedup_idx")
