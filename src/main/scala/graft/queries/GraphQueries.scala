@@ -348,6 +348,42 @@ object GraphQueries {
            |SELECT v AS nation_id, round(r, 4) AS rank FROM pr5
            |WHERE v LIKE 'e:Nation/%' ORDER BY nation_id""".stripMargin
       },
-      Seq("pagerank", "graph_analytics", "power_iteration", "fixpoint"))
+      Seq("pagerank", "graph_analytics", "power_iteration", "fixpoint")),
+
+    // GraphVerify.danglingEndpointRelations — the auditable face of the
+    // one-level termination-cascade contract (Transact culls a terminated
+    // atom's incident relations one level deep, like the reference's
+    // single PleaseTerminate pass, so a meta-relation on a cascaded
+    // relation survives with a dead endpoint). Fixture: 20 customers each
+    // in a Seg via an InSeg relation; even custkeys carry a Tagged
+    // META-relation on their InSeg; terminating customers 1-10 cascades
+    // InSeg closed — the even-key Tagged relations (2,4,6,8,10) outlive
+    // their endpoint and the lint reports exactly them.
+    QueryDef(
+      "graph_dangling_lint",
+      (s, d) => {
+        import graft.core._
+        val keys = graft.Tables.customer(s, d)
+          .filter(col("c_custkey") <= 20)
+          .select(col("c_custkey")).collect().map(_.getLong(0)).sorted
+        val wishes: Seq[Wish] = Seq(PutEntity("Audit", "a")) ++
+          keys.flatMap { k =>
+            Seq(PutEntity("Cust", s"c$k"), PutEntity("Seg", s"s$k"),
+              PutRelation("InSeg", s"c$k", s"s$k", s"is$k")) ++
+              (if (k % 2 == 0)
+                Seq(PutRelation("Tagged", s"is$k", "a", s"tg$k"))
+              else Nil)
+          }
+        val (g1, _) = Transactor.transact(Graph.empty(s), wishes)
+        val (g2, _) = Transactor.transact(g1,
+          keys.filter(_ <= 10).map(k => TerminateAtom(s"e:Cust/c$k")))
+        GraphVerify.danglingEndpointRelations(g2).orderBy(col("atom_id"))
+      },
+      Some("""SELECT 'r:Tagged/tg' || CAST(c_custkey AS VARCHAR) AS atom_id,
+             |  2 AS last_visible_slice,
+             |  'endpoint dead at last visible slice 2' AS detail
+             |FROM customer WHERE c_custkey <= 10 AND c_custkey % 2 = 0
+             |ORDER BY atom_id""".stripMargin),
+      Seq("graph_verify", "terminate", "cascade", "meta_relation"))
   )
 }
