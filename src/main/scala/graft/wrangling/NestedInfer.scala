@@ -218,8 +218,9 @@ object NestedInfer {
     // same obj_id paths ("id:$", "id:$/field", …): the types-view join
     // then multiplies rows and every downstream consumer silently
     // double-counts. toGraph's atom-id check is one stage too late to
-    // protect fixpoint-only callers, and base is already materialized
-    // here, so the distinct-count is one cheap aggregate over cached rows.
+    // protect fixpoint-only callers. The distinct-count rides the SAME
+    // aggregate job the broadcast-regime decision already pays — the
+    // check costs zero extra passes over the (cached) base.
     val idc = base.agg(count(lit(1)), count_distinct(col("obj_id"))).collect()(0)
     require(idc.getLong(0) == idc.getLong(1),
       s"NestedInfer.fixpoint: ${idc.getLong(0) - idc.getLong(1)} duplicate " +
@@ -232,7 +233,7 @@ object NestedInfer {
     // same pattern as ZOps' group_consecutive: small object sets broadcast
     // (zero shuffles per round), huge ones fall back to shuffle joins,
     // which is the correct plan when types genuinely can't fit an executor.
-    val bcTypes = base.count() <= 5_000_000L
+    val bcTypes = idc.getLong(0) <= 5_000_000L
     def hint(df: DataFrame): DataFrame = if (bcTypes) broadcast(df) else df
     // Accumulated re-typings. Only ZEF_Unknown objects ever change type, and
     // a resolved object never matches Z again, so rounds produce DISJOINT
