@@ -90,16 +90,19 @@ object IncrementalDedup {
       .join(shingles(spark, dir).select(col("doc_id")), Seq("doc_id"),
         "left_anti")
       .localCheckpoint(true)
-    // null ids are identity corruption too (every null row would collapse
-    // into one doc under dropDuplicates); checked over the materialized
-    // checkpoint blocks — no extra scan of the source
-    require(fresh.filter(col("doc_id").isNull).isEmpty,
+    // ONE aggregate over the materialized checkpoint blocks answers both
+    // per-tick probes (no extra scan of the source, no second job): null
+    // ids are identity corruption (every null row would collapse into one
+    // doc under dropDuplicates) and reject loudly; an empty tick (idle
+    // stream, or a fully-replayed batch) is a TRUE no-op — without the
+    // early return it still paid the stored-index probe scan and appended
+    // three empty parquet files per tick, forever
+    val freshStats = fresh.agg(count(lit(1)),
+      count(when(col("doc_id").isNull, lit(1)))).collect()(0)
+    require(freshStats.getLong(1) == 0L,
       s"IncrementalDedup: batch contains null '$idCol' ids — every " +
         "document needs a stable non-null id for the durable index")
-    // an empty tick (idle stream, or a fully-replayed batch) must be a
-    // true no-op: without this it still paid the stored-index probe scan
-    // and appended three empty parquet files per tick, forever
-    if (fresh.isEmpty) return 0L
+    if (freshStats.getLong(0) == 0L) return 0L
     // banding (the dominant per-row cost) and shingle derivation are
     // materialized in ONE job: the two row shapes ride a tagged union
     // (each in its own struct column), checkpoint once, split by tag —
