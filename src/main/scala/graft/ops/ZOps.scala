@@ -127,20 +127,27 @@ object ZOps {
         .drop("__pid", "__local", "__off")
     }
 
-    /** zef `chunk[n]` (impl.py:1306): fixed-size blocks under a total order. */
-    def chunk(n: Int, order: Seq[Column], chunkCol: String = "chunk_id"): DataFrame =
+    /** zef `chunk[n]` (impl.py:1306): fixed-size blocks under a total order.
+      * n rejects at PLAN time: n = 0 reached the executors as an ANSI
+      * DIVIDE_BY_ZERO mid-job (same convention as minhash/sampleK). */
+    def chunk(n: Int, order: Seq[Column], chunkCol: String = "chunk_id"): DataFrame = {
+      require(n > 0, s"chunk: block size must be positive, got $n")
       enumerate(order, "__i")
         .withColumn(chunkCol, (col("__i") / n).cast("long")).drop("__i")
+    }
 
     /** zef `stride[n]` (impl.py:1267): every n-th element. */
-    def stride(n: Int, order: Seq[Column]): DataFrame =
+    def stride(n: Int, order: Seq[Column]): DataFrame = {
+      require(n > 0, s"stride: step must be positive, got $n")
       enumerate(order, "__i").filter(col("__i") % n === 0).drop("__i")
+    }
 
     /** zef `sliding[w]` (impl.py:1427) per group: window of w rows ending
       * at each row, emitted as an aggregate the caller computes over
       * `rowsBetween`; generic collect_list variant. */
     def sliding(w: Int, partition: Seq[Column], order: Seq[Column],
         valueCol: Column, as: String = "window"): DataFrame = {
+      require(w > 0, s"sliding: window width must be positive, got $w")
       val win = Window.partitionBy(partition: _*).orderBy(order: _*)
         .rowsBetween(-(w - 1), Window.currentRow)
       df.withColumn(as, collect_list(valueCol).over(win))

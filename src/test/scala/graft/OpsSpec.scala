@@ -100,6 +100,13 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSeq
     assert(sizes == Seq(6L, 6L, 6L, 2L))
     assert(nums.stride(5, Seq(col("id"))).count() == 4)
+    // non-positive sizes reject at PLAN time — n = 0 used to reach the
+    // executors as an ANSI DIVIDE_BY_ZERO / invalid window frame mid-job
+    intercept[IllegalArgumentException] { nums.chunk(0, Seq(col("id"))) }
+    intercept[IllegalArgumentException] { nums.stride(0, Seq(col("id"))) }
+    intercept[IllegalArgumentException] {
+      nums.sliding(0, Seq.empty, Seq(col("id")), col("id"))
+    }
   }
 
   test("takeWhile/skipWhile partition the ordered set") {
