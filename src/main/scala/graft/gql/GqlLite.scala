@@ -442,14 +442,18 @@ object GqlLite {
           case u if etOfId(u.atomId).contains(et) &&
               u.fields.get(rt).exists(_ != null) => u.fields(rt)
         }
-        val batchVals = addVals ++ updVals
+        // widen to the STORED representation BEFORE the batch-dup check:
+        // boxed Int 5 and Long 5 are != under equals, so a mixed-width
+        // pair for the same unique field slipped the in-batch check (and
+        // the store probe only sees store rows) — one tx committed two
+        // rows holding the same stored v_long value
+        val batchVals = (addVals ++ updVals)
+          .map { case i: Int => i.toLong: Any; case x => x }
         if (batchVals.distinct.size != batchVals.size)
           throw new IllegalArgumentException(
             s"constraint violation: duplicate $et.$rt within transaction")
         batchVals.groupBy(typedCol).map { case (vcol, vs) =>
-          // v_long stores longs — widen Int batch values to match
-          // (inFilter's local-relation path does the same widening)
-          val asStored = vs.map { case i: Int => i.toLong; case x => x }
+          val asStored = vs
           // value probe then released-owner exclusion, both batch-sized
           // and both analysis-cheap at any size (inFilter: literal InSet
           // small, broadcast semi/anti-join large)
@@ -600,7 +604,9 @@ object GqlLite {
       if (proj.isEmpty) slice.all(et).df.select(col("atom_id"))
       else slice.all(et).fields(proj: _*)
     df = applyCountJoins(slice, df, hops, condHops)
-    filter.foreach(f => df = df.filter(compileFilter(f)))
+    // same big-In peel as run(): an aggregate over a batch-derived id set
+    // must not compile an O(batch) literal tree
+    filter.foreach(f => df = applyFilter(df, f))
     val aggs = count(lit(1)).as("count") +: fields.flatMap { case (_, _, out) =>
       Seq(min(col(out)).as(s"${out}_min"), max(col(out)).as(s"${out}_max"),
         round(sum(col(out)), 2).as(s"${out}_sum"),

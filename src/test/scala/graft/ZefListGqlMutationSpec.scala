@@ -101,6 +101,15 @@ class ZefListGqlMutationSpec extends AnyFunSuite {
       mutate(h, Seq(AddEntity("Probe", "p2", Map("Calib" -> 2.5))),
         constraints = consD)
     }
+    // MIXED-WIDTH in-batch duplicate: boxed Int 777 != boxed Long 777
+    // under equals, so the batch-dup check used to pass the pair and the
+    // store probe (which only sees store rows) committed two entities
+    // holding the same stored v_long value in ONE transaction
+    intercept[IllegalArgumentException] {
+      mutate(Graph.empty(spark), Seq(
+        AddEntity("Device", "m1", Map("Serial" -> 777)),
+        AddEntity("Device", "m2", Map("Serial" -> 777L))), constraints = cons)
+    }
   }
 
   test("GqlLite @unique binds UPDATES too; own-value re-set passes") {
