@@ -572,6 +572,50 @@ object Misc {
              |FROM j ORDER BY key, ts, payload""".stripMargin),
       Seq("asof_enrich", "subscribe", "stateful", "asof_join")),
 
+    // Quantity algebra (zef QuantityFloat, scalars.h:133-230) under the
+    // hash gate: same-unit add/subtract/scale/compare over unit-carrying
+    // structs built from lineitem quantities. Same-unit by construction
+    // here (the gate can't check the raise_error mismatch branch — that
+    // contract is QuantitySpec's); values/units flatten to plain columns
+    // so DuckDB replays the arithmetic directly. Duplicate
+    // (l_orderkey, l_linenumber) keys exist in this corpus — both sides
+    // pre-aggregate to one deterministic row per order first.
+    QueryDef(
+      "quantity_unit_math",
+      (s, d) => {
+        import graft.functions.Quantity
+        val li = Tables.lineitem(s, d)
+        def side(ln: Int, as: String) = li.filter(col("l_linenumber") === ln)
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("l_quantity")).as("__q"))
+          .select(col("l_orderkey"),
+            Quantity.quantity(col("__q"), "kg").as(as))
+        val joined = side(1, "qa").join(side(2, "qb"), "l_orderkey")
+        val total = Quantity.qAdd(col("qa"), col("qb"))
+        joined.select(col("l_orderkey"),
+            Quantity.value(total).as("total"),
+            Quantity.unit(total).as("unit"),
+            Quantity.value(Quantity.qSubtract(col("qb"), col("qa"))).as("diff"),
+            Quantity.value(Quantity.qScale(col("qa"), lit(2.5))).as("scaled"),
+            Quantity.qLt(col("qa"), col("qb")).as("a_lt_b"),
+            Quantity.qEq(col("qa"), col("qb")).as("a_eq_b"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH a AS (
+             |  SELECT l_orderkey, max(l_quantity) AS q FROM lineitem
+             |  WHERE l_linenumber = 1 GROUP BY l_orderkey),
+             |b AS (
+             |  SELECT l_orderkey, max(l_quantity) AS q FROM lineitem
+             |  WHERE l_linenumber = 2 GROUP BY l_orderkey)
+             |SELECT a.l_orderkey,
+             |  CAST(a.q + b.q AS DOUBLE) AS total, 'kg' AS unit,
+             |  CAST(b.q - a.q AS DOUBLE) AS diff,
+             |  CAST(a.q * 2.5 AS DOUBLE) AS scaled,
+             |  a.q < b.q AS a_lt_b, a.q = b.q AS a_eq_b
+             |FROM a JOIN b USING (l_orderkey)
+             |ORDER BY l_orderkey""".stripMargin),
+      Seq("quantity", "unit_algebra", "compare", "group_by")),
+
     // The spark.sql text surface over registered views — SQL parity path.
     QueryDef(
       "sql_text_surface",
