@@ -162,6 +162,20 @@ object FieldIndex {
       .select(col("rt"), col("vhash"), col("ae_id"), col("owner_id"),
         col("tx_slice"))
 
+  /** The STORE's field relations for the given rts — read with the
+    * explicit AtomRow schema, like GraphStore.load: a freshly published
+    * EMPTY indexed store has an atoms directory with no data files yet,
+    * which schema inference rejects (the first indexed append used to
+    * crash there) while a schema'd read returns a clean empty frame. */
+  private def storedFieldRels(spark: SparkSession, storePath: String,
+      rts: Seq[String]): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[AtomRow].schema)
+      .parquet(s"$storePath/atoms")
+      .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
+      .select(col("atype").as("rt"), col("src_id").as("owner_id"),
+        col("dst_id").as("ae_id"))
+
   /** Append one transaction's index delta: new assignments joined to their
     * owning field relation (from the receipt itself for fields created in
     * this tx, from the stored atoms for re-assignments to existing AEs). */
@@ -174,10 +188,7 @@ object FieldIndex {
       .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
       .select(col("atype").as("rt"), col("src_id").as("owner_id"),
         col("dst_id").as("ae_id"))
-    val stored = spark.read.parquet(s"$storePath/atoms")
-      .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
-      .select(col("atype").as("rt"), col("src_id").as("owner_id"),
-        col("dst_id").as("ae_id"))
+    val stored = storedFieldRels(spark, storePath, rts)
     // materialize once: the emptiness guard would otherwise run the full
     // store-atoms scan + join a second time for the write it guards
     val delta = newVals.join(fromTx.unionByName(stored).distinct(), "ae_id")
@@ -208,10 +219,7 @@ object FieldIndex {
       .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
       .select(col("atype").as("rt"), col("src_id").as("owner_id"),
         col("dst_id").as("ae_id"))
-    val stored = spark.read.parquet(s"$storePath/atoms")
-      .filter(col("kind") === Kind.Relation && col("atype").isInCollection(rts))
-      .select(col("atype").as("rt"), col("src_id").as("owner_id"),
-        col("dst_id").as("ae_id"))
+    val stored = storedFieldRels(spark, storePath, rts)
     val delta = values.join(fromTx.unionByName(stored).distinct(), "ae_id")
       .select(col("rt"), vhashOfCols.as("vhash"), col("ae_id"),
         col("owner_id"), col("tx_slice"))

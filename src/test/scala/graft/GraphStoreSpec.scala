@@ -153,6 +153,19 @@ class GraphStoreSpec extends AnyFunSuite {
     val idx3 = GraphStore.loadIndex(spark, dir).get
     assert(ids(l3.now.selectByFieldIndexed(idx3, "Person", "Name", "v_str", "Cid"))
       == Seq("e:Person/c"))
+
+    // EMPTY indexed store, first append: the stored-atoms read must be
+    // schema'd — the atoms dir of a freshly published empty store has no
+    // data files, and schema inference crashed the first indexed append
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_idx0").toString
+    GraphStore.saveWithIndex(Graph.empty(spark), emptyDir, Seq("Name"))
+    val (_, r0) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "z"), PutField("z", "Name", "Zed")))
+    GraphStore.appendTx(spark, emptyDir, r0) // marker present → maintains
+    val l0 = GraphStore.loadWithClosures(spark, emptyDir)
+    val idx0 = GraphStore.loadIndex(spark, emptyDir).get
+    assert(ids(l0.now.selectByFieldIndexed(idx0, "Person", "Name", "v_str", "Zed"))
+      == Seq("e:Person/z"))
   }
 
   test("appendBulk maintains a marked index: bulk-assigned values are probe-visible") {
