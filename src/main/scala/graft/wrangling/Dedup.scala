@@ -15,13 +15,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup by content fingerprint: one survivor per fingerprint
-    * (deterministic: min id wins). Hash-groupBy, single shuffle. */
+    * (deterministic: min id wins). Hash-groupBy, single shuffle.
+    *
+    * NULL text is UNKNOWN content, not shared content: such rows bypass
+    * the dedup (all kept) — grouped, every null-text doc landed in ONE
+    * null-fingerprint bucket and all but the min id were silently
+    * dropped, while the near-dup stages (no shingles → no signature →
+    * no candidates) let the same rows survive: the pipeline
+    * contradicted itself on null text. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
-    val survivors = keyed.groupBy(col("__fp"))
+    val survivors = keyed.filter(col("__fp").isNotNull)
+      .groupBy(col("__fp"))
       .agg(min(col(idCol)).as(idCol))
       .drop("__fp")
-    df.join(survivors, idCol)
+    keyed.filter(col("__fp").isNull).drop("__fp")
+      .unionByName(df.join(survivors, idCol))
   }
 
   /** MinHash signature: k hash permutations approximated as
@@ -341,11 +350,17 @@ object Dedup {
           "collision check) before calling")
     }
     val byUrl = urlCol.fold(df) { u =>
-      val survivors = df
-        .withColumn("__cu", TextOps.normalizeUrl(col(u)))
+      // NULL urls bypass the stage (kept): normalizeUrl(null) is null, and
+      // grouping them put every url-less doc in ONE bucket — all but the
+      // min id silently dropped for not having a url. A non-matching
+      // (schemeless) url is NOT null — normalizeUrl passes it through raw,
+      // so such docs dedup only against byte-identical urls.
+      val keyed = df.withColumn("__cu", TextOps.normalizeUrl(col(u)))
+      val survivors = keyed.filter(col("__cu").isNotNull)
         .groupBy(col("__cu")).agg(min(col(idCol)).as(idCol))
         .drop("__cu")
-      df.join(survivors, idCol)
+      keyed.filter(col("__cu").isNull).drop("__cu")
+        .unionByName(df.join(survivors, idCol))
     }
     val exact = exactDedup(byUrl, idCol, textCol)
     val pairs = (if (portable)

@@ -36,6 +36,31 @@ class WranglingSpec extends AnyFunSuite {
     assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(2L))
   }
 
+  test("null text/url is UNKNOWN, not shared: such docs bypass dedup, all kept") {
+    import spark.implicits._
+    // two null-text docs used to collapse into one null-fingerprint
+    // bucket (all but the min id silently dropped) while the near-dup
+    // stages let the same rows survive — the pipeline contradicted itself
+    val df = Seq((1L, Some("alpha beta")), (2L, Some("alpha beta")),
+      (3L, Option.empty[String]), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), kept.toString)
+    // same rule for the packaged pipeline's URL stage: url-less docs are
+    // not URL-duplicates of each other
+    val withUrl = Seq(
+      (1L, "page one text", Some("http://a.com/x?utm_source=z")),
+      (2L, "page two text", Some("http://a.com/x")), // same canonical URL
+      (3L, "page three text", Option.empty[String]),
+      (4L, "page four text", Option.empty[String]))
+      .toDF("doc_id", "text", "url")
+    val survived = graft.wrangling.Dedup.corpusDedup(withUrl, "doc_id",
+      "text", urlCol = Some("url"), threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survived == Set(1L, 3L, 4L), survived.toString)
+  }
+
   test("minhash LSH finds constructed near-duplicates") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
