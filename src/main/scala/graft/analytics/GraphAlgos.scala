@@ -214,15 +214,27 @@ object GraphAlgos {
             "requires integral ids — map string ids to a surrogate first")
       }
     }
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map { r =>
+    // materialize the pair set ONCE before GraphX touches it: Pregel
+    // re-evaluates its input RDDs across iterations, and a live Catalyst
+    // lineage (join/union trees upstream) does not guarantee a STABLE
+    // partition count across evaluations — GraphX zips vertex partitions
+    // internally and dies with "Can't zip RDDs with unequal numbers of
+    // partitions" when two evaluations disagree (surfaced by corpusDedup's
+    // union-shaped exact stage under AQE-off planning). The checkpointed
+    // pair set is candidate-sized and pins the partitioning.
+    val stable = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .repartition(col("id_a")) // one candidate-sized exchange pins ALL
+      // downstream partition counts to spark.sql.shuffle.partitions —
+      // without it the pair plan's tail can surface with a different
+      // count than the shuffles inside GraphX's vertex build
+      .localCheckpoint(true)
+    val edges = stable.rdd.map { r =>
         require(!r.isNullAt(0) && !r.isNullAt(1),
           "dedupClusters: null id in candidate pair — filter join misses " +
             "before clustering")
         Edge(r.getLong(0), r.getLong(1), ())
       }
-    val verts = pairs.select(explode(array(col("id_a").cast("long"),
-        col("id_b").cast("long"))).as("id"))
+    val verts = stable.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct().rdd.map { r =>
         require(!r.isNullAt(0),
           "dedupClusters: null id in candidate pair — filter join misses " +

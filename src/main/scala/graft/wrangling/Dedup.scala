@@ -380,11 +380,21 @@ object Dedup {
     // misses because the rest of the page differs. Single pass, higher-id
     // copy is the prunable side (min-id-wins, consistent with exactDedup).
     spanTokens.fold(kept) { w =>
-      val spans = SpanDedup.duplicateSpans(kept, idCol, textCol, w, spanMaxDocFreq)
-      val heavy = SpanDedup.spanCoverage(kept, idCol, textCol, spans)
+      // materialize the doc-level survivors ONCE for the span stage: three
+      // consumers (span discovery, coverage, the final anti-join) would
+      // each re-run the whole upstream pipeline — CC included — and the
+      // fresh-LogicalRDD re-wrap strips the checkpoint's CLAIMED
+      // partitioning, which survives self-join deduplication with
+      // rewritten attribute ids and can suppress a required exchange
+      // (observed as a codegen'd SMJ zipping 8- vs 4-partition inputs
+      // under AQE-off planning; AQE's runtime re-plan masked it)
+      val ck = kept.localCheckpoint(true)
+      val k = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      val spans = SpanDedup.duplicateSpans(k, idCol, textCol, w, spanMaxDocFreq)
+      val heavy = SpanDedup.spanCoverage(k, idCol, textCol, spans)
         .filter(col("covered_frac") >= spanCoverageDrop)
         .select(col(idCol))
-      kept.join(heavy, Seq(idCol), "left_anti")
+      k.join(heavy, Seq(idCol), "left_anti")
     }
   }
 }
