@@ -223,10 +223,14 @@ object GraphAlgos {
     // union-shaped exact stage under AQE-off planning). The checkpointed
     // pair set is candidate-sized and pins the partitioning.
     val stable = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .repartition(col("id_a")) // one candidate-sized exchange pins ALL
-      // downstream partition counts to spark.sql.shuffle.partitions —
-      // without it the pair plan's tail can surface with a different
-      // count than the shuffles inside GraphX's vertex build
+      .repartition(col("id_a"), col("id_b")) // one candidate-sized exchange
+      // pins ALL downstream partition counts to
+      // spark.sql.shuffle.partitions — without it the pair plan's tail can
+      // surface with a different count than the shuffles inside GraphX's
+      // vertex build. Hash on BOTH endpoints: any deterministic exchange
+      // pins the count equally, but a single-endpoint key funnels every
+      // pair touching a high-degree hub (common in dedup candidate graphs)
+      // into one partition of the eager checkpoint
       .localCheckpoint(true)
     val edges = stable.rdd.map { r =>
         require(!r.isNullAt(0) && !r.isNullAt(1),

@@ -387,8 +387,19 @@ object Dedup {
       // partitioning, which survives self-join deduplication with
       // rewritten attribute ids and can suppress a required exchange
       // (observed as a codegen'd SMJ zipping 8- vs 4-partition inputs
-      // under AQE-off planning; AQE's runtime re-plan masked it)
-      val ck = kept.localCheckpoint(true)
+      // under AQE-off planning; AQE's runtime re-plan masked it).
+      // Storage regime: the materialized frame is the full text-bearing
+      // survivor corpus. With a configured checkpoint dir (cluster mode)
+      // use a RELIABLE checkpoint — survivor-corpus-sized data pinned in
+      // non-replicated executor-local blocks would make the job
+      // unrecoverable on executor loss at web scale. Without one
+      // (single-box / bench) localCheckpoint is the right tradeoff:
+      // executor-local blocks, no extra I/O hop, loss just fails the job
+      // on a box where executor == driver anyway.
+      val ck =
+        if (kept.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          kept.checkpoint(true)
+        else kept.localCheckpoint(true)
       val k = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
       val spans = SpanDedup.duplicateSpans(k, idCol, textCol, w, spanMaxDocFreq)
       val heavy = SpanDedup.spanCoverage(k, idCol, textCol, spans)

@@ -221,7 +221,16 @@ object NestedInfer {
     // protect fixpoint-only callers. The distinct-count rides the SAME
     // aggregate job the broadcast-regime decision already pays — the
     // check costs zero extra passes over the (cached) base.
-    val idc = base.agg(count(lit(1)), count_distinct(col("obj_id"))).collect()(0)
+    val idc = base.agg(count(lit(1)), count_distinct(col("obj_id")),
+      count(when(col("obj_id").isNull, 1))).collect()(0)
+    // count_distinct ignores NULLs, so a null root id (concat propagates
+    // null through every sub-path) would otherwise surface as a phantom
+    // "duplicate id" — count nulls in the SAME aggregate and report them
+    // as their own input defect with an accurate diagnosis
+    require(idc.getLong(2) == 0L,
+      s"NestedInfer.fixpoint: ${idc.getLong(2)} objects with a NULL id — " +
+        "a document's root id column is null; drop or re-key null-id " +
+        "documents before flatten")
     require(idc.getLong(0) == idc.getLong(1),
       s"NestedInfer.fixpoint: ${idc.getLong(0) - idc.getLong(1)} duplicate " +
         "object ids — the flattened documents share root id values; " +

@@ -189,6 +189,19 @@ class NestedInferSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("duplicate object ids"), e.getMessage)
 
+    // a NULL root id propagates null through every obj_id path; it must
+    // be diagnosed as a null-id input defect, NOT a phantom "duplicate"
+    // (count_distinct ignores nulls, so count(1) vs count_distinct alone
+    // would misattribute the mismatch)
+    import spark.implicits._
+    val nullIds = NestedInfer.flatten(
+      Seq((Some(1), """{"a":"x"}"""), (None, """{"b":"y"}"""))
+        .toDF("doc_id", "doc"), "doc_id", "doc")
+    val en = intercept[IllegalArgumentException] {
+      NestedInfer.fixpoint(nullIds, Seq(TripleRule(ZP, V("a"), AnyP, "T")))
+    }
+    assert(en.getMessage.contains("NULL id"), en.getMessage)
+
     // a type-dependency chain through a deep object path needs one round
     // per link — exhausting maxIters mid-chain must throw, not return the
     // half-typed table (a silent wrong answer no downstream check can
