@@ -8,6 +8,16 @@ import org.apache.spark.sql.SparkSession
   * Protocol (BASELINE.md): per query one warm-up run then `SPARK_GRAFT_RUNS`
   * timed runs (default 3), reporting the median; plus a bulk-load metric
   * (graph encode rows/s) as query class 1.
+  *
+  * Stall sentinel (BASELINE.md r15 adjudication): cpu_probe_ratio samples
+  * load once at startup and missed a mid-capture stall that smeared a
+  * contiguous registry stretch ~30%. Two in-capture instruments close
+  * that hole: a pinned cached micro-read timed after every query
+  * (probe_median/max/spikes — fixed plan, fixed data, so an outlier IS
+  * machine interference, localized in registry order), and a per-query
+  * ratchet against bench_bands.json (the last clean capture's medians,
+  * refreshed only deliberately) that re-runs any >2x-band query isolated
+  * at the end and reports captured vs isolated side by side.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,6 +64,40 @@ object Bench {
       solo / perWorker
     }
 
+    // Stall sentinel, part 1: a pinned no-shuffle micro-read timed after
+    // every query. cpu_probe_ratio measures load ONCE at startup, so a
+    // stall that begins mid-capture (the r15 smear: a contiguous registry
+    // stretch inflated ~30% at a self-reported-clean 0.985 ratio) is
+    // invisible to it. The probe frame is cached up front (direct .cache(),
+    // NOT TransientCaches-registered, so releaseAll leaves it warm); its
+    // count has a fixed plan and fixed data, so any probe reading far off
+    // the run's own median is machine interference, localized in registry
+    // order right next to the queries it poisoned.
+    val probeDf = spark.range(0, 1 << 20, 1, cpus).toDF("i").cache()
+    probeDf.count() // materialize
+    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    // Stall sentinel, part 2: per-query bands from the last CLEAN capture
+    // (bench_bands.json, committed; refreshed deliberately — never by the
+    // bench itself, so a smeared run can't launder its own numbers into
+    // the ratchet). Queries that blow >2x their band get re-run ISOLATED
+    // at the end of the capture and BOTH numbers are reported: if the
+    // stall passed, the rerun lands back in band and the delta is the
+    // smear, attributed in the same artifact; if the machine is genuinely
+    // slow, the rerun confirms the captured reading.
+    val bands: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BANDS", "bench_bands.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(java.nio.file.Files.readString(p))
+        val it = node.fields()
+        val b = scala.collection.mutable.Map.empty[String, Double]
+        while (it.hasNext) { val e = it.next(); b(e.getKey) = e.getValue.asDouble() }
+        b.toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
     // Class 1: bulk load — relational tables → graph encoding, end to end.
     val loadSecs = time {
       val g = graft.core.GraphEncoder.encodeTpchUncached(spark, sfDir)
@@ -85,6 +129,7 @@ object Bench {
           // confirm the reading. cpu_probe_ratio still reports overall load.
           if (runs >= 3 && median(ts) > 2.5 * ts.min)
             ts = ts ++ (1 to 2).map(_ => time(q.fn(spark, sfDir).count()))
+          probeTimes += q.name -> time(probeDf.count())
           q.name -> median(ts)
         } catch { case _: Throwable => q.name -> -1.0 }
         finally
@@ -94,13 +139,49 @@ object Bench {
           if (!noRelease) graft.core.TransientCaches.releaseAll()
       }
 
+    // End-of-capture isolated reruns for band blow-outs. Absolute floor
+    // 0.25 s keeps ms-scale noise from triggering reruns on tiny queries;
+    // >2x band is the same multiple the 2x-of-BASELINE gate uses. Caches
+    // are released between reruns exactly like the main loop, so the
+    // isolated number is measured under the main loop's regime.
+    val rerunNames = results.collect {
+      case (name, sec) if sec > 0.25 &&
+        bands.get(name).exists(b => sec > 2.0 * b) => name
+    }
+    val reruns: Seq[(String, Double, Double)] =
+      queries.Registry.entries.filter(q => rerunNames.contains(q.name)).map { q =>
+        val captured = results.find(_._1 == q.name).get._2
+        try {
+          q.fn(spark, sfDir).count()
+          val ts = (1 to runs).map(_ => time(q.fn(spark, sfDir).count()))
+          (q.name, captured, median(ts))
+        } catch { case _: Throwable => (q.name, captured, -1.0) }
+        finally if (!noRelease) graft.core.TransientCaches.releaseAll()
+      }
+
+    // Probe stats: spikes are probes far off THIS run's own median (fixed
+    // plan + fixed cached data, so the only variable is the machine).
+    val pTimes = probeTimes.map(_._2).toSeq
+    val pMed = if (pTimes.nonEmpty) median(pTimes) else 0.0
+    val pMax = if (pTimes.nonEmpty) pTimes.max else 0.0
+    val spikes = probeTimes.filter { case (_, t) =>
+      t > math.max(3.0 * pMed, pMed + 0.05) }
+    val stallFlagged = spikes.nonEmpty || reruns.exists {
+      case (_, captured, isolated) => isolated > 0 && captured > 2.0 * isolated
+    }
+
     // 3-decimal seconds: ms resolution is the noise floor anyway, and the
     // shorter line keeps every query visible under tail-truncating captures
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":${fmt(loadSecs)},"runs_per_query":$runs,"cpus":$cpus,"cpu_probe_ratio":${fmt(cpuProbeRatio)}}"""
+    val rr = reruns.map { case (k, c, i) =>
+      "\"" + k + "\":{\"captured\":" + fmt(c) + ",\"isolated\":" + fmt(i) + "}"
+    }.mkString("{", ",", "}")
+    val spikeNames = spikes.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val sentinel = s"""{"probe_median_ms":${fmt(pMed * 1000)},"probe_max_ms":${fmt(pMax * 1000)},"probe_spikes_after":$spikeNames,"reruns":$rr,"stall_flagged":$stallFlagged}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","bulk_load_sec":${fmt(loadSecs)},"runs_per_query":$runs,"cpus":$cpus,"cpu_probe_ratio":${fmt(cpuProbeRatio)},"stall_sentinel":$sentinel}"""
     println(line)
     // Durable copy of the full per-query map: the driver's BENCH_r{N}.json
     // keeps only a truncated stdout tail, which makes aggregate claims
