@@ -14,9 +14,30 @@ object DedupIngestProbe {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(32)
+    // per-tick JOB ledger: the phase costs below are each well under the
+    // observed per-tick wall time, so the cost lives in job COUNT x fixed
+    // scheduling overhead — count and time every job inside each label
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(e.jobId, e.time)
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobs.remove(e.jobId)
+          jobSecs.synchronized { jobSecs += (e.time - t0) / 1e3 }
+        }
+      })
     def time(lbl: String)(f: => Unit): Unit = {
+      jobSecs.synchronized(jobSecs.clear())
       val t0 = System.nanoTime(); f
-      println(f"[dedup-probe] $lbl ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener events are async; drain before reading
+      val js = jobSecs.synchronized(jobSecs.toSeq)
+      println(f"[dedup-probe] $lbl $secs%.3f s " +
+        f"(${js.size} jobs: ${js.map(s => f"$s%.2f").mkString(" ")})")
     }
     val base = "/tmp/graft_dedup_probe"
     graft.core.Fs.rm(new java.io.File(base))

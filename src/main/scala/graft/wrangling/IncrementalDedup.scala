@@ -33,23 +33,39 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * scan) + Jaccard over the candidate set. The index grows as
   * O(corpus x bands) keys + O(corpus) shingle arrays — the standard
   * persisted-LSH footprint; at 100 TB the bands table would be bucketed
-  * by (band, bv) so candidate probes co-locate without a shuffle. */
+  * by (band, bv) so candidate probes co-locate without a shuffle.
+  *
+  * On-disk layout (v2): ONE `atoms/` tree holds both row kinds in a
+  * tagged flat schema — band rows (sh null) and shingle rows (band/bv
+  * null, sh the commit payload). A tick appends ONE coalesced file, so a
+  * document's bands and shingles commit ATOMICALLY (the single part
+  * file's rename is the commit point); the v1 two-tree layout had a
+  * crash window between the bands append and the shingles append that
+  * needed a replay-detection probe + anti-join every tick, forever, to
+  * guard a once-per-crash event. Columnar projection keeps the reads as
+  * cheap as two trees: the band probe reads (doc_id, band, bv) pages
+  * only, never the shingle arrays. Indexes written by the v1 layout are
+  * not readable — rebuild (re-ingest) them. */
 object IncrementalDedup {
 
-  private val BandsSchema = "doc_id LONG, band INT, bv STRING"
-  private val ShinglesSchema = "doc_id LONG, sh ARRAY<STRING>"
+  private val AtomsSchema =
+    "doc_id LONG, band INT, bv STRING, sh ARRAY<STRING>"
   private val FlagsSchema = "id_a LONG, id_b LONG, jaccard DOUBLE, tick INT"
 
   /** Create an empty index at `dir` (idempotent). Sub-dirs are pre-created
     * so schema'd readers work before the first tick lands. */
   def publish(dir: String): Unit =
-    Seq("bands", "shingles", "flags").foreach(sub =>
+    Seq("atoms", "flags").foreach(sub =>
       new java.io.File(s"$dir/$sub").mkdirs())
 
+  private def atoms(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(AtomsSchema).parquet(s"$dir/atoms")
   def bands(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(BandsSchema).parquet(s"$dir/bands")
+    atoms(spark, dir).filter(col("band").isNotNull)
+      .select(col("doc_id"), col("band"), col("bv"))
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(ShinglesSchema).parquet(s"$dir/shingles")
+    atoms(spark, dir).filter(col("band").isNull)
+      .select(col("doc_id"), col("sh"))
   /** Flagged pairs. Deduped by pair id on read: flags are written BEFORE
     * the tick's index append (a crash in between must lose no pair —
     * the replayed batch re-detects and re-flags it, and this dedup
@@ -85,74 +101,60 @@ object IncrementalDedup {
     // probe of this batch against the index's id column). Checkpointed
     // ONCE: both the banding and the shingle derivation branch off it,
     // and a lazy `fresh` would re-run the index anti-join per branch.
+    // the per-tick probes (null ids are identity corruption and reject
+    // loudly; an empty tick — idle stream or fully-replayed batch — is a
+    // TRUE no-op) ride the checkpoint job itself as an Observation: the
+    // CollectMetrics node aggregates during the materialization pass, so
+    // the probes cost zero extra jobs and zero extra scans
+    val obsF = new org.apache.spark.sql.Observation()
     val fresh = batch.dropDuplicates(idCol)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
       .join(shingles(spark, dir).select(col("doc_id")), Seq("doc_id"),
         "left_anti")
+      .observe(obsF, count(lit(1)).as("n"),
+        count(when(col("doc_id").isNull, lit(1))).as("nulls"))
       .localCheckpoint(true)
-    // ONE aggregate over the materialized checkpoint blocks answers both
-    // per-tick probes (no extra scan of the source, no second job): null
-    // ids are identity corruption (every null row would collapse into one
-    // doc under dropDuplicates) and reject loudly; an empty tick (idle
-    // stream, or a fully-replayed batch) is a TRUE no-op — without the
-    // early return it still paid the stored-index probe scan and appended
-    // three empty parquet files per tick, forever
-    val freshStats = fresh.agg(count(lit(1)),
-      count(when(col("doc_id").isNull, lit(1)))).collect()(0)
-    require(freshStats.getLong(1) == 0L,
+    require(obsF.get("nulls").asInstanceOf[Long] == 0L,
       s"IncrementalDedup: batch contains null '$idCol' ids — every " +
         "document needs a stable non-null id for the durable index")
-    if (freshStats.getLong(0) == 0L) return 0L
+    if (obsF.get("n").asInstanceOf[Long] == 0L) return 0L
     // banding (the dominant per-row cost) and shingle derivation are
-    // materialized in ONE job: the two row shapes ride a tagged union
-    // (each in its own struct column), checkpoint once, split by tag —
-    // the split is a map over cached blocks. Multiple consumers reference
-    // each side (cross-join probe, self-join, verify, index append).
+    // materialized in ONE job as the FLAT tagged union the atoms tree
+    // stores — checkpoint once, split by tag (a map over cached blocks),
+    // and the same cached blocks later feed the index append unmodified.
     val bandRows = Dedup.portableBands(fresh, "doc_id", "__text",
       numHashes, bandCount, shingleN)
-      .select(col("doc_id"), col("band"), col("bv"))
+      .select(col("doc_id"), col("band"), col("bv"),
+        lit(null).cast("array<string>").as("sh"))
     val shRows = fresh.select(col("doc_id"),
+      lit(null).cast("int").as("band"), lit(null).cast("string").as("bv"),
       TextOps.wordShingles(col("__text"), shingleN).as("sh"))
-    val bT = org.apache.spark.sql.types.StructType(bandRows.schema.fields)
-    val sT = org.apache.spark.sql.types.StructType(shRows.schema.fields)
-    val packed = bandRows
-      .select(struct(bandRows.columns.map(col): _*).as("__b"),
-        lit(null).cast(sT).as("__s"))
-      .unionByName(shRows.select(lit(null).cast(bT).as("__b"),
-        struct(shRows.columns.map(col): _*).as("__s")))
-      .localCheckpoint(true)
-    val newBands = packed.filter(col("__b").isNotNull).select("__b.*")
-    val newShingles = packed.filter(col("__s").isNotNull).select("__s.*")
+    val packed = bandRows.unionByName(shRows).localCheckpoint(true)
+    val newBands = packed.filter(col("band").isNotNull)
+      .select(col("doc_id"), col("band"), col("bv"))
+    val newShingles = packed.filter(col("band").isNull)
+      .select(col("doc_id"), col("sh"))
 
-    // cross-tick candidates: the new docs' band keys probe the stored
-    // index (the earlier member of every cross pair is already there).
-    // The probe result is candidate-sized — materializing it makes this
-    // the tick's ONLY full scan of the stored index: self-matches in the
-    // same result detect crash-window replays (a doc whose band rows
-    // landed but whose shingle commit-marker did not — deterministic
-    // banding means its stored rows match its fresh rows on every band),
-    // which the band append below used to re-derive with a second
-    // per-tick scan of the whole index.
+    // candidates, ONE checkpoint: cross-tick pairs (the new docs' band
+    // keys probe the stored index — the earlier member of every cross
+    // pair is already there; the tick's ONLY full scan of stored bands)
+    // unioned with same-tick pairs (the batch's own band self-join).
+    // Self-matches are unreachable: the atomic atoms append means a doc
+    // the anti-join called fresh has NO stored rows — the =!= filter is
+    // a zero-cost invariant guard, not a replay mechanism.
     val stored = bands(spark, dir)
-    val joined = newBands.join(stored
+    val cross = newBands.join(stored
         .select(col("band"), col("bv"), col("doc_id").as("__old")),
         Seq("band", "bv"))
-      .localCheckpoint(true)
-    val replayed = joined.filter(col("doc_id") === col("__old"))
-      .select(col("doc_id")).distinct()
-    val cross = joined
-      // self-pair guard: a replayed doc's own stored band rows would
-      // pair it with itself
       .filter(col("doc_id") =!= col("__old"))
       .select(least(col("doc_id"), col("__old")).as("id_a"),
         greatest(col("doc_id"), col("__old")).as("id_b"))
-    // same-tick candidates: the batch's own self-join
     val within = newBands.join(newBands
         .select(col("band"), col("bv"), col("doc_id").as("__peer")),
         Seq("band", "bv"))
       .filter(col("doc_id") < col("__peer"))
       .select(col("doc_id").as("id_a"), col("__peer").as("id_b"))
-    val cands = cross.unionByName(within).distinct()
+    val cands = cross.unionByName(within).distinct().localCheckpoint(true)
 
     // exact shingle-set Jaccard; the old side's shingles come from the
     // index (no text re-read), the new side's from this batch. The stored
@@ -180,21 +182,34 @@ object IncrementalDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"),
         lit(tick).as("tick"))
-      .localCheckpoint(true)
 
-    val n = verified.count()
-    if (n > 0)
-      verified.coalesce(1).write.mode("append").parquet(s"$dir/flags")
-    // crash-window symmetry: a doc whose band rows landed but whose
-    // shingle (commit-marker) write did not is re-processed on replay —
-    // its bands must not append a second copy (the index would fan every
-    // future probe of those keys out 2x, forever). The replay set comes
-    // out of the probe join above (normally empty), so this anti-join is
-    // a broadcast against a tiny set, not a second scan of the index.
-    newBands
-      .join(broadcast(replayed), Seq("doc_id"), "left_anti")
-      .coalesce(1).write.mode("append").parquet(s"$dir/bands")
-    newShingles.coalesce(1).write.mode("append").parquet(s"$dir/shingles")
+    // flags land via write-then-adopt: ONE job writes the verified pairs
+    // to a dot-prefixed staging dir inside flags/ (invisible to readers)
+    // with an Observation riding the same job for the row count — the v1
+    // shape (checkpoint, count job, re-read-and-write job) paid two extra
+    // scheduled jobs per tick for the same bytes. n > 0 adopts the part
+    // file into flags/; an empty result just drops the staging dir, so
+    // pair-less ticks leave no file litter.
+    val obs = new org.apache.spark.sql.Observation()
+    val staging = new java.io.File(s"$dir/flags/.tick-$tick-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    verified.observe(obs, count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n > 0) {
+      val part = staging.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one staged flag file, got ${part.length}")
+      val dst = new java.io.File(s"$dir/flags/${staging.getName.stripPrefix(".")}.parquet")
+      require(part(0).renameTo(dst), s"flag adopt failed: $dst")
+    }
+    graft.core.Fs.rm(staging)
+    // index append: the tick's bands and shingles commit TOGETHER as one
+    // coalesced file straight from packed's cached blocks — the rename of
+    // that single part file is the tick's atomic commit point. Ordering
+    // (flags first) keeps the crash contract: a crash before this write
+    // replays the whole batch (the anti-join still sees the docs as new),
+    // re-detects, and re-flags — the reader-side pair dedup absorbs it.
+    packed.coalesce(1).write.mode("append").parquet(s"$dir/atoms")
     n
   }
 
@@ -217,8 +232,7 @@ object IncrementalDedup {
     def swapIn(sub: String)(df: DataFrame): Unit =
       graft.core.StagedSwap.swapIn(dir, sub)(staging =>
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging))
-    swapIn("bands")(bands(spark, dir))
-    swapIn("shingles")(shingles(spark, dir))
+    swapIn("atoms")(atoms(spark, dir))
     swapIn("flags")(flags(spark, dir))
   }
 
@@ -226,7 +240,7 @@ object IncrementalDedup {
     * [[graft.core.StagedSwap.heal]] per tree (see that object's
     * window-by-window contract). */
   def heal(dir: String): Unit =
-    graft.core.StagedSwap.healAll(dir, Seq("bands", "shingles", "flags"))
+    graft.core.StagedSwap.healAll(dir, Seq("atoms", "flags"))
 
   /** Streaming entry: each micro-batch is one tick. Bounded by default
     * (AvailableNow); pass a processing-time trigger for a live feed. */

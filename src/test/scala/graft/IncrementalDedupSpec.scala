@@ -73,31 +73,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(flagSet(dir).map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
-  test("crash replay: bands written but shingles not -> no self-pairs, pairs intact") {
+  test("crash replay: flags written but index append not -> dedup absorbs, index once") {
     import spark.implicits._
     val dir = tmp("dedup_idx")
     ingest(dir, Seq(Seq(corpus(0)))) // doc 1 indexed cleanly
-    // simulate the crash window of tick 2: doc 2's band rows landed, the
-    // shingle (commit-marker) write did not
-    val crashed = Seq(corpus(1)).toDF()
-    Dedup.portableBands(crashed, "doc_id", "text")
-      .select(col("doc_id").cast("long").as("doc_id"), col("band"), col("bv"))
-      .coalesce(1).write.mode("append").parquet(s"$dir/bands")
-    // replay of the batch: the anti-join keys on shingles, so doc 2 is
-    // still "new"; its stored band rows must not pair it with itself
+    // simulate the crash window of tick 2: the verified pair (1,2) landed
+    // in flags/, the atomic atoms append did not (flags are written FIRST
+    // so a crash between them loses no pair — the cost is a possible
+    // duplicate flag row on replay, absorbed by the reader-side dedup)
+    val j = {
+      val dir2 = tmp("dedup_probe")
+      IncrementalDedup.publish(dir2)
+      ingest(dir2, Seq(Seq(corpus(0)), Seq(corpus(1))))
+      flagSet(dir2).head._3
+    }
+    Seq((1L, 2L, j, 2)).toDF("id_a", "id_b", "jaccard", "tick")
+      .coalesce(1).write.mode("append").parquet(s"$dir/flags")
+    // replay of the batch: the anti-join keys on the atoms tree, so doc 2
+    // is still "new" — the whole tick re-runs, re-flags (1,2), indexes
     ingest(dir, Seq(Seq(corpus(1))))
     val fs = flagSet(dir)
     assert(!fs.exists(p => p._1 == p._2))
     assert(fs.map(p => (p._1, p._2)) == Set((1L, 2L)))
-    // and the pair appears once after the reader-side dedup
+    // the pair appears once after the reader-side dedup...
     assert(IncrementalDedup.flags(spark, dir)
       .filter(col("id_a") === 1 && col("id_b") === 2).count() == 1)
-    // the replay must not have appended a second copy of doc 2's band
-    // rows (every future probe of those keys would fan out 2x forever)
+    // ...and the raw tree really holds the crash duplicate it absorbed
+    assert(spark.read.parquet(s"$dir/flags")
+      .filter(col("id_a") === 1 && col("id_b") === 2).count() == 2)
+    // the replay indexed doc 2 exactly once (bands and shingles commit
+    // atomically in one file, so no partial-index window exists at all)
     val bandsPerDoc = IncrementalDedup.bands(spark, dir)
       .groupBy(col("doc_id")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bandsPerDoc.values.toSet == Set(8L), s"band rows: $bandsPerDoc")
+    assert(IncrementalDedup.shingles(spark, dir)
+      .groupBy(col("doc_id")).count().collect()
+      .forall(_.getLong(1) == 1L))
   }
 
   test("replay is idempotent: re-delivered docs add no flags or index rows") {
@@ -115,20 +127,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val dir = tmp("graft_dedup_empty")
     IncrementalDedup.publish(dir)
     def files(sub: String) =
-      Option(new java.io.File(s"$dir/$sub").listFiles()).fold(0)(_.length)
+      Option(new java.io.File(s"$dir/$sub").listFiles()).fold(0)(
+        _.count(_.getName.endsWith(".parquet")))
     // an EMPTY first tick appends nothing anywhere (it used to land one
     // empty parquet file per tree per tick, forever on an idle stream)
     val empty = Seq.empty[Doc].toDF("doc_id", "text")
     assert(IncrementalDedup.ingestTick(spark, dir, empty, "doc_id", "text", 0.5) == 0L)
-    assert(files("bands") == 0 && files("shingles") == 0 && files("flags") == 0)
+    assert(files("atoms") == 0 && files("flags") == 0)
     // a real tick, then a FULLY-REPLAYED tick (all ids already indexed —
-    // fresh is empty after the anti-join): also a no-op
+    // fresh is empty after the anti-join): also a no-op. A pair-less tick
+    // must leave no flag litter either (the staging dir is dropped, not
+    // adopted) — corpus docs 3..5 share no near-dups, so tick 1's flags
+    // here come only from docs 1-3's cluster.
     val docs = corpus.take(3).toDF()
     IncrementalDedup.ingestTick(spark, dir, docs, "doc_id", "text", 0.5)
-    val (b1, s1, f1) = (files("bands"), files("shingles"), files("flags"))
+    val (b1, f1) = (files("atoms"), files("flags"))
     val flagsBefore = flagSet(dir)
     assert(IncrementalDedup.ingestTick(spark, dir, docs, "doc_id", "text", 0.5) == 0L)
-    assert((files("bands"), files("shingles"), files("flags")) == ((b1, s1, f1)))
+    assert((files("atoms"), files("flags")) == ((b1, f1)))
+    assert(flagSet(dir) == flagsBefore)
+    // pair-less tick: fresh docs, no near-dups -> atoms appended, flags
+    // untouched (no empty staged file adopted, no staging dir left)
+    IncrementalDedup.ingestTick(spark, dir, corpus.drop(3).toDF(),
+      "doc_id", "text", 0.5)
+    assert(files("atoms") == b1 + 1 && files("flags") == f1)
     assert(flagSet(dir) == flagsBefore)
   }
 
@@ -193,12 +215,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
       .count(_.getName.endsWith(".parquet"))
     val (flags0, bands0) = (flagSet(dir), bandSet())
-    val bandFiles0 = files("bands")
-    assert(bandFiles0 >= 5)
+    val atomFiles0 = files("atoms")
+    assert(atomFiles0 >= 5)
     IncrementalDedup.compact(spark, dir)
     assert(flagSet(dir) == flags0)
     assert(bandSet() == bands0)
-    assert(files("bands") < bandFiles0)
+    assert(files("atoms") < atomFiles0)
     // the compacted index keeps working: replaying the corpus adds nothing
     ingest(dir, Seq(corpus))
     assert(flagSet(dir) == flags0)
@@ -209,12 +231,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     ingest(dir, Seq(corpus))
     val flags0 = flagSet(dir)
     def f(s: String) = new java.io.File(s"$dir/$s")
-    // crash window: bands renamed aside, staging tree half-written
-    assert(f("bands").renameTo(f("bands__old")))
-    f("bands__compacting").mkdirs()
+    // crash window: atoms renamed aside, staging tree half-written
+    assert(f("atoms").renameTo(f("atoms__old")))
+    f("atoms__compacting").mkdirs()
     IncrementalDedup.heal(dir)
-    assert(f("bands").exists() && !f("bands__old").exists() &&
-      !f("bands__compacting").exists())
+    assert(f("atoms").exists() && !f("atoms__old").exists() &&
+      !f("atoms__compacting").exists())
     assert(flagSet(dir) == flags0)
     // and the index still ingests + flags correctly after recovery
     import spark.implicits._
@@ -228,11 +250,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // present. Heal must drop the stale __old (the live tree is
     // authoritative); without that, the leftover wedges every future
     // compact (rename onto a non-empty dir fails).
-    f("bands__old").mkdirs()
+    f("atoms__old").mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/bands__old/garbage.txt"), "stale")
+      java.nio.file.Paths.get(s"$dir/atoms__old/garbage.txt"), "stale")
     IncrementalDedup.heal(dir)
-    assert(f("bands").exists() && !f("bands__old").exists())
+    assert(f("atoms").exists() && !f("atoms__old").exists())
     IncrementalDedup.compact(spark, dir) // un-wedged: full compact works
     assert(flagSet(dir).size > flags0.size)
   }
