@@ -40,6 +40,23 @@ object Extended {
   private val indexCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
+  /** The TPC-H graph as the store-backed queries read it: the in-memory
+    * encoded graph normally; under [[graft.core.GraphStore.bucketedRegime]]
+    * a bucketed-catalog re-home of it (memoized per session+sf — the
+    * encoded graph is static, so the sf dir is the whole token), putting
+    * the indexed probe's as-of re-check on pre-hashed tables. */
+  private val bktGraphCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), graft.core.Graph]
+  private def tpchQueryGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.core.Graph = {
+    val g = GraphEncoder.encodeTpch(s, d)
+    if (!graft.core.GraphStore.bucketedRegime) g
+    else Registry.memoize(bktGraphCache, (s, d)) {
+      graft.core.GraphStore.bucketedView(g,
+        "graftbkt_" + ProcessHandle.current().pid() + "_tpch", token = d)
+    }
+  }
+
   def tpchIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     Registry.memoize(indexCache, (s, d)) {
@@ -452,7 +469,7 @@ object Extended {
     QueryDef(
       "graph_select_by_field_indexed",
       (s, d) => {
-        val g = GraphEncoder.encodeTpch(s, d)
+        val g = tpchQueryGraph(s, d)
         g.now.selectByFieldIndexed(tpchIndex(s, d),
           "Customer", "c_mktsegment", "v_str", "BUILDING")
           .df.select(col("atom_id")).orderBy(col("atom_id"))
@@ -675,7 +692,10 @@ object Extended {
     QueryDef(
       "graph_sync_replica",
       (s, d) => {
-        val replica = graft.fx.Sync.open(s, syncDirFor(s, d))
+        // openQuery: under SPARK_GRAFT_BUCKETED=1 the follower reads the
+        // replica through bucketed catalog tables (plan-shape regime;
+        // results must be hash-identical either way)
+        val replica = graft.fx.Sync.openQuery(s, syncDirFor(s, d))
         val users = replica.now.all("User")
         val spend = users.fieldValue("Spend", "v_double", "spend")
         val bonus = users.fieldValue("Bonus", "v_long", "bonus")

@@ -26,11 +26,25 @@ import graft.queries.Registry
 object PlanShape {
 
   final case class Shape(shuffles: Int, bcasts: Int, smj: Int, bhj: Int,
-      cartesian: Int, bnlj: Int, codegen: Int, scans: Int) {
-    def tsv: String = s"$shuffles\t$bcasts\t$smj\t$bhj\t$cartesian\t$bnlj\t$codegen\t$scans"
+      cartesian: Int, bnlj: Int, codegen: Int, scans: Int,
+      exprs: Int = 0, analysisMs: Int = 0) {
+    def tsv: String = s"$shuffles\t$bcasts\t$smj\t$bhj\t$cartesian\t$bnlj\t$codegen\t$scans\t$exprs\t$analysisMs"
   }
 
-  val Header = "query\tshuffles\tbcasts\tsmj\tbhj\tcartesian\tbnlj\tcodegen\tscans"
+  val Header = "query\tshuffles\tbcasts\tsmj\tbhj\tcartesian\tbnlj\tcodegen\tscans\texprs\tanalysis_ms"
+
+  /** Plan-compile-cost columns (the ivfAssign/lshPlanes defect class,
+    * found twice: an inlined-literal matrix exploding the expression tree
+    * and the per-invocation Catalyst bill with it). `exprs` counts
+    * analyzed-plan expression nodes — deterministic at fixed SF, linted
+    * registry-wide by PlanShapeSpec at the same <20k bound the LSH spec
+    * pinned for one operator. `analysis_ms` is the measured wall time of
+    * analyze+optimize+plan for the fresh build — machine-dependent, so
+    * informational in the TSV plus a loose hang-guard lint. */
+  def exprCount(df: DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case p => p.expressions.map(e => e.collect { case x => x }.size).sum
+    }.sum
 
   def shapeOf(df: DataFrame): Shape = {
     // structural count over the executed plan, built with AQE OFF (see
@@ -87,7 +101,11 @@ object PlanShape {
       // may have materialized shared caches first. Warm-state stats are
       // data-determined, so the shape is stable in any execution context.
       q.fn(spark, sf).count()
-      q.name -> shapeOf(q.fn(spark, sf))
+      val df = q.fn(spark, sf)
+      val t0 = System.nanoTime()
+      df.queryExecution.executedPlan // force analyze + optimize + plan
+      val ms = ((System.nanoTime() - t0) / 1e6).toInt
+      q.name -> shapeOf(df).copy(exprs = exprCount(df), analysisMs = ms)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
@@ -100,6 +118,14 @@ object PlanShape {
       registryNames: Set[String]): Map[String, String] =
     lines.drop(1).filter(_.nonEmpty).flatMap { l =>
       l.split("\t", 2) match {
+        // column-count check: a named refresh against a TSV from before a
+        // format change would otherwise merge rows of two widths and the
+        // spec's fixed-index parse would misread them
+        case Array(n, s) if registryNames.contains(n) &&
+            s.count(_ == '\t') != Header.count(_ == '\t') - 1 =>
+          println(s"[plan-shape] dropping old-format row for '$n' " +
+            "(column count changed — do a full refresh)")
+          None
         case Array(n, s) if registryNames.contains(n) => Some(n -> s)
         case Array(n, _) =>
           println(s"[plan-shape] dropping stale row for '$n' (not in registry)")

@@ -46,7 +46,16 @@ object IncrementalAnn {
     val cents = Similarity.ivfTrain(seed, idCol, vecCol, k, iters)
     Similarity.ivfSave(
       Similarity.ivfIndex(seed, idCol, vecCol, cents), cents, dir)
-    new java.io.File(s"$dir/postings_delta").mkdirs()
+    // a RE-bootstrap (the documented drift-repair rebuild) must reset the
+    // delta root with the seed: stale tick deltas were assigned under the
+    // PREVIOUS centroids — unioned with the new seed they sit in wrong
+    // cells (unreachable at their true probe cells, a silent recall hole)
+    // and duplicate every re-seeded id. Maintenance-window op like
+    // compact: a crash between the save above and this reset is repaired
+    // by re-running bootstrap.
+    val deltaRoot = new java.io.File(s"$dir/postings_delta")
+    graft.core.Fs.rm(deltaRoot)
+    deltaRoot.mkdirs()
     cents
   }
 

@@ -76,6 +76,20 @@ object IncrementalDedup {
     spark.read.schema(FlagsSchema).parquet(s"$dir/flags")
       .dropDuplicates("id_a", "id_b")
 
+  /** Total row count of a staged parquet dir from its file footers —
+    * driver-side metadata, zero Spark jobs. Local-fs only, like the rest
+    * of this module's side-state (publish/compact speak java.io too). */
+  private def parquetRowCount(dir: java.io.File): Long =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+
   /** One ingest tick: flag `batch`'s documents against the index and each
     * other, then index them. Returns the number of pairs flagged. */
   def ingestTick(spark: SparkSession, dir: String, batch: DataFrame,
@@ -101,23 +115,27 @@ object IncrementalDedup {
     // probe of this batch against the index's id column). Checkpointed
     // ONCE: both the banding and the shingle derivation branch off it,
     // and a lazy `fresh` would re-run the index anti-join per branch.
-    // the per-tick probes (null ids are identity corruption and reject
-    // loudly; an empty tick — idle stream or fully-replayed batch — is a
-    // TRUE no-op) ride the checkpoint job itself as an Observation: the
-    // CollectMetrics node aggregates during the materialization pass, so
-    // the probes cost zero extra jobs and zero extra scans
-    val obsF = new org.apache.spark.sql.Observation()
     val fresh = batch.dropDuplicates(idCol)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
       .join(shingles(spark, dir).select(col("doc_id")), Seq("doc_id"),
         "left_anti")
-      .observe(obsF, count(lit(1)).as("n"),
-        count(when(col("doc_id").isNull, lit(1))).as("nulls"))
       .localCheckpoint(true)
-    require(obsF.get("nulls").asInstanceOf[Long] == 0L,
+    // ONE aggregate over the materialized checkpoint blocks answers both
+    // per-tick probes (no extra scan of the source): null ids are identity
+    // corruption (every null row would collapse into one doc under
+    // dropDuplicates) and reject loudly; an empty tick (idle stream, or a
+    // fully-replayed batch) is a TRUE no-op. NOT an observe() metric on
+    // the checkpoint job: registering an Observation instantiates the
+    // session's non-serializable ObservationManager and every LATER MLlib
+    // task serialization in the JVM dies on it (the r14 SpanDedup
+    // rejection, reproduced pairwise against TextClassifierSpec when this
+    // module tried the API in r16).
+    val freshStats = fresh.agg(count(lit(1)),
+      count(when(col("doc_id").isNull, lit(1)))).collect()(0)
+    require(freshStats.getLong(1) == 0L,
       s"IncrementalDedup: batch contains null '$idCol' ids — every " +
         "document needs a stable non-null id for the durable index")
-    if (obsF.get("n").asInstanceOf[Long] == 0L) return 0L
+    if (freshStats.getLong(0) == 0L) return 0L
     // banding (the dominant per-row cost) and shingle derivation are
     // materialized in ONE job as the FLAT tagged union the atoms tree
     // stores — checkpoint once, split by tag (a map over cached blocks),
@@ -184,18 +202,18 @@ object IncrementalDedup {
         lit(tick).as("tick"))
 
     // flags land via write-then-adopt: ONE job writes the verified pairs
-    // to a dot-prefixed staging dir inside flags/ (invisible to readers)
-    // with an Observation riding the same job for the row count — the v1
-    // shape (checkpoint, count job, re-read-and-write job) paid two extra
-    // scheduled jobs per tick for the same bytes. n > 0 adopts the part
-    // file into flags/; an empty result just drops the staging dir, so
-    // pair-less ticks leave no file litter.
-    val obs = new org.apache.spark.sql.Observation()
+    // to a dot-prefixed staging dir inside flags/ (invisible to readers);
+    // the row count is read off the staged file's parquet FOOTER — driver
+    // metadata, no job (and NOT an observe() metric: the Observation API
+    // poisons later MLlib task serialization, see the fresh-probe note
+    // above). The v1 shape (checkpoint, count job, re-read-and-write job)
+    // paid two extra scheduled jobs per tick for the same bytes. n > 0
+    // adopts the part file into flags/; an empty result just drops the
+    // staging dir, so pair-less ticks leave no file litter.
     val staging = new java.io.File(s"$dir/flags/.tick-$tick-" +
       java.util.UUID.randomUUID().toString.take(8))
-    verified.observe(obs, count(lit(1)).as("n"))
-      .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
-    val n = obs.get("n").asInstanceOf[Long]
+    verified.coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    val n = parquetRowCount(staging)
     if (n > 0) {
       val part = staging.listFiles().filter(_.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one staged flag file, got ${part.length}")

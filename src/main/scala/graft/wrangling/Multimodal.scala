@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * chroma, per-frame luma planes) and COMPRESSED MJPEG-in-AVI
   * ([[MediaCodec.decodeVideoAviMjpeg]]: RIFF walk + per-frame JPEG DCT
   * decode via imageio), both driving [[extractVideoFeatures]] through the
-  * dispatching [[MediaCodec.decodeVideo]]. Only INTER-frame codecs
-  * (H.264/VP9) keep the documented stub ([[MediaCodec.decodeStub]] — they
-  * need native libs this container lacks); swapping one in changes only
-  * that function.
+  * dispatching [[MediaCodec.decodeVideo]]. INTER-frame codecs (H.264/VP9)
+  * are a rationale'd NON-GOAL (COVERAGE.md: a conformant pure-JVM decoder
+  * is a multi-10k-LoC project and the container ships no native codec
+  * lib); [[MediaCodec.decodeStub]] is the documented single-function seam
+  * a deployment with libavcodec/JCodec on the classpath swaps in —
+  * nothing upstream of the decodeVideo dispatch changes.
   *
   * Scale notes: media rows are large (MBs); keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of

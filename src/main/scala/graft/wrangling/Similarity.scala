@@ -246,6 +246,12 @@ object Similarity {
       .orderBy(col("__b"))
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    // empty corpus -> empty centroid set, and ivfAssign over ZERO
+    // centroids yields a null cell id (array_max of an empty array) that
+    // every later vector would silently land in — reject at the train
+    // boundary instead (same loud-identity convention as the dedup twins)
+    require(picks.nonEmpty,
+      "ivfTrain: empty corpus — an IVF quantizer needs at least one vector")
     var cents = picks
     var it = 0
     while (it < iters) {

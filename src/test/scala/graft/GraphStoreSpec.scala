@@ -575,4 +575,47 @@ class GraphStoreSpec extends AnyFunSuite {
       "rm followed the symlink and destroyed the target")
     Fs.rm(target.toFile)
   }
+
+  test("bucketed regime: openQuery re-homes once per store state, results identical") {
+    import graft.fx.Sync
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktreg").toString
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann"),
+      PutEntity("Person", "b"), PutField("b", "Name", "Bob")))
+    val writer = Sync.publish(g, dir)
+    def names(sg: graft.fx.SyncedGraph): Set[String] =
+      sg.now.all("Person").fieldValue("Name", "v_str", "n")
+        .collect().map(_.getAs[String]("n")).toSet
+    // regime OFF: openQuery is exactly open (no catalog tables involved)
+    val plain = Sync.openQuery(spark, dir)
+    assert(names(plain) == Set("Ann", "Bob"))
+    sys.props("graft.bucketed") = "1"
+    try {
+      // regime ON: same results through bucketed catalog tables, and the
+      // hot as-of aggregate over them carries no Exchange
+      val b1 = Sync.openQuery(spark, dir)
+      assert(names(b1) == Set("Ann", "Bob"))
+      val agg = b1.graph.values.groupBy("ae_id")
+        .agg(max_by(struct(col("tx_slice"), col("v_str")), col("tx_slice")))
+      agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      // token cache: a second open of the UNCHANGED store must not
+      // rewrite the tables (warehouse file mtimes stay put)
+      val loc = spark.catalog.listTables().collect()
+        .map(_.name).filter(n => n.startsWith("graftbkt_") &&
+          n.endsWith("_values"))
+        .map(n => new java.io.File(new java.net.URI(
+          spark.sql(s"DESCRIBE EXTENDED $n").collect()
+            .find(_.getString(0) == "Location").get.getString(1))))
+        .find(_.exists())
+        .getOrElse(fail("no live graftbkt_*_values table location found"))
+      def mtimes() = loc.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      val before = mtimes()
+      assert(names(Sync.openQuery(spark, dir)) == Set("Ann", "Bob"))
+      assert(mtimes() == before, "unchanged store was re-homed again")
+      // a new delta re-fingerprints: the next openQuery sees it
+      writer.transact(Seq(AssignField("e:Person/a", "Name", "Anne")))
+      assert(names(Sync.openQuery(spark, dir)) == Set("Anne", "Bob"))
+    } finally sys.props.remove("graft.bucketed")
+  }
 }

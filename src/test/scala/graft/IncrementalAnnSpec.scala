@@ -40,6 +40,32 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("re-bootstrap (drift-repair rebuild) resets stale tick deltas") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = freshDir()
+    val c1 = IncrementalAnn.bootstrap(seed, dir, "vec_id", "embedding",
+      k = 8, iters = 2)
+    IncrementalAnn.ingestTick(rest, dir, "vec_id", "embedding", c1, 0L)
+    // retrain over the FULL current corpus (the documented drift repair);
+    // the old tick's delta rows were assigned under c1 — surviving the
+    // rebuild they would duplicate every re-seeded id and sit in cells
+    // the new quantizer never probes for them
+    val c2 = IncrementalAnn.bootstrap(emb, dir, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val post = IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+      .select(col("vec_id"), col("__ci").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(post.map(_._1).distinct.length == post.length,
+      "stale delta rows duplicated re-seeded ids")
+    val expect = Similarity.ivfIndex(emb, "vec_id", "embedding", c2)
+      .select(col("vec_id"), col("__ci"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(post.toSet == expect)
+  }
+
   test("tick replay is idempotent: re-landing a batchId changes nothing") {
     val emb = Tables.embeddings(spark, sf)
     val seed = emb.filter(col("vec_id") % 2 === 0)

@@ -30,7 +30,8 @@ class PlanShapeSpec extends AnyFunSuite {
       .drop(1).filter(_.nonEmpty).map { l =>
         val f = l.split("\t")
         f(0) -> PlanShape.Shape(f(1).toInt, f(2).toInt, f(3).toInt,
-          f(4).toInt, f(5).toInt, f(6).toInt, f(7).toInt, f(8).toInt)
+          f(4).toInt, f(5).toInt, f(6).toInt, f(7).toInt, f(8).toInt,
+          f(9).toInt, f(10).toInt)
       }.toMap
     val live = PlanShape.snapshot(spark, sf)
     val missing = Registry.entries.map(_.name).filterNot(committed.contains)
@@ -58,17 +59,30 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(s.bnlj == 0 || bnljSanctioned(n),
         s"$n plans a BroadcastNestedLoopJoin outside the sanctioned " +
           "scalar-cross-join set")
+      // plan-compile-cost gate, generalized from the LSH <20k spec: an
+      // inlined-literal blowup (the ivfAssign/lshPlanes defect class,
+      // found twice) now fails CI on ANY registry query. exprs is
+      // deterministic; the analysis-time bound is a loose hang guard
+      // (machine-dependent wall time — the defect class measured 2.5-4 s
+      // for ONE operator's plan build; healthy queries sit under ~1 s).
+      assert(s.exprs < 20000,
+        s"$n's analyzed plan carries ${s.exprs} expression nodes — an " +
+          "inlined literal or generated-expression blowup")
+      assert(s.analysisMs < 15000,
+        s"$n spent ${s.analysisMs} ms in analyze/optimize/plan")
     }
   }
 
   test("named-refresh merge skips malformed lines and drops de-registered rows") {
+    val full = "1\t2\t3\t4\t5\t6\t7\t8\t9\t10" // current column count
     val parsed = PlanShape.parseExistingRows(
       Seq("name\tshuffles…header",          // header, always dropped
-        "q_live\t1\t2\t3",
-        "q_gone\t9\t9\t9",                  // no longer in the registry
+        s"q_live\t$full",
+        "q_old\t1\t2\t3",                   // pre-format-change width
+        s"q_gone\t$full",                   // no longer in the registry
         "mangled-line-without-a-tab",       // used to throw AIOOBE
         ""),
-      registryNames = Set("q_live", "q_other"))
-    assert(parsed == Map("q_live" -> "1\t2\t3"))
+      registryNames = Set("q_live", "q_old", "q_other"))
+    assert(parsed == Map("q_live" -> full))
   }
 }
