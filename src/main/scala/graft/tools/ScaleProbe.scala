@@ -28,6 +28,60 @@ object ScaleProbe {
     "wr_span_dedup", "gql_hook_mutation", "er_infer_nested",
     "gql_dynamic_field", "graph_gather_2step", "wr_minhash_lsh", "wr_simhash")
 
+  /** UNBOUNDED operator variants for the deep scale tier (30×): several
+    * registry fixtures bound their inputs to oracle size (doc_id < 200,
+    * c_custkey < 300, doc_id < 300) — probing THOSE at k× measures a
+    * constant input plus fixed floors, never the data term. These probe
+    * the same operators over the FULL (scaled) tables, with the packaged
+    * pipeline's production parameters (3-gram / 0.8 — the registry's
+    * unigram/0.5 fixture setting is oracle-sized: synthetic docs share
+    * vocabulary, so unigram LSH over the full corpus floods candidates by
+    * construction, which would measure the fixture, not the plan). */
+  val ExtraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_ingest_unbounded" -> ((s, d) => {
+      import graft.wrangling.IncrementalDedup
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_sdi_scale").toString
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      docs.repartition(3, col("doc_id")).write
+        .mode("overwrite").parquet(s"$base/src")
+      IncrementalDedup.publish(s"$base/index")
+      val files = new java.io.File(s"$base/src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        IncrementalDedup.ingestTick(s, s"$base/index",
+          s.read.parquet(f.getPath), "doc_id", "text",
+          threshold = 0.8, shingleN = 3, tick = i + 1)
+      }
+      IncrementalDedup.flags(s, s"$base/index")
+    }),
+    "corpus_dedup_unbounded" -> ((s, d) =>
+      graft.wrangling.Dedup.corpusDedup(
+        graft.Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, numHashes = 16, bands = 8, shingleN = 3,
+        spanTokens = Some(8))),
+    "er_infer_nested_unbounded" -> ((s, d) => {
+      import graft.wrangling.NestedInfer
+      import NestedInfer._
+      val cust = graft.Tables.customer(s, d) // no c_custkey bound
+      val nat = graft.Tables.nation(s, d)
+      val docs = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .select(col("c_custkey").as("doc_id"),
+          to_json(struct(
+            col("c_name").as("name"),
+            col("c_mktsegment").as("segment"),
+            struct(col("n_name").as("name")).as("nation"),
+            array(concat(col("c_name"), lit("-p1")),
+              concat(col("c_name"), lit("-p2"))).as("phones"))).as("doc"))
+      val rules = Seq(
+        TripleRule(ZP, V("segment"), AnyP, "Customer"),
+        TripleRule(T("Customer"), V("nation"), ZP, "Nation"))
+      val g = NestedInfer.toGraph(
+        NestedInfer.inferTypes(docs, "doc_id", "doc", rules))
+      g.now.all("Customer").fieldValue("name", "v_str", "cname")
+    }))
+
   /** Deterministic ±1 sign mask for copy `c` (dimension `dim`) — same
     * md5-parity derivation family as Similarity.lshPlanes. */
   private def signMask(c: Int, dim: Int): Array[Int] = {
@@ -110,11 +164,11 @@ object ScaleProbe {
     }
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
 
-    val defs = graft.queries.Registry.entries.map(q => q.name -> q).toMap
+    val defs = graft.queries.Registry.entries.map(q => q.name -> q.fn).toMap
     val rows = probes.flatMap { name =>
-      defs.get(name) match {
+      defs.get(name).orElse(ExtraProbes.get(name)) match {
         case None => println(s"[scale-probe] unknown query: $name"); None
-        case Some(q) =>
+        case Some(fn) =>
           def run(dir: String): Double = {
             // release the PREVIOUS probe/dir's pinned caches first: 7
             // probes × 2 dirs of accumulated graphs otherwise churn
@@ -131,9 +185,9 @@ object ScaleProbe {
             // cleaner between runs so each timing starts storage-clean.
             def gcSettle(): Unit = { System.gc(); Thread.sleep(200) }
             gcSettle()
-            q.fn(spark, dir).count() // warm-up (primes graph caches)
+            fn(spark, dir).count() // warm-up (primes graph caches)
             median((1 to runs).map { _ =>
-              gcSettle(); time(q.fn(spark, dir).count())
+              gcSettle(); time(fn(spark, dir).count())
             })
           }
           val t1 = run(baseDir)

@@ -115,6 +115,39 @@ class WranglingSpec extends AnyFunSuite {
     assert(noUrl == Set(1L, 2L, 5L), s"survivors $noUrl")
   }
 
+  test("corpusDedup span stage uses a RELIABLE checkpoint when a dir is configured") {
+    import spark.implicits._
+    // with a checkpoint dir set, the span-stage survivor materialization
+    // must go through sc.checkpoint (recoverable on executor loss) rather
+    // than pinning the full text-bearing corpus in executor-local blocks;
+    // results are identical either way, and the dir visibly holds an rdd
+    // checkpoint afterward
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_ck_regime").toString
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 40).map(j => s"d${i}w$j").mkString(" ") +
+        " shared footer tokens one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    def run() = Dedup.corpusDedup(docs, "doc_id", "text",
+        threshold = 0.9, shingleN = 1, spanTokens = Some(8),
+        spanCoverageDrop = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = run()
+    val prior = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      assert(run() == plain)
+      def rddCk(f: java.io.File): Boolean =
+        f.isDirectory && (f.getName.startsWith("rdd-") ||
+          Option(f.listFiles()).exists(_.exists(rddCk)))
+      assert(rddCk(new java.io.File(ckDir)),
+        "no reliable rdd checkpoint landed under the configured dir")
+    } finally
+      // Option(null) is None inside setCheckpointDir, so this restores
+      // the unset state for the other suites sharing the session
+      spark.sparkContext.setCheckpointDir(prior.orNull)
+  }
+
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
