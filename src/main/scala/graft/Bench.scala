@@ -145,8 +145,10 @@ object Bench {
     // are released between reruns exactly like the main loop, so the
     // isolated number is measured under the main loop's regime.
     val rerunNames = results.collect {
+      // b > 0 guards a malformed bands file (a nested JSON value parses
+      // as 0.0, and a zero band would rerun every non-trivial query)
       case (name, sec) if sec > 0.25 &&
-        bands.get(name).exists(b => sec > 2.0 * b) => name
+        bands.get(name).exists(b => b > 0 && sec > 2.0 * b) => name
     }
     val reruns: Seq[(String, Double, Double)] =
       queries.Registry.entries.filter(q => rerunNames.contains(q.name)).map { q =>

@@ -256,9 +256,18 @@ object IncrementalDedup {
 
   /** Writer-side recovery from a [[compact]] crash — delegates to
     * [[graft.core.StagedSwap.heal]] per tree (see that object's
-    * window-by-window contract). */
-  def heal(dir: String): Unit =
+    * window-by-window contract) — and from a tick crash inside the flag
+    * write-then-adopt window: a dot-prefixed `.tick-*` staging dir whose
+    * tick died between the staged write and the adopt/cleanup is dead
+    * weight (readers ignore dot-dirs; the replayed tick stages under a
+    * fresh uuid), but it accumulates across crashes — sweep them here. */
+  def heal(dir: String): Unit = {
     graft.core.StagedSwap.healAll(dir, Seq("atoms", "flags"))
+    Option(new java.io.File(s"$dir/flags").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tick-"))
+      .foreach(graft.core.Fs.rm)
+  }
 
   /** Streaming entry: each micro-batch is one tick. Bounded by default
     * (AvailableNow); pass a processing-time trigger for a live feed. */

@@ -207,6 +207,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.shingles(spark, dir).isEmpty)
   }
 
+  test("heal sweeps a tick crash's dead flag-staging dir") {
+    val dir = tmp("dedup_idx")
+    ingest(dir, Seq(corpus))
+    val flags0 = flagSet(dir)
+    // simulate a tick that died between the staged flag write and the
+    // adopt: a dot-prefixed staging dir with a file in it
+    val dead = new java.io.File(s"$dir/flags/.tick-9-deadbeef")
+    dead.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${dead.getPath}/part-0.parquet"), "junk")
+    // readers never see it...
+    assert(flagSet(dir) == flags0)
+    // ...and the next writer entry sweeps it
+    IncrementalDedup.heal(dir)
+    assert(!dead.exists())
+    assert(flagSet(dir) == flags0)
+  }
+
   test("compact consolidates the one-file-per-tick trees; content unchanged") {
     val dir = tmp("dedup_idx")
     ingest(dir, corpus.map(Seq(_))) // 5 single-doc ticks → 5 files/tree
