@@ -17,11 +17,19 @@ object BenchOne {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // construction-eager queries leak one localCheckpoint RDD set per
+    // fn() call; the blocks free only when their weak refs GC, so without
+    // a settle the timed runs churn executor storage and grow run-over-run
+    // (ScaleProbe's gcSettle note — measured there as a 4x spread; seen
+    // here as 5.2/8.0/8.5 s on graph_gather_2step). Same mitigation.
+    def gcSettle(): Unit = { System.gc(); Thread.sleep(200) }
     args.foreach { n =>
       val q = queries.Registry.entries.find(_.name == n)
         .getOrElse(sys.error(s"unknown query $n"))
       q.fn(spark, sf).count() // warm-up
-      val ts = (1 to 3).map(_ => time(q.fn(spark, sf).count())).sorted
+      val ts = (1 to 3).map { _ =>
+        gcSettle(); time(q.fn(spark, sf).count())
+      }.sorted
       println(f"[bench-one] $n median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
       graft.core.TransientCaches.releaseAll() // same hygiene as Bench
     }
