@@ -122,7 +122,8 @@ object GqlApi {
         case (op @ ("le" | "lt" | "ge" | "gt"), sv) => GqlLite.Cmp(as, op, n(sv))
         case ("between", bv) =>
           val b = asObj(bv)
-          GqlLite.BetweenF(as, n(b.get("min").get), n(b.get("max").get))
+          GqlLite.BetweenF(as, n(betweenBound(as, b, "min")),
+            n(betweenBound(as, b, "max")))
         case (op, _) => throw new IllegalArgumentException(
           s"unknown size comparison operator '$op'")
       }
@@ -199,8 +200,8 @@ object GqlApi {
               case ("between", bv) =>
                 val b = asObj(bv)
                 GqlLite.BetweenF(fname,
-                  convert(schema, fd, b.get("min").get),
-                  convert(schema, fd, b.get("max").get))
+                  convert(schema, fd, betweenBound(fname, b, "min")),
+                  convert(schema, fd, betweenBound(fname, b, "max")))
               case (op, _) => throw new IllegalArgumentException(
                 s"unknown comparison operator '$op'")
             }
@@ -221,6 +222,12 @@ object GqlApi {
     case o: VObj => o
     case other => throw new IllegalArgumentException(s"expected an object, got $other")
   }
+
+  /** `between` bound lookup with a usable error — a missing min:/max: used
+    * to surface as a bare `None.get` NoSuchElementException. */
+  private def betweenBound(field: String, b: VObj, k: String): V =
+    b.get(k).getOrElse(throw new IllegalArgumentException(
+      s"between on '$field' needs both min: and max: (missing '$k')"))
 
   /** Loud unknown-argument rejection for a field (root or nested).
     * Silently ignoring stray args turned a typo'd `queryUser(fliter:

@@ -108,6 +108,20 @@ class GqlParserSpec extends AnyFunSuite {
     assert(rows(0).getAs[Boolean]("active"))
   }
 
+  test("between filter: inclusive bounds; a missing bound rejects with a message") {
+    val schema = GqlParser.parseSchema(sdl)
+    val rows = GqlApi.query(seeded.now, schema,
+      """{ queryUser(filter: {score: {between: {min: 5.0, max: 9.5}}}) { id } }"""
+    ).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("e:User/u1"))
+    // a missing max: used to die as a bare None.get NoSuchElementException
+    val e = intercept[IllegalArgumentException] {
+      GqlApi.query(seeded.now, schema,
+        """{ queryUser(filter: {score: {between: {min: 5.0}}}) { id } }""")
+    }
+    assert(e.getMessage.contains("missing 'max'"), e.getMessage)
+  }
+
   test("parsed getUser(id:) and boolean short-form filter") {
     val schema = GqlParser.parseSchema(sdl)
     val g = seeded
