@@ -26,6 +26,13 @@ object GraftSession {
       // tables (e.g. Graph.latestValues) should hash-map, not shuffle
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable checkpoints (Dedup.corpusDedup's span stage uses one when
+      // a checkpoint dir is configured) are NOT cleaned by default — a
+      // long-running service would leak one survivor-corpus-sized
+      // checkpoint per call. This makes the ContextCleaner delete the
+      // files when the checkpointed RDD is GC'd; cluster deployments
+      // must set it too (documented at the corpusDedup call site).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
       // rejects; read as long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -265,6 +265,34 @@ object GraphStore {
     sys.env.get("SPARK_GRAFT_BUCKETED")
       .orElse(sys.props.get("graft.bucketed")).contains("1")
 
+  /** Pid-salted bucket prefixes keep concurrent JVMs from fighting over
+    * one managed location, but they also mean every run writes a FRESH
+    * `graftbkt_<pid>_*` table set into the shared warehouse and nothing
+    * ever reclaims a finished run's — warehouse disk and (metastore-backed)
+    * catalog entries would accumulate unboundedly across runs. Sweep
+    * managed locations whose embedded pid is provably dead, once per JVM,
+    * the first time this JVM enters the bucketed regime. Live pids —
+    * including this one — are never touched, so the concurrency guarantee
+    * the salt exists for is preserved. */
+  private lazy val sweptStaleBucketLocations: Unit =
+    sweepStaleBucketLocations(SparkSession.active)
+
+  private[graft] def sweepStaleBucketLocations(spark: SparkSession): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val PidName = "graftbkt_(\\d+)_.*".r
+    if (fs.exists(wh))
+      fs.listStatus(wh).foreach { st =>
+        st.getPath.getName match {
+          case PidName(pid) if scala.util.Try(
+              ProcessHandle.of(pid.toLong).isEmpty).getOrElse(false) =>
+            fs.delete(st.getPath, true); ()
+          case _ => ()
+        }
+      }
+  }
+
   /** Re-home `g` into the bucketed layout once per (prefix, token) and
     * return the bucket-backed view. `token` fingerprints the SOURCE state
     * (e.g. [[dirToken]] of a store directory): a matching token on the
@@ -274,6 +302,7 @@ object GraphStore {
   def bucketedView(g: Graph, prefix: String, token: String,
       numBuckets: Int = 64): Graph = {
     val spark = g.spark
+    sweptStaleBucketLocations
     // property named to dodge spark.redaction.regex: anything matching
     // "token|secret|password" comes back from SHOW TBLPROPERTIES as
     // "*********(redacted)" and the cache check would never hit

@@ -52,8 +52,16 @@ object Extended {
     val g = GraphEncoder.encodeTpch(s, d)
     if (!graft.core.GraphStore.bucketedRegime) g
     else Registry.memoize(bktGraphCache, (s, d)) {
+      // prefix salted with the sf DIR, not just "_tpch": the memo is keyed
+      // per (session, dir) but a fixed table name would make a second sf
+      // dir in the same JVM (ScaleProbe args, multi-fixture tests) rewrite
+      // the first dir's tables under it — the first dir's cached Graph
+      // then silently reads the second dir's data (same rule as
+      // Sync.bucketPrefix)
       graft.core.GraphStore.bucketedView(g,
-        "graftbkt_" + ProcessHandle.current().pid() + "_tpch", token = d)
+        "graftbkt_" + ProcessHandle.current().pid() + "_tpch_" +
+          (scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff),
+        token = d)
     }
   }
 

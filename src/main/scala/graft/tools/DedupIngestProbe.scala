@@ -25,16 +25,24 @@ object DedupIngestProbe {
             e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.put(e.jobId, e.time)
         override def onJobEnd(
-            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobs.remove(e.jobId)
-          jobSecs.synchronized { jobSecs += (e.time - t0) / 1e3 }
-        }
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          // Option-guard: a dropped (bus overflow) or pre-registration
+          // start event would make the raw unbox NPE inside the listener
+          // thread — an unattributed end is just skipped
+          Option(jobs.remove(e.jobId)).foreach(t0 =>
+            jobSecs.synchronized { jobSecs += (e.time - t0) / 1e3 })
       })
     def time(lbl: String)(f: => Unit): Unit = {
       jobSecs.synchronized(jobSecs.clear())
       val t0 = System.nanoTime(); f
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener events are async; drain before reading
+      // listener events are async: wait until every started job has its
+      // end event (bounded — a fixed 300 ms undercounted slow ticks'
+      // jobs), then a short grace for the buffer tail
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (!jobs.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(100)
       val js = jobSecs.synchronized(jobSecs.toSeq)
       println(f"[dedup-probe] $lbl $secs%.3f s " +
         f"(${js.size} jobs: ${js.map(s => f"$s%.2f").mkString(" ")})")

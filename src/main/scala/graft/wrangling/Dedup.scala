@@ -395,7 +395,12 @@ object Dedup {
       // unrecoverable on executor loss at web scale. Without one
       // (single-box / bench) localCheckpoint is the right tradeoff:
       // executor-local blocks, no extra I/O hop, loss just fails the job
-      // on a box where executor == driver anyway.
+      // on a box where executor == driver anyway. Deployments that
+      // configure a checkpoint dir MUST also set
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true
+      // (GraftSession does): Spark never deletes reliable checkpoints by
+      // default, so each corpusDedup call would otherwise leak one
+      // survivor-corpus-sized tree in the checkpoint dir forever.
       val ck =
         if (kept.sparkSession.sparkContext.getCheckpointDir.isDefined)
           kept.checkpoint(true)

@@ -52,14 +52,32 @@ object IncrementalDedup {
     "doc_id LONG, band INT, bv STRING, sh ARRAY<STRING>"
   private val FlagsSchema = "id_a LONG, id_b LONG, jaccard DOUBLE, tick INT"
 
+  /** The v2 layout has no `bands/`/`shingles/` trees — their presence IS
+    * the v1 signature. Without this guard a v1 index fails with a raw
+    * path-not-found on `atoms/` — or worse, [[publish]] on a v1 dir
+    * creates an EMPTY `atoms/` and every read silently sees an empty
+    * index: re-ingest re-flags the whole corpus from scratch with the old
+    * flags still sitting beside the new ones. */
+  private def requireV2(dir: String): Unit =
+    Seq("bands", "shingles").foreach(v1 =>
+      require(!new java.io.File(s"$dir/$v1").isDirectory,
+        s"IncrementalDedup: $dir holds a v1 (bands/shingles two-tree) " +
+          "index — the v2 atomic-commit layout cannot read it; rebuild " +
+          "by re-ingesting the corpus into a fresh directory"))
+
   /** Create an empty index at `dir` (idempotent). Sub-dirs are pre-created
-    * so schema'd readers work before the first tick lands. */
-  def publish(dir: String): Unit =
+    * so schema'd readers work before the first tick lands. Refuses a v1
+    * two-tree index (see [[requireV2]]). */
+  def publish(dir: String): Unit = {
+    requireV2(dir)
     Seq("atoms", "flags").foreach(sub =>
       new java.io.File(s"$dir/$sub").mkdirs())
+  }
 
-  private def atoms(spark: SparkSession, dir: String): DataFrame =
+  private def atoms(spark: SparkSession, dir: String): DataFrame = {
+    requireV2(dir)
     spark.read.schema(AtomsSchema).parquet(s"$dir/atoms")
+  }
   def bands(spark: SparkSession, dir: String): DataFrame =
     atoms(spark, dir).filter(col("band").isNotNull)
       .select(col("doc_id"), col("band"), col("bv"))
@@ -262,6 +280,7 @@ object IncrementalDedup {
     * weight (readers ignore dot-dirs; the replayed tick stages under a
     * fresh uuid), but it accumulates across crashes — sweep them here. */
   def heal(dir: String): Unit = {
+    requireV2(dir)
     graft.core.StagedSwap.healAll(dir, Seq("atoms", "flags"))
     Option(new java.io.File(s"$dir/flags").listFiles())
       .getOrElse(Array.empty)

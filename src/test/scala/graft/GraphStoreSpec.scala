@@ -232,6 +232,23 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(GraphStore.bucketCountFor(10L * GiB, targetBucketBytes = GiB / 4) == 40)
   }
 
+  test("stale-pid bucket locations are swept; live-pid ones are kept") {
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    wh.mkdirs()
+    // a pid far above Linux's default pid_max cannot be alive; our own is
+    val dead = new java.io.File(wh, "graftbkt_999999999_tpch_1")
+    val live = new java.io.File(wh,
+      s"graftbkt_${ProcessHandle.current().pid()}_tpch_1")
+    val other = new java.io.File(wh, "unrelated_table") // never touched
+    Seq(dead, live, other).foreach(_.mkdirs())
+    GraphStore.sweepStaleBucketLocations(spark)
+    assert(!dead.exists(), "dead-pid bucket location must be reclaimed")
+    assert(live.exists(), "live-pid bucket location must survive the sweep")
+    assert(other.exists(), "non-graftbkt warehouse entries are not ours")
+    Seq(live, other).foreach(f => { f.delete(); () })
+  }
+
   test("bucketed store: semantics parity + co-located plans with no Exchange") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutField("joe", "Name", "Joe"),

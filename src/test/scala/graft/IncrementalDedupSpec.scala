@@ -276,4 +276,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     IncrementalDedup.compact(spark, dir) // un-wedged: full compact works
     assert(flagSet(dir).size > flags0.size)
   }
+
+  test("a v1 two-tree index is rejected loudly, never silently emptied") {
+    // v1 signature: bands/ + shingles/ trees, no atoms/. The failure modes
+    // this guards: publish() minting an empty atoms/ beside the old trees
+    // (reads then see an EMPTY index and re-ingest re-flags the corpus
+    // from scratch), and reads failing with a raw path-not-found.
+    val dir = tmp("dedup_v1")
+    new java.io.File(s"$dir/bands").mkdirs()
+    new java.io.File(s"$dir/shingles").mkdirs()
+    new java.io.File(s"$dir/flags").mkdirs()
+    val eP = intercept[IllegalArgumentException](IncrementalDedup.publish(dir))
+    assert(eP.getMessage.contains("v1") && eP.getMessage.contains("rebuild"))
+    assert(!new java.io.File(s"$dir/atoms").exists(),
+      "rejected publish must not have minted an atoms/ tree")
+    intercept[IllegalArgumentException](IncrementalDedup.bands(spark, dir))
+    intercept[IllegalArgumentException](IncrementalDedup.heal(dir))
+  }
 }
