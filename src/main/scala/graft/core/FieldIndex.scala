@@ -46,17 +46,13 @@ object FieldIndex {
     * survive both. */
   val RtsMarker = "_index_rts"
 
-  def saveRts(storePath: String, rts: Seq[String]): Unit = {
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$storePath/$RtsMarker"),
-      rts.mkString("\n"))
-    ()
-  }
+  def saveRts(storePath: String, rts: Seq[String]): Unit =
+    Fs.writeString(s"$storePath/$RtsMarker", rts.mkString("\n"))
 
   def loadRts(storePath: String): Option[Seq[String]] = {
-    val p = java.nio.file.Paths.get(s"$storePath/$RtsMarker")
-    if (java.nio.file.Files.exists(p))
-      Some(java.nio.file.Files.readString(p)
+    val p = s"$storePath/$RtsMarker"
+    if (Fs.exists(p))
+      Some(Fs.readString(p)
         .split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
     else None
   }

@@ -19,7 +19,7 @@ object GraphStore {
 
   def save(g: Graph, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val preExisting = new java.io.File(s"$path/atoms").exists()
+    val preExisting = Fs.exists(s"$path/atoms")
     g.atoms.write.mode(mode)
       .partitionBy("kind", "atype")
       .parquet(s"$path/atoms")
@@ -37,14 +37,14 @@ object GraphStore {
     // and a stale field index would resolve lookups against the OLD
     // graph's ae/owner rows (saveWithIndex rebuilds it after this)
     if (mode == SaveMode.Overwrite) {
-      Fs.rm(new java.io.File(s"$path/closures"))
-      Fs.rm(new java.io.File(s"$path/atoms_log"))
-      Fs.rm(new java.io.File(s"$path/_slices"))
-      Fs.rm(new java.io.File(s"$path/_graft_meta.json"))
-      Fs.rm(new java.io.File(s"$path/_sync_snapshot_slice"))
-      Fs.rm(new java.io.File(s"$path/index"))
-      Fs.rm(new java.io.File(s"$path/${FieldIndex.RtsMarker}"))
-      if (g.tags.isEmpty) Fs.rm(new java.io.File(s"$path/tags"))
+      Fs.rm(s"$path/closures")
+      Fs.rm(s"$path/atoms_log")
+      Fs.rm(s"$path/_slices")
+      Fs.rm(s"$path/_graft_meta.json")
+      Fs.rm(s"$path/_sync_snapshot_slice")
+      Fs.rm(s"$path/index")
+      Fs.rm(s"$path/${FieldIndex.RtsMarker}")
+      if (g.tags.isEmpty) Fs.rm(s"$path/tags")
     }
     // store-level provenance: the single-assignment guarantee survives the
     // round-trip (appendTx deltas land at later slices and cannot break
@@ -55,8 +55,7 @@ object GraphStore {
     // multi-assignment store into silently wrong as-of reads)
     if (g.uniqueValuesThrough >= 0 &&
         !(mode == SaveMode.Ignore && preExisting))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$path/_graft_meta.json"),
+      Fs.writeString(s"$path/_graft_meta.json",
         s"""{"uniqueValuesThrough": ${g.uniqueValuesThrough}}""")
   }
 
@@ -97,8 +96,7 @@ object GraphStore {
     // recreate $path/index holding only the new delta, after which the
     // writer-side heal deletes index__old as garbage — permanent loss.
     SwappedSubs.foreach { sub =>
-      if (!new java.io.File(s"$path/$sub").exists() &&
-          new java.io.File(s"$path/${sub}__old").exists())
+      if (!Fs.exists(s"$path/$sub") && Fs.exists(s"$path/${sub}__old"))
         throw new IllegalStateException(
           s"$path/$sub is staged aside (${sub}__old exists): either a " +
             "compact()/purgeSlice() is mid-swap right now (retry the " +
@@ -129,27 +127,27 @@ object GraphStore {
       .write.mode(SaveMode.Overwrite).parquet(_))
     // the wish path (appendTx) also lands closures and tags before its tx
     // marker — purge their slice-n rows too
-    if (new java.io.File(s"$path/closures").exists()) {
+    if (Fs.exists(s"$path/closures")) {
       val cl = spark.read
         .schema("atom_id STRING, term_slice INT, cascaded BOOLEAN")
         .parquet(s"$path/closures").filter(col("term_slice") =!= n)
       swapIn("closures")(cl.write.mode(SaveMode.Overwrite).parquet(_))
     }
-    if (new java.io.File(s"$path/tags").exists() && !g.tags.isEmpty)
+    if (Fs.exists(s"$path/tags") && !g.tags.isEmpty)
       swapIn("tags")(g.tags.filter(col("tx_slice") =!= n)
         .write.mode(SaveMode.Overwrite).parquet(_))
     // appendTxIndexed lands its index delta BEFORE the tx marker (its
     // own ordering note) — purge the orphaned slice-n index rows too,
     // or re-applying the recovered transaction would append them a
     // second time and every lookup would double-count
-    if (new java.io.File(s"$path/index").exists())
+    if (Fs.exists(s"$path/index"))
       swapIn("index")(FieldIndex.load(spark, s"$path/index")
         .filter(col("tx_slice") =!= n)
         .write.mode(SaveMode.Overwrite).partitionBy("rt").parquet(_))
     // the flat atoms CDC mirror lands before the tx marker too — purge
     // its slice-n rows or the re-applied transaction's feed events would
     // be delivered twice to a tailing subscription
-    if (new java.io.File(s"$path/atoms_log").exists())
+    if (Fs.exists(s"$path/atoms_log"))
       swapIn("atoms_log")(spark.read
         .schema(org.apache.spark.sql.Encoders.product[AtomRow].schema)
         .parquet(s"$path/atoms_log").filter(col("inst_slice") =!= n)
@@ -173,17 +171,16 @@ object GraphStore {
       .parquet(s"$path/values")
     val txs = spark.read.schema(Encoders.product[TxRow].schema)
       .parquet(s"$path/txs")
-    val tagsPath = new java.io.File(s"$path/tags")
     val tags =
-      if (tagsPath.exists())
+      if (Fs.exists(s"$path/tags"))
         spark.read.schema(Encoders.product[TagRow].schema)
           .parquet(s"$path/tags")
       else Graph.empty(spark).tags
-    val meta = new java.io.File(s"$path/_graft_meta.json")
+    val meta = s"$path/_graft_meta.json"
     val uniqueThrough =
-      if (meta.exists())
+      if (Fs.exists(meta))
         "\"uniqueValuesThrough\"\\s*:\\s*(\\d+)".r
-          .findFirstMatchIn(java.nio.file.Files.readString(meta.toPath))
+          .findFirstMatchIn(Fs.readString(meta))
           .map(_.group(1).toInt).getOrElse(-1)
       else -1
     Graph(atoms, values, txs, tags, uniqueThrough)
@@ -319,22 +316,26 @@ object GraphStore {
     loadBucketed(spark, prefix)
   }
 
-  /** Fingerprint of a store directory's current state: every file's
-    * relative path, length and mtime, hashed. Driver-side walk — no job.
-    * Identical rebuilt content with fresh mtimes re-fingerprints (a
-    * correct-but-conservative refresh); a genuinely appended delta always
-    * changes it. */
+  /** Fingerprint of a store's current state from its TX LOG: the listing
+    * (names, lengths, mtimes) of `$path/txs` only — the monotonic
+    * high-water mark every committed mutation already maintains, since
+    * both append paths write their tx marker LAST and save()/compact()
+    * rewrite the txs tree. One small-directory listing (one entry per
+    * uncompacted tx), not the every-file walk this used to be: at the
+    * 100-TB north star a full-tree walk per open is minutes of driver
+    * time against an atoms tree of ~10^6 files, while the tx log stays
+    * O(appends since compaction). A purged-but-not-yet-recommitted
+    * partial slice (purgeSlice touches data trees, not txs) is the one
+    * mutation this misses — transient writer-recovery state that the
+    * recovery's own appendTx re-fingerprints moments later. */
   def dirToken(path: String): String = {
-    val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(root)) return "absent"
+    if (!Fs.exists(path)) return "absent"
     val sb = new StringBuilder
-    val stream = java.nio.file.Files.walk(root)
-    try stream.sorted().forEach { p =>
-      val f = p.toFile
-      if (f.isFile)
-        sb.append(root.relativize(p)).append(':')
-          .append(f.length()).append(':').append(f.lastModified()).append('\n')
-    } finally stream.close()
+    Fs.listStatus(s"$path/txs")
+      .sortBy(_.getPath.getName)
+      .foreach(st => sb.append(st.getPath.getName).append(':')
+        .append(st.getLen).append(':')
+        .append(st.getModificationTime).append('\n'))
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sb.toString()).toLong & 0xffffffffL)
   }
@@ -397,7 +398,7 @@ object GraphStore {
       // Only LIVE-FEED stores carry the mirror (Sync.publish creates the
       // dir): a plain store pays no extra write job for a feed nobody
       // can tail.
-      if (new java.io.File(s"$path/atoms_log").exists())
+      if (Fs.exists(s"$path/atoms_log"))
         spark.createDataset(r.newAtoms).toDF().coalesce(1)
           .write.mode(SaveMode.Append).parquet(s"$path/atoms_log")
     }
@@ -459,7 +460,7 @@ object GraphStore {
     // sub-feed as the boundary). Concurrent with its siblings, so the
     // append's wall-clock stays max(...), not the sum.
     val mirror =
-      if (new java.io.File(s"$path/atoms_log").exists())
+      if (Fs.exists(s"$path/atoms_log"))
         Seq(Future(d.atoms.coalesce(filesPerTable).write
           .mode(SaveMode.Append).parquet(s"$path/atoms_log")))
       else Nil
@@ -499,8 +500,9 @@ object GraphStore {
 
   def loadIndex(spark: SparkSession, path: String): Option[
       org.apache.spark.sql.DataFrame] = {
-    val p = new java.io.File(s"$path/index")
-    if (p.exists()) Some(FieldIndex.load(spark, s"$path/index")) else None
+    if (Fs.exists(s"$path/index"))
+      Some(FieldIndex.load(spark, s"$path/index"))
+    else None
   }
 
   /** [[appendTx]] plus index maintenance for the given rts (pure append —
@@ -546,8 +548,8 @@ object GraphStore {
     // protocol doc
     def swapIn(sub: String)(write: String => Unit): Unit =
       StagedSwap.swapIn(path, sub)(write)
-    val closures = new java.io.File(s"$path/closures")
-    val g = if (closures.exists()) loadWithClosures(spark, path)
+    val closures = s"$path/closures"
+    val g = if (Fs.exists(closures)) loadWithClosures(spark, path)
             else load(spark, path)
     swapIn("atoms")(g.atoms.write.mode(SaveMode.Overwrite)
       .partitionBy("kind", "atype").parquet(_))
@@ -558,7 +560,7 @@ object GraphStore {
     // is where that debt is settled, same as the closure fold
     swapIn("values")(g.values.write.mode(SaveMode.Overwrite).parquet(_))
     swapIn("txs")(g.txs.write.mode(SaveMode.Overwrite).parquet(_))
-    if (new java.io.File(s"$path/tags").exists() && !g.tags.isEmpty)
+    if (Fs.exists(s"$path/tags") && !g.tags.isEmpty)
       swapIn("tags")(g.tags.write.mode(SaveMode.Overwrite).parquet(_))
     // the fold reconciled closure rows into atoms' term_slice, so the
     // LOG is spent — but Sync.publish's invariant is that $path/closures
@@ -575,15 +577,13 @@ object GraphStore {
     // same term_slice, CDC rows are already in the compacted tree and
     // post-compact tails restart with fresh checkpoints anyway).
     Fs.clearDir(closures)
-    val atomsLog = new java.io.File(s"$path/atoms_log")
-    Fs.clearDir(atomsLog)
+    Fs.clearDir(s"$path/atoms_log")
   }
 
   /** Load with closure reconciliation (see [[appendTx]]). */
   def loadWithClosures(spark: SparkSession, path: String): Graph = {
     val g = load(spark, path)
-    val closuresPath = new java.io.File(s"$path/closures")
-    if (!closuresPath.exists()) g
+    if (!Fs.exists(s"$path/closures")) g
     else {
       // schema'd read: the dir may exist but be empty (Sync.publish
       // pre-creates it so stream readers can tail before any termination).

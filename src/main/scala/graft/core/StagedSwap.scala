@@ -1,7 +1,5 @@
 package graft.core
 
-import java.io.File
-
 /** The staged-swap/heal idiom, unified: atomically replace a sub-table
   * directory under a store root with a freshly-written tree, and recover
   * from a crash anywhere in the protocol. Before round 12 this lived as
@@ -26,7 +24,9 @@ import java.io.File
   *     same state is what a LIVE in-flight swap looks like — see
   *     GraphStore.assertNotMidSwap).
   *  4. `root/<sub>__compacting` renames to `root/<sub>` — the swap
-  *     commits. rename(2) within a directory is atomic on POSIX.
+  *     commits. rename(2) within a directory is atomic on POSIX and an
+  *     atomic metadata op on HDFS; [[Fs.assertRenameContract]] rejects
+  *     filesystems (object stores) where it is copy+delete.
   *  5. cleanup: `__old` and each `<r>__folded` are deleted; each retire
   *     dir is re-created EMPTY (its contents live in the new tree and
   *     append-side writers expect the dir to exist).
@@ -60,20 +60,21 @@ object StagedSwap {
     * discipline, same as every consumer's existing contract). */
   def swapIn(root: String, sub: String, retire: Seq[String] = Nil)
       (write: String => Unit): Unit = {
-    val staging = new File(s"$root/${sub}__compacting")
-    write(staging.getPath)
+    Fs.assertRenameContract(root)
+    val staging = s"$root/${sub}__compacting"
+    write(staging)
     retire.foreach { r =>
-      require(new File(s"$root/$r").renameTo(new File(s"$root/${r}__folded")),
+      require(Fs.rename(s"$root/$r", s"$root/${r}__folded"),
         s"cannot stage $root/$r aside")
     }
-    val live = new File(s"$root/$sub")
-    val old = new File(s"$root/${sub}__old")
-    require(live.renameTo(old), s"cannot stage $live aside")
-    require(staging.renameTo(live), s"cannot swap new $sub into place")
+    val live = s"$root/$sub"
+    val old = s"$root/${sub}__old"
+    require(Fs.rename(live, old), s"cannot stage $live aside")
+    require(Fs.rename(staging, live), s"cannot swap new $sub into place")
     Fs.rm(old)
     retire.foreach { r =>
-      Fs.rm(new File(s"$root/${r}__folded"))
-      new File(s"$root/$r").mkdirs()
+      Fs.rm(s"$root/${r}__folded")
+      Fs.mkdirs(s"$root/$r")
     }
   }
 
@@ -81,31 +82,31 @@ object StagedSwap {
     * window-by-window contract in the object doc. Safe to run when no
     * crash happened (a no-op) and idempotent. */
   def heal(root: String, sub: String, retire: Seq[String] = Nil): Unit = {
-    val live = new File(s"$root/$sub")
-    val old = new File(s"$root/${sub}__old")
-    val staging = new File(s"$root/${sub}__compacting")
+    Fs.assertRenameContract(root)
+    val live = s"$root/$sub"
+    val old = s"$root/${sub}__old"
+    val staging = s"$root/${sub}__compacting"
     def unstageRetired(): Unit = retire.foreach { r =>
-      val rLive = new File(s"$root/$r")
-      val rFolded = new File(s"$root/${r}__folded")
-      if (!rLive.exists() && rFolded.exists())
-        require(rFolded.renameTo(rLive), s"cannot heal $rLive from __folded")
+      val rLive = s"$root/$r"
+      val rFolded = s"$root/${r}__folded"
+      if (!Fs.exists(rLive) && Fs.exists(rFolded))
+        require(Fs.rename(rFolded, rLive), s"cannot heal $rLive from __folded")
     }
-    if (!live.exists() && old.exists()) {
+    if (!Fs.exists(live) && Fs.exists(old)) {
       // crashed between the two live renames: roll back
-      require(old.renameTo(live), s"cannot heal $live from __old")
+      require(Fs.rename(old, live), s"cannot heal $live from __old")
       unstageRetired()
       Fs.rm(staging)
-    } else if (live.exists() && staging.exists()) {
+    } else if (Fs.exists(live) && Fs.exists(staging)) {
       // crashed before the live tree was staged aside: roll back
       Fs.rm(staging)
       unstageRetired()
-    } else if (live.exists()) {
+    } else if (Fs.exists(live)) {
       // swap completed (or nothing happened): leftovers are garbage
-      if (old.exists()) Fs.rm(old)
+      Fs.rm(old)
       retire.foreach { r =>
-        Fs.rm(new File(s"$root/${r}__folded"))
-        val rLive = new File(s"$root/$r")
-        if (!rLive.exists()) { rLive.mkdirs(); () }
+        Fs.rm(s"$root/${r}__folded")
+        if (!Fs.exists(s"$root/$r")) Fs.mkdirs(s"$root/$r")
       }
     } else {
       // optional sub-table that was never written: only staging can linger

@@ -35,48 +35,40 @@ object Sync {
     * the writer's handle. The snapshot may be empty — a graph can be born
     * synced and grow entirely through [[SyncedGraph.transact]]. */
   def publish(g: Graph, dir: String): SyncedGraph = {
-    // the store and fencing layers speak java.io/java.nio: a URI-schemed
-    // dir (hdfs://, s3a://) would write its PARQUET remotely but its
-    // claims/side-dirs to a literal local "./hdfs:" path — two writers on
-    // different drivers would then each claim slices against their own
-    // local disk and silently fork the log. Fail loudly; the remote-store
-    // port is a Hadoop-FileSystem sweep of these paths, not a silent
-    // partial working state.
-    require(!dir.contains("://"),
-      s"Sync: store dir must be a local filesystem path, got '$dir' — " +
-        "slice fencing and side-state use local file APIs")
+    // store, fencing and side-state all route through graft.core.Fs
+    // (Hadoop FileSystem API), so a URI-schemed dir (file:/, hdfs://)
+    // keeps its parquet, claims and markers on ONE filesystem. The
+    // commit protocols need the HDFS rename/create-exclusive contract —
+    // assert it up front rather than corrupting an object-store-hosted
+    // log later (Fs's substrate-contract doc).
+    Fs.assertRenameContract(dir)
     GraphStore.save(g, dir)
     // a termination-free graph writes no closure files and an
     // untransacted one no atoms-log files, but schema'd STREAM readers
     // (closureFeed/atomFeed) need the directories to exist before the
     // first delta lands
-    new java.io.File(s"$dir/closures").mkdirs()
-    new java.io.File(s"$dir/atoms_log").mkdirs()
+    Fs.mkdirs(s"$dir/closures")
+    Fs.mkdirs(s"$dir/atoms_log")
     // snapshot boundary for the CHANGE-log contract: values live in ONE
     // directory for both the snapshot and the appended deltas (unlike
     // atoms, whose deltas mirror into atoms_log), so valueFeed needs the
     // published slice to filter snapshot rows out of the live tail — a
     // non-empty publish otherwise replays its whole value history as
     // "assigned" events to every fresh subscription
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "_sync_snapshot_slice"),
-      g.maxSlice.toString)
+    Fs.writeString(s"$dir/_sync_snapshot_slice", g.maxSlice.toString)
     SyncedGraph(g, dir)
   }
 
   /** Single-writer fencing: the slice number itself is the lock — claim
     * slice `next` by atomically creating `_slices/<next>`
-    * (create-fails-if-exists; atomic on the LOCAL filesystem, which is
-    * the store's current contract — [[publish]] rejects URI-schemed
-    * dirs. A remote port would route these paths through the Hadoop
-    * FileSystem API, where create-fails-if-exists is atomic on HDFS;
-    * S3-class stores need a real lock service either way). A stale or
-    * racing writer fails the claim and throws instead of silently
-    * forking the log. */
+    * ([[graft.core.Fs.createExclusive]]: O_EXCL on local filesystems,
+    * namenode-atomic create on HDFS; S3-class stores need a real lock
+    * service, which [[publish]]'s rename-contract assertion rejects up
+    * front). A stale or racing writer fails the claim and throws instead
+    * of silently forking the log. */
   private[graft] def claimSlice(dir: String, next: Int): Unit = {
-    val claims = java.nio.file.Paths.get(dir, "_slices")
-    java.nio.file.Files.createDirectories(claims)
-    try java.nio.file.Files.createFile(claims.resolve(next.toString))
+    Fs.mkdirs(s"$dir/_slices")
+    try Fs.createExclusive(s"$dir/_slices/$next")
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
@@ -168,7 +160,7 @@ object Sync {
     // backfill for the mirror. (A missing dir also means a crash-window
     // loss of the feed contract; GraphStore.compact clears contents-only
     // for exactly that reason.)
-    if (!new java.io.File(s"$dir/atoms_log").isDirectory)
+    if (!Fs.isDir(s"$dir/atoms_log"))
       throw new IllegalStateException(
         s"atomFeed: $dir has no atoms_log CDC mirror — the store predates " +
           "per-tx-atomic atom feeds or was never published as a live feed. " +
@@ -191,10 +183,8 @@ object Sync {
 
   /** The publish-time slice boundary (0 when the marker is absent). */
   private def snapshotSlice(dir: String): Int = {
-    val p = java.nio.file.Paths.get(dir, "_sync_snapshot_slice")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).trim.toInt
-    else 0
+    val p = s"$dir/_sync_snapshot_slice"
+    if (Fs.exists(p)) Fs.readString(p).trim.toInt else 0
   }
 
   /** The atom's type from the deterministic id scheme. The type name ends

@@ -53,9 +53,9 @@ object IncrementalAnn {
     // and duplicate every re-seeded id. Maintenance-window op like
     // compact: a crash between the save above and this reset is repaired
     // by re-running bootstrap.
-    val deltaRoot = new java.io.File(s"$dir/postings_delta")
+    val deltaRoot = s"$dir/postings_delta"
     graft.core.Fs.rm(deltaRoot)
-    deltaRoot.mkdirs()
+    graft.core.Fs.mkdirs(deltaRoot)
     cents
   }
 
@@ -112,14 +112,13 @@ object IncrementalAnn {
     * throws — run [[heal]] (or any writer entry) to recover. */
   def postings(spark: SparkSession, dir: String, idCol: String,
       vecCol: String): DataFrame = {
-    require(new java.io.File(s"$dir/postings").exists(),
+    require(graft.core.Fs.exists(s"$dir/postings"),
       s"$dir/postings is staged aside (crashed compact swap?): " +
         "run IncrementalAnn.heal to recover, then reload")
     val seedTree = spark.read.parquet(s"$dir/postings")
       .select(col(idCol), col(vecCol), col("__ci"))
-    val deltaRoot = new java.io.File(s"$dir/postings_delta")
-    val hasDelta = Option(deltaRoot.listFiles())
-      .exists(_.exists(_.getName.startsWith("batch=")))
+    val hasDelta = graft.core.Fs.listNames(s"$dir/postings_delta")
+      .exists(_.startsWith("batch="))
     if (!hasDelta) seedTree
     else seedTree.unionByName(
       spark.read.parquet(s"$dir/postings_delta")
@@ -154,8 +153,8 @@ object IncrementalAnn {
     * with NEITHER postings nor postings__old is not an index at all:
     * reject loudly instead of "healing" it into an empty one. */
   def heal(dir: String): Unit = {
-    def f(s: String) = new java.io.File(s"$dir/$s")
-    require(f("postings").exists() || f("postings__old").exists(),
+    require(graft.core.Fs.exists(s"$dir/postings") ||
+        graft.core.Fs.exists(s"$dir/postings__old"),
       s"$dir has neither postings nor postings__old — not an index")
     graft.core.StagedSwap.heal(dir, "postings",
       retire = Seq("postings_delta"))

@@ -60,7 +60,7 @@ object IncrementalDedup {
     * flags still sitting beside the new ones. */
   private def requireV2(dir: String): Unit =
     Seq("bands", "shingles").foreach(v1 =>
-      require(!new java.io.File(s"$dir/$v1").isDirectory,
+      require(!graft.core.Fs.isDir(s"$dir/$v1"),
         s"IncrementalDedup: $dir holds a v1 (bands/shingles two-tree) " +
           "index — the v2 atomic-commit layout cannot read it; rebuild " +
           "by re-ingesting the corpus into a fresh directory"))
@@ -71,7 +71,7 @@ object IncrementalDedup {
   def publish(dir: String): Unit = {
     requireV2(dir)
     Seq("atoms", "flags").foreach(sub =>
-      new java.io.File(s"$dir/$sub").mkdirs())
+      graft.core.Fs.mkdirs(s"$dir/$sub"))
   }
 
   private def atoms(spark: SparkSession, dir: String): DataFrame = {
@@ -95,15 +95,16 @@ object IncrementalDedup {
       .dropDuplicates("id_a", "id_b")
 
   /** Total row count of a staged parquet dir from its file footers —
-    * driver-side metadata, zero Spark jobs. Local-fs only, like the rest
-    * of this module's side-state (publish/compact speak java.io too). */
-  private def parquetRowCount(dir: java.io.File): Long =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .map { f =>
+    * driver-side metadata, zero Spark jobs. Listing and footer reads go
+    * through the Hadoop FileSystem API (the session's conf), so the index
+    * may live on any scheme the rest of this module's side-state does. */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long =
+    graft.core.Fs.listStatus(dir)
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+      .map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-          new org.apache.hadoop.conf.Configuration())
+          p, spark.sparkContext.hadoopConfiguration)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum
@@ -228,15 +229,18 @@ object IncrementalDedup {
     // paid two extra scheduled jobs per tick for the same bytes. n > 0
     // adopts the part file into flags/; an empty result just drops the
     // staging dir, so pair-less ticks leave no file litter.
-    val staging = new java.io.File(s"$dir/flags/.tick-$tick-" +
-      java.util.UUID.randomUUID().toString.take(8))
-    verified.coalesce(1).write.mode("overwrite").parquet(staging.getPath)
-    val n = parquetRowCount(staging)
+    val stagingName = s".tick-$tick-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$dir/flags/$stagingName"
+    verified.coalesce(1).write.mode("overwrite").parquet(staging)
+    val n = parquetRowCount(spark, staging)
     if (n > 0) {
-      val part = staging.listFiles().filter(_.getName.endsWith(".parquet"))
+      val part = graft.core.Fs.listNames(staging)
+        .filter(_.endsWith(".parquet"))
       require(part.length == 1, s"expected one staged flag file, got ${part.length}")
-      val dst = new java.io.File(s"$dir/flags/${staging.getName.stripPrefix(".")}.parquet")
-      require(part(0).renameTo(dst), s"flag adopt failed: $dst")
+      val dst = s"$dir/flags/${stagingName.stripPrefix(".")}.parquet"
+      require(graft.core.Fs.rename(s"$staging/${part.head}", dst),
+        s"flag adopt failed: $dst")
     }
     graft.core.Fs.rm(staging)
     // index append: the tick's bands and shingles commit TOGETHER as one
@@ -282,10 +286,9 @@ object IncrementalDedup {
   def heal(dir: String): Unit = {
     requireV2(dir)
     graft.core.StagedSwap.healAll(dir, Seq("atoms", "flags"))
-    Option(new java.io.File(s"$dir/flags").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".tick-"))
-      .foreach(graft.core.Fs.rm)
+    graft.core.Fs.listStatus(s"$dir/flags")
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".tick-"))
+      .foreach(st => graft.core.Fs.rm(st.getPath.toString))
   }
 
   /** Streaming entry: each micro-batch is one tick. Bounded by default
