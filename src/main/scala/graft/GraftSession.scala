@@ -12,10 +12,17 @@ import org.apache.spark.sql.SparkSession
   * are comparable with the DuckDB oracle.
   */
 object GraftSession {
-  def builder(cores: Int = 32): SparkSession.Builder =
-    SparkSession
+  def builder(cores: Int = 32): SparkSession.Builder = {
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // multi-executor smoke (`local-cluster[2,4,4096]`) runs the SAME
+    // driver protocol with executors in their OWN JVMs, structurally
+    // flushing task closures that only work because local-mode executors
+    // share the driver's heap (non-serializable captures, driver-local
+    // file assumptions). Executor JVMs inherit this JVM's classpath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    val b = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -42,6 +49,13 @@ object GraftSession {
       // semantic setting
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+    if (master.startsWith("local-cluster"))
+      // worker-spawned executor JVMs don't inherit sbt's forked classpath;
+      // hand them this JVM's so graft classes resolve in tasks
+      b.config("spark.executor.extraClassPath",
+        sys.props("java.class.path"))
+    else b
+  }
 
   def local(cores: Int = 32): SparkSession = {
     val s = builder(cores).getOrCreate()

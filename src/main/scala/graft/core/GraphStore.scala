@@ -217,6 +217,17 @@ object GraphStore {
     math.max(1, ((totalBytes + targetBucketBytes - 1) /
       targetBucketBytes)).toInt
 
+  /** [[bucketCountFor]] with a parallelism floor — what the regime's
+    * re-home call sites use instead of a hand-picked constant. The sizing
+    * rule alone gives 1 bucket for any store under a GiB, which would
+    * serialize every co-located scan locally; flooring at the session's
+    * default parallelism keeps small-store scans parallel while the
+    * byte rule takes over exactly when buckets risk outgrowing executor
+    * memory (100 TB ⇒ O(100k) buckets, dwarfing any core count). */
+  def autoBuckets(spark: SparkSession, totalBytes: Long): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      bucketCountFor(totalBytes))
+
   def saveBucketed(g: Graph, prefix: String, numBuckets: Int = 64,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     if (mode == SaveMode.Overwrite)

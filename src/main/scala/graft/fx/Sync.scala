@@ -124,7 +124,10 @@ object Sync {
     val sg = open(spark, dir)
     if (!GraphStore.bucketedRegime) sg
     else sg.copy(graph = GraphStore.bucketedView(sg.graph,
-      bucketPrefix(dir), GraphStore.dirToken(dir)))
+      bucketPrefix(dir), GraphStore.dirToken(dir),
+      // bucket count from the codified sizing rule over the store's
+      // actual bytes (one getContentSummary call), not a constant
+      GraphStore.autoBuckets(spark, Fs.dirBytes(dir))))
   }
 
   /** Pid-salted so two JVMs sharing the warehouse dir (driver Verify +

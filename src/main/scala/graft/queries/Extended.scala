@@ -61,7 +61,11 @@ object Extended {
       graft.core.GraphStore.bucketedView(g,
         "graftbkt_" + ProcessHandle.current().pid() + "_tpch_" +
           (scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff),
-        token = d)
+        token = d,
+        // size buckets from the SOURCE tables' bytes (the encode is
+        // roughly input-sized) via the codified rule, not a constant
+        numBuckets = graft.core.GraphStore.autoBuckets(s,
+          graft.core.Fs.dirBytes(d)))
     }
   }
 

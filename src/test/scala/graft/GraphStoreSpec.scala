@@ -232,6 +232,16 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(GraphStore.bucketCountFor(10L * GiB, targetBucketBytes = GiB / 4) == 40)
   }
 
+  test("autoBuckets: parallelism floor locally, byte rule at scale") {
+    val GiB = 1L << 30
+    val par = spark.sparkContext.defaultParallelism
+    // a small local store must not serialize its scans into one bucket
+    assert(GraphStore.autoBuckets(spark, 0) == par)
+    assert(GraphStore.autoBuckets(spark, GiB) == par)
+    // at the 100-TB north star the sizing rule dominates any core count
+    assert(GraphStore.autoBuckets(spark, 100L * 1024 * GiB) == 100 * 1024)
+  }
+
   test("stale-pid bucket locations are swept; live-pid ones are kept") {
     val wh = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))

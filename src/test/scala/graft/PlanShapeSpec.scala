@@ -59,15 +59,28 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(s.bnlj == 0 || bnljSanctioned(n),
         s"$n plans a BroadcastNestedLoopJoin outside the sanctioned " +
           "scalar-cross-join set")
-      // plan-compile-cost gate, generalized from the LSH <20k spec: an
-      // inlined-literal blowup (the ivfAssign/lshPlanes defect class,
-      // found twice) now fails CI on ANY registry query. exprs is
-      // deterministic; the analysis-time bound is a loose hang guard
-      // (machine-dependent wall time — the defect class measured 2.5-4 s
-      // for ONE operator's plan build; healthy queries sit under ~1 s).
-      assert(s.exprs < 20000,
-        s"$n's analyzed plan carries ${s.exprs} expression nodes — an " +
-          "inlined literal or generated-expression blowup")
+      // plan-compile-cost gate, generalized from the LSH <20k spec and
+      // converted (r17) from a flat 20k ceiling to a PER-QUERY RATCHET
+      // against the committed snapshot: exprs is deterministic, so any
+      // real inlined-literal / generated-expression blowup (the
+      // ivfAssign/lshPlanes defect class, found twice) shows as GROWTH
+      // vs the committed value — and the ratchet is far tighter than a
+      // flat ceiling for the typical ~60-expr query, while the known-big
+      // legitimate plans stop living one edit from a false trip. The
+      // biggest (graph_bulk_rescore, 18.6k) is attributed structure, not
+      // literals: ~610 Project nodes = the TPC-H encode plan (id-concat
+      // + null-guard per field) instantiated once per as-of frame of the
+      // bulk-updated graph (PlanExprs tool). 25%+200 headroom absorbs
+      // minor refactors; intentional growth refreshes the TSV.
+      val exprBound = committed(n).exprs + committed(n).exprs / 4 + 200
+      assert(s.exprs <= exprBound,
+        s"$n's analyzed plan grew to ${s.exprs} expression nodes " +
+          s"(committed ${committed(n).exprs}, bound $exprBound) — an " +
+          "inlined literal or generated-expression blowup; if the growth " +
+          "is intentional, refresh PLANSHAPES.tsv")
+      // loose hang guard (machine-dependent wall time — the defect class
+      // measured 2.5-4 s for ONE operator's plan build; healthy queries
+      // sit under ~1 s)
       assert(s.analysisMs < 15000,
         s"$n spent ${s.analysisMs} ms in analyze/optimize/plan")
     }
