@@ -308,7 +308,10 @@ object GraphStore {
     * store pay one write total. The prefix is caller-salted (pid/session)
     * — the shared warehouse dir must not cross-talk between JVMs. */
   def bucketedView(g: Graph, prefix: String, token: String,
-      numBuckets: Int = 64): Graph = {
+      numBuckets: => Int = 64): Graph = {
+    // numBuckets is BY-NAME: callers size it from store bytes
+    // (getContentSummary — an O(files) walk on local filesystems), which
+    // must only be paid on the rewrite path, not on every cache-hit open
     val spark = g.spark
     sweptStaleBucketLocations
     // property named to dodge spark.redaction.regex: anything matching

@@ -438,13 +438,33 @@ object Transactor {
       "field rt cannot be named owner_id")
     fields.foreach(f => require(vcols.contains(s"v_${f.vtype}"),
       s"vtype must be one of str/long/double/bool/ts, got '${f.vtype}'"))
+    // a NULL owner_id would concat into null ae/rel/atom ids — value rows
+    // anchored to nothing, atoms invisible to every id-keyed read (the
+    // silent-identity-corruption class GraphEncoder/IncrementalDedup
+    // reject at their own boundaries). The guard RIDES the delta
+    // expressions themselves (raise_error inside the id concat — no extra
+    // validation job), so it also covers `trustedUniqueOwners` callers:
+    // a groupBy-on-owner winner reduction dedups rows fine but happily
+    // emits ONE null-keyed group. (Pass 31: previously the untrusted
+    // count check tripped on nulls only by accident — count_distinct
+    // ignores them — with a misleading "duplicate owner_id" message, and
+    // the trusted path admitted them silently.)
+    val ownerIdChecked: org.apache.spark.sql.Column =
+      when(col("owner_id").isNull, raise_error(lit(
+        "assignFieldsBulk: null owner_id — every assignment row needs a " +
+          "non-null owner atom id (filter or key first)")).cast("string"))
+        .otherwise(col("owner_id"))
     // one row per owner per tx. `trustedUniqueOwners` skips the check's
     // count job for callers whose assignments come out of a groupBy on
     // owner_id (streaming ingest's winner reduction) — uniqueness holds
     // by construction there and a per-tick guard job is pure overhead
     if (!trustedUniqueOwners) {
       val counts = assignments.agg(count(lit(1)).as("n"),
-        count_distinct(col("owner_id")).as("d")).collect()(0)
+        count_distinct(col("owner_id")).as("d"),
+        count(when(col("owner_id").isNull, lit(1))).as("nulls")).collect()(0)
+      require(counts.getLong(2) == 0L,
+        s"assignFieldsBulk: ${counts.getLong(2)} null owner_id rows — " +
+          "every assignment row needs a non-null owner atom id")
       require(counts.getLong(0) == counts.getLong(1),
         s"assignFieldsBulk: duplicate owner_id rows (${counts.getLong(0)} rows, " +
           s"${counts.getLong(1)} distinct owners) — one row per owner per tx")
@@ -464,7 +484,7 @@ object Transactor {
     val valuesDelta0 = fields.map { f =>
       val targetCol = s"v_${f.vtype}"
       assignments.filter(assigned(f)).select(
-        Seq(concat(lit(s"ae:${f.rt}/"), col("owner_id")).as("ae_id"),
+        Seq(concat(lit(s"ae:${f.rt}/"), ownerIdChecked).as("ae_id"),
           lit(slice).as("tx_slice"), lit(f.vtype).as("vtype")) ++
         vcols.map(c =>
           if (c == targetCol) col(f.rt).cast(sqlType(c)).as(c)
@@ -486,8 +506,8 @@ object Transactor {
     // existing set. Scheme ids make id equality imply (kind, atype)
     // equality, so matching on atom_id alone is exact.
     val candCols: Seq[org.apache.spark.sql.Column] = fields.flatMap { f =>
-      val ae = concat(lit(s"ae:${f.rt}/"), col("owner_id"))
-      val rel = concat(lit(s"rel:${f.rt}/"), col("owner_id"))
+      val ae = concat(lit(s"ae:${f.rt}/"), ownerIdChecked)
+      val rel = concat(lit(s"rel:${f.rt}/"), ownerIdChecked)
       def gated(c: org.apache.spark.sql.Column) =
         when(assigned(f), c)
       Seq(
@@ -498,10 +518,10 @@ object Transactor {
           lit(f.rt).as("atype"), col("owner_id").as("src_id"),
           ae.as("dst_id"), rel.as("origin_uid"))))
     } ++ ensureOwnerType.map(et =>
-      struct(col("owner_id").as("atom_id"), lit(Kind.Entity).as("kind"),
+      struct(ownerIdChecked.as("atom_id"), lit(Kind.Entity).as("kind"),
         lit(et).as("atype"), lit(null).cast("string").as("src_id"),
         lit(null).cast("string").as("dst_id"),
-        col("owner_id").as("origin_uid")))
+        ownerIdChecked.as("origin_uid")))
     val cand = assignments
       .select(explode(array(candCols: _*)).as("__c"))
       .filter(col("__c").isNotNull)

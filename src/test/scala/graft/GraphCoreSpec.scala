@@ -781,6 +781,33 @@ class GraphCoreSpec extends AnyFunSuite {
         Seq(("e:Doc/a", 1.0), ("e:Doc/a", 2.0)).toDF("owner_id", "value"),
         "Score", "double")
     }
+
+    // null owners are rejected LOUDLY by name (pass 31): previously the
+    // untrusted path tripped the duplicate-count check only by accident
+    // (count_distinct ignores nulls) with a misleading message, and a
+    // null ae_id would anchor the value row to nothing
+    val eNull = intercept[IllegalArgumentException] {
+      Transactor.assignFieldBulk(g3,
+        Seq((null.asInstanceOf[String], 1.0), ("e:Doc/b", 2.0))
+          .toDF("owner_id", "value"),
+        "Score", "double")
+    }
+    assert(eNull.getMessage.contains("null owner_id"))
+
+    // the TRUSTED path (uniqueness by construction, no count job) must
+    // still reject nulls — the guard rides the id expressions, so it
+    // fires inside the delta job instead of silently minting null-id rows
+    val eTrusted = intercept[Exception] {
+      Transactor.assignFieldsBulkDelta(g3,
+        Seq((null.asInstanceOf[String], 1.0)).toDF("owner_id", "Score"),
+        Seq(Transactor.BulkField("Score", "double")),
+        materializeDelta = true, trustedUniqueOwners = true)
+    }
+    val messages = Iterator.iterate(eTrusted: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("null owner_id")),
+      s"expected the null-owner guard in the failure chain, got: $messages")
   }
 
   test("assignFieldBulk: re-instantiated owner gets its field relation re-opened") {
