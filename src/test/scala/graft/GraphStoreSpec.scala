@@ -603,6 +603,39 @@ class GraphStoreSpec extends AnyFunSuite {
     Fs.rm(target.toFile)
   }
 
+  test("dirToken: tracks the tx high-water mark, ignores data-tree churn") {
+    import graft.fx.Sync
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    val (g, _) = Transactor.transact(Graph.empty(spark), Seq(
+      PutEntity("Person", "a"), PutField("a", "Name", "Ann")))
+    val writer = Sync.publish(g, dir)
+    val t0 = GraphStore.dirToken(dir)
+    assert(t0 != "absent" && GraphStore.dirToken(dir) == t0,
+      "token must be stable across reads of an unchanged store")
+    // every committed mutation writes its tx marker last → token moves
+    val (w2, _) = writer.transact(Seq(AssignField("e:Person/a", "Name", "An")))
+    val t1 = GraphStore.dirToken(dir)
+    assert(t1 != t0, "an appended transaction must re-fingerprint")
+    // compact rewrites the txs tree → token moves (conservative refresh)
+    GraphStore.compact(spark, dir)
+    assert(GraphStore.dirToken(dir) != t1)
+    // the deliberate r17 contract CHANGE: the token reads ONLY the tx
+    // log — touching a data-tree file no longer re-fingerprints (the
+    // old every-file walk did, and cost O(files) per open; at 100 TB
+    // that walk was minutes of driver time). Data trees only change
+    // under a committed tx or a maintenance op, both of which move txs.
+    val tAfter = GraphStore.dirToken(dir)
+    def firstFile(f: java.io.File): Option[java.io.File] =
+      if (f.isFile) Some(f)
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .iterator.flatMap(firstFile).nextOption()
+    val touched = firstFile(new java.io.File(s"$dir/atoms")).get
+    assert(touched.setLastModified(touched.lastModified() + 60000))
+    assert(GraphStore.dirToken(dir) == tAfter,
+      "data-tree mtime churn must not re-fingerprint")
+    assert(w2.graph.maxSlice == 2) // writer handle still coherent
+  }
+
   test("bucketed regime: openQuery re-homes once per store state, results identical") {
     import graft.fx.Sync
     val dir = java.nio.file.Files.createTempDirectory("graft_bktreg").toString
