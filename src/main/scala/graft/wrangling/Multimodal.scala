@@ -206,6 +206,14 @@ object Multimodal {
           fourcc(payload, 8) != "AVI ") return None
       try {
         var w = -1; var h = -1; var fps = 0.0
+        // geometry of the first ACCEPTED frame — the consistency anchor
+        // when the stream is non-standard and movi precedes avih (w/h
+        // still unset): without it the w<=0 disjunct below admitted
+        // frames of ANY size, and mixed-size planes blew up
+        // videoDescriptors' paired-frame loop with an
+        // ArrayIndexOutOfBounds OUTSIDE this decoder's catch — a job
+        // crash where the contract promises a drop (pass 33)
+        var fw = -1; var fh = -1
         val frames = Vector.newBuilder[Array[Byte]]
         def lumaOf(img: java.awt.image.BufferedImage): Array[Byte] = {
           val iw = img.getWidth; val ih = img.getHeight
@@ -251,20 +259,36 @@ object Multimodal {
               case "00dc" | "00db" =>
                 val img = javax.imageio.ImageIO.read(
                   new java.io.ByteArrayInputStream(payload, body, size))
-                // only frames matching the avih geometry: a stream whose
-                // embedded JPEGs disagree in size would hand
+                // only frames matching the avih geometry — or, when avih
+                // hasn't been seen yet, the first accepted frame's: a
+                // stream whose embedded JPEGs disagree in size would hand
                 // videoDescriptors planes of different lengths — an
                 // ArrayIndexOutOfBounds OUTSIDE this decoder's catch,
                 // a job crash where the contract promises a drop
-                if (img != null && (w <= 0 || (img.getWidth == w &&
-                    img.getHeight == h))) frames += lumaOf(img)
+                if (img != null) {
+                  if (fw < 0 && (w <= 0 ||
+                      (img.getWidth == w && img.getHeight == h))) {
+                    fw = img.getWidth; fh = img.getHeight
+                  }
+                  if (img.getWidth == fw && img.getHeight == fh &&
+                      (w <= 0 || (img.getWidth == w && img.getHeight == h)))
+                    frames += lumaOf(img)
+                }
               case _ => ()
             }
             pos = body + size + (size % 2) // chunks are word-aligned
           }
         }
         walk(12, payload.length)
-        if (w <= 0 || h <= 0) None else Some((w, h, fps, frames.result()))
+        if (w <= 0 || h <= 0) None
+        else
+          // post-filter for the avih-after-movi corner: frames accepted
+          // against the first-frame anchor before a DISAGREEING avih
+          // arrived would leave planes of the wrong size behind the
+          // declared geometry — drop them rather than return a frame set
+          // inconsistent with (w, h)
+          Some((w, h, fps,
+            frames.result().filter(_.length == w.toLong * h)))
       } catch { case _: Exception => None }
     }
 

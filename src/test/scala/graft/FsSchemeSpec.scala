@@ -88,6 +88,27 @@ class FsSchemeSpec extends AnyFunSuite {
     assert(IncrementalDedup.flags(spark, dir).count() == 1L)
   }
 
+  test("incremental ANN index on a file:-schemed dir: bootstrap, tick, compact") {
+    import graft.wrangling.IncrementalAnn
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seed = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dir = schemed("fs_scheme_ann")
+    // bootstrap's delta-root reset, the tick's Overwrite delta, and the
+    // retire-staging compact all run their Fs ops on the schemed path
+    val cents = IncrementalAnn.bootstrap(seed, dir, "vec_id", "embedding",
+      k = 4, iters = 1)
+    IncrementalAnn.ingestTick(rest, dir, "vec_id", "embedding", cents, 0L)
+    val total = emb.count()
+    assert(IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+      .count() == total)
+    IncrementalAnn.compact(spark, dir, "vec_id", "embedding")
+    IncrementalAnn.heal(dir)
+    assert(IncrementalAnn.postings(spark, dir, "vec_id", "embedding")
+      .count() == total)
+  }
+
   test("object-store schemes are rejected with the contract, not a classpath error") {
     val e1 = intercept[IllegalArgumentException](
       Fs.assertRenameContract("s3a://bucket/store"))

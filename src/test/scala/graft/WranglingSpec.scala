@@ -586,6 +586,34 @@ class WranglingSpec extends AnyFunSuite {
     val Some((_, _, _, mixed)) = MediaCodec.decodeVideoAviMjpeg(spliced)
     assert(mixed.size == 5 && mixed.forall(_.length == 64),
       s"mismatched-geometry frame not dropped: ${mixed.map(_.length)}")
+    // NON-STANDARD chunk order (movi before hdrl, so frames arrive while
+    // w/h are still unset): mixed-geometry JPEGs must anchor to the first
+    // accepted frame and reconcile against the late avih — never return
+    // planes inconsistent with the declared geometry (pass 33: the w<=0
+    // disjunct used to admit every size, and mixed plane lengths crashed
+    // videoDescriptors outside the decoder's catch)
+    locally {
+      def chunk(id: String, body: Array[Byte]) =
+        id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+          (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      def list(kind: String, body: Array[Byte]) =
+        chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+      val jp8 = MediaCodec.encodeJpegGray(8, 8, Array.fill[Byte](64)(50))
+      val movi = list("movi",
+        chunk("00dc", jp) ++ chunk("00dc", jp8) ++ chunk("00dc", jp8))
+      val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+        le32(3) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(8) ++ le32(8) ++
+        Array.fill[Byte](16)(0)
+      val hdrl = list("hdrl", chunk("avih", avih))
+      val body = "AVI ".getBytes("US-ASCII") ++ movi ++ hdrl
+      val weird = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+      val Some((ww, wh, _, wFrames)) = MediaCodec.decodeVideoAviMjpeg(weird)
+      assert(wFrames.forall(_.length == ww.toLong * wh),
+        s"geometry-inconsistent planes survived: $ww x $wh vs " +
+          wFrames.map(_.length))
+      MediaCodec.videoDescriptors(wFrames) // must not throw
+    }
+
     // junk and truncation rejected; dispatching decode picks the container
     assert(MediaCodec.decodeVideoAviMjpeg("RIFFxxxxJUNK".getBytes).isEmpty)
     assert(MediaCodec.decodeVideo(avi).map(_._4.size).contains(5))
