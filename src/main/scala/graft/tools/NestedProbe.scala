@@ -20,8 +20,12 @@ object NestedProbe {
     def t[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
+    // SPARK_GRAFT_UNBOUNDED=1 drops the oracle-sized custkey bound — the
+    // scale-tier attribution shape (ScaleProbe's er_infer_nested_unbounded)
+    val unbounded = sys.env.get("SPARK_GRAFT_UNBOUNDED").contains("1")
     for (i <- 1 to runs) {
-      val cust = graft.Tables.customer(spark, sf).filter(col("c_custkey") < 300)
+      val cust0 = graft.Tables.customer(spark, sf)
+      val cust = if (unbounded) cust0 else cust0.filter(col("c_custkey") < 300)
       val nat = graft.Tables.nation(spark, sf)
       val docs = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
         .select(col("c_custkey").as("doc_id"),
