@@ -135,9 +135,24 @@ final class GqlServer(schema: GqlParser.SchemaDef, g0: Graph, port: Int = 0) {
           if (ex.getRequestMethod != "POST")
             (405, """{"errors":[{"message":"POST only"}]}""")
           else {
-            val body = new String(ex.getRequestBody.readAllBytes(),
-              StandardCharsets.UTF_8)
-            (200, GqlServer.this.handle(body))
+            // bounded read — the same discipline as GqlWs (16 KiB
+            // handshake / 1 MiB frame caps): readAllBytes on an
+            // attacker-sized body was the one unbounded socket read left
+            // on the service surface. 8 MiB comfortably holds any real
+            // query document + variables.
+            val cap = 8 << 20
+            val in = ex.getRequestBody
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0 && buf.size <= cap) {
+              buf.write(chunk, 0, n); n = in.read(chunk)
+            }
+            if (buf.size > cap)
+              (400, s"""{"errors":[{"message":"request body exceeds ${cap} bytes"}]}""")
+            else
+              (200, GqlServer.this.handle(
+                new String(buf.toByteArray, StandardCharsets.UTF_8)))
           }
         } catch {
           case e: Throwable =>

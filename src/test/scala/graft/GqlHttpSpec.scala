@@ -161,4 +161,17 @@ class GqlHttpSpec extends AnyFunSuite {
       assert(s2 == 400 && b2.contains("errors"), b2)
     } finally server.stop()
   }
+
+  test("HTTP: oversized request bodies reject bounded, never buffer unbounded") {
+    val schema = GqlParser.parseSchema(
+      """type Person { name: String! @relation(rt: "Name") }""")
+    val server = new GqlServer(schema, Graph.empty(spark))
+    val port = server.start()
+    try {
+      // 9 MiB of padding blows the 8 MiB cap — a bounded 400, not an OOM
+      val big = "x" * (9 << 20)
+      val (s, b) = post(port, s"""{"query": "{ queryPerson { name } }", "pad": "$big"}""")
+      assert(s == 400 && b.contains("exceeds"), b.take(200))
+    } finally server.stop()
+  }
 }
