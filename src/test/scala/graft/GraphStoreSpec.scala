@@ -636,6 +636,30 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(w2.graph.maxSlice == 2) // writer handle still coherent
   }
 
+  test("bucketed regime: two sf dirs in one JVM keep separate table sets") {
+    // the r16 advisor's cross-talk scenario: the TPC-H bucketed re-home
+    // used ONE fixed table prefix for all sf dirs while memoizing per
+    // (session, dir) — opening a second dir rewrote the shared tables
+    // under the first dir's cached Graph, which then silently read the
+    // second dir's data. The prefix is now dir-salted; the first dir's
+    // results must survive a second dir's open unchanged.
+    sys.props("graft.bucketed") = "1"
+    try {
+      val q = graft.queries.Registry.queries("graph_select_by_field_indexed")
+      def rows(d: String): Seq[String] =
+        q(spark, d).collect().map(_.getString(0)).toSeq
+      val r1a = rows("/root/testdata/sf0.001")
+      val r2 = rows("/root/testdata/sf0.01")
+      assert(r1a.nonEmpty && r2.nonEmpty && r1a != r2,
+        "fixture dirs must differ for the isolation check to bite")
+      assert(rows("/root/testdata/sf0.001") == r1a,
+        "first dir's cached bucketed graph served the second dir's data")
+    } finally {
+      sys.props.remove("graft.bucketed")
+      graft.core.TransientCaches.releaseAll()
+    }
+  }
+
   test("bucketed regime: openQuery re-homes once per store state, results identical") {
     import graft.fx.Sync
     val dir = java.nio.file.Files.createTempDirectory("graft_bktreg").toString
