@@ -61,26 +61,53 @@ object ScaleProbe {
         graft.Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8, numHashes = 16, bands = 8, shingleN = 3,
         spanTokens = Some(8))),
-    "er_infer_nested_unbounded" -> ((s, d) => {
-      import graft.wrangling.NestedInfer
-      import NestedInfer._
-      val cust = graft.Tables.customer(s, d) // no c_custkey bound
-      val nat = graft.Tables.nation(s, d)
-      val docs = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
-        .select(col("c_custkey").as("doc_id"),
-          to_json(struct(
-            col("c_name").as("name"),
-            col("c_mktsegment").as("segment"),
-            struct(col("n_name").as("name")).as("nation"),
-            array(concat(col("c_name"), lit("-p1")),
-              concat(col("c_name"), lit("-p2"))).as("phones"))).as("doc"))
-      val rules = Seq(
-        TripleRule(ZP, V("segment"), AnyP, "Customer"),
-        TripleRule(T("Customer"), V("nation"), ZP, "Nation"))
-      val g = NestedInfer.toGraph(
-        NestedInfer.inferTypes(docs, "doc_id", "doc", rules))
-      g.now.all("Customer").fieldValue("name", "v_str", "cname")
+    "er_infer_nested_unbounded" -> ((s, d) =>
+      inferUnbounded(s, d).now.all("Customer")
+        .fieldValue("name", "v_str", "cname")),
+    // the engine's documented scale path for REPEATED reads of an
+    // inferred graph: infer ONCE, save the graph, read through
+    // Sync.openQuery (bucketed catalog tables under
+    // SPARK_GRAFT_BUCKETED=1). The r17 100× attribution put ~half the
+    // er probe's cost in re-reading the freshly-inferred IN-MEMORY graph
+    // (no persisted layout) per run — this probe measures the read side
+    // the way a production pipeline would actually serve it. The one-off
+    // save is paid outside the timed repeats (memoized per dir), exactly
+    // like the registry's encode caches.
+    "er_infer_stored_read" -> ((s, d) => {
+      val dir = erStoreCache.getOrElseUpdate((s, d), {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_er_store").toString
+        graft.core.GraphStore.save(inferUnbounded(s, d), out)
+        out
+      })
+      graft.fx.Sync.openQuery(s, dir).now.all("Customer")
+        .fieldValue("name", "v_str", "cname")
     }))
+
+  private val erStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** The unbounded NestedInfer pipeline (shared by the in-memory and
+    * stored-read probes — one definition, two serving paths). */
+  private def inferUnbounded(s: SparkSession, d: String): graft.core.Graph = {
+    import graft.wrangling.NestedInfer
+    import NestedInfer._
+    val cust = graft.Tables.customer(s, d) // no c_custkey bound
+    val nat = graft.Tables.nation(s, d)
+    val docs = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .select(col("c_custkey").as("doc_id"),
+        to_json(struct(
+          col("c_name").as("name"),
+          col("c_mktsegment").as("segment"),
+          struct(col("n_name").as("name")).as("nation"),
+          array(concat(col("c_name"), lit("-p1")),
+            concat(col("c_name"), lit("-p2"))).as("phones"))).as("doc"))
+    val rules = Seq(
+      TripleRule(ZP, V("segment"), AnyP, "Customer"),
+      TripleRule(T("Customer"), V("nation"), ZP, "Nation"))
+    NestedInfer.toGraph(
+      NestedInfer.inferTypes(docs, "doc_id", "doc", rules))
+  }
 
   /** Deterministic ±1 sign mask for copy `c` (dimension `dim`) — same
     * md5-parity derivation family as Similarity.lshPlanes. */
