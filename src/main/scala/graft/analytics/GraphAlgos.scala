@@ -68,17 +68,30 @@ object GraphAlgos {
       resetProb: Double = 0.15): DataFrame = {
     require(iters >= 1, "pageRankStatic: iters >= 1")
     val atoms = slice.aliveAtoms
-    val verts = atoms.filter(col("kind") =!= Kind.Relation)
-      .select(col("atom_id")).localCheckpoint(true)
-    val rawEdges = atoms.filter(col("kind") === Kind.Relation &&
+    // ONE slim checkpoint of everything the iteration needs (vertices +
+    // candidate edges) — deriving verts and edges from separate eager
+    // materializations ran the whole upstream encode/slice plan twice;
+    // filters over this checkpoint are in-memory scans
+    val base = atoms.filter(col("kind") =!= Kind.Relation ||
         col("atype").isInCollection(rts))
+      .select(col("atom_id"), col("kind"), col("src_id"), col("dst_id"))
+      .localCheckpoint(true)
+    val verts = base.filter(col("kind") =!= Kind.Relation).select(col("atom_id"))
+    val rawEdges = base.filter(col("kind") === Kind.Relation)
       .select(col("src_id"), col("dst_id"))
       .join(verts.withColumnRenamed("atom_id", "src_id"), Seq("src_id"), "left_semi")
       .join(verts.withColumnRenamed("atom_id", "dst_id"), Seq("dst_id"), "left_semi")
       .select(col("src_id"), col("dst_id"))
     val outdeg = rawEdges.groupBy(col("src_id")).agg(count(lit(1)).as("__d"))
+    // cache the edge table PRE-PARTITIONED on the message key: every
+    // iteration streams it through a shuffle-hash join against that
+    // round's ranks, so the cached hash(src_id) layout makes the edge side
+    // exchange-free in all rounds. Without this (and the hints below) the
+    // planner broadcast the SAME cached table once per round — ~2 builds ×
+    // iters of duplicate driver memory and build time, because exchange
+    // canonicalization does not unify the per-round join subtrees.
     val edges = graft.core.TransientCaches.trackTable(
-      rawEdges.join(outdeg, "src_id").persist(
+      rawEdges.join(outdeg, "src_id").repartition(col("src_id")).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // iterate ONLY edge-touching vertices: an isolated vertex receives no
     // message in any round, so its rank is exactly resetProb from round 1
@@ -95,11 +108,18 @@ object GraphAlgos {
     var ranks = active.withColumn("rank", lit(1.0))
     var it = 0
     while (it < iters) {
+      // shuffle_hash hints on the PER-ROUND sides (ranks, msgs): the rank
+      // frame changes every round so no broadcast could ever be reused —
+      // hinting the hash build onto it keeps the invariant edge/active
+      // caches as zero-exchange stream sides and caps per-round cost at
+      // the inherent vertex-sized shuffle (scale-safe where per-round
+      // broadcasts of a vertex-sized frame are not)
       val msgs = edges
-        .join(ranks.withColumnRenamed("atom_id", "src_id"), "src_id")
+        .join(ranks.withColumnRenamed("atom_id", "src_id").hint("shuffle_hash"),
+          "src_id")
         .groupBy(col("dst_id").as("atom_id"))
         .agg(sum(col("rank") / col("__d")).as("__msg"))
-      ranks = active.join(msgs, Seq("atom_id"), "left")
+      ranks = active.join(msgs.hint("shuffle_hash"), Seq("atom_id"), "left")
         .select(col("atom_id"),
           (lit(resetProb) + lit(1.0 - resetProb) *
             coalesce(col("__msg"), lit(0.0))).as("rank"))

@@ -33,11 +33,16 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * rather than corrupting a store through a non-atomic rename. */
 object Fs {
 
-  /** The active session's Hadoop conf (so `fs.defaultFS`, credentials and
-    * scheme impls follow the deployment), or a bare default off-session
-    * (driver-side maintenance CLIs before a session exists). */
+  /** The session's Hadoop conf (so `fs.defaultFS`, credentials and scheme
+    * impls follow the deployment), or a bare default off-session
+    * (driver-side maintenance CLIs before a session exists).
+    * `getActiveSession` is THREAD-LOCAL — an Fs call from a non-session
+    * thread (HTTP handler, stream listener, user Future) must fall through
+    * to the JVM-global default session, not to a bare Configuration that
+    * would silently re-point scheme-less store paths at the local fs. */
   private def conf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
@@ -123,10 +128,22 @@ object Fs {
   def clearDir(f: java.io.File): Unit = clearDir(f.getPath)
 
   /** Atomic rename (the commit primitive — [[assertRenameContract]]).
-    * HDFS-contract semantics: false when src is missing or dst exists. */
+    * HDFS-contract semantics: false when src is missing or dst exists —
+    * ENFORCED here, because `FileSystem.rename` does not deliver them on
+    * local: Hadoop's RawLocalFileSystem falls back to
+    * `FileUtil.copy(deleteSource=true)` when `File.renameTo` fails, which
+    * silently OVERWRITES an existing file dst, nests src INTO an existing
+    * non-empty dir dst, and throws (instead of returning false) on a
+    * missing src — each of which would defeat StagedSwap's fail-loud
+    * dst-exists crash-state guards. The pre-checks are not atomic with the
+    * rename, but every caller is inside a single-writer protocol window
+    * (claimSlice fencing / save-swap ownership), where the only party that
+    * could race the check is the caller itself. */
   def rename(src: String, dst: String): Boolean = {
     val (fs, s) = resolve(src)
-    fs.rename(s, new Path(dst))
+    val d = new Path(dst)
+    if (!fs.exists(s) || fs.exists(d)) false
+    else fs.rename(s, d)
   }
 
   /** Child statuses; empty when the directory is missing. */

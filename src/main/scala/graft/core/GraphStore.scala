@@ -285,21 +285,35 @@ object GraphStore {
   private lazy val sweptStaleBucketLocations: Unit =
     sweepStaleBucketLocations(SparkSession.active)
 
-  private[graft] def sweepStaleBucketLocations(spark: SparkSession): Unit = {
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val PidName = "graftbkt_(\\d+)_.*".r
-    if (fs.exists(wh))
-      fs.listStatus(wh).foreach { st =>
-        st.getPath.getName match {
-          case PidName(pid) if scala.util.Try(
-              ProcessHandle.of(pid.toLong).isEmpty).getOrElse(false) =>
-            fs.delete(st.getPath, true); ()
-          case _ => ()
+  private[graft] def sweepStaleBucketLocations(spark: SparkSession): Unit =
+    scala.util.Try { // a failed sweep must never poison bucketedView —
+      // reclamation is best-effort housekeeping, not a read dependency
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // ProcessHandle only sees pids on THIS host: on a shared warehouse
+      // (hdfs/nfs via file:-mount) a pid live on another driver host would
+      // look dead here and its in-use tables would be deleted mid-query.
+      // Local-scheme-only is the conservative fence; shared deployments
+      // reclaim via their own retention tooling.
+      if (fs.getScheme == "file" && fs.exists(wh))
+        fs.listStatus(wh).foreach { st =>
+          st.getPath.getName match {
+            case PidName(pid) if scala.util.Try(
+                ProcessHandle.of(pid.toLong).isEmpty).getOrElse(false) =>
+              scala.util.Try { // per-entry: one bad entry must not end the sweep
+                // drop the catalog entry too (metastore-backed catalogs
+                // would otherwise keep a dangling table over deleted files)
+                if (spark.catalog.tableExists(st.getPath.getName))
+                  spark.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
+                fs.delete(st.getPath, true)
+              }; ()
+            case _ => ()
+          }
         }
-      }
-  }
+    }.fold(_ => (), identity)
+
+  private val PidName = "graftbkt_(\\d+)_.*".r
 
   /** Re-home `g` into the bucketed layout once per (prefix, token) and
     * return the bucket-backed view. `token` fingerprints the SOURCE state
@@ -322,7 +336,17 @@ object GraphStore {
         .collect().headOption.map(_.getString(1).trim)
         .filter(!_.contains("does not have property"))
       catch { case _: Throwable => None }
-    if (!live.contains(token)) {
+    // a token match is only valid while the table's storage is still there:
+    // a recycled pid + unchanged store could otherwise hit a stale catalog
+    // entry whose files the sweep already reclaimed, and loadBucketed would
+    // read a deleted location
+    val located = live.nonEmpty && {
+      try spark.sql(s"DESCRIBE FORMATTED ${prefix}_values")
+        .collect().find(_.getString(0) == "Location")
+        .map(_.getString(1)).forall(Fs.exists)
+      catch { case _: Throwable => false }
+    }
+    if (!live.contains(token) || !located) {
       saveBucketed(g, prefix, numBuckets)
       spark.sql(s"ALTER TABLE ${prefix}_values SET TBLPROPERTIES " +
         s"('graft.bucketState'='$token')")

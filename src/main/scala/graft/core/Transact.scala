@@ -382,14 +382,20 @@ object Transactor {
     */
   def assignFieldBulk(g: Graph, assignments: DataFrame, rt: String,
       vtype: String = "str",
-      ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00")): Graph =
+      ts: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
+      materializeDelta: Boolean = false): Graph =
     // assignNulls preserves this entry point's original contract: a
     // NULL-valued assignment still RECORDS (value row + atoms opened) —
     // set_field(null) is an explicit clear, not a no-op. The multi-field
     // API's sparse-update semantics (null = skip) are its own contract.
+    // materializeDelta: pass true when the returned graph will be read in
+    // several frames (rescore-then-compare) — the delta computes once and
+    // each frame's plan embeds a checkpoint leaf instead of the full
+    // delta derivation (update-sized state, never graph-sized).
     assignFieldsBulkDelta(g,
       assignments.select(col("owner_id"), col("value").as(rt)),
-      Seq(BulkField(rt, vtype)), ts, assignNulls = true)._1
+      Seq(BulkField(rt, vtype)), ts, assignNulls = true,
+      materializeDelta = materializeDelta)._1
 
   /** One distributed field assignment in a multi-field bulk write. */
   final case class BulkField(rt: String, vtype: String)

@@ -275,7 +275,12 @@ object GraphQueries {
         val assignments = graft.Tables.customer(s, d).select(
           GraphEncoder.entityId("Customer", col("c_custkey")).as("owner_id"),
           (col("c_acctbal") * 2).as("value"))
-        val g2 = Transactor.assignFieldBulk(g, assignments, "score", "double")
+        // three as-of frames read the same delta below — materialize it
+        // once (update-sized) instead of re-deriving it per frame, which
+        // instantiated the whole encode+anti-join subtree per read and
+        // made this the largest analyzed plan in the registry
+        val g2 = Transactor.assignFieldBulk(g, assignments, "score", "double",
+          materializeDelta = true)
         val after = g2.now.all("Customer")
           .fieldValue("score", "v_double", "score")
         val balBefore = g2.at(g.maxSlice).all("Customer")

@@ -120,6 +120,36 @@ class FsSchemeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("atomic rename"))
   }
 
+  test("Fs.rename holds HDFS-strict semantics on the local filesystem") {
+    // RawLocalFileSystem.rename falls back to copy+delete when renameTo
+    // fails: an existing file dst is silently overwritten, src nests INTO
+    // an existing non-empty dir dst, and a missing src throws. Each would
+    // defeat StagedSwap's fail-loud dst-exists guards — Fs.rename must
+    // return false instead, leaving both sides untouched.
+    val root = java.nio.file.Files.createTempDirectory("fs_rename_strict")
+    def p(n: String) = root.resolve(n)
+    // dst exists (file): refused, dst content intact
+    java.nio.file.Files.writeString(p("src1"), "new")
+    java.nio.file.Files.writeString(p("dst1"), "old")
+    assert(!Fs.rename(p("src1").toString, p("dst1").toString))
+    assert(java.nio.file.Files.readString(p("dst1")) == "old")
+    assert(java.nio.file.Files.exists(p("src1")))
+    // dst exists (non-empty dir): refused, no nesting
+    java.nio.file.Files.createDirectories(p("srcdir"))
+    java.nio.file.Files.writeString(p("srcdir").resolve("a"), "x")
+    java.nio.file.Files.createDirectories(p("dstdir"))
+    java.nio.file.Files.writeString(p("dstdir").resolve("b"), "y")
+    assert(!Fs.rename(p("srcdir").toString, p("dstdir").toString))
+    assert(!java.nio.file.Files.exists(p("dstdir").resolve("srcdir")),
+      "rename nested src into an existing dir dst")
+    // missing src: false, not an exception
+    assert(!Fs.rename(p("absent").toString, p("dst2").toString))
+    // the good case still commits
+    assert(Fs.rename(p("src1").toString, p("dst2").toString))
+    assert(java.nio.file.Files.readString(p("dst2")) == "new")
+    Fs.rm(root.toString)
+  }
+
   test("Fs.rm on a local symlink removes the link, never the target's contents") {
     // the java.io implementation guaranteed this; the Hadoop-FS port must
     // keep it (FileUtil deletes a link as the link)

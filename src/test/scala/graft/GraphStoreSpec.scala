@@ -259,6 +259,22 @@ class GraphStoreSpec extends AnyFunSuite {
     Seq(live, other).foreach(f => { f.delete(); () })
   }
 
+  test("sweep drops the stale pid's CATALOG entry along with its files") {
+    // with a persistent metastore, deleting only the files leaves a
+    // dangling table — and worse, a recycled pid could cache-hit the
+    // stale entry and read the reclaimed location
+    val name = "graftbkt_999999999_values"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.range(3).toDF("x").write.format("parquet").saveAsTable(name)
+    assert(spark.catalog.tableExists(name))
+    GraphStore.sweepStaleBucketLocations(spark)
+    assert(!spark.catalog.tableExists(name),
+      "sweep must drop the catalog entry, not just the files")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    assert(!new java.io.File(wh, name).exists())
+  }
+
   test("bucketed store: semantics parity + co-located plans with no Exchange") {
     val (g1, _) = Transactor.transact(Graph.empty(spark), Seq(
       PutEntity("Person", "joe"), PutField("joe", "Name", "Joe"),
