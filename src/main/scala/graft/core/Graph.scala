@@ -11,7 +11,24 @@ import org.apache.spark.sql.functions._
   * change, zero data movement (SURVEY §2.2, §4.2).
   */
 final case class Graph(atoms: DataFrame, values: DataFrame, txs: DataFrame,
-    tags: DataFrame, uniqueValuesThrough: Int = -1) {
+    tags: DataFrame, uniqueValuesThrough: Int = -1,
+    /** Scheme-id field-resolution bound (r18): for every frame at slice ≤
+      * this bound, (a) every field AE carrying a value visible in the frame
+      * has a PLAIN scheme id `ae:rt/<ownerId>` (no `#instance` / `[pos]`
+      * forms), and (b) the AE and its owning `rel:rt/<ownerId>` relation are
+      * alive in the frame iff the AE has a visible value. Under the bound,
+      * field resolution can read the latest-values table alone — owner and
+      * type recovered from the id prefix — skipping the relation-atoms scan
+      * and join entirely, and `fields()` can resolve without its pivoted
+      * max_by (which falls back to SortAggregate: string/struct aggregation
+      * buffers are not hash-aggregable). Set by GraphEncoder (all field AEs
+      * plain, everything born alive); PRESERVED by append-only plain writes
+      * (bulk field assignment, plain-field transacts) because later slices
+      * are invisible to frames ≤ bound; CLAMPED to the pre-tx maxSlice by
+      * any transact that terminates atoms or adds instanced fields (frames
+      * from that slice on must take the general relation-join path). -1 =
+      * never (foreign/merged/loaded graphs default conservative). */
+    plainFieldAesThrough: Int = -1) {
 
   def spark: SparkSession = atoms.sparkSession
 
@@ -414,8 +431,15 @@ final case class GraphSlice(graph: Graph, slice: Int) {
     * as-of, then the tiny survivor set joins up to entities — instead of
     * resolving every entity's field and filtering last. */
   def selectByField(et: String, rt: String, vcol: String, value: Any): AtomSet = {
+    // under the plain-scheme bound the rt-typing predicate rides the values
+    // SCAN as a pushable string-prefix filter (instead of arriving only at
+    // the relation join): the as-of re-check below then runs over this
+    // field's matches only, not every field whose value collides
+    val rtPrune =
+      if (slice <= graph.plainFieldAesThrough)
+        col("ae_id").startsWith(s"ae:$rt/") else lit(true)
     val hits = graph.values
-      .filter(col("tx_slice") <= slice && col(vcol) === lit(value))
+      .filter(col("tx_slice") <= slice && col(vcol) === lit(value) && rtPrune)
       .select(col("ae_id"), col("tx_slice"))
     // as-of check: the matching assignment must be the LATEST ≤ slice.
     // The aggregate runs over values SEMI-JOINED down to the hit AEs first,
@@ -457,10 +481,22 @@ final case class GraphSlice(graph: Graph, slice: Int) {
     * owning relations of type rt → alive entities of type et. */
   private def entitiesOwning(currentHits: DataFrame, et: String,
       rt: String): AtomSet = {
-    val owners = graph.atoms.filter(
-      col("kind") === Kind.Relation && col("atype") === rt && Graph.aliveAt(slice))
-      .join(currentHits.withColumnRenamed("ae_id", "dst_id"), "dst_id")
-      .select(col("src_id").as("atom_id"))
+    // Scheme-id fast path ([[Graph.plainFieldAesThrough]]): under the bound
+    // every hit AE is `ae:rt/<ownerId>` and its owning relation is alive,
+    // so the owner id is a prefix strip — the relation-atoms scan+join is
+    // pure re-derivation of what the id already says
+    val owners =
+      if (slice <= graph.plainFieldAesThrough) {
+        // the prefix filter does the rt-typing the relation join did: the
+        // hit set matched on VALUE alone and may contain other fields' AEs
+        val p = s"ae:$rt/"
+        currentHits.filter(col("ae_id").startsWith(p))
+          .select(col("ae_id")
+            .substr(lit(p.length + 1), lit(Int.MaxValue)).as("atom_id"))
+      } else graph.atoms.filter(
+        col("kind") === Kind.Relation && col("atype") === rt && Graph.aliveAt(slice))
+        .join(currentHits.withColumnRenamed("ae_id", "dst_id"), "dst_id")
+        .select(col("src_id").as("atom_id"))
     // LEFT SEMI: an entity owning SEVERAL matching field instances (two
     // instanced AEs both equal to the probe) must appear once, not fan
     // out every downstream join — the semi join dedups without the extra
@@ -615,16 +651,31 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     * (v_str, v_long, v_double, v_bool, v_ts).
     */
   def field(rt: String): DataFrame = {
-    val rels = frame.aliveRelations(rt)
-      .select(col("src_id").as("atom_id"), col("dst_id").as("ae_id"))
-    // as-of resolution reads the session-cached current-values table —
-    // the aggregate runs once per (graph, slice), every field access after
-    // the first is a pure join
-    val latest = AtomSet.pruneToFields(frame, Seq(rt)).drop("tx_slice")
     val carried = df.columns.filterNot(Schema.atomCols.contains)
-    df.select((col("atom_id") +: carried.map(col)): _*)
-      .join(rels, "atom_id").join(latest, "ae_id")
-      .drop("ae_id")
+    // Scheme-id fast path ([[Graph.plainFieldAesThrough]]): under the bound
+    // every visible rt-AE is `ae:rt/<owner>` with its relation alive iff the
+    // value is visible, so the owner is a prefix strip of the ae_id — no
+    // relation scan, no ae_id join. One latest-values read, one join.
+    if (frame.slice <= frame.graph.plainFieldAesThrough) {
+      val p = s"ae:$rt/"
+      val latest = frame.graph.latestValues(frame.slice)
+        .filter(col("ae_id").startsWith(p))
+        .withColumn("atom_id",
+          col("ae_id").substr(lit(p.length + 1), lit(Int.MaxValue)))
+        .drop("ae_id", "tx_slice")
+      df.select((col("atom_id") +: carried.map(col)): _*)
+        .join(latest, "atom_id")
+    } else {
+      val rels = frame.aliveRelations(rt)
+        .select(col("src_id").as("atom_id"), col("dst_id").as("ae_id"))
+      // as-of resolution reads the session-cached current-values table —
+      // the aggregate runs once per (graph, slice), every field access after
+      // the first is a pure join
+      val latest = AtomSet.pruneToFields(frame, Seq(rt)).drop("tx_slice")
+      df.select((col("atom_id") +: carried.map(col)): _*)
+        .join(rels, "atom_id").join(latest, "ae_id")
+        .drop("ae_id")
+    }
   }
 
   /** zef `gather[rules]` (impl.py:9800): bounded BFS collecting the
@@ -727,26 +778,49 @@ final case class AtomSet(frame: GraphSlice, df: DataFrame) {
     * fields as-of the frame (vs a join+agg per field): at 100 TB this is
     * the difference between 1 shuffle and N. */
   def fields(rts: (String, String, String)*): DataFrame = {
-    val rtNames = rts.map(_._1)
-    val vcols = FieldIndex.vcols // ONE typed-column list, declared once
-    val rels = frame.graph.atoms.filter(
-      col("kind") === Kind.Relation && col("atype").isInCollection(rtNames) &&
-        Graph.aliveAt(frame.slice))
-      .select(col("src_id").as("atom_id"), col("dst_id").as("ae_id"),
-        col("atype"))
-    val resolved = rels
-      .join(AtomSet.pruneToFields(frame, rtNames), "ae_id")
-      .groupBy(col("atom_id"))
-      .pivot("atype", rtNames)
-      // ae_id tie-break: two INSTANCES of the same field assigned in one
-      // tx share tx_slice — without the secondary key the pivot's winner
-      // is partitioning-dependent
-      .agg(max_by(struct(vcols.map(col): _*),
-        struct(col("tx_slice"), col("ae_id"))))
-    val out = rts.map { case (rt, vcol, as) => col(s"`$rt`.$vcol").as(as) }
-    df.select("atom_id")
-      .join(resolved, Seq("atom_id"), "left")
-      .select(col("atom_id") +: out: _*)
+    // Scheme-id fast path ([[Graph.plainFieldAesThrough]]): one AE per
+    // (owner, rt) with the owner recoverable from the id prefix, so the
+    // multi-field pivot needs NO relation scan and NO aggregate at all —
+    // each field is a left join of its prefix-pruned latest-values frame
+    // (unique per owner under the bound). This also sidesteps the pivoted
+    // max_by's SortAggregate fallback (string/struct aggregation buffers
+    // are not hash-aggregable — verified on Spark 4.1: even max(string)
+    // plans as SortAggregate). At scale each per-field frame is strictly
+    // smaller than the general path's single values-side join input, and
+    // the joins share the one atom_id key.
+    if (frame.slice <= frame.graph.plainFieldAesThrough) {
+      var out = df.select("atom_id")
+      rts.foreach { case (rt, vcol, as) =>
+        val p = s"ae:$rt/"
+        val f = frame.graph.latestValues(frame.slice)
+          .filter(col("ae_id").startsWith(p))
+          .select(col("ae_id").substr(lit(p.length + 1), lit(Int.MaxValue))
+            .as("atom_id"), col(vcol).as(as))
+        out = out.join(f, Seq("atom_id"), "left")
+      }
+      out
+    } else {
+      val rtNames = rts.map(_._1)
+      val vcols = FieldIndex.vcols // ONE typed-column list, declared once
+      val rels = frame.graph.atoms.filter(
+        col("kind") === Kind.Relation && col("atype").isInCollection(rtNames) &&
+          Graph.aliveAt(frame.slice))
+        .select(col("src_id").as("atom_id"), col("dst_id").as("ae_id"),
+          col("atype"))
+      val resolved = rels
+        .join(AtomSet.pruneToFields(frame, rtNames), "ae_id")
+        .groupBy(col("atom_id"))
+        .pivot("atype", rtNames)
+        // ae_id tie-break: two INSTANCES of the same field assigned in one
+        // tx share tx_slice — without the secondary key the pivot's winner
+        // is partitioning-dependent
+        .agg(max_by(struct(vcols.map(col): _*),
+          struct(col("tx_slice"), col("ae_id"))))
+      val out = rts.map { case (rt, vcol, as) => col(s"`$rt`.$vcol").as(as) }
+      df.select("atom_id")
+        .join(resolved, Seq("atom_id"), "left")
+        .select(col("atom_id") +: out: _*)
+    }
   }
 
   /** zef `yo` on atoms (`op_implementations/yo.py:243` eternalist_view) —

@@ -44,11 +44,13 @@ object GraphEncoder {
     }
 
   private def cached(g: Graph): Graph = {
-    val c = Graph(
-      g.atoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      g.values.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      g.txs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      g.tags, g.uniqueValuesThrough)
+    // copy(), not a positional rebuild: every metadata flag
+    // (uniqueValuesThrough, plainFieldAesThrough, future ones) must ride
+    // along or the cached instance silently loses its fast paths
+    val c = g.copy(
+      atoms = g.atoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      values = g.values.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      txs = g.txs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // memoized across queries: exempt from between-query cache release
     TransientCaches.markShared(c)
     c
@@ -199,8 +201,12 @@ object GraphEncoder {
       .toDF()
     // every field lands exactly one value row at slice 1 (entity keys are
     // primary keys, one AE per (entity, field)) — as-of reads can skip the
-    // latest-per-AE aggregate entirely (Graph.latestValues fast path)
-    Graph(atoms, values, txs).copy(uniqueValuesThrough = 1)
+    // latest-per-AE aggregate entirely (Graph.latestValues fast path).
+    // plainFieldAesThrough: every field AE is plain ae:f/<id> and everything
+    // is born alive, so scheme-id field resolution holds at EVERY slice
+    // until a mutation clamps it (Transactor does, on terminate/instanced)
+    Graph(atoms, values, txs).copy(uniqueValuesThrough = 1,
+      plainFieldAesThrough = Int.MaxValue)
   }
 
   /** The `events` table as genuine temporal history: each user_id becomes an
@@ -273,6 +279,10 @@ object GraphEncoder {
       lit(null).cast("timestamp").as("v_ts"))
 
     val txs = ranked.select(col("tx_slice").as("tx_id"), col("ts"))
+    // multi-assignment history (no uniqueValuesThrough), but the AEs are
+    // all plain ae:Value/ae:EventType forms born alive — scheme-id field
+    // resolution holds at every slice until a mutation clamps it
     Graph(atoms, valAssignments.unionByName(typeAssignments), txs)
+      .copy(plainFieldAesThrough = Int.MaxValue)
   }
 }

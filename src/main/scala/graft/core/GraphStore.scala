@@ -53,10 +53,18 @@ object GraphStore {
     // above — the meta file must no-op with them, or the NEW graph's
     // provenance would describe the OLD graph's rows (and fast-path a
     // multi-assignment store into silently wrong as-of reads)
-    if (g.uniqueValuesThrough >= 0 &&
+    // plainFieldAesThrough persists CLAMPED to the save-time maxSlice: a
+    // later appendTx may terminate atoms or add instanced AEs WITHOUT
+    // rewriting this meta, but those deltas land at strictly later slices,
+    // so every slice ≤ the clamped bound stays scheme-id-resolvable forever
+    // (an unclamped Int.MaxValue would let a post-save termination silently
+    // resurrect fields in post-termination frames of a re-loaded graph)
+    if ((g.uniqueValuesThrough >= 0 || g.plainFieldAesThrough >= 0) &&
         !(mode == SaveMode.Ignore && preExisting))
       Fs.writeString(s"$path/_graft_meta.json",
-        s"""{"uniqueValuesThrough": ${g.uniqueValuesThrough}}""")
+        s"""{"uniqueValuesThrough": ${g.uniqueValuesThrough}, """ +
+          s""""plainFieldAesThrough": ${
+            math.min(g.plainFieldAesThrough, g.maxSlice)}}""")
   }
 
   /** Every sub-table [[compact]]/[[purgeSlice]] may rewrite via the
@@ -177,13 +185,12 @@ object GraphStore {
           .parquet(s"$path/tags")
       else Graph.empty(spark).tags
     val meta = s"$path/_graft_meta.json"
-    val uniqueThrough =
-      if (Fs.exists(meta))
-        "\"uniqueValuesThrough\"\\s*:\\s*(\\d+)".r
-          .findFirstMatchIn(Fs.readString(meta))
-          .map(_.group(1).toInt).getOrElse(-1)
-      else -1
-    Graph(atoms, values, txs, tags, uniqueThrough)
+    val metaText = if (Fs.exists(meta)) Fs.readString(meta) else ""
+    def metaInt(key: String): Int =
+      ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r
+        .findFirstMatchIn(metaText).map(_.group(1).toInt).getOrElse(-1)
+    Graph(atoms, values, txs, tags, metaInt("uniqueValuesThrough"),
+      metaInt("plainFieldAesThrough"))
   }
 
   /** Bucketed catalog tables — the 100-TB layout. `atoms` stays partitioned
@@ -249,6 +256,12 @@ object GraphStore {
     if (g.uniqueValuesThrough >= 0)
       g.spark.sql(s"ALTER TABLE ${prefix}_values SET TBLPROPERTIES " +
         s"('graft.uniqueValuesThrough'='${g.uniqueValuesThrough}')")
+    // clamped to save-time maxSlice, same reasoning as the meta-file copy
+    // in save(): later appends can't retro-break slices ≤ the clamp
+    if (g.plainFieldAesThrough >= 0)
+      g.spark.sql(s"ALTER TABLE ${prefix}_values SET TBLPROPERTIES " +
+        s"('graft.plainFieldAesThrough'='${
+          math.min(g.plainFieldAesThrough, g.maxSlice)}')")
   }
 
   /** An in-memory session catalog forgets table metadata across JVMs while
@@ -381,9 +394,8 @@ object GraphStore {
   def loadBucketed(spark: SparkSession, prefix: String): Graph = {
     val atomCols = Seq("atom_id", "kind", "atype", "src_id", "dst_id",
       "inst_slice", "term_slice", "origin_uid")
-    val uniqueThrough =
-      try spark.sql(s"SHOW TBLPROPERTIES ${prefix}_values " +
-          "('graft.uniqueValuesThrough')")
+    def intProp(name: String): Int =
+      try spark.sql(s"SHOW TBLPROPERTIES ${prefix}_values ('graft.$name')")
         .collect().headOption.map(_.getString(1).trim)
         .filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(-1)
       catch { case _: Throwable => -1 }
@@ -392,7 +404,8 @@ object GraphStore {
       spark.table(s"${prefix}_values"),
       spark.table(s"${prefix}_txs"),
       spark.table(s"${prefix}_tags"),
-      uniqueThrough)
+      intProp("uniqueValuesThrough"),
+      intProp("plainFieldAesThrough"))
   }
 
   /** Durable incremental append: one transaction's delta lands as appended

@@ -320,8 +320,23 @@ object Transactor {
     // values are append-only at a strictly later slice, so the bulk
     // encoder's single-assignment guarantee (unique ae_id through its
     // encode slice) survives every transact unchanged
+    //
+    // plainFieldAesThrough maintenance: a tx of plain-scheme writes only
+    // (no terminations, no instanced fields) cannot break scheme-id field
+    // resolution at ANY slice — new AEs are plain and born alive with
+    // their relation. A terminating or instanced-field tx breaks it from
+    // this slice on, so the bound clamps to the last pre-tx slice (frames
+    // ≤ maxSlice stay fast; later frames take the relation-join path).
+    val plainSafe = wishes.forall {
+      case TerminateAtom(_) => false
+      case PutField(_, _, _, ik) => ik.isEmpty
+      case AssignField(_, _, _, ik) => ik.isEmpty
+      case _ => true
+    }
     val g2 = Graph(atomsFinal, valuesFinal, txsFinal, tagsFinal,
-      g.uniqueValuesThrough)
+      g.uniqueValuesThrough,
+      if (plainSafe) g.plainFieldAesThrough
+      else math.min(g.plainFieldAesThrough, slice - 1))
     // Incremental view maintenance: the new frame's current-values table is
     // the PRIOR frame's (planned lazily on the prior graph instance, where
     // it stays cached — and therefore materialized once — across repeated
@@ -573,7 +588,10 @@ object Transactor {
       g.values.unionByName(valuesDelta),
       g.txs.unionByName(Seq(TxRow(slice, ts)).toDF()),
       g.tags,
-      g.uniqueValuesThrough) // delta lands at a later slice — see transact
+      g.uniqueValuesThrough, // delta lands at a later slice — see transact
+      // bulk deltas open only plain ae:rt/ + rel:rt/ forms and terminate
+      // nothing, so the scheme-id field-resolution bound survives unchanged
+      g.plainFieldAesThrough)
     // same depth-capped lazy map-only seeding as transact, with the
     // distributed delta: drop re-assigned AEs by anti-join, union the delta
     val priorDepth = g.latestValuesDepth(g.maxSlice)
