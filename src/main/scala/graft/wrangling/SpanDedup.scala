@@ -98,15 +98,34 @@ object SpanDedup {
       spanTokens: Int = 50, maxDocFreq: Long = Long.MaxValue)
       : (DataFrame, Option[ValveReport]) = {
     val sh0 = spanShingles(docs, idCol, textCol, spanTokens)
-    val (sh1, report) = if (maxDocFreq == Long.MaxValue) (sh0, None) else {
+    val (hits, report) = if (maxDocFreq == Long.MaxValue) {
+      // UNVALVED path: candidate pairs via the hash self-join. The valved
+      // path below groups each hash's occurrences into one array and
+      // explodes pairs in place — strictly fewer passes — but with no df
+      // cap an adversarial hash would concentrate its ENTIRE occurrence
+      // set in a single aggregation buffer before the (equally quadratic)
+      // pair fan-out even starts; the join at least streams the build of
+      // that fan-out. Unvalved = caller asked for exact parity over
+      // robustness, so keep the memory-streaming shape here.
+      val sh = sh0.localCheckpoint(true)
+      val a = sh.select(col(idCol).as("id_a"), col("__pos").as("pos_a"),
+        col("__h"))
+      val b = sh.select(col(idCol).as("id_b"), col("__pos").as("pos_b"),
+        col("__h"))
+      val h = a.join(b, Seq("__h"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+          (col("pos_a") - col("pos_b")).as("__diag"))
+      (h, None)
+    } else {
       require(maxDocFreq >= 2,
         s"duplicateSpans: maxDocFreq must be >= 2 (a span needs two docs), got $maxDocFreq")
       // the hot-shingle valve: document frequency per window hash, windows
-      // above the cap dropped BEFORE the self-join (the join's fan-out per
-      // hash is df², so the cap bounds the worst bucket explicitly). The
-      // shingle frame is read twice (the df grouping and the probe side),
-      // so it is frozen first — tokenize + window + md5 is the dominant
-      // per-row cost and would otherwise derive twice. What the grouping
+      // above the cap dropped BEFORE pair generation (fan-out per hash is
+      // df², so the cap bounds the worst bucket explicitly). The shingle
+      // frame is read twice (the df grouping and the pair pass), so it is
+      // frozen first — tokenize + window + md5 is the dominant per-row
+      // cost and would otherwise derive twice. What the grouping
       // MATERIALIZES is the HOT list — the hashes over the cap, tiny BY
       // CONSTRUCTION (the valve's whole premise) — so (a) the drop report
       // reads off it for free, and (b) the keep-side becomes a broadcast
@@ -119,6 +138,15 @@ object SpanDedup {
       // Observation instantiates the session's non-serializable
       // ObservationManager and every LATER MLlib task serialization in
       // the JVM dies on it — both measured, both rejected.)
+      //
+      // The df ordering is load-bearing: the valve must run BEFORE the
+      // grouped pair pass below, because its whole purpose is to keep a
+      // df=10⁶ boilerplate hash from ever forming a 10⁶-occurrence array
+      // (countDistinct's expand-based plan carries (hash, id) ROWS, never
+      // arrays — safe on any df). A single fused groupBy computing both
+      // the df and the occurrence arrays was considered and rejected: one
+      // shuffle cheaper, but it concentrates exactly the hot-hash mass
+      // the valve exists to refuse.
       val base = sh0.localCheckpoint(true)
       val hot = base.groupBy(col("__h"))
         .agg(countDistinct(col(idCol)).as("__df"), count(lit(1)).as("__wins"))
@@ -142,20 +170,32 @@ object SpanDedup {
         if (rep.droppedHashes <= 1000000L)
           base.join(broadcast(hotKeys), Seq("__h"), "left_anti")
         else base.join(hotKeys, Seq("__h"), "left_anti")
-      (keep, Some(rep))
+      // candidate pairs by GROUPING, not self-joining (guide §2.4): the
+      // valve-kept shingle frame groups on __h once and each bucket's
+      // occurrence pairs explode IN PLACE — the exact pair set the
+      // r13–r17 self-join produced (same id_a < id_b orientation, every
+      // occurrence pair per alignment), with one corpus-sized shuffle
+      // where the join needed two (both probe sides re-shuffle the same
+      // frame at scale; locally AQE saved one by broadcast-collecting the
+      // entire 235k-row shingle frame — a plan that cannot survive a
+      // corpus-sized input anyway) and no second checkpoint (the join
+      // read the frame twice; the groupBy reads it once). Per-bucket
+      // arrays are valve-bounded: ≤ maxDocFreq docs per hash, so the
+      // array is the same df-bounded mass the join's per-key build was —
+      // within-doc window repetition is the shared residual of both
+      // shapes and is quadratic in either.
+      val h = keep.groupBy(col("__h"))
+        .agg(collect_list(struct(col(idCol).as("__id"),
+          col("__pos").as("__p"))).as("__occ"))
+        .select(explode(flatten(transform(col("__occ"), a =>
+          transform(filter(col("__occ"), b => b("__id") > a("__id")),
+            b => struct(a("__id").as("id_a"), b("__id").as("id_b"),
+              a("__p").as("pos_a"), b("__p").as("pos_b")))))).as("__hit"))
+        .select(col("__hit.id_a").as("id_a"), col("__hit.id_b").as("id_b"),
+          col("__hit.pos_a").as("pos_a"), col("__hit.pos_b").as("pos_b"),
+          (col("__hit.pos_a") - col("__hit.pos_b")).as("__diag"))
+      (h, Some(rep))
     }
-    // materialized before the self-join: both sides reference it and Spark
-    // shares no subplans across branches — left lazy, the tokenize + window
-    // + md5 derivation would run twice over the corpus. At 100 TB this is
-    // a persisted/bucketed shingle table (hash, doc, pos — ~45 bytes/row)
-    // co-located on __h so the candidate join is shuffle-free.
-    val sh = sh1.localCheckpoint(true)
-    val a = sh.select(col(idCol).as("id_a"), col("__pos").as("pos_a"), col("__h"))
-    val b = sh.select(col(idCol).as("id_b"), col("__pos").as("pos_b"), col("__h"))
-    val hits = a.join(b, Seq("__h"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
-        (col("pos_a") - col("pos_b")).as("__diag"))
     // adjacent windows on the same alignment diagonal are one span:
     // within (pair, diag) each pos_a appears once, so pos_a − row_number
     // is constant exactly along a consecutive run (the groupConsecutive

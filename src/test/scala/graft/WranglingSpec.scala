@@ -974,6 +974,36 @@ class WranglingSpec extends AnyFunSuite {
     assert(kept.size == 1006, s"kept ${kept.size}") // 1005 footer docs + 2100
   }
 
+  test("span-dedup grouped pair pass (valved) ≡ self-join pass (unvalved) under within-doc repeats") {
+    import spark.implicits._
+    // r18 rewrite guard: the valved path generates candidate pairs by
+    // grouping each hash's occurrences and exploding pairs in place; the
+    // unvalved path keeps the r13 self-join. The two must produce the
+    // same spans whenever nothing is actually over the cap — including
+    // the shapes that stress the pair semantics: a window REPEATED
+    // WITHIN one doc (multiple occurrences, same id) and a cross-doc
+    // match at several alignments (one span per diagonal).
+    val docA = "p q r s p q r"   // window [p q r] at pos 0 AND 4
+    val docB = "z p q r s w"     // [p q r] at 1, [q r s] at 2
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val expect = Set(
+      (1L, 2L, 0, 1, 4L),  // diag −1: windows at pos_a 0,1 merge (len 2+3−1)
+      (1L, 2L, 4, 1, 3L))  // diag 3: the repeated window's second alignment
+    def spanSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+    val grouped = spanSet(SpanDedup.duplicateSpans(
+      docs, "doc_id", "text", spanTokens = 3, maxDocFreq = 10))
+    val joined = spanSet(SpanDedup.duplicateSpans(
+      docs, "doc_id", "text", spanTokens = 3))
+    assert(grouped == expect, s"grouped $grouped")
+    assert(joined == expect, s"joined $joined")
+    // same-doc occurrence pairs must NOT leak through either path: docA
+    // alone (its repeated window pairs only with itself) yields nothing
+    assert(SpanDedup.duplicateSpans(Seq((1L, docA)).toDF("doc_id", "text"),
+      "doc_id", "text", spanTokens = 3, maxDocFreq = 10).count() == 0)
+  }
+
   test("chunkBitsFor holds expected bucket size; auto-sized near-dups match the pinned blocking") {
     import spark.implicits._
     import Similarity.chunkBitsFor
