@@ -24,6 +24,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val benchT0 = System.nanoTime() // SPARK_GRAFT_TIME_BUDGET anchor
     val spark = GraftSession.local(cpus)
 
     def time(f: => Unit): Double = {
@@ -112,10 +113,28 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val noRelease = sys.env.contains("SPARK_GRAFT_NO_RELEASE")
+
+    // Graceful degradation (r19, after the r18 driver capture was killed at
+    // rc 124 leaving NO per-query evidence): the durable copy is flushed
+    // incrementally after every query, so a run killed mid-registry still
+    // leaves everything it measured, marked "partial": true. The timed
+    // action and per-query protocol are UNCHANGED — this only moves the
+    // file write from run-end to after-each-query.
+    val benchOutPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    def flushPartial(rs: Seq[(String, Double)]): Unit = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = rs.map(_._2).filter(_ >= 0).sum
+      try java.nio.file.Files.writeString(benchOutPath,
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","partial":true,"n_done":${rs.size}}""" + "\n")
+      catch { case _: Throwable => () }
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results: Seq[(String, Double)] =
       queries.Registry.entries
         .filter(q => only.forall(_.contains(q.name))).map { q =>
-        try {
+        val r = try {
           q.fn(spark, sfDir).count() // warm-up (also primes graph caches)
           var ts = (1 to runs).map(_ => time(q.fn(spark, sfDir).count()))
           // Stall-window guard: host-level CPU stalls smear across a
@@ -132,11 +151,14 @@ object Bench {
           probeTimes += q.name -> time(probeDf.count())
           q.name -> median(ts)
         } catch { case _: Throwable => q.name -> -1.0 }
-        finally
+        finally {
           // cache hygiene: drop THIS query's transient derived caches
           // (shared encoder graphs stay warm) so late-registry queries
           // measure their plans, not 90 predecessors' eviction churn
           if (!noRelease) graft.core.TransientCaches.releaseAll()
+        }
+        done += r; flushPartial(done.toSeq)
+        r
       }
 
     // End-of-capture isolated reruns for band blow-outs. Absolute floor
@@ -144,21 +166,39 @@ object Bench {
     // >2x band is the same multiple the 2x-of-BASELINE gate uses. Caches
     // are released between reruns exactly like the main loop, so the
     // isolated number is measured under the main loop's regime.
-    val rerunNames = results.collect {
+    //
+    // Rerun-pass bounds (r19, after a stall storm tripped 42-62 reruns and
+    // the r18 driver run timed out mid-registry): the pass is capped to the
+    // SPARK_GRAFT_RERUN_CAP biggest blow-outs by absolute captured seconds
+    // (default 12 — every storm-free capture on record had 0-2), and an
+    // optional SPARK_GRAFT_TIME_BUDGET (wall seconds since bench start)
+    // skips remaining RERUNS — never remaining queries — once exceeded.
+    // Skipped reruns are reported with isolated = -2.0 so the artifact
+    // says "not rerun" rather than silently omitting the blow-out.
+    val rerunCap = sys.env.getOrElse("SPARK_GRAFT_RERUN_CAP", "12").toInt
+    val timeBudget = sys.env.get("SPARK_GRAFT_TIME_BUDGET").map(_.toDouble)
+    def overBudget: Boolean = timeBudget.exists(b =>
+      (System.nanoTime() - benchT0) / 1e9 > b)
+    val blowOuts = results.collect {
       // b > 0 guards a malformed bands file (a nested JSON value parses
       // as 0.0, and a zero band would rerun every non-trivial query)
       case (name, sec) if sec > 0.25 &&
-        bands.get(name).exists(b => b > 0 && sec > 2.0 * b) => name
+        bands.get(name).exists(b => b > 0 && sec > 2.0 * b) => (name, sec)
     }
+    val rerunNames = blowOuts.sortBy(-_._2).take(rerunCap).map(_._1)
+    val skippedByCap = blowOuts.map(_._1).filterNot(rerunNames.contains)
     val reruns: Seq[(String, Double, Double)] =
       queries.Registry.entries.filter(q => rerunNames.contains(q.name)).map { q =>
         val captured = results.find(_._1 == q.name).get._2
-        try {
+        if (overBudget) (q.name, captured, -2.0)
+        else try {
           q.fn(spark, sfDir).count()
           val ts = (1 to runs).map(_ => time(q.fn(spark, sfDir).count()))
           (q.name, captured, median(ts))
         } catch { case _: Throwable => (q.name, captured, -1.0) }
         finally if (!noRelease) graft.core.TransientCaches.releaseAll()
+      } ++ skippedByCap.map { n =>
+        (n, results.find(_._1 == n).get._2, -2.0)
       }
 
     // Probe stats: spikes are probes far off THIS run's own median (fixed

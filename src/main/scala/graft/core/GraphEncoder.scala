@@ -46,11 +46,28 @@ object GraphEncoder {
   private def cached(g: Graph): Graph = {
     // copy(), not a positional rebuild: every metadata flag
     // (uniqueValuesThrough, plainFieldAesThrough, future ones) must ride
-    // along or the cached instance silently loses its fast paths
+    // along or the cached instance silently loses its fast paths.
+    //
+    // localCheckpoint, not persist (r19): a persisted DataFrame keeps the
+    // full encode tree as its LOGICAL plan, so every query built over the
+    // shared graph re-analyzes that tree — measured at ~5.2 s of
+    // analysis_ms across the 125-query registry (PLANSHAPES;
+    // graph_bulk_rescore paid 552 ms of its 1.6 s median per run). The
+    // eager localCheckpoint truncates the lineage to a stats-carrying
+    // LogicalRDD leaf (Spark copies the origin plan's statistics and
+    // constraints into the leaf, so join-strategy selection is unchanged),
+    // collapsing per-construction Catalyst analysis registry-wide. The
+    // trade: the scan is row-based (no columnar batch / column pruning)
+    // and the frames are not fault-tolerant to executor loss — both fine
+    // for a single-JVM session cache; a cluster deployment would persist
+    // the encode as partitioned+bucketed TABLES (GraphStore.saveBucketed),
+    // which this cache stands in for.
+    def leaf(df: DataFrame): DataFrame =
+      df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = g.copy(
-      atoms = g.atoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      values = g.values.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      txs = g.txs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      atoms = leaf(g.atoms), values = leaf(g.values), txs = leaf(g.txs))
     // memoized across queries: exempt from between-query cache release
     TransientCaches.markShared(c)
     c

@@ -65,7 +65,9 @@ object PlanShape {
       cartesian = c("CartesianProductExec"),
       bnlj = c("BroadcastNestedLoopJoinExec"),
       codegen = c("WholeStageCodegenExec"),
-      scans = c("FileSourceScanExec", "InMemoryTableScanExec"))
+      // RDDScanExec: the shared graph caches are lineage-free checkpoint
+      // leaves since r19 — their scans must stay visible in the column
+      scans = c("FileSourceScanExec", "InMemoryTableScanExec", "RDDScanExec"))
   }
 
   /** Build each query's DataFrame cold (releaseAll first, Bench's

@@ -5,7 +5,27 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.Registry
 
 object SparkTestSession {
-  lazy val spark: SparkSession = GraftSession.local(4)
+  /** Not a lazy val: the r18 driver-regime `sbt test` run had the shared
+    * SparkContext die between suites (environmental — a stall-storming
+    * host; no test stops it) and every later suite failed at its first
+    * job with "SparkContext has been shutdown". GraftSession.local goes
+    * through getOrCreate, which returns the live default session and
+    * transparently builds a fresh one when the default's context has
+    * stopped — so a mid-run context death now costs at most the suite
+    * that already captured the dead instance, not the rest of the run.
+    * Suites keep their `lazy val spark = SparkTestSession.spark` (a
+    * stable identifier is required for `import spark.implicits._`);
+    * each suite's first access re-resolves liveness here. */
+  def spark: SparkSession = synchronized {
+    val s = GraftSession.local(4)
+    if (s.sparkContext.isStopped) {
+      System.err.println("[SparkTestSession] shared SparkContext was " +
+        "stopped mid-run; building a fresh session")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      GraftSession.local(4)
+    } else s
+  }
 }
 
 class RelationalSpec extends AnyFunSuite {
